@@ -1,0 +1,39 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference's performance-defining knobs (BASELINE.md):
+batch_size=1 (globals.py:16), chunk_size/overlap 500/10
+(graph_ingestion.py:68-69), duplicate merge threshold cosine > 0.9
+(constants.py:43), KNN similar-edge threshold 0.8 / top-6
+(neo4j_db.py:633-641), dedup OFF by default (graph_ingestion.py:65-66).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # chunking
+    batch_size: int = 1                 # turns per ingestion batch (doc_i // batch_size)
+    chunk_size: int = 500
+    chunk_overlap: int = 10
+    timestamp_prefix: bool = False      # reference prefixes only file/rtsp docs
+    # extraction
+    extractor: str = "rule_based"       # "rule_based" | "null" (bypass, chunks only)
+    allowed_nodes: List[str] = field(
+        default_factory=lambda: ["Person", "Vehicle", "Location", "Object"]
+    )
+    # embeddings
+    embedding_dim: int = 64
+    # entity linking / similarity
+    knn_min_score: float = 0.8          # SIMILAR edge threshold (neo4j_db.py:633-641)
+    knn_top_k: int = 6
+    duplicate_score: float = 0.9        # canonicalization threshold (constants.py:43)
+    # canonicalization default OFF to match reference defaults
+    deduplicate_nodes: bool = False
+    # scale knobs
+    shuffle_partitions: Optional[int] = None   # None = leave session setting
+    salt_buckets: int = 8               # long-conversation chunking salt
+    lsh_bands: int = 4                  # similarity-join blocking bands

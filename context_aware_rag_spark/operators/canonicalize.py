@@ -1,0 +1,114 @@
+"""Stage 5 — alias canonicalization: connected components + edge rewrite.
+
+The reference merges duplicate entities with apoc.refactor.mergeNodes
+over same-label cosine>0.9 pairs, capped at 100 groups per pass
+(neo4j_db.py:1575-1687). We canonicalize the FULL transitive closure in
+one job — an intentional, documented superset (SURVEY.md §6 risk 5) —
+via min-id label propagation over the similarity pair list:
+
+    label(v) <- min(label(v), min over neighbors label(u))
+
+iterated to fixpoint. Each iteration is one join + one aggregation;
+``localCheckpoint()`` truncates lineage so the loop does not stack a
+growing plan (the classic iterative-Spark failure mode). Alias groups
+are near-cliques (every pair above threshold), so convergence takes
+2-3 iterations regardless of corpus size; for adversarial long chains
+the iteration count is bounded by graph diameter and each step remains
+a hash join on node_id — no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+) -> DataFrame:
+    """pairs(a, b) -> canonical_map(node_id, canon_id) for ALL nodes that
+    appear in any pair (canon = min node_id of the component)."""
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint()
+    )
+    for i in range(max_iter):
+        # min label among self and neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node_id == neighbor_min.src, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node_id", F.col("label").alias("canon_id"))
+
+
+def rewrite_edges(edges: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """J6 — rewrite edge endpoints through the canonical map, then dedupe
+    (MERGE semantics). Two broadcast-able left joins + coalesce."""
+    cmap = F.broadcast(canonical_map) if _is_small(canonical_map) else canonical_map
+    src_map = cmap.select(
+        F.col("node_id").alias("_src_old"), F.col("canon_id").alias("_src_new")
+    )
+    dst_map = cmap.select(
+        F.col("node_id").alias("_dst_old"), F.col("canon_id").alias("_dst_new")
+    )
+    return (
+        edges.join(src_map, edges.src == F.col("_src_old"), "left")
+        .withColumn("src", F.coalesce(F.col("_src_new"), F.col("src")))
+        .drop("_src_old", "_src_new")
+        .join(dst_map, F.col("dst") == F.col("_dst_old"), "left")
+        .withColumn("dst", F.coalesce(F.col("_dst_new"), F.col("dst")))
+        .drop("_dst_old", "_dst_new")
+        .dropDuplicates(["src", "dst", "rel_type"])
+    )
+
+
+def rewrite_triples(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """Rewrite subj_id/obj_id through the canonical map (names kept)."""
+    cmap = canonical_map
+    s = cmap.select(F.col("node_id").alias("_so"), F.col("canon_id").alias("_sn"))
+    o = cmap.select(F.col("node_id").alias("_oo"), F.col("canon_id").alias("_on"))
+    return (
+        triples.join(s, triples.subj_id == F.col("_so"), "left")
+        .withColumn("subj_id", F.coalesce(F.col("_sn"), F.col("subj_id")))
+        .drop("_so", "_sn")
+        .join(o, F.col("obj_id") == F.col("_oo"), "left")
+        .withColumn("obj_id", F.coalesce(F.col("_on"), F.col("obj_id")))
+        .drop("_oo", "_on")
+    )
+
+
+def _is_small(df: DataFrame, limit_rows: int = 2_000_000) -> bool:
+    """Cheap broadcast heuristic without forcing a count at plan time."""
+    # canonical maps are tiny relative to edges (distinct aliased entities
+    # only); default to broadcast and let AQE demote if stats disagree.
+    return True

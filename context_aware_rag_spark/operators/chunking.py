@@ -1,0 +1,86 @@
+"""Stage 1 — turn-window chunking: transcripts -> chunks.
+
+Reference semantics: per-batch document list (``doc_i // batch_size``,
+ctx_rag_batcher.py:53-74), drop ``"."`` docs (base.py:319-325), split
+each doc with RecursiveCharacterTextSplitter(500, 10) (base.py:153-161),
+stable chunk ordering by chunkIdx (base.py:370-374).
+
+Spark shape (scale-first):
+
+- ``batch_size == 1`` (the reference's graph-ingestion default,
+  globals.py:16): every turn chunks independently → ``mapInPandas``,
+  ZERO shuffle; chunking is embarrassingly parallel and the plan is a
+  single scan→project stage whatever the corpus size.
+- ``batch_size > 1``: membership is a pure function of ``turn_idx``, so
+  we shuffle once on ``(conv_id, batch_id)`` — bounded group size (≤
+  batch_size turns), so long conversations do NOT create long
+  partitions here; skew from huge convs is structurally impossible.
+
+Output columns keep the full ordering key ``(conv_id, batch_id,
+turn_idx, split_pos)``; downstream linking (stage 2) derives position /
+offsets with a per-conv window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..functions.splitter import split_text
+from ..functions import hashing
+
+CHUNK_COLUMNS = [
+    "conv_id", "batch_id", "turn_idx", "split_pos", "text", "length", "ts",
+]
+_CHUNK_SCHEMA = (
+    "conv_id string, batch_id long, turn_idx int, split_pos int, "
+    "text string, length int, ts timestamp"
+)
+
+
+def _split_batch(pdf: pd.DataFrame, chunk_size: int, chunk_overlap: int) -> pd.DataFrame:
+    """Pure per-group transform: sorted turns of one batch -> chunk rows."""
+    pdf = pdf.sort_values("turn_idx")
+    out: dict[str, List] = {k: [] for k in CHUNK_COLUMNS}
+    for row in pdf.itertuples(index=False):
+        if row.text == "." or row.text is None:
+            continue
+        for pos, piece in enumerate(split_text(row.text, chunk_size, chunk_overlap)):
+            out["conv_id"].append(row.conv_id)
+            out["batch_id"].append(row.batch_id)
+            out["turn_idx"].append(row.turn_idx)
+            out["split_pos"].append(pos)
+            out["text"].append(piece)
+            out["length"].append(len(piece))
+            out["ts"].append(row.ts)
+    return pd.DataFrame(out)
+
+
+def chunk_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    df = transcripts.withColumn(
+        "batch_id", (F.col("turn_idx") / cfg.batch_size).cast("long")
+    ).select("conv_id", "batch_id", "turn_idx", "text", "ts")
+
+    if cfg.batch_size == 1:
+        # No shuffle: each row expands independently.
+        def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _split_batch(pdf, cfg.chunk_size, cfg.chunk_overlap)
+
+        chunks = df.mapInPandas(expand, schema=_CHUNK_SCHEMA)
+    else:
+        chunks = df.groupBy("conv_id", "batch_id").applyInPandas(
+            lambda pdf: _split_batch(pdf, cfg.chunk_size, cfg.chunk_overlap),
+            schema=_CHUNK_SCHEMA,
+        )
+
+    # chunk id = sha1(chunk_text + conv_id) — base.py:381-387, JVM-side.
+    return chunks.withColumn(
+        "chunk_id", hashing.chunk_id_col(F.col("text"), F.col("conv_id"))
+    )

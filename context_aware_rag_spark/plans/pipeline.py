@@ -1,0 +1,163 @@
+"""End-to-end KG construction pipeline with checkpointed, resumable stages.
+
+Stage graph (SURVEY.md §7):
+
+    transcripts → chunks → (triples, mentions) → linked_chunks
+               → structural edges → [similarity pairs → canonical_map]
+               → nodes / edges / triples
+
+Every stage optionally checkpoints to ``workdir/<stage>/`` (parquet in
+the sandbox; Iceberg ``writeTo(...).createOrReplace()`` on a real
+catalog — same code path, different format string). A stage whose
+``_SUCCESS`` marker exists is NOT recomputed on resume — the reference's
+idempotent-MERGE property (neo4j_db.py:519-556) re-expressed as
+write-once atomic table swaps.
+
+Lineage: one row per (run, stage, partition) with input/output row
+counts and wall time, appended to ``workdir/_lineage/`` — the analog of
+the reference's graph_rag_metrics.json (rag_health.py:20-48), but
+per-partition so stragglers and skew are visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators import canonicalize, chunking, extraction, linking, materialize, similarity
+
+
+@dataclass
+class PipelineResult:
+    chunks: DataFrame
+    linked_chunks: DataFrame
+    triples: DataFrame
+    mentions: DataFrame
+    edges: DataFrame
+    nodes: DataFrame
+    canonical_map: Optional[DataFrame] = None
+    metrics: Dict[str, dict] = field(default_factory=dict)
+
+
+class StageWriter:
+    """Checkpoint + lineage bookkeeping for one pipeline run."""
+
+    def __init__(self, spark: SparkSession, workdir: Optional[str], run_id: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.run_id = run_id
+        self.metrics: Dict[str, dict] = {}
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def materialize(self, stage: str, df_thunk: Callable[[], DataFrame]) -> DataFrame:
+        """Compute-or-load a stage. Without a workdir, just build the plan
+        (lazy, single-job execution at the end)."""
+        if not self.workdir:
+            return df_thunk()
+        path = self._path(stage)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            self.metrics[stage] = {"resumed": True}
+            return self.spark.read.parquet(path)
+        t0 = time.monotonic()
+        df = df_thunk()
+        df.write.mode("overwrite").parquet(path)
+        wall = time.monotonic() - t0
+        out = self.spark.read.parquet(path)
+        self._record_lineage(stage, out, wall)
+        return out
+
+    def _record_lineage(self, stage: str, df: DataFrame, wall_s: float) -> None:
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(F.count(F.lit(1)).alias("out_rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("wall_s", F.lit(float(wall_s)))
+        )
+        per_part.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+        total = per_part.agg(F.sum("out_rows")).collect()[0][0]
+        self.metrics[stage] = {"rows": int(total or 0), "wall_s": wall_s}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+    workdir: Optional[str] = None,
+    run_id: str = "run0",
+) -> PipelineResult:
+    cfg = cfg or PipelineConfig()
+    w = StageWriter(spark, workdir, run_id)
+
+    chunks = w.materialize("chunks", lambda: chunking.chunk_transcripts(transcripts, cfg))
+
+    def _extract() -> DataFrame:
+        t, _ = extraction.extract_stage(chunks, cfg)
+        return t
+
+    triples = w.materialize("triples_raw", _extract)
+    mentions = w.materialize(
+        "mentions", lambda: extraction.mentions_from_triples(triples)
+    )
+    linked = w.materialize("linked_chunks", lambda: linking.link_chunks(chunks))
+    structural = w.materialize(
+        "structural_edges", lambda: linking.structural_edges(linked, mentions)
+    )
+
+    canonical_map = None
+    similar = None
+    if cfg.deduplicate_nodes:
+        def _pairs() -> DataFrame:
+            nodes_distinct = mentions.select("node_id", "name", "type").dropDuplicates(
+                ["node_id"]
+            )
+            with_emb = similarity.with_entity_embeddings(
+                nodes_distinct, dim=cfg.embedding_dim
+            )
+            return similarity.similarity_pairs(
+                with_emb,
+                threshold=cfg.duplicate_score,
+                blocking="type",
+                dim=cfg.embedding_dim,
+            )
+
+        pairs = w.materialize("sim_pairs", _pairs)
+        canonical_map = w.materialize(
+            "canonical_map", lambda: canonicalize.connected_components(pairs)
+        )
+        triples = w.materialize(
+            "triples", lambda: canonicalize.rewrite_triples(triples, canonical_map)
+        )
+        structural = w.materialize(
+            "structural_edges_canon",
+            lambda: canonicalize.rewrite_edges(structural, canonical_map),
+        )
+
+    nodes = w.materialize("nodes", lambda: materialize.build_nodes(mentions, canonical_map))
+    edges = w.materialize(
+        "edges", lambda: materialize.build_edges(structural, triples, similar)
+    )
+
+    if workdir:
+        with open(os.path.join(workdir, f"metrics_{run_id}.json"), "w") as f:
+            json.dump(w.metrics, f, indent=2, default=str)
+
+    return PipelineResult(
+        chunks=chunks,
+        linked_chunks=linked,
+        triples=triples,
+        mentions=mentions,
+        edges=edges,
+        nodes=nodes,
+        canonical_map=canonical_map,
+        metrics=w.metrics,
+    )
