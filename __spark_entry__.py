@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on a
+deterministic synthesized transcripts corpus at sf0.001 scale and
+returns the emitted triple set. ``queries()`` / ``oracle_sql()`` expose
+every implemented operator (SURVEY.md §2 + training-data ops); see
+``context_aware_rag_spark/plans/entry_queries.py`` for the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from context_aware_rag_spark.deploy import ensure_on_executors  # noqa: E402
+from context_aware_rag_spark.plans import entry_queries  # noqa: E402
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Executor workers must import the package to unpickle pandas UDFs;
+    ship it (addPyFile — the --py-files mechanism) before planning."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_on_executors(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → chunk → extract → clean → hash → triples."""
+    ensure_on_executors(spark)
+    return entry_queries.kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _shipped(fn) for name, fn in entry_queries.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(entry_queries.ORACLES)

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk_bruteforce` — exact top-k: broadcast the (small)
+  query side against the corpus, dot product JVM-side, rank with a
+  per-query window. Baseline and verification path.
+- :func:`cosine_topk_ivf` — IVF-style scale path: assign every vector
+  to its nearest of C centroids (computed from a deterministic sample),
+  search only ``nprobe`` closest centroids per query — the shuffle is
+  an equi-join on centroid id, so cost is corpus/C × nprobe per query
+  instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+
+    Query side is broadcast (queries are the small side by construction);
+    the corpus is scanned once — no corpus shuffle at all.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cnorm"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col("_cvec").cast("array<double>"), F.col("_qvec").cast("array<double>"))
+            / (F.col("_cnorm") * F.col("_qnorm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample (the
+    sample is bounded; the heavy assignment step below is distributed)."""
+    rng = np.random.default_rng(42)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cents = sample[idx].astype(np.float64)
+    for _ in range(iters):
+        d = sample @ cents.T
+        assign = np.argmax(d, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents.astype(np.float32)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: centroid assignment via pandas UDF (one
+    matmul per Arrow batch), candidate restriction to the query's
+    ``nprobe`` nearest centroids, then exact scoring + window rank."""
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col).limit(sample_size).collect()
+        ],
+        dtype=np.float32,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    cents = _kmeans_centroids(sample / norms, n_clusters)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_centroid(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            mat = np.stack(s.to_numpy()).astype(np.float32)
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1
+            yield pd.Series(np.argmax((mat / n) @ cents.T, axis=1).astype("int32"))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_centroids(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            mat = np.stack(s.to_numpy()).astype(np.float32)
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1
+            sims = (mat / n) @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+            yield pd.Series(list(top))
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        nearest_centroid(F.col(vec_col)).alias("_cell"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cnorm"),
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            probe_centroids(F.col(vec_col)).alias("_cells"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("_qnorm"),
+        )
+        .select(
+            query_id_col, "_qvec", "_qnorm", F.explode("_cells").alias("_cell")
+        )
+    )
+    scored = c.join(F.broadcast(q), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            _dot(F.col("_cvec").cast("array<double>"), F.col("_qvec").cast("array<double>"))
+            / (F.col("_cnorm") * F.col("_qnorm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

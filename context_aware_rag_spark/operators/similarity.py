@@ -131,8 +131,10 @@ def similarity_pairs(
         F.col("embedding").alias("emb_b"),
     )
     if blocking == "lsh":
+        # materialize before the self-join so the embedding UDF + band
+        # signature aren't recomputed per joined row (stage table at scale)
         lb = with_lsh_bands(
-            nodes_with_emb.select("node_id", "type", "embedding"),
+            nodes_with_emb.select("node_id", "type", "embedding").localCheckpoint(),
             dim, bands, bits_per_band,
         )
         pairs = (
@@ -181,7 +183,9 @@ def knn_similar_edges(
     Candidate generation reuses the LSH banding; ranking is W5
     (row_number over score desc per source).
     """
-    lb = with_lsh_bands(items_with_emb.select(id_col, "embedding"), dim)
+    lb = with_lsh_bands(
+        items_with_emb.select(id_col, "embedding").localCheckpoint(), dim
+    )
     cand = (
         lb.alias("l")
         .join(

@@ -1,0 +1,108 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side built-ins (whole-stage codegen);
+designed so each has an exact ANSI-SQL twin for DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# top English stopwords used by the n-gram-free heuristic language ID
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that", "are", "be",
+]
+
+
+def _words(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (codepoints/4 heuristic
+    plus punctuation splits) — both cheap, both SQL-twin-able."""
+    words = _words(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.length(text_col).alias("n_chars"),
+        (F.length(text_col) / 4).cast("int").alias("approx_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios + a composite
+    quality score in [0,1] (Gopher-style filters, simplified)."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    )
+    mean_word_len = (
+        F.length(F.regexp_replace(text, r"\s+", "")) / F.greatest(n_words, F.lit(1))
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    score = (
+        F.when((n_words >= 5) & (n_words <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(0.3)).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-density language heuristic: 'en' if >= 8% of tokens are
+    English stopwords, else 'unknown' (n-gram profiles would slot in the
+    same shape; the scoring stays a JVM-side array filter)."""
+    words = _words(F.col(text_col))
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS))) / F.greatest(
+        F.size(words), F.lit(1)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(stop_ratio, 4).alias("en_stop_ratio"),
+        F.when(stop_ratio >= 0.08, F.lit("en")).otherwise("unknown").alias("lang_pred"),
+    )
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    window: int = 8,
+    every: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every ``window``-word
+    span starting at multiples of ``every`` — an array column of span
+    hashes per doc, usable for containment/plagiarism joins.
+
+    JVM-side: sequence → transform(slice → concat_ws → xxhash64).
+    """
+    words = _words(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - window, F.lit(0)),
+        F.lit(every),
+    )
+    prints = F.transform(
+        starts,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window))),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(prints).alias("fingerprints"),
+        F.size(F.array_distinct(prints)).alias("n_fingerprints"),
+    )

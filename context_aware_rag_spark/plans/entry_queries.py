@@ -1,0 +1,727 @@
+"""Driver-contract query registry: Spark implementations + DuckDB oracles.
+
+Every SURVEY.md §2 operator family is represented either by a
+SQL-checkable query over the driver's testdata tables (events / orders /
+lineitem / documents / embeddings) or — for pandas-UDF-backed stages the
+oracle SQL cannot express (chunking, extraction, canonicalization,
+MinHash/SimHash, IVF) — by a rows-only KG/pipeline query over the
+deterministic synthesized transcripts corpus.
+
+Column names are aliased identically on both sides; floats are rounded
+identically on both sides (the driver hash is exact).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators import ann, dedup, multimodal, similarity, textmetrics
+from ..plans.pipeline import run_pipeline
+from ..sources.transcripts import generate_transcripts
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def n_convs_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    return max(6, int(1200 * sf))
+
+
+def transcripts_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return generate_transcripts(spark, n_convs_for(sf_dir))
+
+
+# =========================================================================
+# TPC-H-style relational core (scan/filter/agg/join pushdown showcase)
+# =========================================================================
+
+@q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_top10",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_top10(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "j1_revenue_per_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_revenue_per_nation(spark, sf_dir):
+    # J1 shape: fact joins broadcast dims (customer, nation are tiny)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "j7_customers_without_orders",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def j7_customers_without_orders(spark, sf_dir):
+    # J7 orphan anti-join (reference delete path, constants.py:406-443)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# =========================================================================
+# Reference filters / scalar functions (F1, F8, F9, C2)
+# =========================================================================
+
+@q(
+    "f1_empty_doc_filter",
+    "SELECT doc_id, n_chars FROM documents WHERE text <> '.' AND length(text) > 0",
+)
+def f1_empty_doc_filter(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.filter((F.col("text") != ".") & (F.length("text") > 0)).select(
+        "doc_id", "n_chars"
+    )
+
+
+@q(
+    "f8_lucene_scrub",
+    """
+    SELECT doc_id,
+           trim(translate(text, '+-&|!(){}[]^"~*?:\\/',
+                          '                   ')) AS scrubbed
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def f8_lucene_scrub(spark, sf_dir):
+    from ..functions.text import remove_lucene_chars
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", remove_lucene_chars(F.col("text")).alias("scrubbed"))
+
+
+@q(
+    "f9_think_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, '(?s)<think>.*?</think>', '', 'g') AS cleaned
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def f9_think_scrub(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", r"(?s)<think>.*?</think>", "").alias("cleaned"),
+    )
+
+
+@q(
+    "c2_timestamp_prefix",
+    """
+    SELECT event_id,
+           printf('<%.2f> <%.2f> %s', value, value + 5.0, event_type) AS prefixed
+    FROM events WHERE event_id < 500
+    """,
+)
+def c2_timestamp_prefix(spark, sf_dir):
+    from ..functions.text import timestamp_prefix
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        timestamp_prefix(
+            F.col("event_type"), F.col("value"), F.col("value") + 5.0
+        ).alias("prefixed"),
+    )
+
+
+# =========================================================================
+# Window operators (W2/W3/W4/W5) over events
+# =========================================================================
+
+@q(
+    "w2_event_linking",
+    """
+    SELECT user_id, event_id,
+           lag(event_id) OVER w AS prev_event_id,
+           (row_number() OVER w = 1) AS is_first
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w2_event_linking(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (F.row_number().over(w) == 1).alias("is_first"),
+    )
+
+
+@q(
+    "w3_running_offset",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER w AS position,
+           coalesce(sum(length(event_type)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS content_offset
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w3_running_offset(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("position"),
+        F.coalesce(
+            F.sum(F.length("event_type")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("content_offset"),
+    )
+
+
+@q(
+    "w4_global_index",
+    """
+    SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS doc_index
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def w4_global_index(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).alias("doc_index"))
+
+
+@q(
+    "w5_topk_per_user",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) t WHERE rn <= 3
+    """,
+)
+def w5_topk_per_user(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# =========================================================================
+# Aggregations (A1/A2/A4/A7/A9, O2)
+# =========================================================================
+
+@q(
+    "a1_ordered_concat",
+    """
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS concat_types
+    FROM events WHERE user_id < 10 GROUP BY user_id
+    """,
+)
+def a1_ordered_concat(spark, sf_dir):
+    # A1 batch assembly: order-stable concat via sort_array of structs
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("concat_types")
+    )
+
+
+@q(
+    "a2_time_bounds",
+    """
+    SELECT user_id,
+           round(epoch(min(ts)), 6) AS ts_min,
+           round(epoch(max(ts)), 6) AS ts_max,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def a2_time_bounds(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; go through timestamp (session TZ = UTC)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    return e.groupBy("user_id").agg(
+        F.round(F.min(epoch), 6).alias("ts_min"),
+        F.round(F.max(epoch), 6).alias("ts_max"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "a4_entity_frequency",
+    """
+    SELECT event_type, count(*) AS n_chunks
+    FROM events GROUP BY event_type
+    ORDER BY n_chunks DESC, event_type ASC LIMIT 40
+    """,
+)
+def a4_entity_frequency(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .orderBy(F.desc("n_chunks"), F.asc("event_type"))
+        .limit(40)
+    )
+
+
+@q(
+    "a7_last_event_per_user",
+    """
+    SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t WHERE rn = 1
+    """,
+)
+def a7_last_event_per_user(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@q(
+    "a9_distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_distinct_users_per_type(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@q(
+    "o2_order_limit",
+    """
+    SELECT event_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 100
+    """,
+)
+def o2_order_limit(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.orderBy(F.desc("value"), F.asc("event_id")).limit(100).select(
+        "event_id", "value"
+    )
+
+
+@q(
+    "word_explode_topk",
+    """
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents) t
+    WHERE word <> '' GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+    """,
+)
+def word_explode_topk(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+# =========================================================================
+# Training-data ops: dedup / text metrics / ANN
+# =========================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@q(
+    "dedup_exact_normalized",
+    f"""
+    SELECT md5({_NORM_SQL}) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    return dedup.exact_duplicates_normalized(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT a, b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = a
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, n=3
+    )
+
+
+@q(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+           length(text) AS n_chars,
+           CAST(floor(length(text) / 4) AS INT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    return textmetrics.token_counts(load(spark, sf_dir, "documents"))
+
+
+_STOPS_SQL = "(" + ",".join(f"'{w}'" for w in textmetrics.EN_STOPWORDS) + ")"
+
+
+@q(
+    "quality_scores",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS words,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               / greatest(len(words), 1) AS mean_word_len,
+             n_punct / greatest(n_chars, 1) AS punct_ratio,
+             len(list_filter(words, w -> w IN {_STOPS_SQL}))
+               / greatest(len(words), 1) AS stop_ratio
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(stop_ratio, 4) AS stop_ratio,
+           round((
+             (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio >= 0.01 THEN 0.1 ELSE 0.0 END))::DOUBLE, 2)
+             AS quality_score
+    FROM m
+    """,
+)
+def quality_scores(spark, sf_dir):
+    return textmetrics.quality_scores(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "language_id",
+    f"""
+    SELECT doc_id,
+           round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 w -> w IN {_STOPS_SQL}))
+                 / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1),
+                 4) AS en_stop_ratio,
+           CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                     w -> w IN {_STOPS_SQL}))
+                     / greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1)
+                     >= 0.08
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+)
+def language_id(spark, sf_dir):
+    return textmetrics.language_id(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+                   6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+                 DESC, c.vec_id ASC) AS rank
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id < 5 AND c.vec_id >= 5) t
+    WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk_bruteforce(corpus, queries, k=10)
+
+
+@q(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           round(avg(sqrt(list_inner_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))), 6) AS avg_norm,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    return (
+        e.select("label", norm.alias("_n"))
+        .groupBy("label")
+        .agg(F.round(F.avg("_n"), 6).alias("avg_norm"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =========================================================================
+# Rows-only queries (pandas-UDF stages the SQL oracle cannot express)
+# =========================================================================
+
+@q("kg_triples")
+def kg_triples(spark, sf_dir):
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    return res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+
+
+@q("kg_chunk_stats")
+def kg_chunk_stats(spark, sf_dir):
+    from ..operators.chunking import chunk_transcripts
+    from ..operators.linking import link_chunks
+
+    chunks = link_chunks(chunk_transcripts(transcripts_for(spark, sf_dir)))
+    return chunks.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("position").alias("max_position"),
+        F.sum("length").alias("total_chars"),
+        F.max(F.col("content_offset") + F.col("length")).alias("end_offset"),
+    )
+
+
+@q("kg_nodes_canonical")
+def kg_nodes_canonical(spark, sf_dir):
+    res = run_pipeline(
+        spark,
+        transcripts_for(spark, sf_dir),
+        PipelineConfig(deduplicate_nodes=True),
+    )
+    return res.nodes.select("node_id", "name", "type", "mention_chunks")
+
+
+@q("kg_similar_chunk_edges")
+def kg_similar_chunk_edges(spark, sf_dir):
+    from ..operators.chunking import chunk_transcripts
+
+    chunks = chunk_transcripts(transcripts_for(spark, sf_dir)).dropDuplicates(
+        ["chunk_id"]
+    )
+    with_emb = similarity.with_text_embeddings(chunks.select("chunk_id", "text"))
+    return similarity.knn_similar_edges(
+        with_emb, id_col="chunk_id", min_score=0.8, top_k=6
+    )
+
+
+@q("minhash_near_dups")
+def minhash_near_dups(spark, sf_dir):
+    return dedup.minhash_dedup(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@q("simhash_near_dups")
+def simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk_ivf(corpus, queries, k=10, n_clusters=16, nprobe=4)
+
+
+@q("media_features")
+def media_features(spark, sf_dir):
+    media = multimodal.synthesize_media(spark, load(spark, sf_dir, "documents"))
+    feats = multimodal.extract_media_features(media, fake=True)
+    return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))

@@ -1,0 +1,76 @@
+"""Structured Streaming ingestion mode.
+
+The reference is a long-running HTTP service with a count-based batcher
+and an ``is_last`` end-of-stream marker (SURVEY.md §2.8: no watermarks,
+no event-time windows). Because batch membership is a pure function of
+``(conv_id, turn_idx)`` and chunk identity is a pure function of chunk
+text, the streaming mode is simply ``readStream → foreachBatch(same
+pure transforms) → append`` — each micro-batch's turns chunk and
+extract independently (batch_size=1 default), so append-mode output is
+exactly the batch pipeline's output with no cross-batch state.
+
+Cross-batch artifacts (chunk position / NEXT_CHUNK links, which the
+reference also only computes at finalize time — base.py:752-778) are
+produced by running the batch ``link_chunks`` stage over the
+accumulated chunks table at ``complete_ingestion`` time, mirroring the
+reference's EP2 barrier exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import PipelineConfig
+from ..operators import chunking, extraction
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def ingest_microbatch(batch_df: DataFrame, cfg: PipelineConfig, out_dir: str) -> None:
+    """The per-micro-batch body: chunk → extract → append stage tables."""
+    chunks = chunking.chunk_transcripts(batch_df, cfg)
+    triples, mentions = extraction.extract_stage(chunks, cfg)
+    chunks.write.mode("append").parquet(os.path.join(out_dir, "chunks"))
+    triples.write.mode("append").parquet(os.path.join(out_dir, "triples_raw"))
+    mentions.write.mode("append").parquet(os.path.join(out_dir, "mentions"))
+
+
+def start_streaming_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+):
+    """File-source streaming ingest (kafka would swap in the same shape).
+
+    ``available_now`` drains everything currently present and stops —
+    the batch-equivalence mode used in tests; ``False`` runs continuous
+    micro-batches.
+    """
+    cfg = cfg or PipelineConfig()
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch_id: ingest_microbatch(df, cfg, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_ingestion(spark: SparkSession, out_dir: str) -> DataFrame:
+    """EP2 analog: run the cross-batch linking over accumulated chunks."""
+    from ..operators.linking import link_chunks
+
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    return link_chunks(chunks.dropDuplicates(["conv_id", "batch_id", "turn_idx", "split_pos"]))

@@ -1,0 +1,60 @@
+"""Streaming-mode equivalence: availableNow micro-batches produce the
+same triples / chunks as the batch pipeline on the same corpus."""
+
+import os
+
+import pytest
+
+from context_aware_rag_spark.config import PipelineConfig
+from context_aware_rag_spark.plans.pipeline import run_pipeline
+from context_aware_rag_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_rows,
+)
+from context_aware_rag_spark.streaming.ingest import (
+    finalize_ingestion,
+    start_streaming_ingest,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = generate_rows(4)
+    return rows, spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+def test_streaming_matches_batch(spark, corpus, tmp_path_factory):
+    rows, df = corpus
+    in_dir = str(tmp_path_factory.mktemp("stream_in"))
+    out_dir = str(tmp_path_factory.mktemp("stream_out"))
+    # several input files -> several micro-batches
+    df.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    q = start_streaming_ingest(spark, in_dir, out_dir, available_now=True)
+    q.awaitTermination(240)
+
+    stream_triples = {
+        (r["conv_id"], r["subj_name"], r["pred"], r["obj_name"])
+        for r in spark.read.parquet(os.path.join(out_dir, "triples_raw")).collect()
+    }
+    batch = run_pipeline(spark, df, PipelineConfig())
+    batch_triples = {
+        (r["conv_id"], r["subj_name"], r["pred"], r["obj_name"])
+        for r in batch.triples.collect()
+    }
+    assert stream_triples == batch_triples
+
+    linked = finalize_ingestion(spark, out_dir)
+    batch_linked = {
+        (r["conv_id"], r["chunk_id"], r["position"], r["content_offset"])
+        for r in batch.linked_chunks.select(
+            "conv_id", "chunk_id", "position", "content_offset"
+        ).collect()
+    }
+    got = {
+        (r["conv_id"], r["chunk_id"], r["position"], r["content_offset"])
+        for r in linked.select(
+            "conv_id", "chunk_id", "position", "content_offset"
+        ).collect()
+    }
+    assert got == batch_linked
