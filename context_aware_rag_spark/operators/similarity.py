@@ -107,6 +107,66 @@ def with_lsh_bands(
     )
 
 
+def _gemm_pairs_exact(
+    nodes_with_emb: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs same-type similarity via blocked matrix multiply.
+
+    Classic triangle join: each node hashes to one of ``n_blocks``
+    buckets and is replicated to every (min, max) block pair it belongs
+    to; one ``applyInPandas`` group per (type, block_i, block_j)
+    computes the cross-block cosine matrix with a single numpy GEMM —
+    BLAS does in milliseconds what per-pair zip_with/aggregate
+    expressions take minutes over (measured 148s -> seconds on ~4k
+    nodes). Memory per task is bounded by (group_size / n_blocks)^2;
+    raise ``n_blocks`` for bigger types (cost grows linearly in
+    replication, quadratically in nothing).
+    """
+    src = nodes_with_emb.select(
+        "node_id", "type", "embedding",
+        F.pmod(F.xxhash64("node_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    replicated = src.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pblk")
+    ).select(
+        "node_id", "type", "embedding", "blk",
+        F.least("blk", "pblk").alias("blo"),
+        F.greatest("blk", "pblk").alias("bhi"),
+    ).dropDuplicates(["node_id", "blo", "bhi"])
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        blo, bhi = int(pdf["blo"].iloc[0]), int(pdf["bhi"].iloc[0])
+        if blo == bhi:
+            part = pdf.drop_duplicates("node_id")
+            ids_a = ids_b = part["node_id"].to_numpy()
+            mat_a = mat_b = _np.stack(part["embedding"].to_numpy())
+        else:
+            a_part = pdf[pdf["blk"] == blo].drop_duplicates("node_id")
+            b_part = pdf[pdf["blk"] == bhi].drop_duplicates("node_id")
+            if a_part.empty or b_part.empty:
+                return pd.DataFrame({"a": [], "b": [], "score": []})
+            ids_a, ids_b = a_part["node_id"].to_numpy(), b_part["node_id"].to_numpy()
+            mat_a = _np.stack(a_part["embedding"].to_numpy())
+            mat_b = _np.stack(b_part["embedding"].to_numpy())
+        sims = mat_a.astype(_np.float64) @ mat_b.astype(_np.float64).T
+        ii, jj = _np.where(sims > threshold)
+        lhs, rhs, sc = ids_a[ii], ids_b[jj], sims[ii, jj]
+        keep = lhs != rhs                      # drop self-pairs
+        lhs, rhs, sc = lhs[keep], rhs[keep], sc[keep]
+        swap = lhs > rhs                       # normalize to a < b
+        lhs2 = _np.where(swap, rhs, lhs)
+        rhs2 = _np.where(swap, lhs, rhs)
+        return pd.DataFrame({"a": lhs2, "b": rhs2, "score": sc})
+
+    return (
+        replicated.groupBy("type", "blo", "bhi")
+        .applyInPandas(block_pairs, schema="a string, b string, score double")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def similarity_pairs(
     nodes_with_emb: DataFrame,
     threshold: float,
@@ -114,54 +174,48 @@ def similarity_pairs(
     bands: int = 4,
     bits_per_band: int = 4,
     dim: int = 64,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Same-type candidate pairs with cosine > threshold, a < b.
 
     Returns (a, b, score) — the duplicate-pair edge list (J5), input to
-    connected-components canonicalization.
+    connected-components canonicalization. ``blocking="type"`` is the
+    exact path (blocked GEMM); ``blocking="lsh"`` the approximate scale
+    path for very large per-type populations.
     """
-    left = nodes_with_emb.select(
-        F.col("node_id").alias("a"),
-        F.col("type").alias("type_a"),
-        F.col("embedding").alias("emb_a"),
-    )
-    right = nodes_with_emb.select(
-        F.col("node_id").alias("b"),
-        F.col("type").alias("type_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    if blocking == "lsh":
-        # materialize before the self-join so the embedding UDF + band
-        # signature aren't recomputed per joined row (stage table at scale)
-        lb = with_lsh_bands(
+    if blocking == "type":
+        return _gemm_pairs_exact(
             nodes_with_emb.select("node_id", "type", "embedding").localCheckpoint(),
-            dim, bands, bits_per_band,
+            threshold,
+            n_blocks=n_blocks,
         )
-        pairs = (
-            lb.alias("l")
-            .join(
-                lb.alias("r"),
-                on=[
-                    F.col("l.type") == F.col("r.type"),
-                    F.col("l.band") == F.col("r.band"),
-                    F.col("l.band_hash") == F.col("r.band_hash"),
-                    F.col("l.node_id") < F.col("r.node_id"),
-                ],
-            )
-            .select(
-                F.col("l.node_id").alias("a"),
-                F.col("r.node_id").alias("b"),
-                F.col("l.embedding").alias("emb_a"),
-                F.col("r.embedding").alias("emb_b"),
-            )
-            .dropDuplicates(["a", "b"])
+    if blocking != "lsh":
+        raise ValueError(f"unknown blocking strategy: {blocking!r}")
+    # materialize before the self-join so the embedding UDF + band
+    # signature aren't recomputed per joined row (stage table at scale)
+    lb = with_lsh_bands(
+        nodes_with_emb.select("node_id", "type", "embedding").localCheckpoint(),
+        dim, bands, bits_per_band,
+    )
+    pairs = (
+        lb.alias("l")
+        .join(
+            lb.alias("r"),
+            on=[
+                F.col("l.type") == F.col("r.type"),
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.node_id") < F.col("r.node_id"),
+            ],
         )
-    else:
-        pairs = left.join(
-            right,
-            on=[F.col("type_a") == F.col("type_b"), F.col("a") < F.col("b")],
-        ).select("a", "b", "emb_a", "emb_b")
-
+        .select(
+            F.col("l.node_id").alias("a"),
+            F.col("r.node_id").alias("b"),
+            F.col("l.embedding").alias("emb_a"),
+            F.col("r.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
     return (
         pairs.withColumn("score", _dot(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("score") > threshold)

@@ -31,6 +31,14 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # local test files are sub-MB: the 128m default would scan them as a
+        # single task. A cluster at real scale keeps the default (row-group
+        # sized splits); env-overridable either way.
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_FILES_MAX_PARTITION_BYTES", "262144"),
+        ).config("spark.sql.files.openCostInBytes", "65536")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
