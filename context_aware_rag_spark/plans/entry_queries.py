@@ -651,9 +651,139 @@ def embedding_norm_stats(spark, sf_dir):
     )
 
 
+@q(
+    "f3_time_range_filter",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-05 00:00:00'
+      AND event_type = 'click'
+    """,
+)
+def f3_time_range_filter(spark, sf_dir):
+    # F3 chunk time/camera filter shape: range + equality, partition-prunable
+    e = load(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") <= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+        & (F.col("event_type") == "click")
+    ).select("event_id", "user_id", "value")
+
+
+@q(
+    "c10_json_parse",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def c10_json_parse(spark, sf_dir):
+    # C10 JSON parse of semi-structured props (reference json-repair path)
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "a5_user_set_union",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list_distinct(list(user_id))), ',') AS users
+    FROM events WHERE user_id < 20 GROUP BY event_type
+    """,
+)
+def a5_user_set_union(spark, sf_dir):
+    # A5 camera-id set-union-on-merge shape
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return e.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("user_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("users")
+    )
+
+
+@q(
+    "a8_max_span_per_user",
+    """
+    SELECT user_id, round(max(value) - min(value), 2) AS value_span
+    FROM events GROUP BY user_id
+    """,
+)
+def a8_max_span_per_user(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.round(F.max("value") - F.min("value"), 2).alias("value_span")
+    )
+
+
+@q(
+    "o4_set_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 40
+    """,
+)
+def o4_set_except(spark, sf_dir):
+    # O4 set-subtract (apoc.coll.subtract / AQL MINUS analog)
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("user_id")
+    big_buyers = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 40)
+    ).select("user_id")
+    return err.subtract(big_buyers)
+
+
+@q(
+    "tpch_q1_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def tpch_q1_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
 # =========================================================================
 # Rows-only queries (pandas-UDF stages the SQL oracle cannot express)
 # =========================================================================
+
+
+@q("a10_tree_summarize")
+def a10_tree_summarize(spark, sf_dir):
+    from ..operators.chunking import chunk_transcripts
+    from ..operators.linking import link_chunks
+    from ..operators.treeagg import tree_summarize
+
+    chunks = link_chunks(chunk_transcripts(transcripts_for(spark, sf_dir)))
+    return tree_summarize(chunks)
 
 @q("kg_triples")
 def kg_triples(spark, sf_dir):
