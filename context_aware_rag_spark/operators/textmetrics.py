@@ -23,10 +23,11 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """Whitespace tokens + a BPE-ish subword proxy (codepoints/4 heuristic
     plus punctuation splits) — both cheap, both SQL-twin-able."""
     words = _words(F.col(text_col))
+    # long casts: DuckDB len()/length() are BIGINT — keep oracle schemas equal
     return docs.select(
         F.col(id_col),
-        F.size(words).alias("n_words"),
-        F.length(text_col).alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
+        F.length(text_col).cast("long").alias("n_chars"),
         (F.length(text_col) / 4).cast("int").alias("approx_bpe_tokens"),
     )
 
@@ -55,7 +56,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     return docs.select(
         F.col(id_col),
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),

@@ -267,7 +267,8 @@ def w2_event_linking(spark, sf_dir):
            row_number() OVER w AS position,
            coalesce(sum(length(event_type)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS content_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS content_offset
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -278,13 +279,13 @@ def w3_running_offset(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        F.row_number().over(w).alias("position"),
+        F.row_number().over(w).cast("long").alias("position"),
         F.coalesce(
             F.sum(F.length("event_type")).over(
                 w.rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
-        ).alias("content_offset"),
+        ).cast("long").alias("content_offset"),
     )
 
 
@@ -298,7 +299,7 @@ def w3_running_offset(spark, sf_dir):
 def w4_global_index(spark, sf_dir):
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     w = Window.orderBy("ts", "event_id")
-    return e.select("event_id", F.row_number().over(w).alias("doc_index"))
+    return e.select("event_id", F.row_number().over(w).cast("long").alias("doc_index"))
 
 
 @q(
@@ -774,6 +775,17 @@ def tpch_q1_rollup(spark, sf_dir):
 # =========================================================================
 # Rows-only queries (pandas-UDF stages the SQL oracle cannot express)
 # =========================================================================
+
+
+@q("ep3_graph_vector_search")
+def ep3_graph_vector_search(spark, sf_dir):
+    from ..operators import retrieval, similarity
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    chunks = res.chunks.dropDuplicates(["chunk_id"]).select("chunk_id", "text")
+    with_emb = similarity.with_text_embeddings(chunks).localCheckpoint()
+    qvec = [float(x) for x in with_emb.limit(1).collect()[0]["embedding"]]
+    return retrieval.graph_vector_search(with_emb, res.edges, qvec, k=5, hops=2)
 
 
 @q("a10_tree_summarize")
