@@ -35,5 +35,6 @@ class PipelineConfig:
     deduplicate_nodes: bool = False
     # scale knobs
     shuffle_partitions: Optional[int] = None   # None = leave session setting
-    salt_buckets: int = 8               # long-conversation chunking salt
+    salted_linking: bool = False        # two-phase prefix-sum for huge convs
+    salt_block_turns: int = 8192        # turns per salt block when salted
     lsh_bands: int = 4                  # similarity-join blocking bands

@@ -1,0 +1,78 @@
+"""Skew handling: salted two-phase chunk linking for long conversations.
+
+``link_chunks`` (linking.py) uses one window per conv — correct, O(1)
+state per row, but a 20M-chunk conversation is ONE task. This module is
+the explicit salted-repartition alternative the engine uses when
+conversations are pathological (north-rule requirement): split each
+conversation into fixed turn-range blocks (the salt), compute local
+window results per (conv, block) — a bounded partition — then combine
+with per-block aggregates (counts, length sums, boundary chunk ids),
+which is a tiny per-conv window over #blocks rows, broadcast back.
+
+position   = local_row_number + prefix_count(previous blocks)
+offset     = local_prefix_len + prefix_len(previous blocks)
+prev_chunk = local lag, except block-first rows take the previous
+             block's last chunk_id
+
+Result is row-identical to the single-window version (tested), with the
+heavy shuffle keyed by (conv_id, block) — parallelism = total_chunks /
+block_size regardless of conversation length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .linking import CHUNK_ORDER
+
+
+def link_chunks_salted(chunks: DataFrame, block_turns: int = 8192) -> DataFrame:
+    """Salted equivalent of linking.link_chunks (same output columns)."""
+    salted = chunks.withColumn(
+        "_blk", (F.col("turn_idx") / block_turns).cast("long")
+    )
+    wl = Window.partitionBy("conv_id", "_blk").orderBy(*CHUNK_ORDER)
+    local = (
+        salted.withColumn("_lpos", F.row_number().over(wl))
+        .withColumn(
+            "_loff",
+            F.coalesce(
+                F.sum("length").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("_lprev", F.lag("chunk_id").over(wl))
+    )
+
+    # per-block aggregates: tiny (one row per (conv, block))
+    blocks = local.groupBy("conv_id", "_blk").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum("length").alias("_blen"),
+        F.max_by("chunk_id", F.struct(*CHUNK_ORDER)).alias("_blast"),
+    )
+    wb = Window.partitionBy("conv_id").orderBy("_blk")
+    block_prefix = blocks.select(
+        "conv_id",
+        "_blk",
+        F.coalesce(
+            F.sum("_bn").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_pcount"),
+        F.coalesce(
+            F.sum("_blen").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("_plen"),
+        F.lag("_blast").over(wb).alias("_prev_last"),
+    )
+
+    joined = local.join(F.broadcast(block_prefix), ["conv_id", "_blk"])
+    return (
+        joined.withColumn("position", (F.col("_lpos") + F.col("_pcount")).cast("int"))
+        .withColumn("content_offset", (F.col("_loff") + F.col("_plen")).cast("long"))
+        .withColumn(
+            "prev_chunk_id", F.coalesce(F.col("_lprev"), F.col("_prev_last"))
+        )
+        .withColumn("is_first", F.col("position") == 1)
+        .drop("_blk", "_lpos", "_loff", "_lprev", "_pcount", "_plen", "_prev_last")
+    )

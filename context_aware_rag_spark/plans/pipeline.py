@@ -108,7 +108,14 @@ def run_pipeline(
     mentions = w.materialize(
         "mentions", lambda: extraction.mentions_from_triples(triples)
     )
-    linked = w.materialize("linked_chunks", lambda: linking.link_chunks(chunks))
+    def _link() -> DataFrame:
+        if cfg.salted_linking:
+            from ..operators.skew import link_chunks_salted
+
+            return link_chunks_salted(chunks, block_turns=cfg.salt_block_turns)
+        return linking.link_chunks(chunks)
+
+    linked = w.materialize("linked_chunks", _link)
     structural = w.materialize(
         "structural_edges", lambda: linking.structural_edges(linked, mentions)
     )
