@@ -1,0 +1,103 @@
+"""Batch summarization branch (reference functions/summarization/batch.py).
+
+Reference semantics: batches of ``batch_size`` docs (6 by default for
+summarization — grag.yaml:57) are concatenated in doc_i order (A1,
+batch.py:136), time bounds aggregated (A2, batch.py:160-207), chunk
+indices collected (A3, batch.py:148-158), summarized by an LLM with
+token-safe recursion (U4 + A10, utils.py:104-231), persisted as Summary
+nodes (S6, neo4j_db.py:496-506) linked to their chunks via IN_SUMMARY
+(J3, neo4j_db.py:558-576).
+
+Spark shape: ONE groupBy((conv_id, batch_id)) produces concat + bounds +
+collected indices together (single shuffle, partial aggregation
+map-side); the summarize callable is a pandas UDF slot (deterministic
+truncating stub here, LLM endpoint in production); IN_SUMMARY edges are
+an explode + equi-join on (conv_id, turn_idx).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stub_summarize_udf(cap: int = 400):
+    """Deterministic LLM-summarize stand-in: head of the text, with a
+    marker so tests can recognize summarized output."""
+
+    @F.pandas_udf(T.StringType())
+    def summarize(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            yield s.fillna("").map(lambda t: ("[SUM] " + t)[: cap + 6])
+
+    return summarize
+
+
+def summarize_batches(
+    transcripts: DataFrame, batch_size: int = 6, cap: int = 400
+) -> DataFrame:
+    """transcripts -> summaries(conv_id, batch_id, summary, ts_min,
+    ts_max, turn_idxs, n_turns). Single shuffle."""
+    df = transcripts.withColumn(
+        "batch_id", (F.col("turn_idx") / batch_size).cast("long")
+    ).filter(F.col("text") != ".")
+    agg = df.groupBy("conv_id", "batch_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("batch_text"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.array_sort(F.collect_set("turn_idx")).alias("turn_idxs"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return agg.select(
+        "conv_id",
+        "batch_id",
+        stub_summarize_udf(cap)(F.col("batch_text")).alias("summary"),
+        "ts_min",
+        "ts_max",
+        "turn_idxs",
+        "n_turns",
+    )
+
+
+def in_summary_edges(summaries: DataFrame, chunks: DataFrame) -> DataFrame:
+    """J3 — UNWIND linked chunk indices MATCH chunk (neo4j_db.py:558-576):
+    explode turn_idxs, equi-join chunks on (conv_id, turn_idx)."""
+    exploded = summaries.select(
+        "conv_id",
+        "batch_id",
+        F.explode("turn_idxs").alias("turn_idx"),
+    )
+    summary_id = F.sha1(
+        F.concat_ws("_", F.lit("summary"), F.col("conv_id"), F.col("batch_id"))
+    )
+    return (
+        exploded.join(
+            chunks.select("conv_id", "turn_idx", "chunk_id").dropDuplicates(
+                ["conv_id", "turn_idx", "chunk_id"]
+            ),
+            ["conv_id", "turn_idx"],
+        )
+        .select(
+            F.col("chunk_id").alias("src"),
+            summary_id.alias("dst"),
+            F.lit("IN_SUMMARY").alias("rel_type"),
+            "conv_id",
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def max_batch_index(summaries: DataFrame) -> DataFrame:
+    """A6 — MATCH (s:Summary) RETURN max(s.batch_i) (neo4j_db.py:457-463)."""
+    return summaries.groupBy("conv_id").agg(F.max("batch_id").alias("max_batch_id"))

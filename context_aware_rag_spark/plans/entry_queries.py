@@ -777,6 +777,17 @@ def tpch_q1_rollup(spark, sf_dir):
 # =========================================================================
 
 
+@q("s6_batch_summaries")
+def s6_batch_summaries(spark, sf_dir):
+    from ..operators.summarize import summarize_batches
+
+    s = summarize_batches(transcripts_for(spark, sf_dir), batch_size=6)
+    return s.select(
+        "conv_id", "batch_id", "summary", "n_turns",
+        F.size("turn_idxs").alias("n_turn_idxs"),
+    )
+
+
 @q("ep3_graph_vector_search")
 def ep3_graph_vector_search(spark, sf_dir):
     from ..operators import retrieval, similarity

@@ -1,0 +1,108 @@
+"""Summarization branch (A1/A2/A3/A6 + U4 stub + J3 + S6) and sinks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.config import PipelineConfig
+from context_aware_rag_spark.operators.chunking import chunk_transcripts
+from context_aware_rag_spark.operators.extraction import extract_stage
+from context_aware_rag_spark.operators.summarize import (
+    in_summary_edges,
+    max_batch_index,
+    summarize_batches,
+)
+from context_aware_rag_spark.sources.sinks import write_graph
+from context_aware_rag_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_rows,
+)
+
+BATCH = 6
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = generate_rows(5)
+    return rows, spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def summaries(spark, corpus):
+    _, df = corpus
+    return summarize_batches(df, batch_size=BATCH).localCheckpoint()
+
+
+def test_batch_assembly_order_and_bounds(corpus, summaries):
+    rows, _ = corpus
+    # oracle: concat of non-"." texts in turn order per (conv, batch)
+    from collections import defaultdict
+
+    golden = defaultdict(list)
+    bounds = {}
+    for conv_id, turn_idx, _r, text, _t, ts in sorted(rows, key=lambda r: (r[0], r[1])):
+        if text == ".":
+            continue
+        key = (conv_id, turn_idx // BATCH)
+        golden[key].append(text)
+        lo, hi = bounds.get(key, (ts, ts))
+        bounds[key] = (min(lo, ts), max(hi, ts))
+    got = {(r["conv_id"], r["batch_id"]): r for r in summaries.collect()}
+    assert set(got) == set(golden)
+    for key, texts in golden.items():
+        expected = ("[SUM] " + " ".join(texts))[:406]
+        assert got[key]["summary"] == expected, key
+        # Spark returns naive datetimes in session TZ (UTC); strip tzinfo
+        lo, hi = bounds[key]
+        assert (got[key]["ts_min"], got[key]["ts_max"]) == (
+            lo.replace(tzinfo=None), hi.replace(tzinfo=None),
+        )
+        assert got[key]["n_turns"] == len(texts)
+
+
+def test_in_summary_edges_cover_all_chunks(spark, corpus, summaries):
+    _, df = corpus
+    chunks = chunk_transcripts(df, PipelineConfig())
+    edges = in_summary_edges(summaries, chunks)
+    # every chunk's turn belongs to exactly one batch -> has an IN_SUMMARY edge
+    chunk_ids = {r["chunk_id"] for r in chunks.select("chunk_id").collect()}
+    srcs = {r["src"] for r in edges.collect()}
+    assert srcs == chunk_ids
+    assert edges.count() == edges.dropDuplicates(["src", "dst"]).count()
+
+
+def test_max_batch_index(summaries):
+    mx = {r["conv_id"]: r["max_batch_id"] for r in max_batch_index(summaries).collect()}
+    per_conv = {
+        r["conv_id"]: r["m"]
+        for r in summaries.groupBy("conv_id").agg(F.max("batch_id").alias("m")).collect()
+    }
+    assert mx == per_conv
+
+
+def test_write_graph_parquet(spark, corpus, tmp_path):
+    _, df = corpus
+    chunks = chunk_transcripts(df, PipelineConfig())
+    triples, mentions = extract_stage(chunks, PipelineConfig())
+    from context_aware_rag_spark.operators.materialize import build_edges, build_nodes
+    from context_aware_rag_spark.operators.linking import link_chunks, structural_edges
+
+    nodes = build_nodes(mentions)
+    edges = build_edges(structural_edges(link_chunks(chunks), mentions), triples)
+    base = str(tmp_path / "graph")
+    write_graph(nodes, edges, base)
+    n2 = spark.read.parquet(os.path.join(base, "nodes"))
+    e2 = spark.read.parquet(os.path.join(base, "edges"))
+    assert n2.count() == nodes.count()
+    assert e2.count() == edges.count()
+    assert set(n2.columns) == set(nodes.columns)
+
+
+def test_u2_extraction_bypass(spark, corpus):
+    _, df = corpus
+    cfg = PipelineConfig(extractor="null")
+    chunks = chunk_transcripts(df, cfg)
+    triples, mentions = extract_stage(chunks, cfg)
+    assert triples.count() == 0 and mentions.count() == 0
+    assert chunks.count() > 0
