@@ -42,6 +42,17 @@ def force(df) -> int:
     return df.count()
 
 
+def drop_persisted(spark) -> None:
+    """Unpersist leftover localCheckpoint RDDs so one query's cached
+    state doesn't GC-tax the next measurement."""
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -61,9 +72,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # untimed warm-up: codegen, python worker pool, parquet footer reads
+    run_pipeline(
+        spark, eq.generate_transcripts(spark, 5), PipelineConfig()
+    ).triples.count()
+    force(eq.QUERIES["tpch_q1"](spark, sf_dir))
+
+    # -- relational / training-data headline queries (light, first) -------
+    for name in HEADLINE:
+        fn = eq.QUERIES[name]
+        drop_persisted(spark)
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+    drop_persisted(spark)
+
     # -- KG construction pipeline (the flagship number) -------------------
-    transcripts = eq.transcripts_for(spark, sf_dir)
-    n_turns = transcripts.count()  # materialization cost excluded from timing
+    # input materialized first: we time the ENGINE, not the synthesizer
+    transcripts = eq.transcripts_for(spark, sf_dir).localCheckpoint()
+    n_turns = transcripts.count()
 
     t0 = time.monotonic()
     res = run_pipeline(spark, transcripts, PipelineConfig())
@@ -78,12 +105,15 @@ def main() -> None:
     force(res_dedup.nodes)
     timings["kg_pipeline_dedup"] = round(time.monotonic() - t0, 3)
 
-    # -- relational / training-data headline queries ----------------------
-    for name in HEADLINE:
-        fn = eq.QUERIES[name]
-        t0 = time.monotonic()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+    # 10x corpus: amortizes fixed job overhead, the honest throughput number
+    from context_aware_rag_spark.sources.transcripts import generate_transcripts
+
+    big = generate_transcripts(spark, 10 * eq.n_convs_for(sf_dir)).localCheckpoint()
+    n_big_turns = big.count()
+    t0 = time.monotonic()
+    n_big_triples = run_pipeline(spark, big, PipelineConfig()).triples.count()
+    big_wall = time.monotonic() - t0
+    timings["kg_pipeline_10x"] = round(big_wall, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -97,6 +127,9 @@ def main() -> None:
             "n_triples": n_triples,
             "triples_per_sec": round(n_triples / kg_wall, 1),
             "turns_per_sec": round(n_turns / kg_wall, 1),
+            "kg_10x_turns": n_big_turns,
+            "kg_10x_triples_per_sec": round(n_big_triples / big_wall, 1),
+            "kg_10x_turns_per_sec": round(n_big_turns / big_wall, 1),
         },
         "cpus": int(cpus),
     }

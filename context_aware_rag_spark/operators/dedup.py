@@ -251,6 +251,51 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    docs_with_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine > threshold.
+
+    Reuses the blocked-GEMM triangle join from entity linking
+    (similarity._gemm_pairs_exact) — exact all-pairs scoring with
+    per-task memory bounded by the block size; the LSH-banded variant
+    (similarity.similarity_pairs blocking="lsh") is the approximate
+    path when the corpus outgrows exact pairing.
+    """
+    from .similarity import _gemm_pairs_exact
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    nodes = docs_with_emb.select(
+        F.col(id_col).cast("string").alias("node_id"),
+        F.lit("doc").alias("type"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: x / norm
+        ).alias("embedding"),
+    ).localCheckpoint()
+    pairs = _gemm_pairs_exact(nodes, threshold, n_blocks=n_blocks)
+    # GEMM path orders pairs lexicographically on the string ids;
+    # re-normalize to numeric a < b for a stable SQL-comparable output
+    ai = F.col("a").cast("long")
+    bi = F.col("b").cast("long")
+    return pairs.select(
+        F.least(ai, bi).alias("a"),
+        F.greatest(ai, bi).alias("b"),
+        F.round("score", 6).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

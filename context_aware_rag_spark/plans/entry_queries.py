@@ -853,6 +853,25 @@ def kg_similar_chunk_edges(spark, sf_dir):
     )
 
 
+@q(
+    "embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v))
+             * sqrt(list_inner_product(b.v, b.v))) > 0.4
+    """,
+)
+def embedding_near_dups(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.4, id_col="vec_id")
+
+
 @q("minhash_near_dups")
 def minhash_near_dups(spark, sf_dir):
     return dedup.minhash_dedup(load(spark, sf_dir, "documents"), threshold=0.8)
