@@ -25,9 +25,13 @@ class PipelineConfig:
     allowed_nodes: List[str] = field(
         default_factory=lambda: ["Person", "Vehicle", "Location", "Object"]
     )
+    # the reference only honors allowed_nodes when entity descriptions are
+    # enabled (base.py:74-80 clears the list otherwise); default off = parity
+    enforce_allowed_nodes: bool = False
     # embeddings
     embedding_dim: int = 64
     # entity linking / similarity
+    similar_edges: bool = False         # emit chunk-KNN SIMILAR edges (EP2 step f)
     knn_min_score: float = 0.8          # SIMILAR edge threshold (neo4j_db.py:633-641)
     knn_top_k: int = 6
     duplicate_score: float = 0.9        # canonicalization threshold (constants.py:43)

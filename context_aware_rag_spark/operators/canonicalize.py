@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+    pairs: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
 ) -> DataFrame:
     """pairs(a, b) -> canonical_map(node_id, canon_id) for ALL nodes that
     appear in any pair (canon = min node_id of the component)."""
@@ -68,13 +68,23 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split components and break the
+        # transitive-closure guarantee — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("node_id", F.col("label").alias("canon_id"))
 
 
 def rewrite_edges(edges: DataFrame, canonical_map: DataFrame) -> DataFrame:
     """J6 — rewrite edge endpoints through the canonical map, then dedupe
-    (MERGE semantics). Two broadcast-able left joins + coalesce."""
-    cmap = F.broadcast(canonical_map) if _is_small(canonical_map) else canonical_map
+    (MERGE semantics). Two left joins + coalesce; the planner/AQE picks
+    broadcast vs shuffle from the map's actual size (an explicit
+    broadcast hint would be honored unconditionally and OOM on a
+    hundreds-of-millions-row canonical map)."""
+    cmap = canonical_map
     src_map = cmap.select(
         F.col("node_id").alias("_src_old"), F.col("canon_id").alias("_src_new")
     )
@@ -107,8 +117,3 @@ def rewrite_triples(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
     )
 
 
-def _is_small(df: DataFrame, limit_rows: int = 2_000_000) -> bool:
-    """Cheap broadcast heuristic without forcing a count at plan time."""
-    # canonical maps are tiny relative to edges (distinct aliased entities
-    # only); default to broadcast and let AQE demote if stats disagree.
-    return True

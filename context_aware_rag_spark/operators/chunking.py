@@ -63,9 +63,21 @@ def _split_batch(pdf: pd.DataFrame, chunk_size: int, chunk_overlap: int) -> pd.D
 
 def chunk_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     cfg = cfg or PipelineConfig()
+    text_col = F.col("text")
+    if cfg.timestamp_prefix:
+        # C2 — "<start> <end> " prefix (graph_ingestion.py:155-164); the
+        # transcripts contract carries one ts per turn, used for both
+        # bounds. Applied before splitting, so it participates in chunk
+        # ids exactly as in the reference.
+        from ..functions.text import timestamp_prefix as _prefix
+
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        text_col = F.when(F.col("text") == ".", F.col("text")).otherwise(
+            _prefix(F.col("text"), epoch, epoch)
+        )
     df = transcripts.withColumn(
         "batch_id", (F.col("turn_idx") / cfg.batch_size).cast("long")
-    ).select("conv_id", "batch_id", "turn_idx", "text", "ts")
+    ).select("conv_id", "batch_id", "turn_idx", text_col.alias("text"), "ts")
 
     if cfg.batch_size == 1:
         # No shuffle: each row expands independently.

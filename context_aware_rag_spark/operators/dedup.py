@@ -11,7 +11,7 @@ verification cost.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -113,7 +113,6 @@ def minhash_lsh_candidates(
     signature agreement. With 64 hashes / 16 bands (r=4):
     P(candidate) = 1-(1-J^4)^16 — ~0.97 at J=0.8, ~0.03 at J=0.3.
     """
-    n = 64  # derived below from actual size at runtime via slice math
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = signatures.select(
         F.col(id_col),
@@ -135,7 +134,6 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
-    _ = n
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -284,15 +282,9 @@ def embedding_near_dups(
         ).alias("embedding"),
     ).localCheckpoint()
     pairs = _gemm_pairs_exact(nodes, threshold, n_blocks=n_blocks)
-    # GEMM path orders pairs lexicographically on the string ids;
-    # re-normalize to numeric a < b for a stable SQL-comparable output
-    ai = F.col("a").cast("long")
-    bi = F.col("b").cast("long")
-    return pairs.select(
-        F.least(ai, bi).alias("a"),
-        F.greatest(ai, bi).alias("b"),
-        F.round("score", 6).alias("cosine"),
-    )
+    # ids come back as strings (the GEMM path's id type), pair-ordered
+    # lexicographically; callers with typed ids cast + reorder themselves
+    return pairs.select("a", "b", F.round("score", 6).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------

@@ -68,8 +68,12 @@ def extract_triples_raw(chunks: DataFrame, cfg: PipelineConfig | None = None) ->
     )
 
 
-def clean_triples(raw: DataFrame) -> DataFrame:
-    """Validity filter + backtick strip (base.py:112-151), JVM-side."""
+def clean_triples(raw: DataFrame, allowed_nodes: list[str] | None = None) -> DataFrame:
+    """Validity filter + backtick strip (base.py:112-151), JVM-side.
+
+    ``allowed_nodes``: when given (description mode — base.py:74-87),
+    both endpoint types must be in the allow-list.
+    """
     nonblank = (
         (F.trim("pred") != "")
         & (F.trim("subj_name") != "")
@@ -77,12 +81,18 @@ def clean_triples(raw: DataFrame) -> DataFrame:
         & (F.trim("obj_name") != "")
         & (F.trim("obj_type") != "")
     )
-    return (
+    out = (
         raw.filter(nonblank)
         .withColumn("subj_type", F.regexp_replace("subj_type", "`", ""))
         .withColumn("obj_type", F.regexp_replace("obj_type", "`", ""))
         .withColumn("pred", F.regexp_replace("pred", "`", ""))
     )
+    if allowed_nodes:
+        out = out.filter(
+            F.col("subj_type").isin(*allowed_nodes)
+            & F.col("obj_type").isin(*allowed_nodes)
+        )
+    return out
 
 
 def hash_triples(cleaned: DataFrame) -> DataFrame:
@@ -118,5 +128,8 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
 def extract_stage(chunks: DataFrame, cfg: PipelineConfig | None = None):
     """Full stage-2: returns (triples, mentions)."""
     cfg = cfg or PipelineConfig()
-    triples = hash_triples(clean_triples(extract_triples_raw(chunks, cfg)))
+    allowed = cfg.allowed_nodes if cfg.enforce_allowed_nodes else None
+    triples = hash_triples(
+        clean_triples(extract_triples_raw(chunks, cfg), allowed_nodes=allowed)
+    )
     return triples, mentions_from_triples(triples)

@@ -230,6 +230,8 @@ def knn_similar_edges(
     top_k: int = 6,
     blocking: str = "lsh",
     dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 4,
 ) -> DataFrame:
     """SIMILAR edges: per item, top-k neighbors with score >= min_score
     (reference KNN pass, neo4j_db.py:610-653: top-6, score >= 0.8).
@@ -238,7 +240,8 @@ def knn_similar_edges(
     (row_number over score desc per source).
     """
     lb = with_lsh_bands(
-        items_with_emb.select(id_col, "embedding").localCheckpoint(), dim
+        items_with_emb.select(id_col, "embedding").localCheckpoint(),
+        dim, bands, bits_per_band,
     )
     cand = (
         lb.alias("l")

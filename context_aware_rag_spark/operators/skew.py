@@ -66,7 +66,10 @@ def link_chunks_salted(chunks: DataFrame, block_turns: int = 8192) -> DataFrame:
         F.lag("_blast").over(wb).alias("_prev_last"),
     )
 
-    joined = local.join(F.broadcast(block_prefix), ["conv_id", "_blk"])
+    # no broadcast hint: block_prefix has >= one row per conversation, so
+    # at corpus scale it must stay a shuffle join (AQE broadcasts it when
+    # runtime stats say it is actually small)
+    joined = local.join(block_prefix, ["conv_id", "_blk"])
     return (
         joined.withColumn("position", (F.col("_lpos") + F.col("_pcount")).cast("int"))
         .withColumn("content_offset", (F.col("_loff") + F.col("_plen")).cast("long"))

@@ -82,6 +82,8 @@ def run_oracle(
     deduplicate_nodes: bool = False,
     duplicate_score: float = 0.9,
     embedding_dim: int = 64,
+    timestamp_prefix: bool = False,
+    allowed_nodes: Sequence[str] | None = None,
 ) -> OracleResult:
     """rows: (conv_id, turn_idx, role, text, tool, ts) tuples."""
     res = OracleResult()
@@ -102,6 +104,9 @@ def run_oracle(
                 text = r[3]
                 if text == ".":
                     continue
+                if timestamp_prefix:
+                    epoch = r[5].timestamp()
+                    text = f"<{epoch:.2f}> <{epoch:.2f}> {text}"
                 for piece in split_text(text, chunk_size, chunk_overlap):
                     chunk_texts.append((piece, r[1]))
 
@@ -143,6 +148,11 @@ def run_oracle(
 
             # ---- extraction + cleaning + hashing ----
             cleaned = _clean_triples(extract(text))
+            if allowed_nodes:
+                cleaned = [
+                    t for t in cleaned
+                    if t.head_type in allowed_nodes and t.tail_type in allowed_nodes
+                ]
             for t in cleaned:
                 sid = hashing.entity_id_py(t.head, t.head_type, conv_id)
                 oid = hashing.entity_id_py(t.tail, t.tail_type, conv_id)

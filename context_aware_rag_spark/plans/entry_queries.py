@@ -795,7 +795,12 @@ def ep3_graph_vector_search(spark, sf_dir):
     res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
     chunks = res.chunks.dropDuplicates(["chunk_id"]).select("chunk_id", "text")
     with_emb = similarity.with_text_embeddings(chunks).localCheckpoint()
-    qvec = [float(x) for x in with_emb.limit(1).collect()[0]["embedding"]]
+    # deterministic query row: limit(1) without ordering varies with
+    # partition layout / core count and would break the driver hash
+    qvec = [
+        float(x)
+        for x in with_emb.orderBy("chunk_id").limit(1).collect()[0]["embedding"]
+    ]
     return retrieval.graph_vector_search(with_emb, res.edges, qvec, k=5, hops=2)
 
 
@@ -869,7 +874,13 @@ def kg_similar_chunk_edges(spark, sf_dir):
 )
 def embedding_near_dups(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.4, id_col="vec_id")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.4, id_col="vec_id")
+    # operator returns stringified ids in lexicographic pair order;
+    # normalize to numeric a < b to match the SQL oracle
+    ai, bi = F.col("a").cast("long"), F.col("b").cast("long")
+    return pairs.select(
+        F.least(ai, bi).alias("a"), F.greatest(ai, bi).alias("b"), "cosine"
+    )
 
 
 @q("minhash_near_dups")

@@ -96,6 +96,8 @@ def run_pipeline(
     run_id: str = "run0",
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
+    if cfg.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
     w = StageWriter(spark, workdir, run_id)
 
     chunks = w.materialize("chunks", lambda: chunking.chunk_transcripts(transcripts, cfg))
@@ -122,6 +124,22 @@ def run_pipeline(
 
     canonical_map = None
     similar = None
+    if cfg.similar_edges:
+        # EP2 step f — chunk-KNN SIMILAR edges (neo4j_db.py:610-653)
+        def _similar() -> DataFrame:
+            uniq = chunks.dropDuplicates(["chunk_id"]).select("chunk_id", "text")
+            with_emb = similarity.with_text_embeddings(uniq, dim=cfg.embedding_dim)
+            return similarity.knn_similar_edges(
+                with_emb,
+                id_col="chunk_id",
+                min_score=cfg.knn_min_score,
+                top_k=cfg.knn_top_k,
+                bands=cfg.lsh_bands,
+                dim=cfg.embedding_dim,
+            )
+
+        similar = w.materialize("similar_edges", _similar)
+
     if cfg.deduplicate_nodes:
         def _pairs() -> DataFrame:
             nodes_distinct = mentions.select("node_id", "name", "type").dropDuplicates(

@@ -28,13 +28,31 @@ from ..operators import chunking, extraction
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
 
-def ingest_microbatch(batch_df: DataFrame, cfg: PipelineConfig, out_dir: str) -> None:
-    """The per-micro-batch body: chunk → extract → append stage tables."""
+def ingest_microbatch(
+    batch_df: DataFrame, cfg: PipelineConfig, out_dir: str, epoch_id: int
+) -> None:
+    """The per-micro-batch body: chunk → extract → write stage tables.
+
+    Exactly-once: each output lands in an ``epoch=<id>`` partition
+    directory written with overwrite — a retried micro-batch (the
+    foreachBatch contract allows replays of the same epoch) rewrites the
+    SAME directory instead of appending duplicates. Readers go through
+    :func:`read_stage`, which drops the epoch partition column.
+    """
     chunks = chunking.chunk_transcripts(batch_df, cfg)
     triples, mentions = extraction.extract_stage(chunks, cfg)
-    chunks.write.mode("append").parquet(os.path.join(out_dir, "chunks"))
-    triples.write.mode("append").parquet(os.path.join(out_dir, "triples_raw"))
-    mentions.write.mode("append").parquet(os.path.join(out_dir, "mentions"))
+    for name, df in (("chunks", chunks), ("triples_raw", triples), ("mentions", mentions)):
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, name, f"epoch={epoch_id}")
+        )
+
+
+def read_stage(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    """Read an epoch-partitioned streaming stage table (epoch dropped)."""
+    df = spark.read.option("basePath", os.path.join(out_dir, name)).parquet(
+        os.path.join(out_dir, name, "epoch=*")
+    )
+    return df.drop("epoch")
 
 
 def start_streaming_ingest(
@@ -59,7 +77,7 @@ def start_streaming_ingest(
     )
     writer = (
         stream.writeStream.foreachBatch(
-            lambda df, epoch_id: ingest_microbatch(df, cfg, out_dir)
+            lambda df, epoch_id: ingest_microbatch(df, cfg, out_dir, epoch_id)
         )
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -72,5 +90,7 @@ def finalize_ingestion(spark: SparkSession, out_dir: str) -> DataFrame:
     """EP2 analog: run the cross-batch linking over accumulated chunks."""
     from ..operators.linking import link_chunks
 
-    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
-    return link_chunks(chunks.dropDuplicates(["conv_id", "batch_id", "turn_idx", "split_pos"]))
+    chunks = read_stage(spark, out_dir, "chunks")
+    return link_chunks(
+        chunks.dropDuplicates(["conv_id", "batch_id", "turn_idx", "split_pos"])
+    )

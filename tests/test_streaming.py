@@ -33,9 +33,11 @@ def test_streaming_matches_batch(spark, corpus, tmp_path_factory):
     q = start_streaming_ingest(spark, in_dir, out_dir, available_now=True)
     q.awaitTermination(240)
 
+    from context_aware_rag_spark.streaming.ingest import read_stage
+
     stream_triples = {
         (r["conv_id"], r["subj_name"], r["pred"], r["obj_name"])
-        for r in spark.read.parquet(os.path.join(out_dir, "triples_raw")).collect()
+        for r in read_stage(spark, out_dir, "triples_raw").collect()
     }
     batch = run_pipeline(spark, df, PipelineConfig())
     batch_triples = {
@@ -58,3 +60,22 @@ def test_streaming_matches_batch(spark, corpus, tmp_path_factory):
         ).collect()
     }
     assert got == batch_linked
+
+
+def test_microbatch_replay_is_idempotent(spark, corpus, tmp_path_factory):
+    """foreachBatch may replay an epoch after a failure; the epoch-keyed
+    overwrite write must not duplicate rows."""
+    from context_aware_rag_spark.streaming.ingest import (
+        ingest_microbatch,
+        read_stage,
+    )
+
+    _, df = corpus
+    out = str(tmp_path_factory.mktemp("replay_out"))
+    cfg = PipelineConfig()
+    ingest_microbatch(df, cfg, out, epoch_id=0)
+    first = read_stage(spark, out, "triples_raw").count()
+    ingest_microbatch(df, cfg, out, epoch_id=0)  # replayed epoch
+    assert read_stage(spark, out, "triples_raw").count() == first
+    ingest_microbatch(df, cfg, out, epoch_id=1)  # genuinely new epoch
+    assert read_stage(spark, out, "triples_raw").count() == 2 * first
