@@ -23,6 +23,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def canonicalize_nodes(
+    nodes: DataFrame,
+    threshold: float,
+    embedding_dim: int = 64,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Full canonicalization: nodes(node_id, name, type) -> canonical_map.
+
+    Scale structure: entity ids are per-conversation hashes, so the same
+    surface form appearing in N conversations is N distinct nodes whose
+    embeddings are IDENTICAL (cosine 1.0 > any threshold) — pairing them
+    directly is quadratic in N. Instead:
+
+    1. collapse exact (name, type) groups to a representative
+       (min node_id) — one groupBy, linear;
+    2. blocked-GEMM similarity + connected components over the
+       representatives only (cardinality = distinct surface forms,
+       independent of corpus size);
+    3. compose node -> rep -> canon with two joins.
+
+    Semantics-preserving w.r.t. the transitive closure the oracle
+    computes: same-name nodes are always in one component, and the
+    component minimum is unchanged (rep = per-name min, canon = min of
+    rep component = global component min).
+    """
+    from .similarity import similarity_pairs, with_entity_embeddings
+
+    base = nodes.select("node_id", "name", "type")
+    reps = (
+        base.groupBy("name", "type")
+        .agg(F.min("node_id").alias("rep_id"))
+        .localCheckpoint()
+    )
+    rep_nodes = reps.select(
+        F.col("rep_id").alias("node_id"), "name", "type"
+    )
+    with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
+    pairs = similarity_pairs(with_emb, threshold=threshold, blocking="type",
+                             n_blocks=n_blocks)
+    rep_canon = connected_components(pairs)
+
+    node_to_rep = base.join(reps, ["name", "type"]).select(
+        "node_id", "rep_id"
+    )
+    return (
+        node_to_rep.join(
+            rep_canon.withColumnRenamed("node_id", "rep_id"), "rep_id", "left"
+        )
+        .select(
+            "node_id",
+            F.coalesce(F.col("canon_id"), F.col("rep_id")).alias("canon_id"),
+        )
+        .filter(F.col("node_id") != F.col("canon_id"))
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
 ) -> DataFrame:

@@ -141,23 +141,15 @@ def run_pipeline(
         similar = w.materialize("similar_edges", _similar)
 
     if cfg.deduplicate_nodes:
-        def _pairs() -> DataFrame:
-            nodes_distinct = mentions.select("node_id", "name", "type").dropDuplicates(
-                ["node_id"]
-            )
-            with_emb = similarity.with_entity_embeddings(
-                nodes_distinct, dim=cfg.embedding_dim
-            )
-            return similarity.similarity_pairs(
-                with_emb,
-                threshold=cfg.duplicate_score,
-                blocking="type",
-                dim=cfg.embedding_dim,
-            )
-
-        pairs = w.materialize("sim_pairs", _pairs)
         canonical_map = w.materialize(
-            "canonical_map", lambda: canonicalize.connected_components(pairs)
+            "canonical_map",
+            lambda: canonicalize.canonicalize_nodes(
+                mentions.select("node_id", "name", "type").dropDuplicates(
+                    ["node_id"]
+                ),
+                threshold=cfg.duplicate_score,
+                embedding_dim=cfg.embedding_dim,
+            ),
         )
         triples = w.materialize(
             "triples", lambda: canonicalize.rewrite_triples(triples, canonical_map)
