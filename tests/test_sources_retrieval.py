@@ -73,6 +73,32 @@ def test_graph_vector_search(spark, kg):
     assert all(r["rel_type"] not in structural for r in rows)
 
 
+def test_band_gated_expansion(spark, kg):
+    """With a similarity band vs the query, every expansion target's
+    entity-embedding cosine to the query must lie inside the band."""
+    import numpy as np
+
+    from context_aware_rag_spark.functions.embedder import entity_embed
+    from context_aware_rag_spark.operators.retrieval import expand_hops
+
+    seeds = kg.nodes.select("node_id").limit(5)
+    nodes = kg.nodes.select("node_id", "name")
+    qvec = [float(x) for x in entity_embed(["Alice"])[0]]
+    gated = expand_hops(
+        kg.edges, seeds, hops=2, nodes=nodes, query_vec=qvec, band=(0.3, 0.9)
+    )
+    ungated = expand_hops(kg.edges, seeds, hops=2)
+    g_rows, u_rows = gated.collect(), ungated.collect()
+    assert len(g_rows) < len(u_rows), "band gate filtered nothing"
+    name_of = {r["node_id"]: r["name"] for r in nodes.collect()}
+    q = np.array(qvec)
+    q = q / np.linalg.norm(q)
+    for r in g_rows:
+        v = entity_embed([name_of[r["dst"]]])[0]
+        cos = float(q @ v)
+        assert 0.3 <= cos < 0.9, (name_of[r["dst"]], cos)
+
+
 def test_entities_for_chunks_ranking(spark, kg):
     some_chunks = kg.mentions.select("chunk_id").distinct().limit(10)
     hits = some_chunks.withColumn("chunk_score", F.lit(1.0))
