@@ -205,6 +205,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shared-shingle candidate pairs.
 
@@ -212,15 +213,27 @@ def ngram_jaccard_pairs(
     self-equi-join on shingle) — only pairs sharing >= 1 shingle are
     scored, intersection counts fall out of the join group sizes, and
     union = |A| + |B| - inter. Zipf-hot shingles are the skew risk:
-    document-frequency capping (drop shingles in > df_cap docs) bounds
-    bucket fan-out, mirroring standard near-dup practice.
+    ``df_cap`` drops shingles appearing in more than that many docs from
+    the universe ENTIRELY (both the index and the set sizes), bounding
+    the self-join fan-out per bucket at df_cap^2 while keeping Jaccard a
+    true set similarity on the reduced universe.
     """
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     sh = with_shingles(
         docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col
     ).localCheckpoint()  # stage boundary: see minhash_dedup docstring
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if df_cap is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle", "left_semi").localCheckpoint()
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(

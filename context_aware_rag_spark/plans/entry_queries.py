@@ -524,6 +524,41 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @q(
+    "ngram_jaccard_capped",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents)
+    ),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 20),
+    inv AS (SELECT doc_id, shingle FROM inv0 WHERE shingle IN (SELECT shingle FROM rare)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT a, b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a
+    JOIN sz sb ON sb.doc_id = b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_capped(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, n=3, df_cap=20
+    )
+
+
+@q(
     "token_count",
     """
     SELECT doc_id,
