@@ -1,0 +1,187 @@
+"""Golden tests for the near-dup suite (MinHash+LSH, SimHash, n-gram
+Jaccard skew cap).
+
+Strategy (VERDICT.md round-1 item 1): plant a corpus with KNOWN
+similarity structure — base docs plus copies with a controlled number
+of word replacements — and verify the approximate operators against
+the exact, oracle-verified paths:
+
+- MinHash candidates / est_jaccard vs ``ngram_jaccard_pairs`` (the
+  DuckDB-checked exact twin);
+- SimHash pairs vs a brute-force Hamming scan over the same
+  fingerprints (the 16-bit-quarter blocking is *complete* for
+  distance <= 3 by pigeonhole: 3 differing bits touch at most 3 of 4
+  quarters, so the pair agrees on >= 1 quarter);
+- a bit-level SimHash fixture: a one-token document's fingerprint is
+  exactly xxhash64(token) (each bit votes +1 iff set, so the sign
+  pattern reproduces the hash bits).
+
+Everything is deterministic: xxhash64 seeds are fixed and the corpus
+is built with random.Random(seed).
+"""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.operators import dedup
+
+
+def _make_corpus(spark, n_base=10, words_per_doc=60, vocab_size=400, seed=7):
+    """Base docs + near-dups at controlled word-replacement distances.
+
+    Returns (df, planted) where planted maps (a, b) -> n_replaced.
+    doc ids: base i -> 2*i, its near-dup -> 2*i+1 (so a < b pairing is
+    (2i, 2i+1)).
+    """
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    rows, planted = [], {}
+    # replacement counts cycle: 2 words ~ J>=0.85, 30 words ~ J<0.4
+    repl_cycle = [2, 4, 8, 30]
+    for i in range(n_base):
+        base = [rng.choice(vocab) for _ in range(words_per_doc)]
+        rows.append((2 * i, " ".join(base)))
+        n_repl = repl_cycle[i % len(repl_cycle)]
+        dup = list(base)
+        for pos in rng.sample(range(words_per_doc), n_repl):
+            dup[pos] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(dup)))
+        planted[(2 * i, 2 * i + 1)] = n_repl
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return df, planted
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df, planted = _make_corpus(spark)
+    df = df.localCheckpoint()
+    # exact Jaccard over ALL candidate pairs (threshold ~0 keeps any
+    # pair sharing a shingle) — this path is DuckDB-oracle-verified
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.01, n=3).collect()
+    }
+    return df, planted, exact
+
+
+class TestMinHash:
+    def test_planted_structure(self, corpus):
+        _, planted, exact = corpus
+        # sanity: small replacements give high Jaccard, 30/60 gives low
+        highs = [p for p, n in planted.items() if n == 2]
+        lows = [p for p, n in planted.items() if n == 30]
+        assert highs and lows
+        assert all(exact[p] >= 0.8 for p in highs)
+        assert all(exact.get(p, 0.0) < 0.5 for p in lows)
+
+    def test_candidate_recall_vs_exact(self, corpus):
+        df, _, exact = corpus
+        sig = dedup.minhash_signatures(dedup.with_shingles(df, n=3)).select(
+            "doc_id", "signature"
+        )
+        cand = {
+            (r["a"], r["b"]): r["est_jaccard"]
+            for r in dedup.minhash_lsh_candidates(sig).collect()
+        }
+        # every truly-similar pair (J >= 0.8) must be a candidate:
+        # P(miss) = (1 - J^4)^16 < 0.0013 at J=0.8 — and the fixed
+        # xxhash64 seeds make this deterministic, not probabilistic
+        high = {p for p, j in exact.items() if j >= 0.8}
+        assert high, "corpus must plant high-similarity pairs"
+        missed = high - set(cand)
+        assert not missed, f"LSH missed high-J pairs: {missed}"
+        # signature agreement estimates Jaccard: 64 hashes -> sd ~0.05
+        for p in high:
+            assert abs(cand[p] - exact[p]) < 0.2, (p, cand[p], exact[p])
+
+    def test_dedup_end_to_end(self, corpus):
+        df, _, exact = corpus
+        got = {
+            (r["a"], r["b"]): r["est_jaccard"]
+            for r in dedup.minhash_dedup(df, threshold=0.8).collect()
+        }
+        # recall: every exact J >= 0.9 pair survives an 0.8 estimate cut
+        for p, j in exact.items():
+            if j >= 0.9:
+                assert p in got, f"missed near-dup {p} (J={j})"
+        # precision: nothing truly-dissimilar sneaks past the estimate
+        for p in got:
+            assert exact.get(p, 0.0) >= 0.6, (p, got[p], exact.get(p))
+
+    def test_identical_docs_est_one(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta"),
+             (1, "alpha beta gamma delta epsilon zeta")],
+            ["doc_id", "text"],
+        )
+        rows = dedup.minhash_dedup(df, threshold=0.99).collect()
+        assert len(rows) == 1
+        assert rows[0]["a"] == 0 and rows[0]["b"] == 1
+        assert rows[0]["est_jaccard"] == 1.0
+
+
+class TestSimHash:
+    def test_single_token_fingerprint_is_xxhash64(self, spark):
+        # one token: bit j of the fingerprint = (bit j of xxhash64(tok))
+        # because the single +/-1 vote per bit IS the bit
+        df = spark.createDataFrame([(0, "hello"), (1, "world")], ["doc_id", "text"])
+        got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+        want = {
+            r["doc_id"]: r["h"]
+            for r in df.select("doc_id", F.xxhash64(F.lit("hello")).alias("h"))
+            .filter("doc_id = 0")
+            .union(
+                df.select("doc_id", F.xxhash64(F.lit("world")).alias("h")).filter(
+                    "doc_id = 1"
+                )
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_pairs_equal_bruteforce_hamming(self, spark):
+        # 200 docs over a small vocab -> some natural near-collisions,
+        # plus planted exact dups and 1-word edits
+        rng = random.Random(13)
+        vocab = [f"t{i}" for i in range(30)]
+        rows = []
+        for i in range(200):
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(12))))
+        rows.append((200, rows[0][1]))                       # exact dup of 0
+        edit = rows[1][1].split()
+        edit[0] = "zzz"
+        rows.append((201, " ".join(edit)))                   # 1-word edit of 1
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+
+        fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+        ids = sorted(fps)
+        arr = np.array([fps[i] for i in ids], dtype=np.int64).view(np.uint64)
+        brute = set()
+        for ii in range(len(ids)):
+            ham = np.array(
+                [bin(int(arr[ii] ^ arr[jj])).count("1") for jj in range(len(ids))]
+            )
+            for jj in np.where(ham <= 3)[0]:
+                if ids[ii] < ids[jj]:
+                    brute.add((ids[ii], ids[jj], int(ham[jj])))
+
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_near_dups(df, max_hamming=3).collect()
+        }
+        # quarter blocking is complete for distance <= 3 => set EQUALITY
+        assert got == brute
+        # the planted exact dup must be there at distance 0
+        assert (0, 200, 0) in got
+
+    def test_identical_docs_hamming_zero(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox"), (1, "the quick brown fox"),
+             (2, "completely different text entirely")],
+            ["doc_id", "text"],
+        )
+        got = dedup.simhash_near_dups(df, max_hamming=0).collect()
+        assert [(r["a"], r["b"], r["hamming"]) for r in got] == [(0, 1, 0)]
