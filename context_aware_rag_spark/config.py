@@ -37,6 +37,14 @@ class PipelineConfig:
     duplicate_score: float = 0.9        # canonicalization threshold (constants.py:43)
     # canonicalization default OFF to match reference defaults
     deduplicate_nodes: bool = False
+    # candidate-pair blocking for canonicalization: "type" = exact
+    # blocked-GEMM all-pairs per type (oracle-parity default, fine to
+    # ~1e5 distinct surface forms per type); "lsh" = sign-random-
+    # projection banding — near-linear, the 100 TB path (recall
+    # > 0.9999 for alias pairs at cosine ~0.998, see similarity.py)
+    canonicalize_blocking: str = "type"
+    lsh_bits_per_band: int = 4          # bits per LSH band (with lsh_bands)
+    gemm_blocks: int = 8                # triangle-join blocks for exact GEMM
     # scale knobs
     shuffle_partitions: Optional[int] = None   # None = leave session setting
     salted_linking: bool = False        # two-phase prefix-sum for huge convs

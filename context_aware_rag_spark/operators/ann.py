@@ -102,10 +102,17 @@ def cosine_topk_ivf(
     """IVF approximate top-k: centroid assignment via pandas UDF (one
     matmul per Arrow batch), candidate restriction to the query's
     ``nprobe`` nearest centroids, then exact scoring + window rank."""
+    # ordered sample: a bare limit() is partition-order dependent, which
+    # would make centroids (and recall) vary run-to-run despite the
+    # fixed k-means seed
     sample = np.array(
         [
             r[0]
-            for r in corpus.select(vec_col).limit(sample_size).collect()
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
         ],
         dtype=np.float32,
     )

@@ -28,6 +28,9 @@ def canonicalize_nodes(
     threshold: float,
     embedding_dim: int = 64,
     n_blocks: int = 8,
+    blocking: str = "type",
+    lsh_bands: int = 4,
+    lsh_bits_per_band: int = 4,
 ) -> DataFrame:
     """Full canonicalization: nodes(node_id, name, type) -> canonical_map.
 
@@ -38,9 +41,12 @@ def canonicalize_nodes(
 
     1. collapse exact (name, type) groups to a representative
        (min node_id) — one groupBy, linear;
-    2. blocked-GEMM similarity + connected components over the
+    2. similarity pairing + connected components over the
        representatives only (cardinality = distinct surface forms,
-       independent of corpus size);
+       independent of corpus size). ``blocking="type"`` = exact
+       blocked GEMM (parity default); ``blocking="lsh"`` = banded
+       sign-random-projection — near-linear when distinct surface
+       forms per type outgrow exact pairing;
     3. compose node -> rep -> canon with two joins.
 
     Semantics-preserving w.r.t. the transitive closure the oracle
@@ -60,8 +66,9 @@ def canonicalize_nodes(
         F.col("rep_id").alias("node_id"), "name", "type"
     )
     with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
-    pairs = similarity_pairs(with_emb, threshold=threshold, blocking="type",
-                             n_blocks=n_blocks)
+    pairs = similarity_pairs(with_emb, threshold=threshold, blocking=blocking,
+                             n_blocks=n_blocks, bands=lsh_bands,
+                             bits_per_band=lsh_bits_per_band, dim=embedding_dim)
     rep_canon = connected_components(pairs)
 
     node_to_rep = base.join(reps, ["name", "type"]).select(

@@ -112,10 +112,11 @@ def expand_hops(
     frontier = seed_nodes.select(F.col("node_id")).distinct()
     out: Optional[DataFrame] = None
     for hop in range(1, hops + 1):
+        # no forced broadcast: hop-1 frontier is <= top_entities rows but
+        # later frontiers scale with graph fan-out — AQE picks broadcast
+        # vs shuffle from the frontier's measured size at runtime
         step = (
-            pred_edges.join(
-                F.broadcast(frontier), pred_edges.src == frontier.node_id
-            )
+            pred_edges.join(frontier, pred_edges.src == frontier.node_id)
             .select("src", "dst", "rel_type", F.lit(hop).alias("hop"))
         )
         out = step if out is None else out.unionByName(step)

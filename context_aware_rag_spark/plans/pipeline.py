@@ -149,6 +149,10 @@ def run_pipeline(
                 ),
                 threshold=cfg.duplicate_score,
                 embedding_dim=cfg.embedding_dim,
+                n_blocks=cfg.gemm_blocks,
+                blocking=cfg.canonicalize_blocking,
+                lsh_bands=cfg.lsh_bands,
+                lsh_bits_per_band=cfg.lsh_bits_per_band,
             ),
         )
         triples = w.materialize(

@@ -88,6 +88,27 @@ def test_alias_groups_collapse(result):
         assert len(canons) == 1, (g, canons)
 
 
+def test_lsh_blocking_matches_exact_closure(spark, corpus, dedup_cfg, result):
+    """The scale path (blocking="lsh", near-linear banded candidates)
+    produces the SAME canonical map as the exact blocked-GEMM path on
+    the alias corpus: alias pairs sit at cosine ~0.998, where LSH pair
+    recall is > 0.9999 (similarity.py banding math), and the planted
+    corpus makes the check deterministic."""
+    _, df = corpus
+    cfg_lsh = PipelineConfig(
+        deduplicate_nodes=True, canonicalize_blocking="lsh",
+        lsh_bands=dedup_cfg.lsh_bands,
+    )
+    r_lsh = run_pipeline(spark, df, cfg_lsh)
+    exact = {
+        (r["node_id"], r["canon_id"]) for r in result.canonical_map.collect()
+    }
+    lsh = {
+        (r["node_id"], r["canon_id"]) for r in r_lsh.canonical_map.collect()
+    }
+    assert lsh == exact
+
+
 def test_no_dangling_edge_endpoints(result):
     """Every predicate/HAS_ENTITY edge endpoint that is an entity id
     exists in the canonical nodes table."""
