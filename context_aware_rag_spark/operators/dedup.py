@@ -11,8 +11,19 @@ verification cost.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Default document-frequency cap for the n-gram Jaccard inverted index.
+# A shingle appearing in d documents fans out to d^2/2 join rows, and
+# Zipf-hot shingles make the uncapped self-join quadratic at corpus
+# scale — so the skew guard is ON by default. The cap never binds on
+# corpora smaller than DEFAULT_DF_CAP documents (any df <= n_docs), so
+# small-scale results are unchanged; pass df_cap=None to force the
+# exact uncapped join (verification twin only).
+DEFAULT_DF_CAP = 1000
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -205,7 +216,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    df_cap: int | None = None,
+    df_cap: int | None = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Exact Jaccard over shared-shingle candidate pairs.
 
@@ -216,8 +227,18 @@ def ngram_jaccard_pairs(
     ``df_cap`` drops shingles appearing in more than that many docs from
     the universe ENTIRELY (both the index and the set sizes), bounding
     the self-join fan-out per bucket at df_cap^2 while keeping Jaccard a
-    true set similarity on the reduced universe.
+    true set similarity on the reduced universe. The cap defaults ON
+    (``DEFAULT_DF_CAP``); ``df_cap=None`` is the exact-uncapped
+    verification twin and warns, because its hot-bucket fan-out is
+    unbounded at corpus scale.
     """
+    if df_cap is None:
+        warnings.warn(
+            "ngram_jaccard_pairs(df_cap=None): uncapped inverted-index "
+            "self-join is quadratic on hot shingles; use the default "
+            f"df_cap={DEFAULT_DF_CAP} (or MinHash) beyond verification runs",
+            stacklevel=2,
+        )
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     sh = with_shingles(
         docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col

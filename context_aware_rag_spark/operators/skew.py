@@ -1,4 +1,9 @@
-"""Skew handling: salted two-phase chunk linking for long conversations.
+"""Skew handling: two-phase global ordering primitives.
+
+- :func:`global_index` — global row_number without the single-task sort
+  (W4 scale path);
+- :func:`link_chunks_salted` — salted two-phase chunk linking for
+  pathological conversations.
 
 ``link_chunks`` (linking.py) uses one window per conv — correct, O(1)
 state per row, but a 20M-chunk conversation is ONE task. This module is
@@ -25,6 +30,69 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .linking import CHUNK_ORDER
+
+
+def global_index(
+    df: DataFrame,
+    order_cols: list,
+    index_col: str = "doc_index",
+    partitions: int | None = None,
+) -> DataFrame:
+    """W4 scale path — global ``row_number() OVER (ORDER BY ...)`` without
+    the single-task global sort.
+
+    ``Window.orderBy`` with no partition key funnels the whole input
+    through ONE task (Spark plans an Exchange SinglePartition); correct,
+    but a straggler at 100x data. Two-phase equivalent:
+
+    1. ``repartitionByRange`` on the order key + ``sortWithinPartitions``
+       — the only shuffle, fully parallel; range partition i precedes
+       range partition j for i < j, so the global order is (pid,
+       local_rank);
+    2. ``monotonically_increasing_id`` encodes exactly (pid << 33) +
+       local_rank, giving the within-partition rank with NO second
+       shuffle and no Python;
+    3. per-partition counts (a tiny ≤ #partitions-row aggregate) are
+       collected and turned into prefix offsets, joined back broadcast
+       (provably bounded by the partition count);
+    4. index = offset[pid] + local_rank + 1.
+
+    The ``localCheckpoint`` pins the (sampled, hence nondeterministic)
+    range boundaries so the counts job and the final job see identical
+    partitions. ``order_cols`` must be a total order for the output to
+    be deterministic (same contract as the window version).
+    """
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    counts = (
+        ranged.groupBy(F.shiftrightunsigned("_mid", 33).alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_n"]
+    off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+    return (
+        ranged.withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            index_col,
+            (
+                F.col("_offset")
+                + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+                + 1
+            ).cast("long"),
+        )
+        .drop("_mid", "_pid", "_offset")
+    )
 
 
 def link_chunks_salted(chunks: DataFrame, block_turns: int = 8192) -> DataFrame:

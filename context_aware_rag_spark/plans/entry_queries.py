@@ -297,9 +297,13 @@ def w3_running_offset(spark, sf_dir):
     """,
 )
 def w4_global_index(spark, sf_dir):
+    # two-phase rank (range partition + local id + prefix offsets) —
+    # value-identical to row_number() OVER (ORDER BY ts, event_id) but
+    # with no Exchange SinglePartition (operators/skew.py:global_index)
+    from ..operators.skew import global_index
+
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
-    w = Window.orderBy("ts", "event_id")
-    return e.select("event_id", F.row_number().over(w).cast("long").alias("doc_index"))
+    return global_index(e, ["ts", "event_id"]).select("event_id", "doc_index")
 
 
 @q(
@@ -518,6 +522,9 @@ def dedup_exact_normalized(spark, sf_dir):
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
+    # relies on the default df_cap (skew guard ON); the exact-uncapped
+    # SQL twin is equivalent because df <= n_docs < DEFAULT_DF_CAP at
+    # every correctness scale, so the cap cannot bind
     return dedup.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, n=3
     )

@@ -123,6 +123,40 @@ class TestMinHash:
         assert rows[0]["est_jaccard"] == 1.0
 
 
+class TestDfCap:
+    def test_hot_shingle_dropped_by_cap(self, spark):
+        # 30 docs share exactly one hot shingle; all their unique-word
+        # shingles are disjoint -> every pair's only support is the hot
+        # shingle, so capping its df removes every candidate pair
+        rows = [(i, f"hot hot hot u{i} v{i} w{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+        uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.1, n=3, df_cap=None)
+        assert uncapped.count() == 30 * 29 // 2
+        capped = dedup.ngram_jaccard_pairs(df, threshold=0.1, n=3, df_cap=10)
+        assert capped.count() == 0
+
+    def test_default_cap_is_finite_and_non_binding_small(self, spark):
+        assert dedup.DEFAULT_DF_CAP is not None
+        rows = [(i, f"hot hot hot u{i} v{i} w{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+        # df <= n_docs < DEFAULT_DF_CAP -> default == exact uncapped
+        default = {tuple(r) for r in dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+        exact = {
+            tuple(r)
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.1, df_cap=None).collect()
+        }
+        assert default == exact
+
+    def test_uncapped_warns(self, spark):
+        import warnings as _w
+
+        df = spark.createDataFrame([(0, "a b c d"), (1, "a b c e")], ["doc_id", "text"])
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            dedup.ngram_jaccard_pairs(df, threshold=0.9, df_cap=None)
+        assert any("uncapped" in str(x.message) for x in rec)
+
+
 class TestSimHash:
     def test_single_token_fingerprint_is_xxhash64(self, spark):
         # one token: bit j of the fingerprint = (bit j of xxhash64(tok))

@@ -36,6 +36,51 @@ def test_salted_equals_plain(spark, chunks, block_turns):
     assert salted == plain
 
 
+def test_global_index_equals_window(spark):
+    """Two-phase global_index must be value-identical to the single-task
+    row_number() OVER (ORDER BY ...) — including with duplicate sort
+    prefixes (ties broken by the second column) and skewed input
+    partitioning."""
+    from pyspark.sql import Window
+
+    from context_aware_rag_spark.operators.skew import global_index
+
+    rows = [(i % 97, f"id{i:05d}", i * 3 % 11) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["ts", "event_id", "v"]).repartition(7)
+    w = Window.orderBy("ts", "event_id")
+    want = {
+        (r["event_id"], r["doc_index"])
+        for r in df.select(
+            "event_id", F.row_number().over(w).cast("long").alias("doc_index")
+        ).collect()
+    }
+    got = {
+        (r["event_id"], r["doc_index"])
+        for r in global_index(df, ["ts", "event_id"])
+        .select("event_id", "doc_index")
+        .collect()
+    }
+    assert got == want
+    # deterministic across runs (fresh range-boundary sampling each time)
+    again = {
+        (r["event_id"], r["doc_index"])
+        for r in global_index(df, ["ts", "event_id"], partitions=3)
+        .select("event_id", "doc_index")
+        .collect()
+    }
+    assert again == want
+
+
+def test_global_index_plan_has_no_single_partition_exchange(spark):
+    from context_aware_rag_spark.operators.skew import global_index
+
+    df = spark.range(100).select(
+        F.col("id").alias("ts"), F.col("id").cast("string").alias("event_id")
+    )
+    plan = global_index(df, ["ts", "event_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_long_conv_present(chunks):
     per_conv = chunks.groupBy("conv_id").count().collect()
     counts = {r["conv_id"]: r["count"] for r in per_conv}
