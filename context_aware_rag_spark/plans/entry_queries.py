@@ -814,6 +814,63 @@ def tpch_q1_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "delete_orphan_cleanup",
+    """
+    WITH del AS (SELECT o_orderkey FROM orders WHERE o_custkey % 29 = 3),
+    docs AS (
+      SELECT 'O' || o_orderkey::VARCHAR AS node_id, 'Document' AS node_type
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+    chunks AS (
+      SELECT 'L' || l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS node_id,
+             'Chunk' AS node_type
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del)),
+    ents AS (
+      SELECT DISTINCT 'P' || l_partkey::VARCHAR AS node_id, 'Entity' AS node_type
+      FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey
+                      AND l2.l_orderkey NOT IN (SELECT o_orderkey FROM del)))
+    SELECT node_id, node_type FROM docs
+    UNION ALL SELECT node_id, node_type FROM chunks
+    UNION ALL SELECT node_id, node_type FROM ents
+    """,
+)
+def delete_orphan_cleanup(spark, sf_dir):
+    """Per-document delete + orphan-entity cleanup (reference
+    QUERY_TO_DELETE_UUID_GRAPH, constants.py:406-443) exercised on a
+    KG shaped from TPC-H: order=Document, lineitem=Chunk (PART_OF),
+    part=Entity (HAS_ENTITY). Surviving nodes are hash-checked against
+    the DuckDB DELETE + NOT EXISTS twin."""
+    from ..operators import delete as delete_ops
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    okey = F.col("o_orderkey").cast("string")
+    lkey = F.col("l_orderkey").cast("string")
+    chunk_id = F.concat(F.lit("L"), lkey, F.lit("-"), F.col("l_linenumber").cast("string"))
+    ent_id = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    nodes = (
+        orders.select(F.concat(F.lit("O"), okey).alias("node_id"),
+                      F.lit("Document").alias("node_type"))
+        .unionByName(li.select(chunk_id.alias("node_id"),
+                               F.lit("Chunk").alias("node_type")))
+        .unionByName(li.select(ent_id.alias("node_id"),
+                               F.lit("Entity").alias("node_type")).distinct())
+    )
+    edges = (
+        li.select(chunk_id.alias("src"),
+                  F.concat(F.lit("O"), lkey).alias("dst"),
+                  F.lit("PART_OF").alias("rel_type"))
+        .unionByName(li.select(chunk_id.alias("src"), ent_id.alias("dst"),
+                               F.lit("HAS_ENTITY").alias("rel_type")))
+    )
+    del_docs = orders.filter(F.col("o_custkey") % 29 == 3).select(
+        F.concat(F.lit("O"), okey).alias("node_id")
+    )
+    return delete_ops.delete_documents(nodes, edges, del_docs).nodes
+
+
 # =========================================================================
 # Rows-only queries (pandas-UDF stages the SQL oracle cannot express)
 # =========================================================================
