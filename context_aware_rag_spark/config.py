@@ -34,6 +34,9 @@ class PipelineConfig:
     similar_edges: bool = False         # emit chunk-KNN SIMILAR edges (EP2 step f)
     knn_min_score: float = 0.8          # SIMILAR edge threshold (neo4j_db.py:633-641)
     knn_top_k: int = 6
+    # skip sources whose SIMILAR degree already reached this cap
+    # (neo4j_db.py:633-641 count{(c)-[:SIMILAR]-()} < 5); None disables
+    knn_max_degree: Optional[int] = 5
     duplicate_score: float = 0.9        # canonicalization threshold (constants.py:43)
     # canonicalization default OFF to match reference defaults
     deduplicate_nodes: bool = False

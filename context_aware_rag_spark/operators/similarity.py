@@ -232,12 +232,28 @@ def knn_similar_edges(
     dim: int = 64,
     bands: int = 4,
     bits_per_band: int = 4,
+    max_degree: int | None = 5,
+    max_iter: int = 50,
 ) -> DataFrame:
     """SIMILAR edges: per item, top-k neighbors with score >= min_score
     (reference KNN pass, neo4j_db.py:610-653: top-6, score >= 0.8).
 
     Candidate generation reuses the LSH banding; ranking is W5
     (row_number over score desc per source).
+
+    ``max_degree`` reproduces the reference's skip gate
+    (neo4j_db.py:633-641, ``WHERE count{(c)-[:SIMILAR]-()} < 5``): a
+    source whose SIMILAR degree already reached the cap adds no new
+    edges. The reference applies it incrementally per MERGE statement;
+    the batch analog processes sources in ascending id order — source
+    ``c`` is skipped iff edges MERGEd by earlier accepted sources
+    already give it degree >= max_degree. Decisions only depend on
+    earlier sources (a prefix DAG), so a synchronous fixpoint
+    iteration — recompute the accepted set from the previous one until
+    stable — converges to the exact sequential answer; alias-dense
+    neighborhoods settle in 2-3 rounds. Edges are MERGE-deduped
+    undirected, keeping the row of the first accepting source.
+    ``max_degree=None`` disables the gate (raw directed top-k).
     """
     lb = with_lsh_bands(
         items_with_emb.select(id_col, "embedding").localCheckpoint(),
@@ -264,8 +280,53 @@ def knn_similar_edges(
         .filter(F.col("score") >= min_score)
     )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    return (
+    ranked = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
+        .select("src", "dst", "score")
+    )
+    if max_degree is None:
+        return ranked
+    ranked = ranked.localCheckpoint()
+
+    srcs = ranked.select("src").distinct().localCheckpoint()
+    accepted = srcs
+    n_accepted = accepted.count()
+    for _ in range(max_iter):
+        # degree of c when it processes = # earlier accepted sources s<c
+        # that chose c (each contributes exactly one MERGEd edge)
+        indeg = (
+            ranked.join(accepted, "src", "left_semi")
+            .filter(F.col("src") < F.col("dst"))
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_indeg"))
+        )
+        new_accepted = (
+            srcs.join(indeg, srcs.src == indeg.dst, "left")
+            .filter(F.coalesce(F.col("_indeg"), F.lit(0)) < max_degree)
+            .select("src")
+            .localCheckpoint()
+        )
+        new_n = new_accepted.count()
+        if new_n == n_accepted and (
+            accepted.join(new_accepted, "src", "left_anti").limit(1).count() == 0
+        ):
+            break
+        accepted, n_accepted = new_accepted, new_n
+    else:
+        raise RuntimeError(
+            f"knn degree-gate fixpoint did not converge in {max_iter} "
+            "iterations; raise max_iter"
+        )
+
+    kept = ranked.join(accepted, "src", "left_semi")
+    # MERGE is undirected: if a<b both accept each other, the second
+    # merge is a no-op — keep the first accepting source's row
+    wd = Window.partitionBy("_k1", "_k2").orderBy("src")
+    return (
+        kept.withColumn("_k1", F.least("src", "dst"))
+        .withColumn("_k2", F.greatest("src", "dst"))
+        .withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
         .select("src", "dst", "score")
     )

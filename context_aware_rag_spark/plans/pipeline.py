@@ -136,6 +136,7 @@ def run_pipeline(
                 top_k=cfg.knn_top_k,
                 bands=cfg.lsh_bands,
                 dim=cfg.embedding_dim,
+                max_degree=cfg.knn_max_degree,
             )
 
         similar = w.materialize("similar_edges", _similar)
