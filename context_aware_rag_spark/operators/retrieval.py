@@ -12,12 +12,14 @@ driver-side row data).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .ann import cosine_topk_bruteforce
 
@@ -63,6 +65,7 @@ def expand_hops(
     query_vec: list[float] | None = None,
     band: tuple = (0.3, 0.9),
     embedding_dim: int = 64,
+    per_seed: bool = False,
 ) -> DataFrame:
     """J8 — bounded-hop expansion over extracted predicate edges.
 
@@ -109,7 +112,15 @@ def expand_hops(
                 in_band.withColumnRenamed("node_id", "dst"), "dst", "left_semi"
             ).localCheckpoint()
         )
-    frontier = seed_nodes.select(F.col("node_id")).distinct()
+    if per_seed:
+        # carry a "seed" attribution column so callers can group the
+        # expansion per retrieval document (context assembly); fan-out
+        # multiplies by |seeds| but retrieval frontiers are query-bounded
+        frontier = seed_nodes.select("node_id", "seed").distinct()
+    else:
+        frontier = seed_nodes.select(F.col("node_id")).distinct().withColumn(
+            "seed", F.lit("_")
+        )
     out: Optional[DataFrame] = None
     for hop in range(1, hops + 1):
         # no forced broadcast: hop-1 frontier is <= top_entities rows but
@@ -117,12 +128,249 @@ def expand_hops(
         # vs shuffle from the frontier's measured size at runtime
         step = (
             pred_edges.join(frontier, pred_edges.src == frontier.node_id)
-            .select("src", "dst", "rel_type", F.lit(hop).alias("hop"))
+            .select("seed", "src", "dst", "rel_type", F.lit(hop).alias("hop"))
         )
         out = step if out is None else out.unionByName(step)
-        out = out.dropDuplicates(["src", "dst", "rel_type"]).localCheckpoint()
-        frontier = out.select(F.col("dst").alias("node_id")).distinct()
-    return out
+        out = out.dropDuplicates(["seed", "src", "dst", "rel_type"]).localCheckpoint()
+        frontier = out.select(F.col("dst").alias("node_id"), "seed").distinct()
+    return out if per_seed else out.drop("seed")
+
+
+def assemble_context(
+    chunks_with_emb: DataFrame,
+    edges: DataFrame,
+    nodes: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    top_entities: int = 40,
+    hops: int = 2,
+    band: tuple = (0.3, 0.9),
+) -> DataFrame:
+    """EP3 context assembly — one row per retrieved document with the
+    reference's assembled text (VECTOR_GRAPH_SEARCH_QUERY_SUFFIX,
+    constants.py:98-168):
+
+        Text Content:\\n<chunk texts joined by \\n----\\n>
+        \\n----\\nEntities:\\n<sorted "type:name" lines>
+        \\n----\\nRelationships:\\n<sorted "type:name REL type:name" lines>
+
+    plus score = avg chunk score and metadata counts. Chunk texts are
+    ordered by (score DESC, chunk_id) — the vector index's return order,
+    made deterministic; entity/relationship lines are sorted
+    (apoc.coll.sort parity). Entity selection and hop expansion are
+    attributed per document (the reference's per-document CALL block).
+
+    ``chunks_with_emb`` needs (chunk_id, conv_id, text, embedding);
+    ``nodes`` (node_id, name, type).
+    """
+    hits = topk_chunks_for_query(chunks_with_emb, query_vec, k=k).localCheckpoint()
+    cmeta = chunks_with_emb.select("chunk_id", "conv_id", "text")
+    hit_chunks = cmeta.join(hits, "chunk_id").localCheckpoint()
+
+    # per-document chunk text block + avg score
+    doc_text = (
+        hit_chunks.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                "\n----\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("chunk_score")).alias("neg"),
+                                F.col("chunk_id"),
+                                F.col("text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("texts_block"),
+            F.avg("chunk_score").alias("score"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+
+    # per-document top entities (A4 per doc)
+    has_ent = edges.filter(F.col("rel_type") == "HAS_ENTITY").select(
+        F.col("src").alias("chunk_id"), F.col("dst").alias("node_id")
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("num_chunks"), F.asc("node_id")
+    )
+    doc_ents = (
+        has_ent.join(hit_chunks.select("chunk_id", "conv_id"), "chunk_id")
+        .groupBy("conv_id", "node_id")
+        .agg(F.count(F.lit(1)).alias("num_chunks"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_entities)
+        .select(F.col("conv_id").alias("seed"), "node_id")
+        .localCheckpoint()
+    )
+
+    # band=None disables the similarity gate (expansion follows all
+    # predicate edges — used by hand-computable fixtures)
+    expanded = expand_hops(
+        edges, doc_ents, hops=hops,
+        nodes=None if band is None else nodes,
+        query_vec=None if band is None else query_vec,
+        band=band or (0.3, 0.9), per_seed=True,
+    )
+
+    names = nodes.select(
+        "node_id",
+        F.concat_ws(":", F.col("type"), F.col("name")).alias("label"),
+    )
+    rels = (
+        expanded.join(names.withColumnRenamed("node_id", "src"), "src")
+        .withColumnRenamed("label", "src_label")
+        .join(
+            names.select(F.col("node_id").alias("dst"),
+                         F.col("label").alias("dst_label")),
+            "dst",
+        )
+    )
+    doc_rels = rels.groupBy(F.col("seed").alias("conv_id")).agg(
+        F.concat_ws(
+            "\n",
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(
+                        F.concat_ws(" ", "src_label", "rel_type", "dst_label")
+                    )
+                )
+            ),
+        ).alias("rels_block"),
+        F.size(
+            F.array_distinct(
+                F.collect_list(F.struct("src", "dst", "rel_type"))
+            )
+        ).cast("long").alias("n_rels"),
+    )
+    # entity lines: the seed entities plus every expanded endpoint
+    ent_ids = (
+        doc_ents.select(F.col("seed").alias("conv_id"), "node_id")
+        .unionByName(
+            expanded.select(F.col("seed").alias("conv_id"),
+                            F.col("src").alias("node_id"))
+        )
+        .unionByName(
+            expanded.select(F.col("seed").alias("conv_id"),
+                            F.col("dst").alias("node_id"))
+        )
+        .distinct()
+    )
+    doc_nodes = (
+        ent_ids.join(names, "node_id")
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.array_sort(F.array_distinct(F.collect_list("label")))
+            ).alias("ents_block"),
+            F.countDistinct("node_id").alias("n_entities"),
+        )
+    )
+
+    return (
+        doc_text.join(doc_nodes, "conv_id", "left")
+        .join(doc_rels, "conv_id", "left")
+        .select(
+            F.col("conv_id").alias("source"),
+            F.concat(
+                F.lit("Text Content:\n"),
+                F.col("texts_block"),
+                F.lit("\n----\nEntities:\n"),
+                F.coalesce(F.col("ents_block"), F.lit("")),
+                F.lit("\n----\nRelationships:\n"),
+                F.coalesce(F.col("rels_block"), F.lit("")),
+            ).alias("text"),
+            F.round("score", 6).alias("score"),
+            F.col("n_chunks"),
+            F.coalesce(F.col("n_entities"), F.lit(0)).cast("long").alias("n_entities"),
+            F.coalesce(F.col("n_rels"), F.lit(0)).cast("long").alias("n_rels"),
+        )
+        .withColumn("length", F.length("text").cast("long"))
+    )
+
+
+def compress_context(
+    context: DataFrame,
+    query_vec: list[float],
+    similarity_threshold: float = 0.10,
+    chunk_size: int = 500,
+    chunk_overlap: int = 10,
+    embedding_dim: int = 64,
+    text_col: str = "text",
+    key_col: str = "source",
+) -> DataFrame:
+    """Contextual compression (reference create_document_retriever,
+    neo4j_db.py:1274-1299): re-split each assembled context with the
+    recursive splitter (500/10, separators ["Text:", "\\n\\n", "\\n",
+    "\\n-"]), embedding-filter the pieces against the query
+    (EmbeddingsFilter, CHAT_EMBEDDING_FILTER_SCORE_THRESHOLD = 0.10),
+    and reassemble survivors in original order.
+
+    Splitting runs in an Arrow-batched pandas UDF (the splitter is
+    Python); scoring is a JVM dot product against the normalized query
+    literal; reassembly is an ordered collect per document.
+    """
+    from ..functions.splitter import split_text
+    from .similarity import with_text_embeddings
+
+    seps = ["Text:", "\n\n", "\n", "\n-"]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def split_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            yield s.fillna("").map(
+                lambda t: split_text(
+                    t, chunk_size=chunk_size, chunk_overlap=chunk_overlap,
+                    separators=seps,
+                )
+            )
+
+    pieces = (
+        context.withColumn("_pieces", split_udf(F.col(text_col)))
+        .select(
+            key_col,
+            F.posexplode("_pieces").alias("piece_idx", "piece"),
+        )
+        .localCheckpoint()  # stage boundary: splitter UDF runs once
+    )
+    scored = with_text_embeddings(pieces, text_col="piece", dim=embedding_dim)
+    q = [float(x) for x in query_vec]
+    qn = float(sum(x * x for x in q)) ** 0.5 or 1.0
+    cos = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(x / qn) for x in q]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    kept = scored.withColumn("_sim", cos).filter(
+        F.col("_sim") >= similarity_threshold
+    )
+    return (
+        kept.groupBy(key_col)
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("piece_idx", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("compressed_text"),
+            F.count(F.lit(1)).cast("long").alias("n_pieces_kept"),
+            F.round(F.max("_sim"), 6).alias("best_piece_sim"),
+        )
+        .withColumn(
+            "compressed_length", F.length("compressed_text").cast("long")
+        )
+    )
 
 
 def graph_vector_search(

@@ -887,12 +887,13 @@ def s6_batch_summaries(spark, sf_dir):
     )
 
 
-@q("ep3_graph_vector_search")
-def ep3_graph_vector_search(spark, sf_dir):
-    from ..operators import retrieval, similarity
+def _ep3_inputs(spark, sf_dir):
+    from ..operators import similarity
 
     res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
-    chunks = res.chunks.dropDuplicates(["chunk_id"]).select("chunk_id", "text")
+    chunks = res.chunks.dropDuplicates(["chunk_id"]).select(
+        "chunk_id", "conv_id", "text"
+    )
     with_emb = similarity.with_text_embeddings(chunks).localCheckpoint()
     # deterministic query row: limit(1) without ordering varies with
     # partition layout / core count and would break the driver hash
@@ -900,7 +901,44 @@ def ep3_graph_vector_search(spark, sf_dir):
         float(x)
         for x in with_emb.orderBy("chunk_id").limit(1).collect()[0]["embedding"]
     ]
-    return retrieval.graph_vector_search(with_emb, res.edges, qvec, k=5, hops=2)
+    return res, with_emb, qvec
+
+
+@q("ep3_graph_vector_search")
+def ep3_graph_vector_search(spark, sf_dir):
+    """EP3 end-to-end: assembled per-document context rows (text block +
+    sorted entity/relationship lines + avg score), reference
+    VECTOR_GRAPH_SEARCH_QUERY_SUFFIX constants.py:98-168."""
+    from ..operators import retrieval
+
+    res, with_emb, qvec = _ep3_inputs(spark, sf_dir)
+    return retrieval.assemble_context(
+        with_emb, res.edges, res.nodes, qvec, k=5, hops=2
+    )
+
+
+@q("ep3_compressed_context")
+def ep3_compressed_context(spark, sf_dir):
+    """EP3 + contextual compression (splitter 500/10 + embedding filter
+    at 0.10 — reference neo4j_db.py:1274-1299)."""
+    from ..operators import retrieval
+
+    from ..functions.embedder import hash_embed
+    from ..functions.splitter import split_text
+
+    res, with_emb, qvec = _ep3_inputs(spark, sf_dir)
+    ctx = retrieval.assemble_context(
+        with_emb, res.edges, res.nodes, qvec, k=5, hops=2
+    ).localCheckpoint()
+    # query = embedding of an actual context piece (the "asks about
+    # retrieved content" case): the hash embedder decorrelates any
+    # non-identical text, so a raw chunk query would filter every
+    # re-split piece out — a real embedder keeps semantic neighbors
+    first_text = ctx.orderBy("source").limit(1).collect()[0]["text"]
+    piece = split_text(first_text, chunk_size=500, chunk_overlap=10,
+                       separators=["Text:", "\n\n", "\n", "\n-"])[0]
+    qvec2 = [float(x) for x in hash_embed([piece], dim=64)[0]]
+    return retrieval.compress_context(ctx, qvec2)
 
 
 @q("a10_tree_summarize")
