@@ -141,6 +141,23 @@ def connected_components(
     return labels.select("node_id", F.col("label").alias("canon_id"))
 
 
+def merged_counts(canonical_map: DataFrame) -> DataFrame:
+    """A11 — the reference's totalMerged metric (neo4j_db.py:1665-1684:
+    ``sum(size(nodes))`` over merge groups, i.e. every node that took
+    part in a merge INCLUDING the kept representative).
+
+    canonical_map holds only non-representative rows (node_id !=
+    canon_id), so total = rows + distinct representatives.
+    """
+    return canonical_map.agg(
+        F.count(F.lit(1)).cast("long").alias("merged_nodes"),
+        F.countDistinct("canon_id").cast("long").alias("merge_groups"),
+        (F.count(F.lit(1)) + F.countDistinct("canon_id"))
+        .cast("long")
+        .alias("total_merged"),
+    )
+
+
 def rewrite_edges(edges: DataFrame, canonical_map: DataFrame) -> DataFrame:
     """J6 — rewrite edge endpoints through the canonical map, then dedupe
     (MERGE semantics). Two left joins + coalesce; the planner/AQE picks

@@ -815,6 +815,42 @@ def tpch_q1_rollup(spark, sf_dir):
 
 
 @q(
+    "a11_merged_count",
+    f"""
+    SELECT count(*)::BIGINT AS merge_groups,
+           coalesce(sum(n_docs - 1), 0)::BIGINT AS merged_nodes,
+           coalesce(sum(n_docs), 0)::BIGINT AS total_merged
+    FROM (
+      SELECT count(*) AS n_docs
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      GROUP BY md5({_NORM_SQL}) HAVING count(*) > 1
+    )
+    """,
+)
+def a11_merged_count(spark, sf_dir):
+    """A11 — totalMerged (reference apoc.refactor.mergeNodes metric,
+    neo4j_db.py:1665-1684: sum of merge-group sizes). Exercised on the
+    exact-normalized dedup groups of the documents table unioned with an
+    id-shifted copy (testdata has no natural dups, so the shifted copy
+    plants one real merge group per distinct text) — DuckDB twin; the
+    KG-side analog is canonicalize.merged_counts over the pipeline
+    canonical_map (pytest parity)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    groups = dedup.exact_duplicates_normalized(doubled)
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("merge_groups"),
+        F.coalesce(F.sum(F.col("n_docs") - 1), F.lit(0))
+        .cast("long")
+        .alias("merged_nodes"),
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("total_merged"),
+    )
+
+
+@q(
     "delete_orphan_cleanup",
     """
     WITH del AS (SELECT o_orderkey FROM orders WHERE o_custkey % 29 = 3),
@@ -1038,6 +1074,41 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann.cosine_topk_ivf(corpus, queries, k=10, n_clusters=16, nprobe=4)
+
+
+@q("c10_json_repair")
+def c10_json_repair(spark, sf_dir):
+    """C10 malformed-JSON repair (reference json-repair dependency,
+    pyproject.toml:48): deterministically mangle events.props into the
+    classic LLM failure modes (fences+prose, single quotes, trailing
+    comma, truncation, Python constants), repair in one Arrow batch
+    pass, then extract typed fields JVM-side. Rows-only (DuckDB cannot
+    repair); the repair rules themselves are pytest-golden-verified."""
+    from ..functions.jsonrepair import parse_json_lenient_udf
+
+    e = load(spark, sf_dir, "events")
+    m = F.pmod(F.col("event_id"), F.lit(5))
+    mangled = (
+        F.when(m == 0, F.concat(F.lit("Here is the JSON:\n```json\n"),
+                                F.col("props"), F.lit("\n```")))
+        .when(m == 1, F.translate("props", '"', "'"))
+        .when(m == 2, F.regexp_replace("props", r"\}$", ",}"))
+        .when(m == 3, F.substring(
+            F.col("props"), 1,
+            F.greatest(F.lit(8), (F.length("props") * 0.6).cast("int"))))
+        .otherwise(F.regexp_replace("props", "true", "True"))
+    )
+    fixed = e.withColumn("fixed", parse_json_lenient_udf()(mangled))
+    return (
+        fixed.withColumn("k", F.get_json_object("fixed", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("fixed").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unparsed"),
+        )
+    )
 
 
 @q("media_features")

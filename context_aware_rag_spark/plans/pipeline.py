@@ -156,6 +156,13 @@ def run_pipeline(
                 lsh_bits_per_band=cfg.lsh_bits_per_band,
             ),
         )
+        if workdir:
+            # A11 — totalMerged metric (neo4j_db.py:1665-1684)
+            counts = canonicalize.merged_counts(canonical_map).collect()[0].asDict()
+            counts["resumed"] = bool(
+                w.metrics.get("canonical_map", {}).get("resumed")
+            )
+            w.metrics["canonicalization"] = counts
         triples = w.materialize(
             "triples", lambda: canonicalize.rewrite_triples(triples, canonical_map)
         )

@@ -88,6 +88,19 @@ def test_alias_groups_collapse(result):
         assert len(canons) == 1, (g, canons)
 
 
+def test_merged_counts_match_oracle(oracle, result):
+    """A11 totalMerged = sum of merge-group sizes (incl. representatives)."""
+    from context_aware_rag_spark.operators.canonicalize import merged_counts
+
+    row = merged_counts(result.canonical_map).collect()[0]
+    golden = {k: v for k, v in oracle.canonical_map.items() if k != v}
+    groups = len(set(golden.values()))
+    assert row["merged_nodes"] == len(golden)
+    assert row["merge_groups"] == groups
+    assert row["total_merged"] == len(golden) + groups
+    assert row["total_merged"] > 0  # alias corpus must actually merge
+
+
 def test_lsh_blocking_matches_exact_closure(spark, corpus, dedup_cfg, result):
     """The scale path (blocking="lsh", near-linear banded candidates)
     produces the SAME canonical map as the exact blocked-GEMM path on

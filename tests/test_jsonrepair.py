@@ -1,0 +1,80 @@
+"""Goldens for the lenient JSON repair path (C10 — reference depends on
+the json-repair package; ours is an original bounded reimplementation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.functions.jsonrepair import (
+    canonical_json,
+    repair_json,
+)
+
+
+class TestRepairJson:
+    def test_valid_passthrough(self):
+        assert repair_json('{"a": 1, "b": [2, 3]}') == {"a": 1, "b": [2, 3]}
+
+    def test_code_fence_and_prose(self):
+        s = 'Sure! Here is the JSON you asked for:\n```json\n{"k": 7}\n```\nHope it helps.'
+        assert repair_json(s) == {"k": 7}
+
+    def test_fence_without_close(self):
+        assert repair_json('```json\n{"k": 7}') == {"k": 7}
+
+    def test_python_constants(self):
+        s = "{'ok': True, 'bad': False, 'missing': None, 'x': NaN}"
+        assert repair_json(s) == {"ok": True, "bad": False, "missing": None, "x": None}
+
+    def test_single_quotes_with_embedded_double(self):
+        s = "{'say': 'he said \"hi\" twice'}"
+        assert repair_json(s) == {"say": 'he said "hi" twice'}
+
+    def test_unquoted_keys(self):
+        assert repair_json("{subj: \"ada\", pred-x: 3}") == {"subj": "ada", "pred-x": 3}
+
+    def test_trailing_commas(self):
+        assert repair_json('{"a": [1, 2,], "b": 3,}') == {"a": [1, 2], "b": 3}
+
+    def test_truncated_object(self):
+        assert repair_json('{"a": 1, "b": {"c": [1, 2') == {"a": 1, "b": {"c": [1, 2]}}
+
+    def test_truncated_mid_string(self):
+        assert repair_json('{"a": "unfinished tex') == {"a": "unfinished tex"}
+
+    def test_truncated_dangling_key(self):
+        assert repair_json('{"a": 12, "b":') == {"a": 12}
+
+    def test_hopeless_input_is_none(self):
+        assert repair_json("no structured content here at all") is None
+        assert repair_json("") is None
+        assert repair_json(None) is None
+
+    def test_canonical_form_sorted_compact(self):
+        assert canonical_json("{'b': 1, 'a': 2}") == '{"a":2,"b":1}'
+
+    def test_quoted_braces_not_keys(self):
+        # content inside strings must never be rewritten as keys
+        assert repair_json('{"t": "keep {x: 1} literal"}') == {
+            "t": "keep {x: 1} literal"
+        }
+
+
+def test_udf_batch(spark):
+    from context_aware_rag_spark.functions.jsonrepair import parse_json_lenient_udf
+
+    rows = [
+        (0, '{"k": 1}'),
+        (1, "```json\n{'k': 2,}\n```"),
+        (2, '{"k": 3, "rest": [tru'),
+        (3, "not json"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["i", "raw"])
+    out = {
+        r["i"]: r["fixed"]
+        for r in df.withColumn("fixed", parse_json_lenient_udf()(F.col("raw"))).collect()
+    }
+    assert out[0] == '{"k":1}'
+    assert out[1] == '{"k":2}'
+    assert '"k":3' in out[2]
+    assert out[3] is None and out[4] is None
