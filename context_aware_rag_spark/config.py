@@ -48,6 +48,10 @@ class PipelineConfig:
     canonicalize_blocking: str = "type"
     lsh_bits_per_band: int = 4          # bits per LSH band (with lsh_bands)
     gemm_blocks: int = 8                # triangle-join blocks for exact GEMM
+    # enrich nodes with source_tools (camera-list merge analog,
+    # neo4j_db.py:1674 camera_id:"combine"); off by default = parity
+    # with single-camera reference deployments
+    node_source_tools: bool = False
     # scale knobs
     shuffle_partitions: Optional[int] = None   # None = leave session setting
     salted_linking: bool = False        # two-phase prefix-sum for huge convs

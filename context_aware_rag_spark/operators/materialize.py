@@ -44,6 +44,54 @@ def build_nodes(mentions: DataFrame, canonical_map: DataFrame | None = None) -> 
     )
 
 
+def with_source_tools(
+    nodes: DataFrame,
+    mentions: DataFrame,
+    chunks: DataFrame,
+    transcripts: DataFrame,
+    canonical_map: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-source property set-union — the camera-list analog.
+
+    The reference merges ``camera_id`` lists when nodes merge
+    (apoc.refactor.mergeNodes {camera_id: "combine"}, neo4j_db.py:1674;
+    arango list-union arango_db.py:1177-1203). The transcripts contract
+    has no camera column; its multi-source analog is ``tool``: every
+    entity node gains ``source_tools`` = sorted distinct tools of the
+    turns it was mentioned in, unioned ACROSS merged aliases when a
+    canonical_map is given.
+
+    Plan shape: mention -> chunk (turn coordinates) -> transcript tool,
+    all equi-joins; the per-node union is one groupBy collect_set.
+    """
+    turn_map = chunks.select("chunk_id", "conv_id", "turn_idx").dropDuplicates(
+        ["chunk_id"]
+    )
+    tools = transcripts.select("conv_id", "turn_idx", "tool").filter(
+        F.col("tool").isNotNull()
+    )
+    m = mentions.select("node_id", "chunk_id")
+    if canonical_map is not None:
+        cmap = canonical_map.select(
+            F.col("node_id").alias("_old"), F.col("canon_id")
+        )
+        m = (
+            m.join(cmap, m.node_id == F.col("_old"), "left")
+            .withColumn("node_id", F.coalesce(F.col("canon_id"), F.col("node_id")))
+            .select("node_id", "chunk_id")
+        )
+    ent_tools = (
+        m.join(turn_map, "chunk_id")
+        .join(tools, ["conv_id", "turn_idx"])
+        .groupBy("node_id")
+        .agg(F.array_sort(F.collect_set("tool")).alias("source_tools"))
+    )
+    return nodes.join(ent_tools, "node_id", "left").withColumn(
+        "source_tools",
+        F.coalesce(F.col("source_tools"), F.array().cast("array<string>")),
+    )
+
+
 def predicate_edges(triples: DataFrame) -> DataFrame:
     """Extracted (subj)-[pred]->(obj) edges with set semantics."""
     return triples.select(

@@ -815,6 +815,59 @@ def tpch_q1_rollup(spark, sf_dir):
 
 
 @q(
+    "f5_batch_range_filter",
+    """
+    SELECT event_id, user_id, CAST(floor(event_id / 100) AS BIGINT) AS batch_i
+    FROM events WHERE floor(event_id / 100) BETWEEN 3 AND 7
+    """,
+)
+def f5_batch_range_filter(spark, sf_dir):
+    """F5 — batch-index range fetch (reference get_text_data batch_i
+    windows, neo4j_db.py GET_TEXT_QUERY batch range): membership is a
+    pure function of the id, so the filter folds into the scan."""
+    e = load(spark, sf_dir, "events")
+    batch = F.floor(F.col("event_id") / 100).cast("long")
+    return (
+        e.withColumn("batch_i", batch)
+        .filter((F.col("batch_i") >= 3) & (F.col("batch_i") <= 7))
+        .select("event_id", "user_id", "batch_i")
+    )
+
+
+@q("f4_subtitle_time_filter")
+def f4_subtitle_time_filter(spark, sf_dir):
+    """F4 — subtitle time-window filter over the SRT source (reference
+    subtitle fetch by start/end seconds, base.py:627-645). The SRT file
+    is synthesized deterministically; rows-only check (DuckDB has no
+    SRT reader), parse itself is parity-tested in test_sources_retrieval."""
+    import os
+    import tempfile
+
+    from ..sources.docs_json import read_srt
+
+    srt_dir = os.path.join(tempfile.gettempdir(), "spark_graft_srt_v1")
+    path = os.path.join(srt_dir, "fixture.srt")
+    if not os.path.exists(path):
+        os.makedirs(srt_dir, exist_ok=True)
+        blocks = []
+        for i in range(120):
+            s = i * 2
+            e = s + 1
+            blocks.append(
+                f"{i + 1}\n"
+                f"00:{s // 60:02d}:{s % 60:02d},{(i * 37) % 1000:03d} --> "
+                f"00:{e // 60:02d}:{e % 60:02d},{(i * 53) % 1000:03d}\n"
+                f"subtitle line {i} spoken here\n"
+            )
+        with open(path, "w") as f:
+            f.write("\n".join(blocks))
+    subs = read_srt(spark, path)
+    return subs.filter(
+        (F.col("start_s") >= 30.0) & (F.col("end_s") <= 150.0)
+    ).select("seq", "start_s", "end_s", "text")
+
+
+@q(
     "a11_merged_count",
     f"""
     SELECT count(*)::BIGINT AS merge_groups,
@@ -1016,6 +1069,22 @@ def kg_nodes_canonical(spark, sf_dir):
         PipelineConfig(deduplicate_nodes=True),
     )
     return res.nodes.select("node_id", "name", "type", "mention_chunks")
+
+
+@q("kg_nodes_with_tools")
+def kg_nodes_with_tools(spark, sf_dir):
+    """A5 camera-analog on real node properties: source_tools set-union
+    across merged aliases (neo4j_db.py:1674 camera_id:'combine')."""
+    res = run_pipeline(
+        spark,
+        transcripts_for(spark, sf_dir),
+        PipelineConfig(deduplicate_nodes=True, node_source_tools=True),
+    )
+    return res.nodes.select(
+        "node_id", "name", "type",
+        F.concat_ws(",", "source_tools").alias("tools"),
+        F.size("source_tools").alias("n_tools"),
+    )
 
 
 @q("kg_similar_chunk_edges")

@@ -171,7 +171,15 @@ def run_pipeline(
             lambda: canonicalize.rewrite_edges(structural, canonical_map),
         )
 
-    nodes = w.materialize("nodes", lambda: materialize.build_nodes(mentions, canonical_map))
+    def _nodes() -> DataFrame:
+        n = materialize.build_nodes(mentions, canonical_map)
+        if cfg.node_source_tools:
+            n = materialize.with_source_tools(
+                n, mentions, chunks, transcripts, canonical_map
+            )
+        return n
+
+    nodes = w.materialize("nodes", _nodes)
     edges = w.materialize(
         "edges", lambda: materialize.build_edges(structural, triples, similar)
     )
