@@ -43,10 +43,15 @@ class PipelineConfig:
     # candidate-pair blocking for canonicalization: "type" = exact
     # blocked-GEMM all-pairs per type (oracle-parity default, fine to
     # ~1e5 distinct surface forms per type); "lsh" = sign-random-
-    # projection banding — near-linear, the 100 TB path (recall
-    # > 0.9999 for alias pairs at cosine ~0.998, see similarity.py)
+    # projection banding — near-linear, the 100 TB path. Canonicalize
+    # bands are FINE (8 bands x 16 bits): alias pairs sit at cosine
+    # >= 0.98 (per-bit agreement >= 0.982) so recall stays ~0.99998
+    # while random vectors spread over 2^16 buckets per band, keeping
+    # bucket fan-out ~group-sized. The coarse knn bands (lsh_bands x 4
+    # bits) would make buckets corpus/16-sized — quadratic again.
     canonicalize_blocking: str = "type"
-    lsh_bits_per_band: int = 4          # bits per LSH band (with lsh_bands)
+    canon_lsh_bands: int = 8
+    canon_lsh_bits: int = 16
     gemm_blocks: int = 8                # triangle-join blocks for exact GEMM
     # enrich nodes with source_tools (camera-list merge analog,
     # neo4j_db.py:1674 camera_id:"combine"); off by default = parity

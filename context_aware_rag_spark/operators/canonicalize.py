@@ -29,8 +29,8 @@ def canonicalize_nodes(
     embedding_dim: int = 64,
     n_blocks: int = 8,
     blocking: str = "type",
-    lsh_bands: int = 4,
-    lsh_bits_per_band: int = 4,
+    lsh_bands: int = 8,
+    lsh_bits_per_band: int = 16,
 ) -> DataFrame:
     """Full canonicalization: nodes(node_id, name, type) -> canonical_map.
 

@@ -28,7 +28,7 @@ skew-join.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -66,12 +66,24 @@ def with_text_embeddings(df: DataFrame, text_col: str = "text", dim: int = 64) -
 
 
 def _dot(a, b):
-    """JVM-side dot product of two array<float> columns."""
+    """JVM-side dot product of two array<float> columns (fine for a few
+    rows; candidate-pair scoring at scale uses :func:`_pair_dot` —
+    the interpreted zip_with/aggregate path costs ~10x per row)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def _pair_dot(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """Arrow-batched row-wise dot of two array<float> columns — one
+    einsum per batch; the hot path for scoring banded candidate pairs."""
+    for sa, sb in it:
+        ma = np.stack(sa.to_numpy()).astype(np.float64)
+        mb = np.stack(sb.to_numpy()).astype(np.float64)
+        yield pd.Series(np.einsum("ij,ij->i", ma, mb))
 
 
 def _lsh_planes(dim: int, n_bits: int, seed: str = "lsh-v1") -> np.ndarray:
@@ -217,7 +229,7 @@ def similarity_pairs(
         .dropDuplicates(["a", "b"])
     )
     return (
-        pairs.withColumn("score", _dot(F.col("emb_a"), F.col("emb_b")))
+        pairs.withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("score") > threshold)
         .select("a", "b", "score")
     )
@@ -276,7 +288,7 @@ def knn_similar_edges(
             F.col("r.embedding").alias("emb_b"),
         )
         .dropDuplicates(["src", "dst"])
-        .withColumn("score", _dot(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("score") >= min_score)
     )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))

@@ -152,8 +152,8 @@ def run_pipeline(
                 embedding_dim=cfg.embedding_dim,
                 n_blocks=cfg.gemm_blocks,
                 blocking=cfg.canonicalize_blocking,
-                lsh_bands=cfg.lsh_bands,
-                lsh_bits_per_band=cfg.lsh_bits_per_band,
+                lsh_bands=cfg.canon_lsh_bands,
+                lsh_bits_per_band=cfg.canon_lsh_bits,
             ),
         )
         if workdir:

@@ -108,10 +108,7 @@ def test_lsh_blocking_matches_exact_closure(spark, corpus, dedup_cfg, result):
     recall is > 0.9999 (similarity.py banding math), and the planted
     corpus makes the check deterministic."""
     _, df = corpus
-    cfg_lsh = PipelineConfig(
-        deduplicate_nodes=True, canonicalize_blocking="lsh",
-        lsh_bands=dedup_cfg.lsh_bands,
-    )
+    cfg_lsh = PipelineConfig(deduplicate_nodes=True, canonicalize_blocking="lsh")
     r_lsh = run_pipeline(spark, df, cfg_lsh)
     exact = {
         (r["node_id"], r["canon_id"]) for r in result.canonical_map.collect()
