@@ -35,6 +35,8 @@ sys.path.insert(0, "{repo}")
 from context_aware_rag_spark.session import build_session
 from context_aware_rag_spark.sources.transcripts import generate_transcripts
 spark = build_session(app_name="scale-gen", master="local[32]", shuffle_partitions=32)
+from context_aware_rag_spark.deploy import ensure_on_executors
+ensure_on_executors(spark)
 df = generate_transcripts(spark, int(sys.argv[1]), partitions=256)
 df.write.mode("overwrite").parquet(sys.argv[2])
 print("GENERATED", spark.read.parquet(sys.argv[2]).count())
@@ -52,17 +54,27 @@ from context_aware_rag_spark.sources.transcripts import (
 
 cores = int(sys.argv[1])
 path = sys.argv[2]
+# split sizing: the 110MB corpus needs ~3-4 input tasks per core at the
+# BIGGER level (55 tasks at 2MB) — the repo's sub-MB-testdata override
+# (256k) makes ~500 tiny tasks whose fixed cost dominates the small
+# level, while 8MB leaves the 16-core level 2 straggler-bound waves.
+# Same rule a real cluster uses: provision splits, then measure.
+mpb = os.environ.get("SCALE_MAX_PARTITION_BYTES", "2097152")
 spark = build_session(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
-                      shuffle_partitions=cores)
+                      shuffle_partitions=cores,
+                      extra_conf={{"spark.sql.files.maxPartitionBytes": mpb}})
+from context_aware_rag_spark.deploy import ensure_on_executors
+ensure_on_executors(spark)   # pandas UDFs unpickle on executor workers
 
 # untimed warm-up: spin up the python worker pool, codegen, Arrow paths
 warm = generate_transcripts(spark, 20, partitions=cores)
 run_pipeline(spark, warm, PipelineConfig()).triples.count()
 
+trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 tr = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
 n_turns = tr.count()
 walls = []
-for _ in range(3):          # best-of-3: GC/turbo variance on a shared box
+for _ in range(trials):     # min-of-N: GC/turbo variance on a shared box
     t0 = time.monotonic()
     res = run_pipeline(spark, tr, PipelineConfig())
     n_triples = res.triples.count()
@@ -97,11 +109,30 @@ def main() -> None:
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         _run(GEN, str(n_convs), input_dir)
 
-    def level(c: int) -> dict:
-        out = _run(WORKER, str(c), input_dir)
+    def level(c: int, trials: int = 1) -> dict:
+        out = _run(WORKER, str(c), input_dir, str(trials))
         return json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
 
-    r_lo, r_hi = level(n), level(n4)
+    # interleave level sessions (lo, hi, lo, hi, ...): the shared box
+    # drifts on minute scales, and back-to-back blocks would attribute
+    # the drift to whichever level ran second — alternating sessions
+    # expose both levels to the same conditions; min-of-sessions then
+    # discards co-tenant noise
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
+    lo_runs = [level(n) for _ in range(1)]
+    hi_runs = [level(n4) for _ in range(1)]
+    for _ in range(rounds - 1):
+        lo_runs.append(level(n))
+        hi_runs.append(level(n4))
+
+    def best(runs):
+        b = min(runs, key=lambda r: r["wall_s"])
+        b = dict(b)
+        b["walls"] = [r["wall_s"] for r in runs]
+        b["triples_per_sec"] = round(b["n_triples"] / b["wall_s"], 1)
+        return b
+
+    r_lo, r_hi = best(lo_runs), best(hi_runs)
     eff = (r_lo["wall_s"] / r_hi["wall_s"]) / (n4 / n)
     print(json.dumps({
         "metric": f"scaling_efficiency_{n}_to_{n4}",

@@ -107,6 +107,12 @@ def run_pipeline(
         return t
 
     triples = w.materialize("triples_raw", _extract)
+    if not workdir and cfg.deduplicate_nodes:
+        # lazy mode + dedup: canonicalization's iterative actions (CC
+        # fixpoint, GEMM stage) would re-run the extraction UDF once per
+        # job — pin the extraction output once (the workdir path gets
+        # the same break from its stage table)
+        triples = triples.localCheckpoint()
     mentions = w.materialize(
         "mentions", lambda: extraction.mentions_from_triples(triples)
     )
