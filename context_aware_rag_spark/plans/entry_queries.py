@@ -640,6 +640,30 @@ def language_id(spark, sf_dir):
 
 
 @q(
+    "doc_fingerprints",
+    """
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+               FROM documents),
+    spans AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(words) - 8, 0) + 1, 4),
+               i -> array_to_string(words[i+1:i+8], ' '))) AS sp
+      FROM w)
+    SELECT doc_id, len(sp)::BIGINT AS n_fingerprints FROM spans
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint cardinality, SQL-checked: xxhash64 itself
+    is not expressible in DuckDB, but distinct-hash count == distinct-
+    span count (hash is deterministic and injective on this corpus), so
+    the oracle counts distinct span STRINGS."""
+    fp = textmetrics.rolling_fingerprints(load(spark, sf_dir, "documents"))
+    return fp.select("doc_id", F.col("n_fingerprints").cast("long"))
+
+
+@q(
     "ann_cosine_topk",
     """
     SELECT query_id, vec_id, cosine, rank FROM (

@@ -55,3 +55,43 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     # random 64-dim vectors are a worst case for IVF (no cluster
     # structure); nprobe=8/16 cells must still recover most of top-10
     assert mean_recall >= 0.5, recalls
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """nprobe == n_clusters probes every cell, so IVF must reproduce the
+    exact brute-force result row-for-row — pins partitioning, scoring,
+    and ranking correctness independent of centroid quality."""
+    from context_aware_rag_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    corpus, queries = _corpus_queries(emb)
+    exact = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in cosine_topk_bruteforce(corpus, queries, k=10).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in cosine_topk_ivf(
+            corpus, queries, k=10, n_clusters=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_deterministic_across_runs(spark, emb):
+    from context_aware_rag_spark.operators.ann import cosine_topk_ivf
+
+    corpus, queries = _corpus_queries(emb)
+    a = sorted(
+        tuple(r)
+        for r in cosine_topk_ivf(corpus, queries, k=5, n_clusters=16, nprobe=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in cosine_topk_ivf(
+            corpus.repartition(13), queries, k=5, n_clusters=16, nprobe=4
+        ).collect()
+    )
+    assert a == b
