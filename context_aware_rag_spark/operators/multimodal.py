@@ -103,6 +103,24 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize plumbing: target dimensions + scale factor computed
+    JVM-side from metadata (aspect-preserving, clamp longest side to
+    ``max_side``, never upscale). The pixel work itself belongs in the
+    stubbed decode path; this is the part a 100 TB job plans and
+    shuffles by, and it is exactly SQL-twin-able."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.round(w * scale).cast("int"), F.lit(1)).alias("dst_w"),
+        F.greatest(F.round(h * scale).cast("int"), F.lit(1)).alias("dst_h"),
+    )
+
+
 def synthesize_media(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake media table from a text table: payload =
     utf-8 bytes of the text (opaque to the engine, stable for tests)."""

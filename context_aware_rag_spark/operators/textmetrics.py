@@ -79,6 +79,58 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# character-trigram profiles (Cavnar-Trenkle style, truncated to the
+# highest-frequency trigrams per language; space-padded word boundaries)
+TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", "ing", "ng ", "and", "nd ", " an",
+           "ed ", " of", "of ", "ion"],
+    "fr": [" de", "de ", "es ", "le ", " le", "ent", "nt ", "que",
+           " qu", "la ", " la", "ais"],
+    "de": ["en ", "er ", " de", "der", "ie ", "die", "ch ", "ein",
+           " ei", "ung", "ng ", "sch"],
+}
+
+
+def language_id_ngram(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_ratio: float = 0.05,
+) -> DataFrame:
+    """Character-trigram language ID (the n-gram heuristic variant of
+    :func:`language_id`): score(lang) = fraction of the doc's trigrams
+    that appear in the language's profile; predict the argmax when it
+    clears ``min_ratio``, else 'unknown'.
+
+    Entirely JVM-side: one transform() builds the trigram array once,
+    one size(filter(...)) per profile scores it — no shuffle, codegen
+    end to end; profiles are literal IN-lists (broadcast-free).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]", " ")
+    norm = F.regexp_replace(norm, r" +", " ")
+    # substring with a COLUMN start position needs the SQL form
+    tri = F.expr(
+        "transform(sequence(1, greatest(length(_norm) - 2, 1)),"
+        " i -> substring(_norm, i, 3))"
+    )
+    base = docs.select(F.col(id_col), norm.alias("_norm")).withColumn("_tri", tri)
+    n_tri = F.greatest(F.size("_tri"), F.lit(1))
+    scores = {
+        lang: (
+            F.size(F.filter(F.col("_tri"), lambda t: t.isin(*prof))) / n_tri
+        )
+        for lang, prof in TRIGRAM_PROFILES.items()
+    }
+    best_score = F.greatest(*scores.values())
+    pred = F.when(best_score < min_ratio, F.lit("unknown"))
+    # deterministic tie-break: language order en, fr, de
+    for lang in TRIGRAM_PROFILES:
+        pred = pred.when(scores[lang] == best_score, F.lit(lang))
+    return base.select(
+        F.col(id_col),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in TRIGRAM_PROFILES],
+        pred.otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
 def rolling_fingerprints(
     docs: DataFrame,
     window: int = 8,

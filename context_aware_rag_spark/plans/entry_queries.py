@@ -639,6 +639,48 @@ def language_id(spark, sf_dir):
     return textmetrics.language_id(load(spark, sf_dir, "documents"))
 
 
+_TRI_EN = "' th','the','he ','ing','ng ','and','nd ',' an','ed ',' of','of ','ion'"
+_TRI_FR = "' de','de ','es ','le ',' le','ent','nt ','que',' qu','la ',' la','ais'"
+_TRI_DE = "'en ','er ',' de','der','ie ','die','ch ','ein',' ei','ung','ng ','sch'"
+
+
+@q(
+    "language_id_ngram",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                            ' +', ' ', 'g') AS s
+      FROM documents),
+    tri AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(s) - 2, 1) + 1),
+                            i -> s[i:i+2]) AS tg
+      FROM t),
+    sc AS (
+      SELECT doc_id,
+             len(list_filter(tg, x -> x IN ({_TRI_EN})))
+                 / greatest(len(tg), 1) AS raw_en,
+             len(list_filter(tg, x -> x IN ({_TRI_FR})))
+                 / greatest(len(tg), 1) AS raw_fr,
+             len(list_filter(tg, x -> x IN ({_TRI_DE})))
+                 / greatest(len(tg), 1) AS raw_de
+      FROM tri)
+    SELECT doc_id,
+           round(raw_en, 6) AS score_en,
+           round(raw_fr, 6) AS score_fr,
+           round(raw_de, 6) AS score_de,
+           CASE WHEN greatest(raw_en, raw_fr, raw_de) < 0.05 THEN 'unknown'
+                WHEN raw_en = greatest(raw_en, raw_fr, raw_de) THEN 'en'
+                WHEN raw_fr = greatest(raw_en, raw_fr, raw_de) THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM sc
+    """,
+)
+def language_id_ngram(spark, sf_dir):
+    return textmetrics.language_id_ngram(load(spark, sf_dir, "documents"))
+
+
 @q(
     "doc_fingerprints",
     """
@@ -1204,8 +1246,65 @@ def c10_json_repair(spark, sf_dir):
     )
 
 
-@q("media_features")
+@q(
+    "media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           strlen(text)::INT AS n_bytes,
+           32::INT AS dim
+    FROM documents
+    """,
+)
 def media_features(spark, sf_dir):
+    """Multimodal plumbing dimensions are SQL-checked (payload byte
+    length, kind routing, feature dim); the feature VALUES come from the
+    stub-gated decode (pytest-verified determinism)."""
     media = multimodal.synthesize_media(spark, load(spark, sf_dir, "documents"))
     feats = multimodal.extract_media_features(media, fake=True)
     return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))
+
+
+@q(
+    "media_frame_plan",
+    """
+    SELECT doc_id AS media_id, i::INT AS frame_idx, (i * 1000)::INT AS ts_ms
+    FROM documents, unnest(range(0,
+         greatest(((doc_id % 9000 + 1000) / 1000)::INT, 1))) AS t(i)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (one row per planned frame) — pure JVM
+    explode, SQL-checked against the metadata arithmetic."""
+    media = multimodal.synthesize_media(spark, load(spark, sf_dir, "documents"))
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("int"),
+        F.col("ts_ms").cast("int"),
+    )
+
+
+@q(
+    "media_resize_plan",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 640 + 64)::INT AS src_w,
+             (doc_id % 480 + 48)::INT AS src_h
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT media_id, src_w, src_h,
+           round(least(1.0, 256.0 / greatest(src_w, src_h)), 6) AS scale,
+           greatest(round(src_w * least(1.0, 256.0 / greatest(src_w, src_h)))::INT, 1) AS dst_w,
+           greatest(round(src_h * least(1.0, 256.0 / greatest(src_w, src_h)))::INT, 1) AS dst_h
+    FROM img
+    """,
+)
+def media_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize plan (clamp longest side to 256, never
+    upscale) — metadata arithmetic SQL-checked; pixel work stays behind
+    the stub-gated decode."""
+    media = multimodal.synthesize_media(spark, load(spark, sf_dir, "documents"))
+    return multimodal.resize_plan(media, max_side=256)
