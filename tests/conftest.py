@@ -8,6 +8,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from context_aware_rag_spark.session import build_session  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-subprocess integration tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = build_session(
