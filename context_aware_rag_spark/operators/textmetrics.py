@@ -19,9 +19,16 @@ def _words(text_col):
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+# BPE-ish pre-tokenizer: word pieces, digit runs, and individual
+# punctuation — the GPT-2-style regex shape (letters | numbers | other),
+# minus the lookaheads JVM regex shares with DuckDB
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword proxy (codepoints/4 heuristic
-    plus punctuation splits) — both cheap, both SQL-twin-able."""
+    """Whitespace tokens, a chars/4 proxy, and a BPE-ish regex
+    pre-tokenizer count (letter runs | digit runs | punct) — all cheap,
+    all SQL-twin-able."""
     words = _words(F.col(text_col))
     # long casts: DuckDB len()/length() are BIGINT — keep oracle schemas equal
     return docs.select(
@@ -29,6 +36,11 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.size(words).cast("long").alias("n_words"),
         F.length(text_col).cast("long").alias("n_chars"),
         (F.length(text_col) / 4).cast("int").alias("approx_bpe_tokens"),
+        # function API, not F.expr: a SQL string literal would eat the
+        # backslash in \s and silently match spaces
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("regex_tokens"),
     )
 
 

@@ -571,7 +571,9 @@ def ngram_jaccard_capped(spark, sf_dir):
     SELECT doc_id,
            len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
            length(text) AS n_chars,
-           CAST(floor(length(text) / 4) AS INT) AS approx_bpe_tokens
+           CAST(floor(length(text) / 4) AS INT) AS approx_bpe_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+             AS regex_tokens
     FROM documents
     """,
 )
