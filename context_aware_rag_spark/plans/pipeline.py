@@ -116,6 +116,24 @@ def run_pipeline(
     mentions = w.materialize(
         "mentions", lambda: extraction.mentions_from_triples(triples)
     )
+    return assemble_graph(w, cfg, chunks, triples, mentions, transcripts)
+
+
+def assemble_graph(
+    w: StageWriter,
+    cfg: PipelineConfig,
+    chunks: DataFrame,
+    triples: DataFrame,
+    mentions: DataFrame,
+    transcripts: Optional[DataFrame] = None,
+) -> PipelineResult:
+    """Pipeline tail shared by batch (`run_pipeline`) and streaming
+    finalize (`streaming.ingest.finalize_graph`): linking, structural
+    edges, optional SIMILAR KNN pass, optional canonicalization, node /
+    edge materialization. ``transcripts`` is only needed for the
+    source_tools enrichment."""
+    workdir = w.workdir
+
     def _link() -> DataFrame:
         if cfg.salted_linking:
             from ..operators.skew import link_chunks_salted
@@ -191,7 +209,7 @@ def run_pipeline(
     )
 
     if workdir:
-        with open(os.path.join(workdir, f"metrics_{run_id}.json"), "w") as f:
+        with open(os.path.join(workdir, f"metrics_{w.run_id}.json"), "w") as f:
             json.dump(w.metrics, f, indent=2, default=str)
 
     return PipelineResult(

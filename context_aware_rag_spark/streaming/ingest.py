@@ -94,3 +94,37 @@ def finalize_ingestion(spark: SparkSession, out_dir: str) -> DataFrame:
     return link_chunks(
         chunks.dropDuplicates(["conv_id", "batch_id", "turn_idx", "split_pos"])
     )
+
+
+def finalize_graph(
+    spark: SparkSession,
+    out_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    workdir: Optional[str] = None,
+    run_id: str = "finalize",
+):
+    """Full EP2 finalize barrier: assemble the COMPLETE graph (linking,
+    structural edges, optional KNN SIMILAR pass — the reference's
+    update_knn runs here, neo4j_db.py:610-653 — optional
+    canonicalization, node/edge tables) from the accumulated streaming
+    stage tables. Output is identical to the batch pipeline over the
+    same turns (tested), because every stage is a pure function of the
+    accumulated inputs.
+
+    Returns a :class:`~..plans.pipeline.PipelineResult`.
+    """
+    from ..plans.pipeline import StageWriter, assemble_graph
+
+    cfg = cfg or PipelineConfig()
+    key = ["conv_id", "batch_id", "turn_idx", "split_pos"]
+    chunks = read_stage(spark, out_dir, "chunks").dropDuplicates(key)
+    triples = read_stage(spark, out_dir, "triples_raw").dropDuplicates(
+        ["chunk_id", "subj_id", "pred", "obj_id"]
+    )
+    mentions = read_stage(spark, out_dir, "mentions").dropDuplicates(
+        ["conv_id", "chunk_id", "node_id"]
+    )
+    if cfg.deduplicate_nodes and not workdir:
+        triples = triples.localCheckpoint()  # see run_pipeline note
+    w = StageWriter(spark, workdir, run_id)
+    return assemble_graph(w, cfg, chunks, triples, mentions)

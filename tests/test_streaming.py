@@ -62,6 +62,42 @@ def test_streaming_matches_batch(spark, corpus, tmp_path_factory):
     assert got == batch_linked
 
 
+def test_finalize_graph_matches_batch(spark, corpus, tmp_path_factory):
+    """The full streaming finalize barrier (linking + structural edges +
+    gated KNN SIMILAR + canonicalization + node/edge tables) is
+    set-identical to the batch pipeline over the same turns."""
+    from context_aware_rag_spark.streaming.ingest import finalize_graph
+
+    _, df = corpus
+    in_dir = str(tmp_path_factory.mktemp("fg_in"))
+    out_dir = str(tmp_path_factory.mktemp("fg_out"))
+    df.repartition(3).write.mode("overwrite").parquet(in_dir)
+    q = start_streaming_ingest(spark, in_dir, out_dir, available_now=True)
+    q.awaitTermination(240)
+
+    cfg = PipelineConfig(deduplicate_nodes=True, similar_edges=True)
+    stream_res = finalize_graph(spark, out_dir, cfg)
+    batch_res = run_pipeline(spark, df, cfg)
+
+    def edge_set(res):
+        return {
+            (r["src"], r["dst"], r["rel_type"], r["conv_id"])
+            for r in res.edges.collect()
+        }
+
+    def node_set(res):
+        return {
+            (r["node_id"], r["name"], r["type"], tuple(r["conv_ids"]))
+            for r in res.nodes.collect()
+        }
+
+    assert edge_set(stream_res) == edge_set(batch_res)
+    assert node_set(stream_res) == node_set(batch_res)
+    cmap_s = {tuple(r) for r in stream_res.canonical_map.collect()}
+    cmap_b = {tuple(r) for r in batch_res.canonical_map.collect()}
+    assert cmap_s == cmap_b
+
+
 def test_microbatch_replay_is_idempotent(spark, corpus, tmp_path_factory):
     """foreachBatch may replay an epoch after a failure; the epoch-keyed
     overwrite write must not duplicate rows."""
