@@ -41,3 +41,28 @@ def write_graph(nodes: DataFrame, edges: DataFrame, base: str) -> None:
     sep = "/" if "/" in base else "."
     write_table(nodes, f"{base}{sep}nodes", key=NODE_KEY)
     write_table(edges, f"{base}{sep}edges", key=EDGE_KEY)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    key: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (Iceberg ``bucket(n, col)`` partition
+    transform in production; Spark bucketBy locally — same co-location
+    contract): two tables bucketed on the same key join with ZERO
+    exchange, which is the difference between one shuffle per query and
+    none for the KG's recurring joins (edges⋈nodes on endpoint id,
+    mentions⋈chunks on chunk_id) at 100 TB.
+    """
+    if key:
+        df = df.dropDuplicates(key)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
