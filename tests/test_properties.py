@@ -83,3 +83,81 @@ def test_extractor_total_and_deterministic(text):
     assert out1 == out2
     for t in out1:
         assert t.relation == t.relation.upper()
+
+
+# ---------------------------------------------------------------------------
+# round 2: json repair + global index properties
+# ---------------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.text(max_size=40),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=10), children, max_size=5),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_json_values)
+def test_repair_json_valid_roundtrip(obj):
+    """Lenient parse of VALID json must be exactly json.loads."""
+    import json as _json
+
+    from context_aware_rag_spark.functions.jsonrepair import repair_json
+
+    s = _json.dumps(obj)
+    assert repair_json(s) == obj
+
+
+@settings(max_examples=100, deadline=None)
+@given(_json_values)
+def test_repair_json_fenced_roundtrip(obj):
+    import json as _json
+
+    from context_aware_rag_spark.functions.jsonrepair import repair_json
+
+    s = "prefix prose\n```json\n" + _json.dumps(obj) + "\n```\ntrailing"
+    got = repair_json(s)
+    if isinstance(obj, (dict, list)):  # scalar payloads have no {/[ anchor
+        assert got == obj
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1, max_size=300, unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 7),
+)
+def test_global_index_property(spark, rows, partitions):
+    """global_index == row_number() OVER (ORDER BY ts, event_id) for any
+    input and any partition count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from context_aware_rag_spark.operators.skew import global_index
+
+    df = spark.createDataFrame(rows, ["ts", "event_id"]).repartition(3)
+    w = Window.orderBy("ts", "event_id")
+    want = {
+        (r["event_id"], r["doc_index"])
+        for r in df.select(
+            "event_id", F.row_number().over(w).cast("long").alias("doc_index")
+        ).collect()
+    }
+    got = {
+        (r["event_id"], r["doc_index"])
+        for r in global_index(df, ["ts", "event_id"], partitions=partitions)
+        .select("event_id", "doc_index")
+        .collect()
+    }
+    assert got == want
