@@ -158,3 +158,82 @@ def rule_based_extract(text: str) -> List[RawTriple]:
 def null_extract(text: str) -> List[RawTriple]:
     """Entity-extraction bypass (reference base.py:264-275): chunks only."""
     return []
+
+
+# ---------------------------------------------------------------------------
+# json_llm extractor: the reference's LLM graph-extraction response cycle
+# ---------------------------------------------------------------------------
+
+def fake_llm_graph_response(text: str) -> str:
+    """Deterministic stand-in for the LLM graph-extraction call: returns
+    the JSON document shape the reference's extraction chain receives
+    (nodes + relationships, LLMGraphTransformer-style) — deliberately
+    MALFORMED in one of the classic LLM output styles, chosen by a hash
+    of the text, so the parse path must repair it (the reference depends
+    on json-repair for exactly this, pyproject.toml:48).
+
+    Content-preserving failure modes only (fences/prose, single quotes,
+    unquoted keys, trailing commas, Python constants); the ground truth
+    is the rule-based extraction of the same text, so parity against
+    ``rule_based_extract`` is exact by construction.
+    """
+    import hashlib as _hashlib
+    import json as _json
+
+    triples = rule_based_extract(text)
+    doc = {
+        "nodes": sorted(
+            {(t.head, t.head_type) for t in triples}
+            | {(t.tail, t.tail_type) for t in triples}
+        ),
+        "relationships": [
+            {"source": t.head, "source_type": t.head_type,
+             "type": t.relation,
+             "target": t.tail, "target_type": t.tail_type}
+            for t in triples
+        ],
+    }
+    doc["nodes"] = [{"id": n, "type": ty} for n, ty in doc["nodes"]]
+    s = _json.dumps(doc)
+    mode = int.from_bytes(_hashlib.sha1(text.encode()).digest()[:2], "big") % 5
+    if mode == 0:
+        return "Here is the extracted graph:\n```json\n" + s + "\n```\nDone."
+    if mode == 1:
+        # single quotes throughout (content has no quotes in vocabulary)
+        return s.replace('"', "'")
+    if mode == 2:
+        # trailing commas before every closer
+        return s.replace("}", ",}").replace("]", ",]")
+    if mode == 3:
+        # unquoted keys
+        for k in ("nodes", "relationships", "id", "type",
+                  "source", "source_type", "target", "target_type"):
+            s = s.replace(f'"{k}":', f"{k}:")
+        return s
+    # Python-repr constants sprinkled in (parsed back to null and dropped)
+    return s.replace('"relationships":', '"confidence": None, "relationships":')
+
+
+def llm_json_extract(text: str) -> List[RawTriple]:
+    """U1 via the LLM-JSON path: call the (fake) LLM, repair the
+    malformed JSON response, convert relationships to RawTriples —
+    the reference's graph-extraction parse cycle end to end."""
+    from .jsonrepair import repair_json
+
+    doc = repair_json(fake_llm_graph_response(text))
+    if not isinstance(doc, dict):
+        return []
+    out: List[RawTriple] = []
+    for rel in doc.get("relationships") or []:
+        if not isinstance(rel, dict):
+            continue
+        head, tail = rel.get("source"), rel.get("target")
+        relation = rel.get("type")
+        if not head or not tail or not relation:
+            continue
+        out.append(RawTriple(
+            head=str(head), head_type=str(rel.get("source_type") or ""),
+            relation=str(relation),
+            tail=str(tail), tail_type=str(rel.get("target_type") or ""),
+        ))
+    return out

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..functions import hashing
-from ..functions.extractor import RawTriple, null_extract, rule_based_extract
+from ..functions.extractor import (
+    RawTriple,
+    llm_json_extract,
+    null_extract,
+    rule_based_extract,
+)
 
 _RAW_SCHEMA = (
     "conv_id string, chunk_id string, subj_name string, subj_type string, "
@@ -33,6 +38,8 @@ _RAW_SCHEMA = (
 EXTRACTORS: dict[str, Callable[[str], List[RawTriple]]] = {
     "rule_based": rule_based_extract,
     "null": null_extract,
+    # the reference's LLM path: parse (and repair) a JSON graph response
+    "json_llm": llm_json_extract,
 }
 
 

@@ -1115,6 +1115,20 @@ def kg_triples(spark, sf_dir):
     ).distinct()
 
 
+@q("kg_triples_json_llm")
+def kg_triples_json_llm(spark, sf_dir):
+    """U1 via the LLM-JSON response path: every chunk's (fake) LLM graph
+    response is malformed in one of 5 styles, repaired (C10), and parsed
+    to triples — output must equal kg_triples (pytest-asserted parity;
+    rows-only here because extraction is Python)."""
+    res = run_pipeline(
+        spark, transcripts_for(spark, sf_dir), PipelineConfig(extractor="json_llm")
+    )
+    return res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+
+
 @q("kg_chunk_stats")
 def kg_chunk_stats(spark, sf_dir):
     from ..operators.chunking import chunk_transcripts

@@ -78,3 +78,50 @@ def test_udf_batch(spark):
     assert out[1] == '{"k":2}'
     assert '"k":3' in out[2]
     assert out[3] is None and out[4] is None
+
+
+class TestJsonLlmExtractor:
+    """The json_llm extraction mode (repair a malformed LLM graph
+    response, reference pyproject.toml:48 json-repair dependency) must
+    reproduce the rule-based extraction exactly, through the full
+    pipeline."""
+
+    def test_all_mangle_modes_roundtrip(self):
+        from context_aware_rag_spark.functions.extractor import (
+            fake_llm_graph_response,
+            llm_json_extract,
+            rule_based_extract,
+        )
+
+        # texts chosen to hit all 5 deterministic mangle modes
+        texts = [f"dr smith knows acme corp variant {i}." for i in range(16)]
+        import hashlib
+        modes = {
+            int.from_bytes(hashlib.sha1(t.encode()).digest()[:2], "big") % 5
+            for t in texts
+        }
+        assert modes == {0, 1, 2, 3, 4}, modes
+        for t in texts:
+            assert set(llm_json_extract(t)) == set(rule_based_extract(t))
+
+    def test_pipeline_parity_with_rule_based(self, spark):
+        from context_aware_rag_spark.config import PipelineConfig
+        from context_aware_rag_spark.plans.pipeline import run_pipeline
+        from context_aware_rag_spark.sources.transcripts import (
+            TRANSCRIPT_SCHEMA,
+            generate_rows,
+        )
+
+        df = spark.createDataFrame(generate_rows(4), schema=TRANSCRIPT_SCHEMA)
+        key = ["conv_id", "chunk_id", "subj_id", "pred", "obj_id"]
+        rb = {
+            tuple(r[k] for k in key)
+            for r in run_pipeline(spark, df, PipelineConfig()).triples.collect()
+        }
+        jl = {
+            tuple(r[k] for k in key)
+            for r in run_pipeline(
+                spark, df, PipelineConfig(extractor="json_llm")
+            ).triples.collect()
+        }
+        assert jl == rb and len(rb) > 0
