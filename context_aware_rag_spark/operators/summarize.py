@@ -39,10 +39,15 @@ def stub_summarize_udf(cap: int = 400):
 
 
 def summarize_batches(
-    transcripts: DataFrame, batch_size: int = 6, cap: int = 400
+    transcripts: DataFrame, batch_size: int = 6, cap: int = 400,
+    summarize_udf=None,
 ) -> DataFrame:
     """transcripts -> summaries(conv_id, batch_id, summary, ts_min,
-    ts_max, turn_idxs, n_turns). Single shuffle."""
+    ts_max, turn_idxs, n_turns). Single shuffle.
+
+    ``summarize_udf`` is the U4 slot: any pandas UDF string->string
+    (an LLM endpoint call in production — reference utils.py:104-231);
+    defaults to the deterministic truncating stub."""
     df = transcripts.withColumn(
         "batch_id", (F.col("turn_idx") / batch_size).cast("long")
     ).filter(F.col("text") != ".")
@@ -59,10 +64,11 @@ def summarize_batches(
         F.array_sort(F.collect_set("turn_idx")).alias("turn_idxs"),
         F.count(F.lit(1)).alias("n_turns"),
     )
+    summarize_udf = summarize_udf or stub_summarize_udf(cap)
     return agg.select(
         "conv_id",
         "batch_id",
-        stub_summarize_udf(cap)(F.col("batch_text")).alias("summary"),
+        summarize_udf(F.col("batch_text")).alias("summary"),
         "ts_min",
         "ts_max",
         "turn_idxs",

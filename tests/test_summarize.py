@@ -106,3 +106,36 @@ def test_u2_extraction_bypass(spark, corpus):
     triples, mentions = extract_stage(chunks, cfg)
     assert triples.count() == 0 and mentions.count() == 0
     assert chunks.count() > 0
+
+
+def test_u4_summarize_udf_pluggable(spark):
+    """The U4 slot accepts any pandas UDF (production = LLM endpoint);
+    injecting a custom one changes only the summary column."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from context_aware_rag_spark.operators.summarize import summarize_batches
+    from context_aware_rag_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+        generate_rows,
+    )
+
+    @F.pandas_udf(T.StringType())
+    def shout(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            yield s.fillna("").map(lambda t: "LLM<" + t[:10].upper() + ">")
+
+    df = spark.createDataFrame(generate_rows(2), schema=TRANSCRIPT_SCHEMA)
+    default = summarize_batches(df, batch_size=6)
+    custom = summarize_batches(df, batch_size=6, summarize_udf=shout)
+    d = {(r["conv_id"], r["batch_id"]): r for r in default.collect()}
+    c = {(r["conv_id"], r["batch_id"]): r for r in custom.collect()}
+    assert set(d) == set(c)
+    for k in d:
+        assert d[k]["summary"].startswith("[SUM] ")
+        assert c[k]["summary"].startswith("LLM<")
+        for col in ("ts_min", "ts_max", "n_turns"):
+            assert d[k][col] == c[k][col]
