@@ -58,7 +58,13 @@ def _split_batch(pdf: pd.DataFrame, chunk_size: int, chunk_overlap: int) -> pd.D
             out["text"].append(piece)
             out["length"].append(len(piece))
             out["ts"].append(row.ts)
-    return pd.DataFrame(out)
+    df = pd.DataFrame(out)
+    if df.empty:
+        # a batch whose docs were ALL dropped ("." bait) yields empty
+        # lists; pandas defaults empty columns to float64 and Arrow
+        # refuses the double->timestamp cast back to Spark
+        df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
 
 
 def chunk_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:

@@ -79,7 +79,8 @@ def global_index(
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((r["_pid"], acc))
         acc += r["_n"]
-    off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+    # explicit schema: empty input must not hit schema inference
+    off_df = spark.createDataFrame(offsets, "_pid long, _offset long")
     return (
         ranged.withColumn("_pid", F.shiftrightunsigned("_mid", 33))
         .join(F.broadcast(off_df), "_pid")

@@ -93,8 +93,9 @@ class TestJsonLlmExtractor:
             rule_based_extract,
         )
 
-        # texts chosen to hit all 5 deterministic mangle modes
-        texts = [f"dr smith knows acme corp variant {i}." for i in range(16)]
+        # vocabulary sentences (non-empty extraction) hitting all 5
+        # deterministic mangle modes
+        texts = [f"Alice met Bob in Tokyo round {i}." for i in range(16)]
         import hashlib
         modes = {
             int.from_bytes(hashlib.sha1(t.encode()).digest()[:2], "big") % 5
@@ -102,7 +103,9 @@ class TestJsonLlmExtractor:
         }
         assert modes == {0, 1, 2, 3, 4}, modes
         for t in texts:
-            assert set(llm_json_extract(t)) == set(rule_based_extract(t))
+            want = set(rule_based_extract(t))
+            assert want, "vocabulary sentence must extract triples"
+            assert set(llm_json_extract(t)) == want
 
     def test_pipeline_parity_with_rule_based(self, spark):
         from context_aware_rag_spark.config import PipelineConfig
