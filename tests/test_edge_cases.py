@@ -117,3 +117,26 @@ def test_assemble_context_no_entities(spark):
         "Text Content:\nbare text\n----\nEntities:\n\n----\nRelationships:\n"
     )
     assert out[0]["n_entities"] == 0 and out[0]["n_rels"] == 0
+
+
+def test_streaming_microbatch_all_dropped(spark, tmp_path_factory):
+    """A micro-batch consisting solely of empty-doc bait must write
+    empty stage tables, not crash (same Arrow dtype hazard as chunking)."""
+    from datetime import datetime
+
+    from context_aware_rag_spark.streaming.ingest import (
+        ingest_microbatch,
+        read_stage,
+    )
+
+    out = str(tmp_path_factory.mktemp("dropped_out"))
+    rows = [("convD", i, "user", ".", None, datetime(2024, 1, 1)) for i in range(5)]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    ingest_microbatch(df, PipelineConfig(), out, epoch_id=0)
+    assert read_stage(spark, out, "chunks").count() == 0
+    assert read_stage(spark, out, "triples_raw").count() == 0
+
+    # and a genuinely empty micro-batch (stream with no new files)
+    empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    ingest_microbatch(empty, PipelineConfig(), out, epoch_id=1)
+    assert read_stage(spark, out, "chunks").count() == 0
