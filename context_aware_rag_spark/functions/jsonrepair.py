@@ -41,12 +41,58 @@ _PY_CONSTS = [
 
 
 def _extract_payload(s: str) -> str:
-    """Strip fences/prose: keep from the first '{' or '[' onward."""
+    """Strip fences/prose: keep the first balanced '{...}'/'[...]' span
+    (leading AND trailing prose removed; a never-closing payload —
+    truncation — keeps everything after the opener for _balance)."""
     m = _FENCE.search(s)
     if m and ("{" in m.group(1) or "[" in m.group(1)):
         s = m.group(1)
     starts = [i for i in (s.find("{"), s.find("[")) if i >= 0]
-    return s[min(starts):] if starts else s
+    if not starts:
+        return s
+    s = s[min(starts):]
+    # string-aware scan for the matching top-level closer (tracks which
+    # quote char opened the span — an apostrophe inside "it's" must not
+    # close a double-quoted string)
+    depth, quote, i, n = 0, None, 0, len(s)
+    while i < n:
+        c = s[i]
+        if quote is not None:
+            if c == "\\":
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "\"'":
+            quote = c
+        elif c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+            if depth == 0:
+                return s[: i + 1]
+        i += 1
+    return s
+
+
+def _sub_outside_strings(s: str, fn) -> str:
+    """Apply ``fn`` (str -> str) only to the segments OUTSIDE
+    double-quoted string spans — structural rewrites (constants, key
+    quoting, trailing commas) must never touch string content."""
+    out, i, n = [], 0, len(s)
+    seg_start = 0
+    while i < n:
+        if s[i] == '"':
+            out.append(fn(s[seg_start:i]))
+            j = i + 1
+            while j < n and s[j] != '"':
+                j += 2 if s[j] == "\\" else 1
+            out.append(s[i : min(j + 1, n)])
+            i = seg_start = min(j + 1, n)
+        else:
+            i += 1
+    out.append(fn(s[seg_start:]))
+    return "".join(out)
 
 
 def _single_to_double_quotes(s: str) -> str:
@@ -65,7 +111,9 @@ def _single_to_double_quotes(s: str) -> str:
             buf = []
             while j < n and s[j] != "'":
                 if s[j] == "\\" and j + 1 < n:
-                    buf.append(s[j : j + 2])
+                    # \' is legal in single-quoted strings but NOT in
+                    # JSON — emit the bare apostrophe
+                    buf.append("'" if s[j + 1] == "'" else s[j : j + 2])
                     j += 2
                     continue
                 buf.append('\\"' if s[j] == '"' else s[j])
@@ -125,16 +173,20 @@ def repair_json(s: Optional[str]) -> Optional[Any]:
     except (json.JSONDecodeError, ValueError):
         pass
     s = _extract_payload(s)
-    for attempt in range(2):
-        t = s
+    def _structural(seg: str) -> str:
+        # runs only OUTSIDE string spans: constants, key quoting,
+        # trailing commas must never rewrite string content
         for rx, repl in _PY_CONSTS:
-            t = rx.sub(repl, t)
-        t = _single_to_double_quotes(t)
-        t = _UNQUOTED_KEY.sub(r'\1"\2"\3', t)
-        t = _TRAILING_COMMA.sub(r"\1", t)
+            seg = rx.sub(repl, seg)
+        seg = _UNQUOTED_KEY.sub(r'\1"\2"\3', seg)
+        return _TRAILING_COMMA.sub(r"\1", seg)
+
+    for attempt in range(2):
+        t = _single_to_double_quotes(s)
+        t = _sub_outside_strings(t, _structural)
         if attempt == 1:
             t = _balance(t)
-            t = _TRAILING_COMMA.sub(r"\1", t)
+            t = _sub_outside_strings(t, lambda seg: _TRAILING_COMMA.sub(r"\1", seg))
         try:
             return json.loads(t)
         except (json.JSONDecodeError, ValueError):

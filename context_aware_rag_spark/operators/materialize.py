@@ -64,8 +64,12 @@ def with_source_tools(
     Plan shape: mention -> chunk (turn coordinates) -> transcript tool,
     all equi-joins; the per-node union is one groupBy collect_set.
     """
+    # a chunk_id (sha1 of text+conv) can map to SEVERAL turns when the
+    # same utterance recurs in a conversation — keep every (conv, turn)
+    # row so tools from all occurrences union in (dropDuplicates on
+    # chunk_id alone would pick a partition-order-dependent turn)
     turn_map = chunks.select("chunk_id", "conv_id", "turn_idx").dropDuplicates(
-        ["chunk_id"]
+        ["chunk_id", "conv_id", "turn_idx"]
     )
     tools = transcripts.select("conv_id", "turn_idx", "tool").filter(
         F.col("tool").isNotNull()

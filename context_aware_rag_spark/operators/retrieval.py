@@ -112,6 +112,11 @@ def expand_hops(
                 in_band.withColumnRenamed("node_id", "dst"), "dst", "left_semi"
             ).localCheckpoint()
         )
+    if hops < 1:
+        empty = edges.sparkSession.createDataFrame(
+            [], "seed string, src string, dst string, rel_type string, hop int"
+        )
+        return empty if per_seed else empty.drop("seed")
     if per_seed:
         # carry a "seed" attribution column so callers can group the
         # expansion per retrieval document (context assembly); fan-out

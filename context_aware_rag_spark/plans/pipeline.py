@@ -198,6 +198,11 @@ def assemble_graph(
     def _nodes() -> DataFrame:
         n = materialize.build_nodes(mentions, canonical_map)
         if cfg.node_source_tools:
+            if transcripts is None:
+                raise ValueError(
+                    "node_source_tools=True requires the transcripts table "
+                    "(streaming finalize_graph callers must pass one)"
+                )
             n = materialize.with_source_tools(
                 n, mentions, chunks, transcripts, canonical_map
             )

@@ -102,6 +102,7 @@ def finalize_graph(
     cfg: Optional[PipelineConfig] = None,
     workdir: Optional[str] = None,
     run_id: str = "finalize",
+    transcripts: Optional[DataFrame] = None,
 ):
     """Full EP2 finalize barrier: assemble the COMPLETE graph (linking,
     structural edges, optional KNN SIMILAR pass — the reference's
@@ -127,4 +128,7 @@ def finalize_graph(
     if cfg.deduplicate_nodes and not workdir:
         triples = triples.localCheckpoint()  # see run_pipeline note
     w = StageWriter(spark, workdir, run_id)
-    return assemble_graph(w, cfg, chunks, triples, mentions)
+    # cfg.node_source_tools needs the raw transcripts (not a streaming
+    # stage table) — callers pass the source table; assemble_graph
+    # raises a clear ValueError if it's required but missing
+    return assemble_graph(w, cfg, chunks, triples, mentions, transcripts)

@@ -140,3 +140,38 @@ def test_streaming_microbatch_all_dropped(spark, tmp_path_factory):
     empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
     ingest_microbatch(empty, PipelineConfig(), out, epoch_id=1)
     assert read_stage(spark, out, "chunks").count() == 0
+
+
+def test_expand_hops_zero(spark):
+    from context_aware_rag_spark.operators.retrieval import expand_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b", "knows")], "src string, dst string, rel_type string"
+    )
+    seeds = spark.createDataFrame([("a",)], ["node_id"])
+    out = expand_hops(edges, seeds, hops=0)
+    assert out.count() == 0
+    assert out.columns == ["src", "dst", "rel_type", "hop"]
+
+
+def test_finalize_graph_requires_transcripts_for_tools(spark, tmp_path_factory):
+    from datetime import datetime
+
+    from context_aware_rag_spark.streaming.ingest import (
+        finalize_graph,
+        ingest_microbatch,
+    )
+
+    out = str(tmp_path_factory.mktemp("fg_tools"))
+    rows = [("convT", 0, "user", "Alice met Bob.", "search",
+             datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    ingest_microbatch(df, PipelineConfig(), out, epoch_id=0)
+    with pytest.raises(ValueError, match="node_source_tools"):
+        finalize_graph(spark, out, PipelineConfig(node_source_tools=True))
+    # passing the source table works
+    res = finalize_graph(
+        spark, out, PipelineConfig(node_source_tools=True), transcripts=df
+    )
+    tools = {t for r in res.nodes.collect() for t in r["source_tools"]}
+    assert tools == {"search"}

@@ -128,3 +128,29 @@ class TestJsonLlmExtractor:
             ).triples.collect()
         }
         assert jl == rb and len(rb) > 0
+
+
+class TestReviewRegressions:
+    """Round-2 code-review findings pinned as regressions."""
+
+    def test_constants_inside_strings_untouched(self):
+        assert repair_json('{"a": True, "note": "True story",}') == {
+            "a": True, "note": "True story",
+        }
+
+    def test_key_like_pattern_inside_string_untouched(self):
+        assert repair_json('{"note": "x, foo: bar", }') == {"note": "x, foo: bar"}
+
+    def test_unfenced_trailing_prose(self):
+        assert repair_json('The graph is {"a": 1}. Hope that helps!') == {"a": 1}
+
+    def test_escaped_apostrophe_in_single_quotes(self):
+        assert repair_json("{'msg': 'it\\'s done'}") == {"msg": "it's done"}
+
+    def test_apostrophe_inside_double_quoted_value(self):
+        assert repair_json('prose {"msg": "it\'s fine"} more prose') == {
+            "msg": "it's fine"
+        }
+
+    def test_trailing_comma_pattern_inside_string(self):
+        assert repair_json('{"s": "a ,} b", "t": 1,}') == {"s": "a ,} b", "t": 1}

@@ -25,21 +25,24 @@ def corpus(spark):
 
 def _expected_tools(res, rows, canonical):
     tool_by_turn = {(r[0], r[1]): r[4] for r in rows if r[4] is not None}
-    chunk_turn = {
-        c["chunk_id"]: (c["conv_id"], c["turn_idx"])
-        for c in res.chunks.select("chunk_id", "conv_id", "turn_idx").collect()
-    }
+    # a chunk_id can map to SEVERAL turns (same utterance recurring in a
+    # conversation) — accumulate tools over all of them
+    chunk_turns: dict[str, set] = {}
+    for c in res.chunks.select("chunk_id", "conv_id", "turn_idx").collect():
+        chunk_turns.setdefault(c["chunk_id"], set()).add(
+            (c["conv_id"], c["turn_idx"])
+        )
     cmap = {}
     if canonical is not None:
         cmap = {r["node_id"]: r["canon_id"] for r in canonical.collect()}
     want: dict[str, set] = {}
     for m in res.mentions.select("node_id", "chunk_id").collect():
         node = cmap.get(m["node_id"], m["node_id"])
-        key = chunk_turn.get(m["chunk_id"])
-        tool = tool_by_turn.get(key)
         want.setdefault(node, set())
-        if tool is not None:
-            want[node].add(tool)
+        for key in chunk_turns.get(m["chunk_id"], ()):
+            tool = tool_by_turn.get(key)
+            if tool is not None:
+                want[node].add(tool)
     return want
 
 
