@@ -86,6 +86,95 @@ def canonicalize_nodes(
     )
 
 
+def canonicalize_incremental(
+    existing_nodes: DataFrame,
+    existing_map: DataFrame,
+    new_nodes: DataFrame,
+    threshold: float,
+    embedding_dim: int = 64,
+    lsh_bands: int = 8,
+    lsh_bits_per_band: int = 16,
+) -> DataFrame:
+    """Incremental canonicalization: fold NEW nodes into an existing
+    canonical map without re-pairing the whole corpus (the reference's
+    repeated capped dedup passes, neo4j_db.py:1575-1687, re-expressed
+    as an incremental closure update).
+
+    Exactness argument: the full-batch closure is the transitive
+    closure of all similarity pairs. Old-old pairs' closure is already
+    encoded by ``existing_map`` (node -> canon edges), and similarity
+    pairs are deterministic, so the closure of
+
+        existing_map edges  ∪  pairs touching >= 1 new representative
+
+    equals the full recompute — including the case where a new alias
+    BRIDGES two previously separate components (the map edges chain
+    them through the new pair). Old-old pairs below threshold stay
+    absent exactly as a full recompute would leave them.
+
+    Cost shape: candidate generation is the fine-band LSH join over
+    old ∪ new representatives FILTERED to pairs touching a new rep —
+    per-bucket fan-out is (bucket_new × bucket_all), so work scales
+    with the NEW data and bucket sizes, never old².
+
+    Inputs: frames of (node_id, name, type); ``existing_map`` is the
+    prior (node_id, canon_id) output (non-identity rows). Returns the
+    UPDATED full canonical map.
+    """
+    from .similarity import similarity_pairs, with_entity_embeddings
+
+    all_nodes = (
+        existing_nodes.select("node_id", "name", "type")
+        .unionByName(new_nodes.select("node_id", "name", "type"))
+        .dropDuplicates(["node_id"])
+    )
+    reps = (
+        all_nodes.groupBy("name", "type")
+        .agg(F.min("node_id").alias("rep_id"))
+        .localCheckpoint()
+    )
+    new_ids = new_nodes.select("node_id").distinct()
+    new_reps = (
+        reps.join(
+            all_nodes.join(new_ids, "node_id", "left_semi").select("name", "type").distinct(),
+            ["name", "type"],
+        )
+        .select("rep_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    rep_nodes = reps.select(F.col("rep_id").alias("node_id"), "name", "type")
+    with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
+    pairs_all = similarity_pairs(
+        with_emb, threshold=threshold, blocking="lsh",
+        bands=lsh_bands, bits_per_band=lsh_bits_per_band, dim=embedding_dim,
+    )
+    # keep only pairs that touch a representative with a new member —
+    # old-old pairs are already folded into existing_map's closure
+    touch_new = pairs_all.join(
+        new_reps.withColumnRenamed("rep_id", "a"), "a", "left_semi"
+    ).unionByName(
+        pairs_all.join(new_reps.withColumnRenamed("rep_id", "b"), "b", "left_semi")
+    ).select("a", "b").dropDuplicates(["a", "b"])
+
+    prior_edges = existing_map.select(
+        F.col("node_id").alias("a"), F.col("canon_id").alias("b")
+    )
+    closure = connected_components(touch_new.unionByName(prior_edges))
+
+    node_to_rep = all_nodes.join(reps, ["name", "type"]).select("node_id", "rep_id")
+    return (
+        node_to_rep.join(
+            closure.withColumnRenamed("node_id", "rep_id"), "rep_id", "left"
+        )
+        .select(
+            "node_id",
+            F.coalesce(F.col("canon_id"), F.col("rep_id")).alias("canon_id"),
+        )
+        .filter(F.col("node_id") != F.col("canon_id"))
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
 ) -> DataFrame:

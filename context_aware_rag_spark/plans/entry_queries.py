@@ -1153,6 +1153,37 @@ def kg_nodes_canonical(spark, sf_dir):
     return res.nodes.select("node_id", "name", "type", "mention_chunks")
 
 
+@q("kg_canonical_incremental")
+def kg_canonical_incremental(spark, sf_dir):
+    """Incremental canonicalization: first half of the conversations
+    builds the map, the second half folds in incrementally — output is
+    the updated full canonical map (pytest-asserted equal to the
+    full-batch closure; rows-only here, extraction is Python)."""
+    from ..operators.canonicalize import (
+        canonicalize_incremental,
+        canonicalize_nodes,
+    )
+    from ..sources.transcripts import generate_rows
+
+    n = n_convs_for(sf_dir)
+    rows_all = generate_rows(n)
+    half_rows = [r for r in rows_all if int(r[0][4:]) < n // 2]
+    rest_rows = [r for r in rows_all if int(r[0][4:]) >= n // 2]
+    from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+    def nodes_of(rows):
+        df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+        res = run_pipeline(spark, df, PipelineConfig())
+        return res.mentions.select("node_id", "name", "type").dropDuplicates(
+            ["node_id"]
+        ).localCheckpoint()
+
+    n1, n2 = nodes_of(half_rows), nodes_of(rest_rows)
+    cfg = PipelineConfig()
+    map1 = canonicalize_nodes(n1, threshold=cfg.duplicate_score).localCheckpoint()
+    return canonicalize_incremental(n1, map1, n2, threshold=cfg.duplicate_score)
+
+
 @q("kg_nodes_with_tools")
 def kg_nodes_with_tools(spark, sf_dir):
     """A5 camera-analog on real node properties: source_tools set-union

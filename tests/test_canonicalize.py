@@ -119,6 +119,67 @@ def test_lsh_blocking_matches_exact_closure(spark, corpus, dedup_cfg, result):
     assert lsh == exact
 
 
+def test_incremental_matches_full_recompute(spark, dedup_cfg):
+    """Fold a second batch of nodes into an existing canonical map; the
+    updated map must equal the full-batch closure over all nodes —
+    including new aliases bridging previously separate components."""
+    from context_aware_rag_spark.operators.canonicalize import (
+        canonicalize_incremental,
+        canonicalize_nodes,
+    )
+
+    rows1 = generate_rows(4)
+    rows2 = generate_rows(8)[len(rows1):]  # the NEXT 4 conversations
+    df1 = spark.createDataFrame(rows1, schema=TRANSCRIPT_SCHEMA)
+    df_all = spark.createDataFrame(rows1 + rows2, schema=TRANSCRIPT_SCHEMA)
+    df2 = spark.createDataFrame(rows2, schema=TRANSCRIPT_SCHEMA)
+
+    def nodes_of(df):
+        res = run_pipeline(spark, df, PipelineConfig())
+        return res.mentions.select("node_id", "name", "type").dropDuplicates(
+            ["node_id"]
+        ).localCheckpoint()
+
+    n1, n2, n_all = nodes_of(df1), nodes_of(df2), nodes_of(df_all)
+    thr = dedup_cfg.duplicate_score
+    map1 = canonicalize_nodes(n1, threshold=thr).localCheckpoint()
+    inc = canonicalize_incremental(n1, map1, n2, threshold=thr)
+    full = canonicalize_nodes(n_all, threshold=thr, blocking="lsh")
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_incremental_bridges_existing_components(spark):
+    """A NEW alias that sits between two existing components must merge
+    them, exactly as a full recompute would."""
+    from context_aware_rag_spark.operators.canonicalize import (
+        canonicalize_incremental,
+        canonicalize_nodes,
+    )
+
+    old = spark.createDataFrame(
+        [("n1", "Alice", "Person"), ("n2", "Alice Johnson", "Person"),
+         ("n5", "Ms. Johnson", "Person"), ("n9", "Tokyo", "Location")],
+        ["node_id", "name", "type"],
+    )
+    # new node: another alias of the same group, with a SMALLER id than
+    # every existing rep (forces representative re-election)
+    new = spark.createDataFrame(
+        [("a0", "Alice", "Person"), ("z9", "Globex", "Object")],
+        ["node_id", "name", "type"],
+    )
+    thr = 0.9
+    map_old = canonicalize_nodes(old, threshold=thr).localCheckpoint()
+    inc = canonicalize_incremental(old, map_old, new, threshold=thr)
+    full = canonicalize_nodes(
+        old.unionByName(new), threshold=thr, blocking="lsh"
+    )
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+    got = {r["node_id"]: r["canon_id"] for r in inc.collect()}
+    # all Alice-group nodes collapse onto the new smallest id
+    assert got["n1"] == got["n2"] == got["n5"] == "a0"
+    assert "z9" not in got  # singleton stays canonical
+
+
 def test_no_dangling_edge_endpoints(result):
     """Every predicate/HAS_ENTITY edge endpoint that is an entity id
     exists in the canonical nodes table."""
