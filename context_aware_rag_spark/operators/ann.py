@@ -27,6 +27,13 @@ def _norm(col):
 
 
 def _dot(a, b):
+    # the interpreted JVM fold is kept DELIBERATELY on the scoring path:
+    # it sums left-to-right exactly like DuckDB's list_inner_product, so
+    # round(cosine, 6) is bit-identical to the SQL oracle (an Arrow
+    # einsum — similarity._pair_dot — is ~10x faster per row but uses
+    # pairwise summation, which can flip the 6th decimal on boundary
+    # values and break the hash gate); swap in _pair_dot for production
+    # corpora where oracle bit-parity is not required
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda p, q: p + q)
 
 
@@ -102,14 +109,15 @@ def cosine_topk_ivf(
     """IVF approximate top-k: centroid assignment via pandas UDF (one
     matmul per Arrow batch), candidate restriction to the query's
     ``nprobe`` nearest centroids, then exact scoring + window rank."""
-    # ordered sample: a bare limit() is partition-order dependent, which
-    # would make centroids (and recall) vary run-to-run despite the
-    # fixed k-means seed
+    # hash-ordered sample: deterministic across partition layouts AND
+    # unbiased — an id-prefix sample (orderBy(id).limit) would train
+    # centroids only on the earliest-ingested region of the corpus when
+    # id order correlates with content, collapsing recall elsewhere
     sample = np.array(
         [
             r[0]
             for r in corpus.select(id_col, vec_col)
-            .orderBy(id_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
             .limit(sample_size)
             .select(vec_col)
             .collect()

@@ -49,9 +49,13 @@ def exact_duplicates(
 
 def normalized_text(text_col) -> "F.Column":
     """lower + collapse whitespace + strip punctuation — shared normal
-    form for near-dup preprocessing."""
+    form for near-dup preprocessing. Unicode-aware: letters/digits of
+    ANY script survive (an ASCII-only class would collapse every
+    non-Latin document to the same empty normal form and mass-merge a
+    multilingual corpus). DuckDB oracle twin: `[^a-z0-9\\p{L}\\p{N}\\s]`
+    (RE2 and Java agree on the property classes)."""
     c = F.lower(text_col)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
@@ -123,7 +127,19 @@ def minhash_lsh_candidates(
     Returns (a, b) candidate pairs with estimated Jaccard from full
     signature agreement. With 64 hashes / 16 bands (r=4):
     P(candidate) = 1-(1-J^4)^16 — ~0.97 at J=0.8, ~0.03 at J=0.3.
+
+    ``bands`` must divide the signature length: bands > num_hashes would
+    make every band hash empty (the join degenerates to all-pairs), and
+    a non-divisor silently ignores trailing hashes — both rejected.
     """
+    first = signatures.select("signature").first()
+    if first is not None:  # empty input: nothing to validate, joins stay empty
+        sig_len = len(first["signature"])
+        if bands > sig_len or sig_len % bands != 0:
+            raise ValueError(
+                f"bands={bands} must divide the signature length ({sig_len}); "
+                "bands > num_hashes degenerates the banding join to all-pairs"
+            )
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = signatures.select(
         F.col(id_col),
@@ -303,17 +319,25 @@ def embedding_near_dups(
     """
     from .similarity import _gemm_pairs_exact
 
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col).cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
-        )
-    )
-    nodes = docs_with_emb.select(
+    # two-step normalize with a checkpoint between: inlining the O(dim)
+    # norm aggregate into the per-element divide lambda would make
+    # normalization O(dim^2)/row (CollapseProject re-inlines it — the
+    # same hazard minhash_dedup documents)
+    with_norm = docs_with_emb.select(
         F.col(id_col).cast("string").alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        ).alias("_norm"),
+    ).localCheckpoint()
+    nodes = with_norm.select(
+        "node_id",
         F.lit("doc").alias("type"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: x / norm
-        ).alias("embedding"),
+        F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("embedding"),
     ).localCheckpoint()
     pairs = _gemm_pairs_exact(nodes, threshold, n_blocks=n_blocks)
     # ids come back as strings (the GEMM path's id type), pair-ordered
@@ -368,18 +392,29 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    quarters (a pair within distance 3 must agree on >= 1 of 4 quarters —
-    the classic Charikar/Manku blocking, linear candidate generation)."""
+    """Near-dup pairs by SimHash Hamming distance, blocked on
+    ``max_hamming + 1`` bit-ranges of the 64-bit fingerprint: a pair
+    within distance d differs in at most d blocks, so it must agree on
+    >= 1 of d+1 (pigeonhole — the generalized Charikar/Manku blocking,
+    complete for ANY max_hamming, linear candidate generation; the
+    classic 16-bit quarters are the d=3 case)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks  # last block absorbs the remainder bits
     sh = simhash64(docs, id_col=id_col, text_col=text_col)
+    if n_blocks == 1:
+        blocks_expr = "array(simhash)"  # d=0: equality on the full hash
+    else:
+        blocks_expr = (
+            f"transform(sequence(0, {n_blocks - 1}), q -> "
+            f"IF(q = {n_blocks - 1}, shiftrightunsigned(simhash, q * {width}), "
+            f"shiftrightunsigned(simhash, q * {width}) & {(1 << width) - 1}L))"
+        )
     quarters = sh.select(
         F.col(id_col),
         "simhash",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3), q -> shiftrightunsigned(simhash, q * 16) & 65535L)"
-            )
-        ).alias("quarter", "qval"),
+        F.posexplode(F.expr(blocks_expr)).alias("quarter", "qval"),
     )
     l, r = quarters.alias("l"), quarters.alias("r")
     cand = (

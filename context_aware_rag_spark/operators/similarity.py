@@ -203,12 +203,13 @@ def similarity_pairs(
         )
     if blocking != "lsh":
         raise ValueError(f"unknown blocking strategy: {blocking!r}")
-    # materialize before the self-join so the embedding UDF + band
-    # signature aren't recomputed per joined row (stage table at scale)
+    # materialize the BANDED rows (not just the input) before the
+    # self-join: otherwise the signature pandas UDF + posexplode
+    # re-evaluate on both join branches (stage table at scale)
     lb = with_lsh_bands(
-        nodes_with_emb.select("node_id", "type", "embedding").localCheckpoint(),
+        nodes_with_emb.select("node_id", "type", "embedding"),
         dim, bands, bits_per_band,
-    )
+    ).localCheckpoint()
     pairs = (
         lb.alias("l")
         .join(
@@ -268,9 +269,9 @@ def knn_similar_edges(
     ``max_degree=None`` disables the gate (raw directed top-k).
     """
     lb = with_lsh_bands(
-        items_with_emb.select(id_col, "embedding").localCheckpoint(),
+        items_with_emb.select(id_col, "embedding"),
         dim, bands, bits_per_band,
-    )
+    ).localCheckpoint()  # banded rows materialized once, not per join branch
     cand = (
         lb.alias("l")
         .join(

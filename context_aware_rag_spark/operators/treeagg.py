@@ -4,16 +4,24 @@ The reference recursively splits oversized inputs in half, summarizes
 the halves, then re-aggregates (utils.py:104-231, recursion limit 8).
 The Spark shape is the inverse tree: iteratively combine adjacent
 chunks per conversation until one row per conv remains, applying a
-pluggable combine expression (an LLM-summarize pandas UDF in
-production; a deterministic truncating concat here) at every level.
+pluggable combine (an LLM-summarize expression in production; a
+deterministic truncating concat here) at every level.
 
-Each level is one groupBy on (conv_id, position // 2) — log2(n) bounded
-shuffles, each strictly smaller than the last; no driver-side state.
+Level mechanics: positions are RE-RANKED per level (row_number within
+the group), so the number of levels is ceil(log2(max group size))
+regardless of how sparse the original order column is (raw timestamps
+as positions would otherwise need log2(position spread) levels).
+Groups already reduced to one row pass through levels UNCHANGED —
+results are compositional (a group's summary never depends on what
+other groups still need reducing). Each level is one bounded shuffle,
+strictly smaller than the last; no driver-side row data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,33 +38,58 @@ def tree_summarize(
     text_col: str = "text",
     cap: int = 500,
     max_levels: int = 20,
+    combine: Optional[Callable[[Column], Column]] = None,
 ) -> DataFrame:
     """Reduce each group's ordered texts to one summary row via pairwise
-    tree aggregation. Returns (group_col, summary, n_levels)."""
+    tree aggregation. Returns (group_col, summary, n_levels).
+
+    ``combine``: array<string> column -> string column (the U4 slot —
+    an LLM summarize expression in production); defaults to the
+    truncating concat. Raises if groups fail to converge within
+    ``max_levels`` (cannot happen below 2^max_levels rows per group).
+    """
+    combine = combine or (lambda texts: default_combine(texts, cap))
     df = chunks.select(
         F.col(group_col).alias("g"),
         F.col(order_col).cast("long").alias("pos"),
         F.col(text_col).alias("txt"),
     )
     level = 0
-    while level < max_levels:
-        over = df.groupBy("g").count().filter(F.col("count") > 1).limit(1).count()
-        if over == 0:
+    while True:
+        biggest = (
+            df.groupBy("g").count().agg(F.max("count")).collect()[0][0] or 0
+        )
+        if biggest <= 1:
             break
-        df = (
-            df.groupBy("g", (F.col("pos") / 2).cast("long").alias("ppos"))
+        if level >= max_levels:
+            raise RuntimeError(
+                f"tree_summarize did not converge in {max_levels} levels "
+                f"(a group still has {biggest} rows); raise max_levels"
+            )
+        w = Window.partitionBy("g").orderBy("pos")
+        sizes = df.groupBy("g").agg(F.count(F.lit(1)).alias("_n"))
+        ranked = df.withColumn("_rnk", F.row_number().over(w)).join(sizes, "g")
+        done = ranked.filter(F.col("_n") == 1).select(
+            "g", F.lit(0).cast("long").alias("pos"), "txt"
+        )
+        combined = (
+            ranked.filter(F.col("_n") > 1)
+            .groupBy("g", ((F.col("_rnk") - 1) / 2).cast("long").alias("ppos"))
             .agg(
-                default_combine(
+                combine(
                     F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "txt"))),
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("_rnk").alias("pos"), "txt")
+                            )
+                        ),
                         lambda s: s["txt"],
-                    ),
-                    cap,
+                    )
                 ).alias("txt")
             )
             .select("g", F.col("ppos").alias("pos"), "txt")
-            .localCheckpoint()
         )
+        df = combined.unionByName(done).localCheckpoint()
         level += 1
     return df.select(
         F.col("g").alias(group_col),

@@ -477,8 +477,10 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(load(spark, sf_dir, "documents"))
 
 
+# unicode-aware like dedup.normalized_text: letters/digits of any script
+# survive (RE2 and Java regex agree on \p{L}/\p{N})
 _NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
 

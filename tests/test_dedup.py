@@ -219,3 +219,62 @@ class TestSimHash:
         )
         got = dedup.simhash_near_dups(df, max_hamming=0).collect()
         assert [(r["a"], r["b"], r["hamming"]) for r in got] == [(0, 1, 0)]
+
+
+class TestReviewRegressions:
+    """Round-2 high-effort review findings pinned as regressions."""
+
+    def test_multilingual_docs_not_merged(self, spark):
+        # ASCII-only normalization collapsed every non-Latin doc to ''
+        rows = [(0, "北京是中国的首都"), (1, "東京は日本の首都"),
+                (2, "совершенно другой текст"), (3, "北京是中国的首都")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        groups = dedup.exact_duplicates_normalized(df).collect()
+        # only the genuine duplicate pair (0, 3) merges
+        assert len(groups) == 1 and groups[0]["n_docs"] == 2
+        norm = df.select(dedup.normalized_text(F.col("text")).alias("n")).collect()
+        assert all(r["n"] != "" for r in norm)
+
+    def test_minhash_bands_validated(self, spark):
+        df = spark.createDataFrame([(0, "a b c d e f"), (1, "a b c d e g")],
+                                   ["doc_id", "text"])
+        with pytest.raises(ValueError, match="bands"):
+            dedup.minhash_dedup(df, num_hashes=8, bands=16)
+        with pytest.raises(ValueError, match="bands"):
+            dedup.minhash_dedup(df, num_hashes=64, bands=7)  # non-divisor
+
+    def test_simhash_blocking_complete_at_hamming_5(self, spark):
+        """Generalized d+1-block pigeonhole: set equality vs brute force
+        at max_hamming=5 (the old 4-quarter scheme missed d >= 4)."""
+        rng = random.Random(99)
+        vocab = [f"q{i}" for i in range(25)]
+        rows = []
+        for i in range(60):
+            words = [rng.choice(vocab) for _ in range(12)]
+            rows.append((2 * i, " ".join(words)))
+            edit = list(words)
+            edit[rng.randrange(12)] = rng.choice(vocab)  # 1-word twin
+            rows.append((2 * i + 1, " ".join(edit)))
+        df = spark.createDataFrame(rows, ["doc_id", "text"]).localCheckpoint()
+        fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+        ids = sorted(fps)
+        brute = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = bin((fps[ids[i]] ^ fps[ids[j]]) & ((1 << 64) - 1)).count("1")
+                if h <= 5:
+                    brute.add((ids[i], ids[j], h))
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_near_dups(df, max_hamming=5).collect()
+        }
+        assert got == brute
+        assert brute, "corpus must contain hamming<=5 pairs"
+
+    def test_simhash_quarter_case_unchanged(self, spark):
+        # d=3 must still use 4 blocks of 16 bits (the classic scheme)
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha beta gamma")], ["doc_id", "text"]
+        )
+        got = dedup.simhash_near_dups(df, max_hamming=3).collect()
+        assert [(r["a"], r["b"], r["hamming"]) for r in got] == [(0, 1, 0)]

@@ -139,3 +139,57 @@ def test_u4_summarize_udf_pluggable(spark):
         assert c[k]["summary"].startswith("LLM<")
         for col in ("ts_min", "ts_max", "n_turns"):
             assert d[k][col] == c[k][col]
+
+
+class TestTreeAggRegressions:
+    """Review findings on tree_summarize pinned as regressions."""
+
+    def test_single_chunk_group_compositional(self, spark):
+        """A single-chunk conv's summary must not depend on what other
+        groups need reducing (it previously got truncated only when
+        another group triggered a level)."""
+        from context_aware_rag_spark.operators.treeagg import tree_summarize
+
+        long_text = "x" * 800
+        alone = spark.createDataFrame(
+            [("A", 1, long_text)], ["conv_id", "position", "text"]
+        )
+        with_peer = spark.createDataFrame(
+            [("A", 1, long_text), ("B", 1, "b one"), ("B", 2, "b two")],
+            ["conv_id", "position", "text"],
+        )
+        s_alone = {r["conv_id"]: r["summary"] for r in tree_summarize(alone).collect()}
+        s_peer = {r["conv_id"]: r["summary"] for r in tree_summarize(with_peer).collect()}
+        assert s_alone["A"] == s_peer["A"] == long_text
+
+    def test_sparse_positions_converge(self, spark):
+        """Raw-timestamp positions (spread >> count) must converge in
+        log2(group size) levels, not log2(position spread)."""
+        from context_aware_rag_spark.operators.treeagg import tree_summarize
+
+        rows = [("C", 1_700_000_000_000 + i * 1_800_000, f"t{i}") for i in range(5)]
+        df = spark.createDataFrame(rows, ["conv_id", "position", "text"])
+        out = tree_summarize(df, max_levels=4).collect()
+        assert len(out) == 1
+        assert out[0]["summary"] == "t0 t1 t2 t3 t4"
+        assert out[0]["n_levels"] <= 3  # ceil(log2(5))
+
+    def test_non_convergence_raises(self, spark):
+        from context_aware_rag_spark.operators.treeagg import tree_summarize
+
+        rows = [("C", i, f"t{i}") for i in range(9)]
+        df = spark.createDataFrame(rows, ["conv_id", "position", "text"])
+        with pytest.raises(RuntimeError, match="converge"):
+            tree_summarize(df, max_levels=2)  # needs ceil(log2(9)) = 4
+
+    def test_pluggable_combine(self, spark):
+        from pyspark.sql import functions as F
+
+        from context_aware_rag_spark.operators.treeagg import tree_summarize
+
+        rows = [("C", 1, "aa"), ("C", 2, "bb"), ("C", 3, "cc")]
+        df = spark.createDataFrame(rows, ["conv_id", "position", "text"])
+        out = tree_summarize(
+            df, combine=lambda texts: F.concat_ws("|", texts)
+        ).collect()
+        assert out[0]["summary"] == "aa|bb|cc"
