@@ -42,10 +42,19 @@ def chunk_id_col(chunk_text: Column, conv_id: Column) -> Column:
 def entity_id_col(
     surface: Column, node_type: Column, conv_id: Column, description: Column | None = None
 ) -> Column:
+    """Byte-parity with :func:`entity_id_py`: the Entity fallback fires
+    only on NULL/empty type (Python truthiness — a whitespace type is
+    kept, base.py:186), and the concatenation uses NULL-propagating
+    concat so a NULL surface/conv yields a NULL id (visible downstream)
+    instead of concat_ws silently skipping the field and letting
+    distinct rows collide on one hash."""
     desc = description if description is not None else F.lit("")
     typ = F.when(
-        F.trim(F.coalesce(node_type, F.lit(""))) == "", F.lit("Entity")
+        F.coalesce(node_type, F.lit("")) == "", F.lit("Entity")
     ).otherwise(node_type)
     return F.sha1(
-        F.concat_ws("_", F.coalesce(desc, F.lit("")), typ, surface, conv_id)
+        F.concat(
+            F.coalesce(desc, F.lit("")), F.lit("_"), typ, F.lit("_"),
+            surface, F.lit("_"), conv_id,
+        )
     )

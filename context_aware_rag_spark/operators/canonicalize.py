@@ -92,8 +92,10 @@ def canonicalize_incremental(
     new_nodes: DataFrame,
     threshold: float,
     embedding_dim: int = 64,
+    blocking: str = "lsh",
     lsh_bands: int = 8,
     lsh_bits_per_band: int = 16,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Incremental canonicalization: fold NEW nodes into an existing
     canonical map without re-pairing the whole corpus (the reference's
@@ -101,27 +103,37 @@ def canonicalize_incremental(
     as an incremental closure update).
 
     Exactness argument: the full-batch closure is the transitive
-    closure of all similarity pairs. Old-old pairs' closure is already
-    encoded by ``existing_map`` (node -> canon edges), and similarity
-    pairs are deterministic, so the closure of
+    closure of all similarity pairs. Old-old pair connectivity is
+    carried by two DETERMINISTIC edge sets — ``existing_map``'s
+    node->canon edges plus a bridge edge (new_rep, old_rep) for every
+    surface form whose representative was re-elected (same surface =>
+    always above threshold, no similarity recall involved) — so the
+    closure of
 
-        existing_map edges  ∪  pairs touching >= 1 new representative
+        map edges ∪ bridge edges ∪ pairs touching >= 1 new rep
 
-    equals the full recompute — including the case where a new alias
-    BRIDGES two previously separate components (the map edges chain
-    them through the new pair). Old-old pairs below threshold stay
-    absent exactly as a full recompute would leave them.
+    equals the full recompute with the same ``blocking``, including a
+    new alias bridging two previously separate components. Without the
+    bridges, a re-elected rep would make old connectivity depend on
+    re-FINDING borderline old pairs, where approximate blocking could
+    split a merged component.
 
-    Cost shape: candidate generation is the fine-band LSH join over
-    old ∪ new representatives FILTERED to pairs touching a new rep —
-    per-bucket fan-out is (bucket_new × bucket_all), so work scales
-    with the NEW data and bucket sizes, never old².
+    Cost shape (blocking="lsh"): candidates come from a banded join of
+    the NEW reps' rows against all reps' rows — per-bucket fan-out is
+    bucket_new x bucket_all, so work scales with the new data, never
+    old². blocking="type" uses the exact GEMM over all reps (full
+    exactness, full-recompute cost — verification mode).
 
     Inputs: frames of (node_id, name, type); ``existing_map`` is the
     prior (node_id, canon_id) output (non-identity rows). Returns the
     UPDATED full canonical map.
     """
-    from .similarity import similarity_pairs, with_entity_embeddings
+    from .similarity import (
+        _pair_dot,
+        similarity_pairs,
+        with_entity_embeddings,
+        with_lsh_bands,
+    )
 
     all_nodes = (
         existing_nodes.select("node_id", "name", "type")
@@ -145,22 +157,74 @@ def canonicalize_incremental(
     )
     rep_nodes = reps.select(F.col("rep_id").alias("node_id"), "name", "type")
     with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
-    pairs_all = similarity_pairs(
-        with_emb, threshold=threshold, blocking="lsh",
-        bands=lsh_bands, bits_per_band=lsh_bits_per_band, dim=embedding_dim,
+
+    if blocking == "lsh":
+        banded_all = with_lsh_bands(
+            with_emb.select("node_id", "type", "embedding"),
+            embedding_dim, lsh_bands, lsh_bits_per_band,
+        ).localCheckpoint()
+        banded_new = banded_all.join(
+            new_reps.withColumnRenamed("rep_id", "node_id"), "node_id", "left_semi"
+        )
+        cand = (
+            banded_new.alias("l")
+            .join(
+                banded_all.alias("r"),
+                on=[
+                    F.col("l.type") == F.col("r.type"),
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.band_hash") == F.col("r.band_hash"),
+                    F.col("l.node_id") != F.col("r.node_id"),
+                ],
+            )
+            .select(
+                F.least("l.node_id", "r.node_id").alias("a"),
+                F.greatest("l.node_id", "r.node_id").alias("b"),
+                F.col("l.embedding").alias("emb_a"),
+                F.col("r.embedding").alias("emb_b"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+        touch_new = (
+            cand.withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
+            .filter(F.col("score") > threshold)
+            .select("a", "b")
+        )
+    else:
+        pairs_all = similarity_pairs(
+            with_emb, threshold=threshold, blocking=blocking, n_blocks=n_blocks,
+            bands=lsh_bands, bits_per_band=lsh_bits_per_band, dim=embedding_dim,
+        ).localCheckpoint()
+        touch_new = (
+            pairs_all.join(
+                new_reps.withColumnRenamed("rep_id", "a"), "a", "left_semi"
+            )
+            .unionByName(
+                pairs_all.join(
+                    new_reps.withColumnRenamed("rep_id", "b"), "b", "left_semi"
+                )
+            )
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+
+    # bridge edges: surfaces whose representative changed connect the
+    # new rep to the old one deterministically (same surface form)
+    old_reps = existing_nodes.groupBy("name", "type").agg(
+        F.min("node_id").alias("old_rep")
     )
-    # keep only pairs that touch a representative with a new member —
-    # old-old pairs are already folded into existing_map's closure
-    touch_new = pairs_all.join(
-        new_reps.withColumnRenamed("rep_id", "a"), "a", "left_semi"
-    ).unionByName(
-        pairs_all.join(new_reps.withColumnRenamed("rep_id", "b"), "b", "left_semi")
-    ).select("a", "b").dropDuplicates(["a", "b"])
+    bridges = (
+        reps.join(old_reps, ["name", "type"])
+        .filter(F.col("rep_id") != F.col("old_rep"))
+        .select(F.col("rep_id").alias("a"), F.col("old_rep").alias("b"))
+    )
 
     prior_edges = existing_map.select(
         F.col("node_id").alias("a"), F.col("canon_id").alias("b")
     )
-    closure = connected_components(touch_new.unionByName(prior_edges))
+    closure = connected_components(
+        touch_new.unionByName(bridges).unionByName(prior_edges)
+    )
 
     node_to_rep = all_nodes.join(reps, ["name", "type"]).select("node_id", "rep_id")
     return (

@@ -43,14 +43,33 @@ _CHUNK_SCHEMA = (
 )
 
 
-def _split_batch(pdf: pd.DataFrame, chunk_size: int, chunk_overlap: int) -> pd.DataFrame:
-    """Pure per-group transform: sorted turns of one batch -> chunk rows."""
+def _split_batch(
+    pdf: pd.DataFrame, chunk_size: int, chunk_overlap: int,
+    timestamp_prefix: bool = False,
+) -> pd.DataFrame:
+    """Pure per-group transform: sorted turns of one batch -> chunk rows.
+
+    The C2 timestamp prefix is rendered HERE in Python (f"{x:.2f}",
+    round-half-even on the binary value — the reference's formatting,
+    utils.py:86-95) rather than with Spark's format_string, whose Java
+    Formatter rounds HALF_UP on the decimal representation: 0.125
+    formats as "0.13" in Java but "0.12" in Python, which would flip
+    sha1 chunk ids on fractional timestamps. The '.'-doc check runs
+    before prefixing — the transcripts contract treats "." as an
+    empty-doc marker regardless of prefix mode (documented divergence
+    from the reference's file path, which prefixes first; mirrored in
+    oracle/reference_oracle.py so parity is checked like-for-like).
+    """
     pdf = pdf.sort_values("turn_idx")
     out: dict[str, List] = {k: [] for k in CHUNK_COLUMNS}
     for row in pdf.itertuples(index=False):
         if row.text == "." or row.text is None:
             continue
-        for pos, piece in enumerate(split_text(row.text, chunk_size, chunk_overlap)):
+        text = row.text
+        if timestamp_prefix:
+            epoch = row.ts.timestamp()
+            text = f"<{epoch:.2f}> <{epoch:.2f}> {text}"
+        for pos, piece in enumerate(split_text(text, chunk_size, chunk_overlap)):
             out["conv_id"].append(row.conv_id)
             out["batch_id"].append(row.batch_id)
             out["turn_idx"].append(row.turn_idx)
@@ -69,32 +88,32 @@ def _split_batch(pdf: pd.DataFrame, chunk_size: int, chunk_overlap: int) -> pd.D
 
 def chunk_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     cfg = cfg or PipelineConfig()
-    text_col = F.col("text")
-    if cfg.timestamp_prefix:
-        # C2 — "<start> <end> " prefix (graph_ingestion.py:155-164); the
-        # transcripts contract carries one ts per turn, used for both
-        # bounds. Applied before splitting, so it participates in chunk
-        # ids exactly as in the reference.
-        from ..functions.text import timestamp_prefix as _prefix
-
-        epoch = F.col("ts").cast("timestamp").cast("double")
-        text_col = F.when(F.col("text") == ".", F.col("text")).otherwise(
-            _prefix(F.col("text"), epoch, epoch)
-        )
+    # C2 — "<start> <end> " prefixing (graph_ingestion.py:155-164) is
+    # rendered inside _split_batch (Python f-string — see its docstring
+    # for the Java-vs-Python rounding parity hazard). The transcripts
+    # contract carries one ts per turn, used for both bounds; applied
+    # before splitting so it participates in chunk ids exactly as in
+    # the reference.
     df = transcripts.withColumn(
         "batch_id", (F.col("turn_idx") / cfg.batch_size).cast("long")
-    ).select("conv_id", "batch_id", "turn_idx", text_col.alias("text"), "ts")
+    ).select("conv_id", "batch_id", "turn_idx", "text", "ts")
 
     if cfg.batch_size == 1:
         # No shuffle: each row expands independently.
         def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                yield _split_batch(pdf, cfg.chunk_size, cfg.chunk_overlap)
+                yield _split_batch(
+                    pdf, cfg.chunk_size, cfg.chunk_overlap,
+                    timestamp_prefix=cfg.timestamp_prefix,
+                )
 
         chunks = df.mapInPandas(expand, schema=_CHUNK_SCHEMA)
     else:
         chunks = df.groupBy("conv_id", "batch_id").applyInPandas(
-            lambda pdf: _split_batch(pdf, cfg.chunk_size, cfg.chunk_overlap),
+            lambda pdf: _split_batch(
+                pdf, cfg.chunk_size, cfg.chunk_overlap,
+                timestamp_prefix=cfg.timestamp_prefix,
+            ),
             schema=_CHUNK_SCHEMA,
         )
 

@@ -88,11 +88,13 @@ def clean_triples(raw: DataFrame, allowed_nodes: list[str] | None = None) -> Dat
         & (F.trim("obj_name") != "")
         & (F.trim("obj_type") != "")
     )
+    from ..functions.text import strip_backticks
+
     out = (
         raw.filter(nonblank)
-        .withColumn("subj_type", F.regexp_replace("subj_type", "`", ""))
-        .withColumn("obj_type", F.regexp_replace("obj_type", "`", ""))
-        .withColumn("pred", F.regexp_replace("pred", "`", ""))
+        .withColumn("subj_type", strip_backticks(F.col("subj_type")))
+        .withColumn("obj_type", strip_backticks(F.col("obj_type")))
+        .withColumn("pred", strip_backticks(F.col("pred")))
     )
     if allowed_nodes:
         out = out.filter(

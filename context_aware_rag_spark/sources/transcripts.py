@@ -168,9 +168,28 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     Iceberg jar, so dotted names without a filesystem path fall back to
     ``spark.table`` and paths to parquet.
     """
-    if "/" not in path_or_table:
+    looks_like_path = "/" in path_or_table or path_or_table.endswith(".parquet")
+    if not looks_like_path:
         try:
             return spark.read.format("iceberg").load(path_or_table)
-        except Exception:
-            return spark.table(path_or_table)
+        except Exception as iceberg_exc:
+            # fall back to a registered table only when the Iceberg
+            # DATA SOURCE itself is unavailable (no jar in this image);
+            # a real catalog/auth failure must surface, not silently
+            # resolve to some other table with the same name
+            msg = str(iceberg_exc)
+            source_missing = (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFound" in msg
+                or "Failed to find" in msg
+            )
+            if not source_missing:
+                raise
+            try:
+                return spark.table(path_or_table)
+            except Exception as table_exc:
+                raise RuntimeError(
+                    f"could not read {path_or_table!r} as an Iceberg table "
+                    f"({msg[:200]}) nor as a registered table"
+                ) from table_exc
     return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path_or_table)

@@ -62,9 +62,21 @@ def make_batch_assembler(batch_size: int):
         base = int(batch_id) * batch_size
         order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
         sorted_idx = [turn_idxs[i] for i in order]
-        contiguous = sorted_idx == list(range(base, base + len(sorted_idx)))
-        full = len(sorted_idx) == batch_size and contiguous
-        last_complete = saw_last and contiguous
+        # full batch: batch_size distinct turns within the batch range
+        # are necessarily exactly [base, base+batch_size)
+        full = len(sorted_idx) == batch_size and sorted_idx == list(
+            range(base, base + len(sorted_idx))
+        )
+        # final batch: the reference anchors contiguity at the first
+        # PRESENT doc (is_full, ctx_rag_batcher.py:76-82: len(batch) ==
+        # last_idx - first_idx + 1), so a missing LEADING turn does not
+        # hold the conversation's last batch hostage
+        last_complete = (
+            saw_last
+            and bool(sorted_idx)
+            and sorted_idx
+            == list(range(sorted_idx[0], sorted_idx[0] + len(sorted_idx)))
+        )
 
         if full or last_complete:
             batch_text = " ".join(

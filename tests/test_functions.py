@@ -79,3 +79,70 @@ def test_entity_embed_alias_geometry():
     for i in range(n):
         for j in range(i + 1, n):
             assert float(reps[i] @ reps[j]) < 0.8
+
+
+class TestHashingParityRegressions:
+    def test_whitespace_type_kept_like_python(self, spark):
+        """Reference fallback is Python truthiness: ' ' is truthy and
+        must be kept, not replaced by 'Entity'."""
+        from context_aware_rag_spark.functions.hashing import (
+            entity_id_col,
+            entity_id_py,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("Ada", " ", "c1"), ("Ada", "", "c1"), ("Ada", None, "c1")],
+            ["s", "t", "c"],
+        )
+        got = [
+            r["h"]
+            for r in df.select(
+                entity_id_col(F.col("s"), F.col("t"), F.col("c")).alias("h")
+            ).collect()
+        ]
+        assert got[0] == entity_id_py("Ada", " ", "c1")
+        assert got[1] == entity_id_py("Ada", "", "c1")  # '' -> Entity
+        assert got[2] == entity_id_py("Ada", None, "c1")
+
+    def test_null_fields_do_not_collide(self, spark):
+        """concat_ws skipped NULLs, letting (NULL, x) and (x, NULL)
+        share a hash; NULL must propagate instead."""
+        from context_aware_rag_spark.functions.hashing import entity_id_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(None, "x"), ("x", None)], ["s", "c"]
+        )
+        got = [
+            r["h"]
+            for r in df.select(
+                entity_id_col(F.col("s"), F.lit("T"), F.col("c")).alias("h")
+            ).collect()
+        ]
+        assert got == [None, None]
+
+
+def test_timestamp_prefix_python_rounding_parity(spark):
+    """Chunk-id parity on FRACTIONAL timestamps: Java %.2f rounds 0.125
+    HALF_UP to 0.13 while the reference's Python f-string gives 0.12 —
+    the chunking path must match the oracle byte-for-byte."""
+    from datetime import datetime, timezone
+
+    from context_aware_rag_spark.config import PipelineConfig
+    from context_aware_rag_spark.operators.chunking import chunk_transcripts
+    from context_aware_rag_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    ts = datetime(2024, 1, 1, 0, 0, 0, 125000)  # .125s — the tie case
+    df = spark.createDataFrame(
+        [("convF", 0, "user", "Alice met Bob.", None, ts)],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    chunks = chunk_transcripts(df, PipelineConfig(timestamp_prefix=True)).collect()
+    assert len(chunks) == 1
+    epoch = ts.timestamp()
+    want = f"<{epoch:.2f}> <{epoch:.2f}> Alice met Bob."
+    assert chunks[0]["text"] == want
+    from context_aware_rag_spark.functions.hashing import chunk_id_py
+
+    assert chunks[0]["chunk_id"] == chunk_id_py(want, "convF")

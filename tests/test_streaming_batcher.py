@@ -80,3 +80,27 @@ def test_stateful_batcher(spark, tmp_path):
     # conv A batch 1 (turns 4,5 only): incomplete, never fires
     assert ("A", 1) not in rows
     assert len(rows) == 2
+
+
+def test_final_batch_with_missing_leading_turn(spark, tmp_path_factory):
+    """Reference is_full anchors contiguity at the first PRESENT doc
+    (ctx_rag_batcher.py:76-82): an is_last batch missing its leading
+    turn must still fire, not be held forever."""
+    import pandas as pd
+
+    from context_aware_rag_spark.streaming.batcher import make_batch_assembler
+
+    class FakeState:
+        exists = False
+        def update(self, v): self.saved = v
+        def remove(self): pass
+
+    assemble = make_batch_assembler(4)
+    # batch base 8; turn 8 lost at the source; 10 is the conv's last
+    pdf = pd.DataFrame({"turn_idx": [9, 10], "text": ["t9", "t10"],
+                        "is_last": [False, True]})
+    out = list(assemble(("convZ", 2), iter([pdf]), FakeState()))
+    rows = pd.concat(out)
+    assert len(rows) == 1
+    assert rows.iloc[0]["batch_text"] == "t9 t10"
+    assert rows.iloc[0]["min_turn"] == 9 and rows.iloc[0]["max_turn"] == 10
