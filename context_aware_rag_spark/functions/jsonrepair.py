@@ -36,7 +36,10 @@ _PY_CONSTS = [
     (re.compile(r"\bFalse\b"), "false"),
     (re.compile(r"\bNone\b"), "null"),
     (re.compile(r"\bNaN\b"), "null"),
-    (re.compile(r"\b-?Infinity\b"), "null"),
+    # (?<!\w) instead of \b before the sign: there is no word boundary
+    # between ':'/whitespace and '-', so \b-?Infinity can never consume
+    # the minus and '-Infinity' would become '-null' (unparseable)
+    (re.compile(r"(?<!\w)-?Infinity\b"), "null"),
 ]
 
 

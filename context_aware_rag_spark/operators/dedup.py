@@ -121,6 +121,7 @@ def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
     id_col: str = "doc_id",
+    num_hashes: int = 64,
 ) -> DataFrame:
     """Band the signature; candidate pair = same (band, band_hash).
 
@@ -128,22 +129,27 @@ def minhash_lsh_candidates(
     signature agreement. With 64 hashes / 16 bands (r=4):
     P(candidate) = 1-(1-J^4)^16 — ~0.97 at J=0.8, ~0.03 at J=0.3.
 
-    ``bands`` must divide the signature length: bands > num_hashes would
-    make every band hash empty (the join degenerates to all-pairs), and
-    a non-divisor silently ignores trailing hashes — both rejected.
+    Shuffle discipline (the widest exchange in the operator): the banded
+    self-join carries ONLY (id, band, band_hash) — the 512-byte
+    signature array does NOT ride through the ×bands explode. Estimated
+    Jaccard is computed after pair dedup by re-joining the signatures
+    frame by id twice: two narrow id-keyed joins on the (much smaller)
+    deduped pair set instead of replicating the payload ``bands`` times
+    through the hot exchange.
+
+    ``bands`` must divide ``num_hashes`` (the signature length — a
+    static parameter, validated without touching the data: bands >
+    num_hashes would make every band hash empty and degenerate the join
+    to all-pairs; a non-divisor would silently ignore trailing hashes).
     """
-    first = signatures.select("signature").first()
-    if first is not None:  # empty input: nothing to validate, joins stay empty
-        sig_len = len(first["signature"])
-        if bands > sig_len or sig_len % bands != 0:
-            raise ValueError(
-                f"bands={bands} must divide the signature length ({sig_len}); "
-                "bands > num_hashes degenerates the banding join to all-pairs"
-            )
-    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}; "
+            "bands > num_hashes degenerates the banding join to all-pairs"
+        )
+    rows_per_band = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -174,10 +180,14 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
         )
         .dropDuplicates(["a", "b"])
+    )
+    sig_a = signatures.select(
+        F.col(id_col).alias("a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("b"), F.col("signature").alias("sig_b")
     )
     est = (
         F.size(
@@ -186,9 +196,13 @@ def minhash_lsh_candidates(
                 lambda v: v == 1,
             )
         )
-        / F.size("sig_a")
+        / F.lit(num_hashes)
     )
-    return pairs.select("a", "b", est.alias("est_jaccard"))
+    return (
+        pairs.join(sig_a, "a")
+        .join(sig_b, "b")
+        .select("a", "b", est.alias("est_jaccard"))
+    )
 
 
 def minhash_dedup(
@@ -218,7 +232,9 @@ def minhash_dedup(
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).select(
         id_col, "signature"
     ).localCheckpoint()
-    cand = minhash_lsh_candidates(sig, bands=bands, id_col=id_col)
+    cand = minhash_lsh_candidates(
+        sig, bands=bands, id_col=id_col, num_hashes=num_hashes
+    )
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 

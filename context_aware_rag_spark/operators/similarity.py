@@ -246,7 +246,7 @@ def knn_similar_edges(
     bands: int = 4,
     bits_per_band: int = 4,
     max_degree: int | None = 5,
-    max_iter: int = 50,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """SIMILAR edges: per item, top-k neighbors with score >= min_score
     (reference KNN pass, neo4j_db.py:610-653: top-6, score >= 0.8).
@@ -264,9 +264,13 @@ def knn_similar_edges(
     earlier sources (a prefix DAG), so a synchronous fixpoint
     iteration — recompute the accepted set from the previous one until
     stable — converges to the exact sequential answer; alias-dense
-    neighborhoods settle in 2-3 rounds. Edges are MERGE-deduped
-    undirected, keeping the row of the first accepting source.
-    ``max_degree=None`` disables the gate (raw directed top-k).
+    neighborhoods settle in 2-3 rounds, while an adversarial acceptance
+    chain needs one round per dependency level, so ``max_iter`` defaults
+    to the TRUE bound (the number of distinct sources) with the
+    RuntimeError kept as a can't-happen backstop. Runtime therefore
+    scales with dependency depth, not corpus size. Edges are
+    MERGE-deduped undirected, keeping the row of the first accepting
+    source. ``max_degree=None`` disables the gate (raw directed top-k).
     """
     lb = with_lsh_bands(
         items_with_emb.select(id_col, "embedding"),
@@ -303,8 +307,11 @@ def knn_similar_edges(
     ranked = ranked.localCheckpoint()
 
     srcs = ranked.select("src").distinct().localCheckpoint()
+    if max_iter is None:
+        # acceptance decisions depend only on earlier sources, so the
+        # dependency chain is at most #sources deep — the true bound
+        max_iter = max(int(srcs.count()), 1) + 1
     accepted = srcs
-    n_accepted = accepted.count()
     for _ in range(max_iter):
         # degree of c when it processes = # earlier accepted sources s<c
         # that chose c (each contributes exactly one MERGEd edge)
@@ -320,12 +327,18 @@ def knn_similar_edges(
             .select("src")
             .localCheckpoint()
         )
-        new_n = new_accepted.count()
-        if new_n == n_accepted and (
-            accepted.join(new_accepted, "src", "left_anti").limit(1).count() == 0
-        ):
+        # single convergence action: symmetric difference empty?
+        # (both anti-joins run inside one job; the old shape paid a
+        # count plus a separate anti-join count per iteration)
+        changed = (
+            accepted.join(new_accepted, "src", "left_anti")
+            .unionByName(new_accepted.join(accepted, "src", "left_anti"))
+            .limit(1)
+            .count()
+        )
+        accepted = new_accepted
+        if changed == 0:
             break
-        accepted, n_accepted = new_accepted, new_n
     else:
         raise RuntimeError(
             f"knn degree-gate fixpoint did not converge in {max_iter} "

@@ -33,7 +33,14 @@ def main(argv=None) -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("kg-delete").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("kg-delete")
+        # chunk ids hash a Python-rendered epoch: a non-UTC session
+        # timezone would shift the pandas-naive timestamps the UDF
+        # sees and flip every sha1 chunk id (ADVICE r2)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     from context_aware_rag_spark.deploy import ensure_on_executors

@@ -271,6 +271,45 @@ class TestReviewRegressions:
         assert got == brute
         assert brute, "corpus must contain hamming<=5 pairs"
 
+    def test_minhash_banded_exchange_drops_signature(self, spark):
+        """Round-2 verdict scale item: the ×bands banding self-join must
+        shuffle only (id, band, band_hash); the 64-long signature array
+        re-joins by id AFTER pair dedup, never riding the wide exchange."""
+        df = spark.createDataFrame(
+            [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3} common words here")
+             for i in range(20)],
+            ["doc_id", "text"],
+        )
+        sig = dedup.minhash_signatures(dedup.with_shingles(df, n=3)).select(
+            "doc_id", "signature"
+        ).localCheckpoint()
+        cand = dedup.minhash_lsh_candidates(sig)
+        jvm = spark.sparkContext._jvm
+        plan = cand._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        band_exchanges = [
+            blk for blk in plan.split("\n\n")
+            if ") Exchange" in blk and "hashpartitioning(band" in blk
+        ]
+        assert band_exchanges, "expected banded exchanges in the plan"
+        for blk in band_exchanges:
+            assert "signature" not in blk, blk
+
+    def test_minhash_no_action_before_collect(self, spark):
+        """ADVICE r2: building the candidate plan must not launch jobs
+        (the old bands validation ran .first() on the signature frame)."""
+        df = spark.createDataFrame([(0, "a b c d e"), (1, "a b c d f")],
+                                   ["doc_id", "text"])
+        sig = dedup.minhash_signatures(dedup.with_shingles(df, n=3)).select(
+            "doc_id", "signature"
+        ).localCheckpoint()
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        dedup.minhash_lsh_candidates(sig)  # plan only — no action
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before
+
     def test_simhash_quarter_case_unchanged(self, spark):
         # d=3 must still use 4 blocks of 16 bits (the classic scheme)
         df = spark.createDataFrame(
