@@ -5,8 +5,16 @@ designed so each has an exact ANSI-SQL twin for DuckDB oracle checks.
 
 from __future__ import annotations
 
+# module-top imports: string-annotated pandas UDFs resolve their type
+# hints against the defining module's globals — function-local imports
+# break with UNSUPPORTED_SIGNATURE
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # top English stopwords used by the n-gram-free heuristic language ID
 EN_STOPWORDS = [
@@ -41,6 +49,28 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
         .cast("long")
         .alias("regex_tokens"),
+    )
+
+
+def token_counts_bpe(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """REAL byte-level BPE token counts (functions/bpe.py, vendored
+    merge table) — the pluggable-tokenizer slot upgraded from the
+    chars/4 proxy (VERDICT.md round-2 item 5). Arrow-batched pandas UDF
+    (the merge loop is pure Python, so it runs vectorized per batch,
+    never per-row on the JVM path); the DuckDB twin is a precomputed
+    oracle parquet built by the same tokenizer driver-side."""
+
+    @F.pandas_udf(T.LongType())
+    def _count(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ..functions.bpe import bpe_token_count
+
+        for s in it:
+            yield s.map(bpe_token_count)
+
+    return docs.select(
+        F.col(id_col), _count(F.col(text_col)).alias("bpe_tokens")
     )
 
 

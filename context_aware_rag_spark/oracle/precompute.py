@@ -1,0 +1,400 @@
+"""Precomputed oracle tables for the driver's DuckDB correctness gate.
+
+The kg_* pipeline queries (and the MinHash/SimHash near-dup operators)
+are not expressible in ANSI SQL — but every one of them is
+DETERMINISTIC: the transcripts corpus is seed-per-row synthesized, the
+extractor is rule-based, the hashes are fixed-seed xxhash64, and the
+embedder is sha1-seeded. So their expected outputs can be computed ONCE
+by this module — a straight-line pure-Python implementation, sharing no
+Spark code with the engine (the independent reference-semantics oracle,
+reference_oracle.py, plus the from-scratch XXH64 in xxh64.py) — and
+snapshotted to parquet. The DuckDB twin for each query is then simply
+``SELECT ... FROM read_parquet('oracle_data/sf0.01/<name>.parquet')``,
+which upgrades those queries from rows-only checks to full
+rows+schema+value-hash gates (VERDICT.md round-2 item 1).
+
+Regenerate with ``python tools/gen_oracle_data.py`` (pure Python — no
+Spark session needed); tests/test_precompute_parity.py asserts the
+Spark queries reproduce these tables bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import re
+import unicodedata
+from collections import defaultdict
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from .reference_oracle import run_oracle
+from .xxh64 import MASK, spark_xxhash64_str, xxh64, xxh64_int
+
+# Java regex \s (no UNICODE_CHARACTER_CLASS): exactly these six chars
+_JAVA_WS = " \t\n\x0b\f\r"
+_WS_RUN = re.compile("[" + _JAVA_WS + "]+")
+
+
+def normalize_py(text: str | None) -> str:
+    """Replicates dedup.normalized_text: lower, non-[letter/digit/ws]
+    to space, collapse whitespace runs, trim. Unicode-aware exactly like
+    Java's \\p{L}/\\p{N} (general categories L* and N*)."""
+    out = []
+    for c in (text or "").lower():
+        cat = unicodedata.category(c)
+        if cat[0] in ("L", "N") or c in _JAVA_WS:
+            out.append(c)
+        else:
+            out.append(" ")
+    return _WS_RUN.sub(" ", "".join(out)).strip(" ")
+
+
+def _to_signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _shingles(text: str, n: int) -> List[str]:
+    words = normalize_py(text).split(" ")
+    if len(words) >= n:
+        seen = dict.fromkeys(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        return list(seen)
+    return [" ".join(words)]
+
+
+def minhash_pairs_py(
+    docs: Iterable[Tuple[int, str]],
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> List[Tuple[int, int, float]]:
+    """Independent recomputation of dedup.minhash_dedup: same shingles,
+    same xxhash64(shingle, seed k) signature (the string hash is
+    computed once per shingle, then folded with each INTEGER seed via
+    the 4-byte hashInt path — the exact left-fold Spark's multi-arg
+    xxhash64 performs on a sequence(0, 63) element), same banded
+    candidate generation, same signature-agreement estimate. est is
+    k/num_hashes with num_hashes a power of two, so the double is exact
+    and hash-comparable."""
+    sigs: Dict[int, List[int]] = {}
+    for doc_id, text in docs:
+        base = [xxh64(s.encode("utf-8"), 42) for s in _shingles(text, n)]
+        sig = [
+            min(_to_signed(xxh64_int(k, h)) for h in base)
+            for k in range(num_hashes)
+        ]
+        sigs[int(doc_id)] = sig
+    rows_per_band = num_hashes // bands
+    buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            bh = spark_xxhash64_str(",".join(str(x) for x in chunk))
+            buckets[(b, bh)].append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(pairs):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_hashes
+        if est >= threshold:
+            out.append((a, b, est))
+    return out
+
+
+def simhash_pairs_py(
+    docs: Iterable[Tuple[int, str]], max_hamming: int = 3
+) -> List[Tuple[int, int, int]]:
+    """Independent recomputation of dedup.simhash_near_dups: per-doc
+    64-bit SimHash over distinct normalized tokens, then a complete
+    all-pairs Hamming scan (the engine's d+1-block pigeonhole blocking
+    is complete, so the candidate restriction changes nothing)."""
+    fps: Dict[int, int] = {}
+    jbits = np.arange(64, dtype=np.uint64)
+    for doc_id, text in docs:
+        words = list(dict.fromkeys(normalize_py(text).split(" ")))
+        hs = np.array(
+            [xxh64(w.encode("utf-8"), 42) for w in words], dtype=np.uint64
+        )
+        bits = (hs[:, None] >> jbits) & np.uint64(1)
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - len(hs)
+        fp = 0
+        for j in range(64):
+            if votes[j] > 0:
+                fp |= 1 << j
+        fps[int(doc_id)] = fp
+    ids = sorted(fps)
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = (fps[ids[i]] ^ fps[ids[j]]).bit_count()
+            if h <= max_hamming:
+                out.append((ids[i], ids[j], h))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# kg_* pipeline tables (over the deterministic transcripts corpus)
+# ---------------------------------------------------------------------------
+
+def _canon_of(cmap: Dict[str, str]):
+    return lambda nid: cmap.get(nid, nid)
+
+
+def kg_tables(n_convs: int) -> Dict[str, List[tuple]]:
+    """All kg_* query outputs for a generate_rows(n_convs) corpus."""
+    from ..sources.transcripts import generate_rows
+
+    rows = generate_rows(n_convs)
+    res = run_oracle(rows)
+    res_d = run_oracle(rows, deduplicate_nodes=True)
+    tables: Dict[str, List[tuple]] = {}
+
+    # kg_triples / kg_triples_json_llm: distinct named triples (the
+    # json_llm extraction mode is pytest-proven identical to rule_based)
+    tables["kg_triples"] = sorted(
+        {
+            (t["conv_id"], t["subj_name"], t["subj_type"], t["pred"],
+             t["obj_name"], t["obj_type"])
+            for t in res.triples
+        }
+    )
+
+    # kg_chunk_stats: per-conv chunk aggregates
+    by_conv: Dict[str, list] = defaultdict(list)
+    for c in res.chunks:
+        by_conv[c["conv_id"]].append(c)
+    tables["kg_chunk_stats"] = [
+        (
+            conv,
+            len(cs),
+            max(c["position"] for c in cs),
+            sum(c["length"] for c in cs),
+            max(c["content_offset"] + c["length"] for c in cs),
+        )
+        for conv, cs in sorted(by_conv.items())
+    ]
+
+    # kg_nodes_canonical: build_nodes(mentions, canonical_map) —
+    # name/type of the min mention node_id in the canon group,
+    # mention_chunks = distinct chunk count
+    canon = _canon_of(res_d.canonical_map)
+    groups: Dict[str, list] = defaultdict(list)
+    for m in res_d.mentions:
+        groups[canon(m["node_id"])].append(m)
+    nodes_rows = []
+    for cid, ms in sorted(groups.items()):
+        lead = min(ms, key=lambda m: m["node_id"])
+        nodes_rows.append(
+            (cid, lead["name"], lead["type"] or "Entity",
+             len({m["chunk_id"] for m in ms}))
+        )
+    tables["kg_nodes_canonical"] = nodes_rows
+
+    # kg_canonical_incremental: the incremental update equals the
+    # full-batch transitive closure (pytest-proven) = the oracle map
+    tables["kg_canonical_incremental"] = sorted(
+        (nid, cid) for nid, cid in res_d.canonical_map.items() if nid != cid
+    )
+
+    # kg_nodes_with_tools: source_tools set-union across merged aliases
+    chunk_turns: Dict[str, set] = defaultdict(set)
+    for c in res.chunks:
+        chunk_turns[c["chunk_id"]].add((c["conv_id"], c["turn_idx"]))
+    tool_at = {(r[0], r[1]): r[4] for r in rows if r[4] is not None}
+    node_tools: Dict[str, set] = defaultdict(set)
+    for m in res_d.mentions:
+        for key in chunk_turns[m["chunk_id"]]:
+            t = tool_at.get(key)
+            if t is not None:
+                node_tools[canon(m["node_id"])].add(t)
+    tools_rows = []
+    for cid, ms in sorted(groups.items()):
+        lead = min(ms, key=lambda m: m["node_id"])
+        tools = sorted(node_tools.get(cid, set()))
+        tools_rows.append(
+            (cid, lead["name"], lead["type"] or "Entity",
+             ",".join(tools), len(tools))
+        )
+    tables["kg_nodes_with_tools"] = tools_rows
+
+    # kg_similar_chunk_edges: LSH-banded KNN + sequential degree gate
+    tables["kg_similar_chunk_edges"] = knn_edges_py(res.chunks)
+
+    # a10_tree_summarize over the linked chunks
+    tables["a10_tree_summarize"] = tree_summarize_py(res.chunks)
+
+    # s6_batch_summaries over the raw transcript rows
+    tables["s6_batch_summaries"] = s6_batches_py(rows)
+
+    return tables
+
+
+def tree_summarize_py(
+    chunk_rows: Sequence[dict], cap: int = 500
+) -> List[Tuple[str, str, int]]:
+    """Replicates operators.treeagg.tree_summarize (rank-based pairwise
+    reduce, pass-through singletons, global level counter)."""
+    state: Dict[str, List[Tuple[int, str]]] = defaultdict(list)
+    for c in chunk_rows:
+        state[c["conv_id"]].append((c["position"], c["text"]))
+    state = {g: sorted(v) for g, v in state.items()}
+    level = 0
+    while state and max(len(v) for v in state.values()) > 1:
+        new_state: Dict[str, List[Tuple[int, str]]] = {}
+        for g, items in state.items():
+            if len(items) == 1:
+                new_state[g] = [(0, items[0][1])]
+                continue
+            items = sorted(items)
+            buckets: Dict[int, List[Tuple[int, str]]] = defaultdict(list)
+            for rnk, (_pos, txt) in enumerate(items, start=1):
+                buckets[(rnk - 1) // 2].append((rnk, txt))
+            new_state[g] = [
+                (ppos, " ".join(t for _, t in sorted(buckets[ppos]))[:cap])
+                for ppos in sorted(buckets)
+            ]
+        state = new_state
+        level += 1
+    return [(g, state[g][0][1], level) for g in sorted(state)]
+
+
+def s6_batches_py(
+    rows: Sequence[tuple], batch_size: int = 6, cap: int = 400
+) -> List[Tuple[str, int, str, int, int]]:
+    """Replicates summarize_batches + the s6 query projection:
+    (conv_id, batch_id, summary, n_turns, n_turn_idxs)."""
+    groups: Dict[Tuple[str, int], list] = defaultdict(list)
+    for r in rows:
+        if r[3] == ".":
+            continue
+        groups[(r[0], r[1] // batch_size)].append((r[1], r[3]))
+    out = []
+    for (conv, batch), turns in sorted(groups.items()):
+        turns.sort()
+        batch_text = " ".join(t for _, t in turns)
+        summary = ("[SUM] " + batch_text)[: cap + 6]
+        out.append((conv, batch, summary, len(turns),
+                    len({i for i, _ in turns})))
+    return out
+
+
+def knn_edges_py(
+    chunk_rows: Sequence[dict],
+    min_score: float = 0.8,
+    top_k: int = 6,
+    max_degree: int = 5,
+    dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 4,
+) -> List[Tuple[str, str, float]]:
+    """Replicates similarity.knn_similar_edges over unique chunks: LSH
+    band candidates, einsum scoring, per-src top-k, then the
+    reference-sequential degree gate (the engine's fixpoint is
+    pytest-proven equal to this sequential semantics)."""
+    from ..functions.embedder import hash_embed
+    from ..operators.similarity import _lsh_planes
+
+    uniq: Dict[str, str] = {}
+    for c in chunk_rows:
+        uniq.setdefault(c["chunk_id"], c["text"])
+    ids = list(uniq)
+    embs = hash_embed([uniq[i] for i in ids], dim=dim).astype(np.float32)
+    planes = _lsh_planes(dim, bands * bits_per_band)
+    bits = (embs @ planes.T) > 0
+    buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for row_i in range(len(ids)):
+        for b in range(bands):
+            chunk = bits[row_i, b * bits_per_band : (b + 1) * bits_per_band]
+            val = int(sum(int(v) << i for i, v in enumerate(chunk)))
+            buckets[(b, val)].append(row_i)
+    cand = set()
+    for members in buckets.values():
+        for i, j in itertools.permutations(members, 2):
+            if ids[i] != ids[j]:
+                cand.add((i, j))
+    if not cand:
+        return []
+    cand = sorted(cand)
+    ia = np.array([c[0] for c in cand])
+    ib = np.array([c[1] for c in cand])
+    m64 = embs.astype(np.float64)
+    scores = np.einsum("ij,ij->i", m64[ia], m64[ib])
+    ranked: Dict[str, List[Tuple[str, float]]] = defaultdict(list)
+    for (i, j), sc in zip(cand, scores):
+        if sc >= min_score:
+            ranked[ids[i]].append((ids[j], float(sc)))
+    ranked_rows = []
+    for src in ranked:
+        ranked[src].sort(key=lambda t: (-t[1], t[0]))
+        for dst, sc in ranked[src][:top_k]:
+            ranked_rows.append((src, dst, sc))
+    # sequential reference gate (neo4j_db.py:633-641 semantics)
+    topk: Dict[str, List[Tuple[str, float]]] = defaultdict(list)
+    for src, dst, sc in ranked_rows:
+        topk[src].append((dst, sc))
+    edges: Dict[Tuple[str, str], Tuple[str, str, float]] = {}
+    deg: Dict[str, int] = defaultdict(int)
+    for src in sorted(topk):
+        if deg[src] >= max_degree:
+            continue
+        for dst, sc in topk[src]:
+            key = (min(src, dst), max(src, dst))
+            if key in edges:
+                continue
+            edges[key] = (src, dst, sc)
+            deg[src] += 1
+            deg[dst] += 1
+    return sorted(edges.values())
+
+
+# ---------------------------------------------------------------------------
+# c10_json_repair expected table (over events.parquet)
+# ---------------------------------------------------------------------------
+
+def c10_repair_table(
+    events: Sequence[Tuple[int, str]],
+) -> List[Tuple[int | None, int, int]]:
+    """Replicates the c10_json_repair query's deterministic mangle
+    (JVM-side SQL expressions) + repair + group-by-k aggregation.
+    The repair itself reuses functions.jsonrepair (shared by design —
+    this table pins the Spark DISTRIBUTION of the repair, the repair
+    rules are independently pytest-golden-verified)."""
+    from ..functions.jsonrepair import canonical_json
+
+    agg: Dict[int | None, List[int]] = defaultdict(lambda: [0, 0])
+    for event_id, props in events:
+        m = event_id % 5
+        if m == 0:
+            mangled = "Here is the JSON:\n```json\n" + props + "\n```"
+        elif m == 1:
+            mangled = props.replace('"', "'")
+        elif m == 2:
+            mangled = re.sub(r"\}$", ",}", props)
+        elif m == 3:
+            mangled = props[: max(8, int(len(props) * 0.6))]
+        else:
+            mangled = props.replace("true", "True")
+        fixed = canonical_json(mangled)
+        k = None
+        if fixed is not None:
+            try:
+                obj = json.loads(fixed)
+                if isinstance(obj, dict) and isinstance(obj.get("k"), int):
+                    k = obj["k"]
+            except ValueError:
+                pass
+        agg[k][0] += 1
+        if fixed is None:
+            agg[k][1] += 1
+    return sorted(
+        ((k, n, bad) for k, (n, bad) in agg.items()),
+        key=lambda t: (t[0] is None, t[0]),
+    )

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Generate the precomputed oracle parquet tables under oracle_data/.
+
+Pure Python — no Spark session. Everything is deterministic (seeded
+corpus synthesis, fixed-seed hashing), so the outputs are stable and
+committed; the driver's DuckDB oracle reads them via read_parquet().
+
+Usage: python tools/gen_oracle_data.py [sf_dir ...]
+Defaults to /root/testdata/sf0.01 (the driver's correctness scale).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from context_aware_rag_spark.oracle import precompute  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCHEMAS = {
+    "kg_triples": pa.schema(
+        [("conv_id", pa.string()), ("subj_name", pa.string()),
+         ("subj_type", pa.string()), ("pred", pa.string()),
+         ("obj_name", pa.string()), ("obj_type", pa.string())]
+    ),
+    "kg_chunk_stats": pa.schema(
+        [("conv_id", pa.string()), ("n_chunks", pa.int64()),
+         ("max_position", pa.int32()), ("total_chars", pa.int64()),
+         ("end_offset", pa.int64())]
+    ),
+    "kg_nodes_canonical": pa.schema(
+        [("node_id", pa.string()), ("name", pa.string()),
+         ("type", pa.string()), ("mention_chunks", pa.int64())]
+    ),
+    "kg_canonical_incremental": pa.schema(
+        [("node_id", pa.string()), ("canon_id", pa.string())]
+    ),
+    "kg_nodes_with_tools": pa.schema(
+        [("node_id", pa.string()), ("name", pa.string()),
+         ("type", pa.string()), ("tools", pa.string()),
+         ("n_tools", pa.int32())]
+    ),
+    "kg_similar_chunk_edges": pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("score", pa.float64())]
+    ),
+    "a10_tree_summarize": pa.schema(
+        [("conv_id", pa.string()), ("summary", pa.string()),
+         ("n_levels", pa.int32())]
+    ),
+    "s6_batch_summaries": pa.schema(
+        [("conv_id", pa.string()), ("batch_id", pa.int64()),
+         ("summary", pa.string()), ("n_turns", pa.int64()),
+         ("n_turn_idxs", pa.int32())]
+    ),
+    "minhash_near_dups": pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("est_jaccard", pa.float64())]
+    ),
+    "simhash_near_dups": pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int32())]
+    ),
+    "c10_json_repair": pa.schema(
+        [("k", pa.int32()), ("n", pa.int64()), ("n_unparsed", pa.int64())]
+    ),
+    "token_count_bpe": pa.schema(
+        [("doc_id", pa.int64()), ("bpe_tokens", pa.int64())]
+    ),
+}
+
+
+def write(out_dir: str, name: str, rows: list[tuple]) -> None:
+    schema = SCHEMAS[name]
+    cols = {
+        f.name: [r[i] for r in rows] for i, f in enumerate(schema)
+    }
+    table = pa.table(cols, schema=schema)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {name}: {len(rows)} rows")
+
+
+def n_convs_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    return max(6, int(1200 * sf))
+
+
+def main(sf_dirs: list[str]) -> None:
+    import duckdb
+
+    for sf_dir in sf_dirs:
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = os.path.join(REPO, "oracle_data", tag)
+        print(f"== {tag} -> {out_dir}")
+
+        con = duckdb.connect()
+        docs = con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+            " ORDER BY doc_id"
+        ).fetchall()
+        events = con.execute(
+            f"SELECT event_id, props FROM read_parquet('{sf_dir}/events.parquet')"
+            " ORDER BY event_id"
+        ).fetchall()
+
+        write(out_dir, "minhash_near_dups",
+              precompute.minhash_pairs_py(docs, threshold=0.8))
+        write(out_dir, "simhash_near_dups",
+              precompute.simhash_pairs_py(docs, max_hamming=3))
+        write(out_dir, "c10_json_repair", precompute.c10_repair_table(events))
+
+        from context_aware_rag_spark.functions.bpe import bpe_token_counts
+
+        write(out_dir, "token_count_bpe",
+              [(doc_id, n) for doc_id, n in
+               zip([d[0] for d in docs],
+                   bpe_token_counts([d[1] for d in docs]))])
+
+        kg = precompute.kg_tables(n_convs_for(sf_dir))
+        write(out_dir, "kg_triples", kg["kg_triples"])
+        write(out_dir, "kg_chunk_stats", kg["kg_chunk_stats"])
+        write(out_dir, "kg_nodes_canonical", kg["kg_nodes_canonical"])
+        write(out_dir, "kg_canonical_incremental", kg["kg_canonical_incremental"])
+        write(out_dir, "kg_nodes_with_tools", kg["kg_nodes_with_tools"])
+        write(out_dir, "kg_similar_chunk_edges", kg["kg_similar_chunk_edges"])
+        write(out_dir, "a10_tree_summarize", kg["a10_tree_summarize"])
+        write(out_dir, "s6_batch_summaries", kg["s6_batch_summaries"])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["/root/testdata/sf0.01"])
