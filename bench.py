@@ -2,6 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
 
+Noise discipline (VERDICT r2 item 6): every measurement is taken
+``SPARK_GRAFT_BENCH_ROUNDS`` times (default 3) with the full query list
+INTERLEAVED between rounds — the same protocol bench_scaling.py uses —
+and the reported number is the min across rounds, so co-tenant load on
+a shared box cannot masquerade as a plan regression. The per-round
+samples are included for drift inspection.
+
 The KG pipeline number is the one that matters at 100 TB: it reports
 end-to-end transcripts→triples wall plus triples/sec throughput.
 """
@@ -32,6 +39,7 @@ HEADLINE = [
     "simhash_near_dups",
     "ngram_jaccard_pairs",
     "token_count",
+    "token_count_bpe",
     "quality_scores",
     "ann_cosine_topk",
 ]
@@ -42,13 +50,25 @@ def force(df) -> int:
     return df.count()
 
 
-def drop_persisted(spark) -> None:
+def persisted_ids(spark) -> set[int]:
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(int(it.next()._1()))
+    return ids
+
+
+def drop_persisted(spark, keep: set[int] = frozenset()) -> None:
     """Unpersist leftover localCheckpoint RDDs so one query's cached
-    state doesn't GC-tax the next measurement."""
+    state doesn't GC-tax the next measurement — EXCEPT the pinned kg
+    input checkpoints (``keep``), which later rounds re-read."""
     try:
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():
-            it.next()._2().unpersist(False)
+            entry = it.next()
+            if int(entry._1()) in keep:
+                continue
+            entry._2().unpersist(False)
     except Exception:
         pass
 
@@ -56,6 +76,7 @@ def drop_persisted(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
 
@@ -70,7 +91,10 @@ def main() -> None:
     from context_aware_rag_spark.plans import entry_queries as eq
     from context_aware_rag_spark.plans.pipeline import run_pipeline
 
-    timings: dict[str, float] = {}
+    registry = {**eq.EXTRA_QUERIES, **eq.QUERIES}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for extra in ("kg_pipeline", "kg_pipeline_dedup", "kg_pipeline_10x"):
+        samples[extra] = []
 
     # untimed warm-up: codegen, python worker pool, parquet footer reads,
     # and one full scan of each input table (first-touch costs — cold
@@ -79,61 +103,73 @@ def main() -> None:
     run_pipeline(
         spark, eq.generate_transcripts(spark, 5), PipelineConfig()
     ).triples.count()
-    for warm_q in ("tpch_q1", "token_count", "embedding_norm_stats",
+    for warm_q in ("tpch_q1", "token_count", "token_count_bpe",
                    "w5_topk_per_user"):
-        force(eq.QUERIES[warm_q](spark, sf_dir))
+        force(registry[warm_q](spark, sf_dir))
 
-    # -- relational / training-data headline queries (light, first) -------
-    for name in HEADLINE:
-        fn = eq.QUERIES[name]
-        drop_persisted(spark)
-        t0 = time.monotonic()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
-    drop_persisted(spark)
-
-    # -- KG construction pipeline (the flagship number) -------------------
-    # input materialized first: we time the ENGINE, not the synthesizer
+    # inputs for the KG rounds, materialized once: we time the ENGINE,
+    # not the synthesizer
     transcripts = eq.transcripts_for(spark, sf_dir).localCheckpoint()
     n_turns = transcripts.count()
-
-    t0 = time.monotonic()
-    res = run_pipeline(spark, transcripts, PipelineConfig())
-    n_triples = res.triples.count()
-    kg_wall = time.monotonic() - t0
-    timings["kg_pipeline"] = round(kg_wall, 3)
-
-    t0 = time.monotonic()
-    res_dedup = run_pipeline(
-        spark, transcripts, PipelineConfig(deduplicate_nodes=True)
-    )
-    force(res_dedup.nodes)
-    timings["kg_pipeline_dedup"] = round(time.monotonic() - t0, 3)
-
-    # 10x corpus: amortizes fixed job overhead, the honest throughput number
     from context_aware_rag_spark.sources.transcripts import generate_transcripts
 
     big = generate_transcripts(spark, 10 * eq.n_convs_for(sf_dir)).localCheckpoint()
     n_big_turns = big.count()
-    t0 = time.monotonic()
-    n_big_triples = run_pipeline(spark, big, PipelineConfig()).triples.count()
-    big_wall = time.monotonic() - t0
-    timings["kg_pipeline_10x"] = round(big_wall, 3)
+    keep = persisted_ids(spark)  # pin the two input checkpoints
 
+    kg_counts: dict[str, int] = {}
+    for _round in range(rounds):
+        # -- relational / training-data headline queries ------------------
+        for name in HEADLINE:
+            fn = registry[name]
+            drop_persisted(spark, keep)
+            t0 = time.monotonic()
+            force(fn(spark, sf_dir))
+            samples[name].append(round(time.monotonic() - t0, 3))
+        drop_persisted(spark, keep)
+
+        # -- KG construction pipeline (the flagship numbers) ---------------
+        t0 = time.monotonic()
+        res = run_pipeline(spark, transcripts, PipelineConfig())
+        kg_counts["n_triples"] = res.triples.count()
+        samples["kg_pipeline"].append(round(time.monotonic() - t0, 3))
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        res_dedup = run_pipeline(
+            spark, transcripts, PipelineConfig(deduplicate_nodes=True)
+        )
+        force(res_dedup.nodes)
+        samples["kg_pipeline_dedup"].append(round(time.monotonic() - t0, 3))
+
+        # 10x corpus: amortizes fixed job overhead, the honest throughput
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_big_triples"] = run_pipeline(
+            spark, big, PipelineConfig()
+        ).triples.count()
+        samples["kg_pipeline_10x"].append(round(time.monotonic() - t0, 3))
+        drop_persisted(spark, keep)
+
+    timings = {name: min(vals) for name, vals in samples.items()}
+    kg_wall = timings["kg_pipeline"]
+    big_wall = timings["kg_pipeline_10x"]
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: v for k, v in timings.items()},
+        "samples": samples,
+        "rounds": rounds,
         "sf": sf,
         "kg": {
             "n_turns": n_turns,
-            "n_triples": n_triples,
-            "triples_per_sec": round(n_triples / kg_wall, 1),
+            "n_triples": kg_counts["n_triples"],
+            "triples_per_sec": round(kg_counts["n_triples"] / kg_wall, 1),
             "turns_per_sec": round(n_turns / kg_wall, 1),
             "kg_10x_turns": n_big_turns,
-            "kg_10x_triples_per_sec": round(n_big_triples / big_wall, 1),
+            "kg_10x_triples_per_sec": round(kg_counts["n_big_triples"] / big_wall, 1),
             "kg_10x_turns_per_sec": round(n_big_turns / big_wall, 1),
         },
         "cpus": int(cpus),

@@ -1,6 +1,7 @@
 """Local replica of the driver's correctness gate: run each queries()
 entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
-row count + order-insensitive values.
+row count + order-insensitive values. The EXTRA_QUERIES registry
+(demoted driver entries — the driver caps at 50) is swept identically.
 """
 
 import math
@@ -10,6 +11,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from context_aware_rag_spark.plans import entry_queries as eq
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 TABLES = [
@@ -17,10 +19,16 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-ORACLES = entry_mod.oracle_sql()
-QUERIES = entry_mod.queries()
+ORACLES = {**entry_mod.oracle_sql(), **eq.EXTRA_ORACLES}
+QUERIES = {**entry_mod.queries(), **eq.EXTRA_QUERIES}
 SQL_CHECKED = sorted(ORACLES)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def test_driver_registry_within_cap():
+    # the driver runs at most 50 registered queries (registration
+    # order); every entry must get a CORRECTNESS row
+    assert len(entry_mod.queries()) <= 50
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +77,7 @@ def test_sql_checked_query(spark, duck, name):
     assert s == d, f"{name}: first mismatches {[(s[i], d[i]) for i in mism]}"
 
 
-@pytest.mark.parametrize("name", [n for n in ROWS_ONLY if not n.startswith("kg_")])
+@pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
     assert sdf.columns
