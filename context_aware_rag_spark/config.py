@@ -40,16 +40,19 @@ class PipelineConfig:
     duplicate_score: float = 0.9        # canonicalization threshold (constants.py:43)
     # canonicalization default OFF to match reference defaults
     deduplicate_nodes: bool = False
-    # candidate-pair blocking for canonicalization: "type" = exact
-    # blocked-GEMM all-pairs per type (oracle-parity default, fine to
-    # ~1e5 distinct surface forms per type); "lsh" = sign-random-
+    # candidate-pair blocking for canonicalization: "auto" (default)
+    # counts distinct surface forms and escalates from the exact
+    # blocked GEMM to LSH banding at canonicalize.AUTO_LSH_THRESHOLD
+    # (~1e5, the measured crossover — PLANS.md §7), so the quadratic
+    # plan cannot survive a 100x scale-up by omission. "type" forces
+    # exact GEMM (oracle-parity runs); "lsh" forces sign-random-
     # projection banding — near-linear, the 100 TB path. Canonicalize
     # bands are FINE (8 bands x 16 bits): alias pairs sit at cosine
     # >= 0.98 (per-bit agreement >= 0.982) so recall stays ~0.99998
     # while random vectors spread over 2^16 buckets per band, keeping
     # bucket fan-out ~group-sized. The coarse knn bands (lsh_bands x 4
     # bits) would make buckets corpus/16-sized — quadratic again.
-    canonicalize_blocking: str = "type"
+    canonicalize_blocking: str = "auto"
     canon_lsh_bands: int = 8
     canon_lsh_bits: int = 16
     gemm_blocks: int = 8                # triangle-join blocks for exact GEMM

@@ -22,15 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# exact-GEMM vs LSH crossover, in distinct surface forms (reps): the
+# repo's own measurements (PLANS.md §7 — 20k forms: exact faster;
+# 200k forms: LSH 6.9x vs exact 9.1x wall, closure identical) put the
+# crossover around 1e5; the exact path is O(reps^2 / n_blocks) per
+# type, so beyond this the quadratic term dominates
+AUTO_LSH_THRESHOLD = 100_000
+
 
 def canonicalize_nodes(
     nodes: DataFrame,
     threshold: float,
     embedding_dim: int = 64,
     n_blocks: int = 8,
-    blocking: str = "type",
+    blocking: str = "auto",
     lsh_bands: int = 8,
     lsh_bits_per_band: int = 16,
+    auto_lsh_threshold: int = AUTO_LSH_THRESHOLD,
 ) -> DataFrame:
     """Full canonicalization: nodes(node_id, name, type) -> canonical_map.
 
@@ -44,9 +52,13 @@ def canonicalize_nodes(
     2. similarity pairing + connected components over the
        representatives only (cardinality = distinct surface forms,
        independent of corpus size). ``blocking="type"`` = exact
-       blocked GEMM (parity default); ``blocking="lsh"`` = banded
-       sign-random-projection — near-linear when distinct surface
-       forms per type outgrow exact pairing;
+       blocked GEMM (parity mode, forced); ``blocking="lsh"`` = banded
+       sign-random-projection — near-linear (forced);
+       ``blocking="auto"`` (default) counts the reps — one cheap agg
+       on the already-checkpointed frame — and escalates to LSH at
+       ``auto_lsh_threshold`` distinct forms, so a 100x corpus cannot
+       silently get the quadratic plan because someone forgot a flag
+       (VERDICT r2 scale item 1);
     3. compose node -> rep -> canon with two joins.
 
     Semantics-preserving w.r.t. the transitive closure the oracle
@@ -65,6 +77,8 @@ def canonicalize_nodes(
     rep_nodes = reps.select(
         F.col("rep_id").alias("node_id"), "name", "type"
     )
+    if blocking == "auto":
+        blocking = "lsh" if reps.count() >= auto_lsh_threshold else "type"
     with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
     pairs = similarity_pairs(with_emb, threshold=threshold, blocking=blocking,
                              n_blocks=n_blocks, bands=lsh_bands,

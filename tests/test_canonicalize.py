@@ -223,3 +223,56 @@ def test_resume_idempotent(spark, corpus, dedup_cfg, tmp_path_factory):
         .filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+class TestAutoBlockingEscalation:
+    """VERDICT r2 scale item 1: blocking="auto" must pick the exact GEMM
+    below the rep-count threshold and LSH banding above it, with equal
+    closures either way."""
+
+    @pytest.fixture(scope="class")
+    def nodes(self, spark):
+        rows = []
+        for g in range(8):
+            for a in range(4):  # 4 aliases per group, same surface pool
+                rows.append((f"n{g:02d}-{a}", f"entity {g}", "Person"))
+        return spark.createDataFrame(rows, ["node_id", "name", "type"]).localCheckpoint()
+
+    def _run_capturing(self, monkeypatch, nodes, **kwargs):
+        from context_aware_rag_spark.operators import canonicalize, similarity
+
+        seen = {}
+        real = similarity.similarity_pairs
+
+        def spy(*args, **kw):
+            seen["blocking"] = kw.get("blocking", "type")
+            return real(*args, **kw)
+
+        monkeypatch.setattr(similarity, "similarity_pairs", spy)
+        cmap = canonicalize.canonicalize_nodes(nodes, threshold=0.9, **kwargs)
+        got = {(r["node_id"], r["canon_id"]) for r in cmap.collect()}
+        return seen["blocking"], got
+
+    def test_below_threshold_uses_exact_gemm(self, monkeypatch, nodes):
+        blocking, _ = self._run_capturing(monkeypatch, nodes, blocking="auto")
+        assert blocking == "type"
+
+    def test_above_threshold_escalates_to_lsh(self, monkeypatch, nodes):
+        blocking, _ = self._run_capturing(
+            monkeypatch, nodes, blocking="auto", auto_lsh_threshold=4
+        )
+        assert blocking == "lsh"
+
+    def test_closures_equal_across_escalation(self, monkeypatch, nodes):
+        _, low = self._run_capturing(monkeypatch, nodes, blocking="auto")
+        _, high = self._run_capturing(
+            monkeypatch, nodes, blocking="auto", auto_lsh_threshold=4
+        )
+        assert low == high and low  # same non-empty canonical map
+
+    def test_forced_overrides_still_work(self, monkeypatch, nodes):
+        b1, m1 = self._run_capturing(monkeypatch, nodes, blocking="type",
+                                     auto_lsh_threshold=1)
+        b2, m2 = self._run_capturing(monkeypatch, nodes, blocking="lsh")
+        assert (b1, b2) == ("type", "lsh")
+        assert m1 == m2
