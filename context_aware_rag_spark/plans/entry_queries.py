@@ -1430,15 +1430,21 @@ def c10_json_repair(spark, sf_dir):
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
-           strlen(text)::INT AS n_bytes,
+           CASE WHEN doc_id % 3 = 0
+                THEN (54 + (doc_id % 12 + 4)
+                           * ((3 * (doc_id % 16 + 4) + 3) // 4 * 4))::INT
+                ELSE strlen(text)::INT END AS n_bytes,
            32::INT AS dim
     FROM documents
     """,
 )
 def media_features(spark, sf_dir):
-    """Multimodal plumbing dimensions are SQL-checked (payload byte
-    length, kind routing, feature dim); the feature VALUES come from the
-    stub-gated decode (pytest-verified determinism)."""
+    """Multimodal features: image rows carry REAL synthesized BMP
+    payloads decoded by the pure-numpy codec (histogram features —
+    pytest-verified against known pixels); audio/video stay behind the
+    deterministic stub. SQL-checked: payload byte size (the BMP header
+    + padded-row arithmetic for images, utf-8 length otherwise), kind
+    routing, feature dim."""
     media = multimodal.synthesize_media(spark, load(spark, sf_dir, "documents"))
     feats = multimodal.extract_media_features(media, fake=True)
     return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))
