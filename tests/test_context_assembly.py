@@ -147,10 +147,10 @@ def test_compression_drops_everything_below_threshold(spark):
 def test_pipeline_ep3_deterministic(spark):
     """End-to-end over the synthetic corpus: assembled rows are stable
     across two runs (the driver hash relies on this)."""
-    from context_aware_rag_spark.plans.entry_queries import QUERIES
+    from context_aware_rag_spark.plans.entry_queries import EXTRA_QUERIES
 
-    a = QUERIES["ep3_graph_vector_search"](spark, "/root/testdata/sf0.001")
-    b = QUERIES["ep3_graph_vector_search"](spark, "/root/testdata/sf0.001")
+    a = EXTRA_QUERIES["ep3_graph_vector_search"](spark, "/root/testdata/sf0.001")
+    b = EXTRA_QUERIES["ep3_graph_vector_search"](spark, "/root/testdata/sf0.001")
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb

@@ -146,3 +146,25 @@ def test_timestamp_prefix_python_rounding_parity(spark):
     from context_aware_rag_spark.functions.hashing import chunk_id_py
 
     assert chunks[0]["chunk_id"] == chunk_id_py(want, "convF")
+
+
+class TestComposeEntityText:
+    """C7 in isolation (neo4j_db.py:682: e.name + coalesce(' ' +
+    e.description, '')) — was the one op verified only indirectly."""
+
+    def test_with_and_without_description(self, spark):
+        from context_aware_rag_spark.functions.text import compose_entity_text
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("ada", "a person"), ("bob", None), ("", "desc only")],
+            ["name", "description"],
+        )
+        got = [
+            r["t"]
+            for r in df.select(
+                compose_entity_text(F.col("name"), F.col("description")).alias("t")
+            ).collect()
+        ]
+        # null description coalesces to '' (name alone, no trailing space)
+        assert got == ["ada a person", "bob", " desc only"]
