@@ -173,10 +173,13 @@ def canonicalize_incremental(
     with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
 
     if blocking == "lsh":
+        # narrow banding (see similarity_pairs): the NEW×ALL banded
+        # join shuffles only (node_id, type, band, band_hash);
+        # embeddings re-join by id on the deduped candidate pairs
+        emb_base = with_emb.select("node_id", "type", "embedding").localCheckpoint()
         banded_all = with_lsh_bands(
-            with_emb.select("node_id", "type", "embedding"),
-            embedding_dim, lsh_bands, lsh_bits_per_band,
-        ).localCheckpoint()
+            emb_base, embedding_dim, lsh_bands, lsh_bits_per_band
+        ).select("node_id", "type", "band", "band_hash").localCheckpoint()
         banded_new = banded_all.join(
             new_reps.withColumnRenamed("rep_id", "node_id"), "node_id", "left_semi"
         )
@@ -194,13 +197,19 @@ def canonicalize_incremental(
             .select(
                 F.least("l.node_id", "r.node_id").alias("a"),
                 F.greatest("l.node_id", "r.node_id").alias("b"),
-                F.col("l.embedding").alias("emb_a"),
-                F.col("r.embedding").alias("emb_b"),
             )
             .dropDuplicates(["a", "b"])
         )
+        emb_a = emb_base.select(
+            F.col("node_id").alias("a"), F.col("embedding").alias("emb_a")
+        )
+        emb_b = emb_base.select(
+            F.col("node_id").alias("b"), F.col("embedding").alias("emb_b")
+        )
         touch_new = (
-            cand.withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
+            cand.join(emb_a, "a")
+            .join(emb_b, "b")
+            .withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
             .filter(F.col("score") > threshold)
             .select("a", "b")
         )

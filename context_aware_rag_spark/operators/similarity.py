@@ -203,12 +203,16 @@ def similarity_pairs(
         )
     if blocking != "lsh":
         raise ValueError(f"unknown blocking strategy: {blocking!r}")
-    # materialize the BANDED rows (not just the input) before the
-    # self-join: otherwise the signature pandas UDF + posexplode
-    # re-evaluate on both join branches (stage table at scale)
-    lb = with_lsh_bands(
-        nodes_with_emb.select("node_id", "type", "embedding"),
-        dim, bands, bits_per_band,
+    # materialize the input once (embeddings re-join from here), and
+    # the BANDED rows separately (not just the input: otherwise the
+    # signature pandas UDF + posexplode re-evaluate on both join
+    # branches — stage tables at scale). The banded self-join — the
+    # widest exchange — carries ONLY (node_id, type, band, band_hash):
+    # the dim-long embedding re-joins BY ID after pair dedup, the same
+    # narrow-shuffle discipline as MinHash banding (VERDICT r2 item 4).
+    base = nodes_with_emb.select("node_id", "type", "embedding").localCheckpoint()
+    lb = with_lsh_bands(base, dim, bands, bits_per_band).select(
+        "node_id", "type", "band", "band_hash"
     ).localCheckpoint()
     pairs = (
         lb.alias("l")
@@ -224,13 +228,15 @@ def similarity_pairs(
         .select(
             F.col("l.node_id").alias("a"),
             F.col("r.node_id").alias("b"),
-            F.col("l.embedding").alias("emb_a"),
-            F.col("r.embedding").alias("emb_b"),
         )
         .dropDuplicates(["a", "b"])
     )
+    emb_a = base.select(F.col("node_id").alias("a"), F.col("embedding").alias("emb_a"))
+    emb_b = base.select(F.col("node_id").alias("b"), F.col("embedding").alias("emb_b"))
     return (
-        pairs.withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
+        pairs.join(emb_a, "a")
+        .join(emb_b, "b")
+        .withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("score") > threshold)
         .select("a", "b", "score")
     )
@@ -272,11 +278,15 @@ def knn_similar_edges(
     MERGE-deduped undirected, keeping the row of the first accepting
     source. ``max_degree=None`` disables the gate (raw directed top-k).
     """
-    lb = with_lsh_bands(
-        items_with_emb.select(id_col, "embedding"),
-        dim, bands, bits_per_band,
-    ).localCheckpoint()  # banded rows materialized once, not per join branch
-    cand = (
+    # banded rows materialized once (not per join branch) and NARROW:
+    # the candidate self-join shuffles only (id, band, band_hash);
+    # embeddings re-join by id after pair dedup (narrow-shuffle
+    # discipline — see similarity_pairs)
+    base = items_with_emb.select(id_col, "embedding").localCheckpoint()
+    lb = with_lsh_bands(base, dim, bands, bits_per_band).select(
+        id_col, "band", "band_hash"
+    ).localCheckpoint()
+    cand_ids = (
         lb.alias("l")
         .join(
             lb.alias("r"),
@@ -289,10 +299,14 @@ def knn_similar_edges(
         .select(
             F.col(f"l.{id_col}").alias("src"),
             F.col(f"r.{id_col}").alias("dst"),
-            F.col("l.embedding").alias("emb_a"),
-            F.col("r.embedding").alias("emb_b"),
         )
         .dropDuplicates(["src", "dst"])
+    )
+    emb_src = base.select(F.col(id_col).alias("src"), F.col("embedding").alias("emb_a"))
+    emb_dst = base.select(F.col(id_col).alias("dst"), F.col("embedding").alias("emb_b"))
+    cand = (
+        cand_ids.join(emb_src, "src")
+        .join(emb_dst, "dst")
         .withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("score") >= min_score)
     )

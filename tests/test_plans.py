@@ -66,3 +66,54 @@ def test_documents_projection_pruned(spark):
     read_schema = plan.split("ReadSchema:")[-1]
     assert "text" in read_schema and "doc_id" in read_schema
     assert "source" not in read_schema  # unused metadata column pruned
+
+
+def _formatted_plan(spark, df) -> str:
+    jvm = spark.sparkContext._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _band_exchanges(plan: str) -> list:
+    return [
+        blk for blk in plan.split("\n\n")
+        if ") Exchange" in blk and "hashpartitioning(" in blk and "band" in blk
+    ]
+
+
+def test_lsh_banded_exchanges_exclude_embeddings(spark):
+    """Narrow-shuffle discipline (VERDICT r2 item 4, generalized): every
+    LSH-banded self-join — entity similarity pairs AND the chunk-KNN
+    candidate join — must shuffle only (id[, type], band, band_hash);
+    the dim-long embedding re-joins by id after pair dedup."""
+    from context_aware_rag_spark.operators.similarity import (
+        knn_similar_edges,
+        similarity_pairs,
+        with_entity_embeddings,
+        with_text_embeddings,
+    )
+
+    nodes = spark.createDataFrame(
+        [(f"n{i}", f"entity {i % 5}", "Person") for i in range(30)],
+        ["node_id", "name", "type"],
+    )
+    pairs = similarity_pairs(
+        with_entity_embeddings(nodes), threshold=0.9, blocking="lsh"
+    )
+    blocks = _band_exchanges(_formatted_plan(spark, pairs))
+    assert blocks, "expected banded exchanges in the similarity_pairs plan"
+    for blk in blocks:
+        assert "embedding" not in blk, blk
+
+    chunks = spark.createDataFrame(
+        [(f"c{i}", f"chunk text {i % 7}") for i in range(30)],
+        ["chunk_id", "text"],
+    )
+    ranked = knn_similar_edges(
+        with_text_embeddings(chunks), max_degree=None
+    )
+    blocks = _band_exchanges(_formatted_plan(spark, ranked))
+    assert blocks, "expected banded exchanges in the knn plan"
+    for blk in blocks:
+        assert "embedding" not in blk, blk
