@@ -1,11 +1,14 @@
 """Driver-contract query registry: Spark implementations + DuckDB oracles.
 
-Every SURVEY.md §2 operator family is represented either by a
-SQL-checkable query over the driver's testdata tables (events / orders /
-lineitem / documents / embeddings) or — for pandas-UDF-backed stages the
-oracle SQL cannot express (chunking, extraction, canonicalization,
-MinHash/SimHash, IVF) — by a rows-only KG/pipeline query over the
-deterministic synthesized transcripts corpus.
+Every SURVEY.md §2 operator family is represented by a SQL-checkable
+query: either over the driver's testdata tables (events / orders /
+lineitem / documents / embeddings), or — for pandas-UDF-backed stages
+ANSI SQL cannot express (chunking, extraction, canonicalization,
+MinHash/SimHash) — against PRECOMPUTED pure-Python oracle parquet
+(oracle/precompute.py, snapshotted by tools/gen_oracle_data.py and
+verified bit-exact in tests). Only `ann_ivf_topk` (approximate by
+construction) and `ep3_compressed_context` (retrieval pipeline) remain
+rows-only.
 
 Column names are aliased identically on both sides; floats are rounded
 identically on both sides (the driver hash is exact).
@@ -627,6 +630,40 @@ def token_count_bpe(spark, sf_dir):
     oracle parquet produced by the same pure-Python tokenizer run
     directly over the parquet (tools/gen_oracle_data.py)."""
     return textmetrics.token_counts_bpe(load(spark, sf_dir, "documents"))
+
+
+@xq(
+    "pack_sequences_bins",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS tok
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             coalesce(sum(tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM t)
+    SELECT doc_id, cum_before,
+           (cum_before // 512)::BIGINT AS bin_id,
+           (cum_before % 512)::BIGINT AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences_bins(spark, sf_dir):
+    """Sequence packing (concat-and-chunk layout for training examples)
+    over the regex token counts, 512-token bins — two-phase distributed
+    prefix sum (operators/packing.py), no Exchange SinglePartition; the
+    DuckDB twin is the naive global window cumsum."""
+    from ..operators.packing import pack_sequences
+
+    toks = textmetrics.token_counts(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("regex_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(toks, max_tokens=512, token_col="n_tokens")
+    return packed.select("doc_id", "cum_before", "bin_id", "bin_offset")
 
 
 _STOPS_SQL = "(" + ",".join(f"'{w}'" for w in textmetrics.EN_STOPWORDS) + ")"
