@@ -57,3 +57,57 @@ def test_ingest_delete_query_roundtrip(tmp_path):
     # compression may filter everything for a decorrelated query; for a
     # query that IS a prefix of the context, at least one piece survives
     assert isinstance(comp, list)
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_roundtrip(tmp_path):
+    """The north-rule deployment shape verbatim: `spark-submit
+    --py-files context_aware_rag_spark.zip jobs/ingest_kg.py` in a real
+    spark-submit process (not a python driver), then EP3 retrieval over
+    the produced workdir the same way. Skips when spark-submit is not
+    on this box."""
+    import shutil
+    import zipfile
+
+    submit = shutil.which("spark-submit") or (
+        "/opt/spark/bin/spark-submit"
+        if os.path.exists("/opt/spark/bin/spark-submit")
+        else None
+    )
+    if submit is None:
+        pytest.skip("no spark-submit binary available")
+
+    pkg_zip = str(tmp_path / "context_aware_rag_spark.zip")
+    pkg_dir = os.path.join(REPO, "context_aware_rag_spark")
+    with zipfile.ZipFile(pkg_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    wd = str(tmp_path / "kgwork")
+
+    def run_submit(script, *args):
+        out = subprocess.run(
+            [submit, "--master", "local[8]", "--py-files", pkg_zip,
+             os.path.join(REPO, "jobs", script), *args],
+            capture_output=True, text=True, cwd="/tmp", timeout=480,
+        )
+        assert out.returncode == 0, out.stderr[-3000:]
+        return [json.loads(l) for l in out.stdout.splitlines()
+                if l.startswith("{")]
+
+    ingest = run_submit(
+        "ingest_kg.py", "--synthesize-convs", "20", "--workdir", wd,
+        "--run-id", "s1",
+    )[-1]
+    assert ingest["n_triples"] > 0
+    assert ingest["stages"]["chunks"]["rows"] > 0
+
+    hits = run_submit(
+        "query_kg.py", "--workdir", wd, "--query",
+        "ada lovelace charles babbage collaborated", "--k", "3",
+    )
+    assert 1 <= len(hits) <= 3
+    assert all("score" in h and "text" in h for h in hits)
