@@ -315,6 +315,64 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# substring-level duplication (shared spans)
+# ---------------------------------------------------------------------------
+
+def shared_span_pairs(
+    docs: DataFrame,
+    window: int = 8,
+    every: int = 4,
+    min_shared: int = 1,
+    df_cap: int | None = DEFAULT_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication signal: document pairs sharing
+    >= ``min_shared`` duplicated ``window``-word spans (the span-dedup
+    idea of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", reduced to the winnowing fingerprints the
+    engine already computes).
+
+    Shape: rolling span fingerprints (textmetrics.rolling_fingerprints,
+    pure JVM) → inverted index on the span hash → self-equi-join with
+    a < b → count shared spans per pair. ``df_cap`` drops spans present
+    in more than that many docs (boilerplate headers would otherwise
+    fan out quadratically) — the same skew guard as the n-gram Jaccard
+    index, ON by default.
+    """
+    from .textmetrics import rolling_fingerprints
+
+    fp = rolling_fingerprints(
+        docs, window=window, every=every, id_col=id_col, text_col=text_col
+    )
+    inv = fp.select(F.col(id_col), F.explode("fingerprints").alias("span"))
+    if df_cap is not None:
+        rare = (
+            inv.groupBy("span")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("span")
+        )
+        inv = inv.join(rare, "span", "left_semi")
+    inv = inv.localCheckpoint()
+    l, r = inv.alias("l"), inv.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.span") == F.col("r.span"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_spans"))
+        .filter(F.col("shared_spans") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

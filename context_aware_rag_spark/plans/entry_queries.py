@@ -666,6 +666,35 @@ def pack_sequences_bins(spark, sf_dir):
     return packed.select("doc_id", "cum_before", "bin_id", "bin_offset")
 
 
+@xq(
+    "shared_span_pairs",
+    """
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(words) - 8, 0) + 1, 4),
+               i -> array_to_string(words[i+1:i+8], ' ')))) AS span
+      FROM w),
+    rare AS (SELECT span FROM spans GROUP BY span HAVING count(*) <= 1000),
+    inv AS (SELECT doc_id, span FROM spans
+            WHERE span IN (SELECT span FROM rare))
+    SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS shared_spans
+    FROM inv l JOIN inv r ON l.span = r.span AND l.doc_id < r.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def shared_span_pairs(spark, sf_dir):
+    """Substring-level duplication signal (Lee et al. 2022 span dedup,
+    over the winnowing fingerprints): pairs sharing duplicated 8-word
+    spans. The twin counts shared distinct span STRINGS — identical to
+    shared hashes on this corpus (same injectivity argument as
+    doc_fingerprints)."""
+    return dedup.shared_span_pairs(load(spark, sf_dir, "documents"))
+
+
 _STOPS_SQL = "(" + ",".join(f"'{w}'" for w in textmetrics.EN_STOPWORDS) + ")"
 
 

@@ -317,3 +317,27 @@ class TestReviewRegressions:
         )
         got = dedup.simhash_near_dups(df, max_hamming=3).collect()
         assert [(r["a"], r["b"], r["hamming"]) for r in got] == [(0, 1, 0)]
+
+
+class TestSharedSpans:
+    def test_planted_shared_span(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+        rows = [
+            (0, shared + " unique tail zero zero0 zero1 zero2 zero3 zero4"),
+            (1, shared + " other ending one one1 one2 one3 one4 one5"),
+            (2, "totally different words nothing in common here at all ok"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["a"], r["b"]): r["shared_spans"]
+               for r in dedup.shared_span_pairs(df).collect()}
+        assert (0, 1) in got and got[(0, 1)] >= 1
+        assert not any(2 in k for k in got)
+
+    def test_df_cap_drops_boilerplate_span(self, spark):
+        # the same 8-word header in every doc: capping df kills the pair
+        header = "w1 w2 w3 w4 w5 w6 w7 w8"
+        rows = [(i, header + f" tail{i} a{i} b{i} c{i} d{i} e{i} f{i} g{i}")
+                for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        assert dedup.shared_span_pairs(df, df_cap=5).count() == 0
+        assert dedup.shared_span_pairs(df, df_cap=None).count() == 10 * 9 // 2
