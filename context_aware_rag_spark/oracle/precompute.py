@@ -356,6 +356,74 @@ def knn_edges_py(
 
 
 # ---------------------------------------------------------------------------
+# ANN IVF expected table (over embeddings.parquet)
+# ---------------------------------------------------------------------------
+
+def ivf_topk_py(
+    vectors: Sequence[Tuple[int, Sequence[float]]],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 20000,
+    query_cutoff: int = 5,
+) -> List[Tuple[int, int, float, int]]:
+    """Independent recomputation of the ann_ivf_topk query: same
+    hash-ordered sample (via the XXH64 reimplementation), the same
+    deterministic Lloyd's k-means, the same cell assignment / probe
+    restriction, and cosine scored with the LEFT-TO-RIGHT sequential
+    fold the JVM aggregate uses (bit-identical to round(cosine, 6))."""
+    from .xxh64 import spark_xxhash64_str
+
+    corpus = [(i, np.asarray(v, dtype=np.float32)) for i, v in vectors
+              if i >= query_cutoff]
+    queries = [(i, np.asarray(v, dtype=np.float32)) for i, v in vectors
+               if i < query_cutoff]
+
+    ordered = sorted(corpus, key=lambda t: (spark_xxhash64_str(str(t[0])), t[0]))
+    sample = np.stack([v for _, v in ordered[:sample_size]]).astype(np.float32)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    from ..operators.ann import _kmeans_centroids
+
+    cents = _kmeans_centroids(sample / norms, n_clusters)
+
+    def seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def seq_norm(a) -> float:
+        acc = 0.0
+        for x in a:
+            acc += float(x) * float(x)
+        return acc ** 0.5
+
+    cmat = np.stack([v for _, v in corpus]).astype(np.float32)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0] = 1
+    cells = np.argmax((cmat / cn) @ cents.T, axis=1)
+
+    out: List[Tuple[int, int, float, int]] = []
+    for qid, qv in queries:
+        qn = np.linalg.norm(qv.reshape(1, -1), axis=1, keepdims=True)
+        qn[qn == 0] = 1
+        sims = (qv.reshape(1, -1) / qn) @ cents.T
+        probe = set(np.argsort(-sims, axis=1)[0, :nprobe].tolist())
+        qnorm = seq_norm(qv)
+        scored = []
+        for (cid, cv), cell in zip(corpus, cells):
+            if int(cell) not in probe:
+                continue
+            cos = seq_dot(cv, qv) / (seq_norm(cv) * qnorm)
+            scored.append((cid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (cid, cos) in enumerate(scored[:k], start=1):
+            out.append((qid, cid, round(cos, 6), rank))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # c10_json_repair expected table (over events.parquet)
 # ---------------------------------------------------------------------------
 

@@ -6,9 +6,8 @@ lineitem / documents / embeddings), or — for pandas-UDF-backed stages
 ANSI SQL cannot express (chunking, extraction, canonicalization,
 MinHash/SimHash) — against PRECOMPUTED pure-Python oracle parquet
 (oracle/precompute.py, snapshotted by tools/gen_oracle_data.py and
-verified bit-exact in tests). Only `ann_ivf_topk` (approximate by
-construction) and `ep3_compressed_context` (retrieval pipeline) remain
-rows-only.
+verified bit-exact in tests). Only `ep3_compressed_context`
+(the multi-stage retrieval pipeline) remains rows-only.
 
 Column names are aliased identically on both sides; floats are rounded
 identically on both sides (the driver hash is exact).
@@ -1438,8 +1437,19 @@ def simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@q("ann_ivf_topk")
+@q(
+    "ann_ivf_topk",
+    f"""
+    SELECT query_id, vec_id, cosine, rank
+    FROM read_parquet('{_pq("ann_ivf_topk")}')
+    """,
+)
 def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k — hash-checked against the precomputed
+    pure-Python replication (oracle/precompute.py:ivf_topk_py: same
+    hash-ordered sample via the XXH64 reimplementation, same
+    deterministic k-means, same probe restriction, sequential-fold
+    cosine; verified bit-exact)."""
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 5)
     queries = emb.filter(F.col("vec_id") < 5).select(

@@ -71,6 +71,10 @@ SCHEMAS = {
     "token_count_bpe": pa.schema(
         [("doc_id", pa.int64()), ("bpe_tokens", pa.int64())]
     ),
+    "ann_ivf_topk": pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()),
+         ("cosine", pa.float64()), ("rank", pa.int32())]
+    ),
 }
 
 
@@ -114,6 +118,12 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "simhash_near_dups",
               precompute.simhash_pairs_py(docs, max_hamming=3))
         write(out_dir, "c10_json_repair", precompute.c10_repair_table(events))
+
+        vecs = con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetchall()
+        write(out_dir, "ann_ivf_topk", precompute.ivf_topk_py(vecs))
 
         from context_aware_rag_spark.functions.bpe import bpe_token_counts
 
