@@ -356,6 +356,182 @@ def knn_edges_py(
 
 
 # ---------------------------------------------------------------------------
+# EP3 retrieval + contextual compression expected table
+# ---------------------------------------------------------------------------
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _seq_norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return acc ** 0.5
+
+
+def ep3_compressed_py(n_convs: int) -> List[Tuple[str, str, int, float, int]]:
+    """Independent recomputation of the ep3_compressed_context query:
+    the full EP3 assembly (vector top-5, per-doc entity top-40,
+    band-gated 2-hop expansion, reference text format) followed by
+    contextual compression (splitter 500/10, embedding filter 0.10),
+    with every cosine computed as the LEFT-TO-RIGHT sequential fold the
+    JVM aggregate uses. Returns (source, compressed_text,
+    n_pieces_kept, best_piece_sim, compressed_length)."""
+    from ..functions.embedder import entity_embed, hash_embed
+    from ..functions.splitter import split_text
+    from ..sources.transcripts import generate_rows
+
+    STRUCTURAL = {"PART_OF", "FIRST_CHUNK", "NEXT_CHUNK", "HAS_ENTITY", "SIMILAR"}
+    rows = generate_rows(n_convs)
+    res = run_oracle(rows)
+
+    # unique chunks (dropDuplicates on chunk_id keeps one row; rows with
+    # the same chunk_id are content-identical)
+    uniq: Dict[str, Tuple[str, str]] = {}
+    for c in res.chunks:
+        uniq.setdefault(c["chunk_id"], (c["conv_id"], c["text"]))
+    chunk_ids = sorted(uniq)
+    embs = {
+        cid: hash_embed([uniq[cid][1]], dim=64)[0].astype(np.float32)
+        for cid in chunk_ids
+    }
+
+    # deterministic query vector: embedding of the min chunk_id
+    qvec = [float(x) for x in embs[chunk_ids[0]]]
+    qnorm = _seq_norm(qvec)
+
+    # ---- vector top-k (brute force, k=5) ------------------------------
+    scored = []
+    for cid in chunk_ids:
+        v = embs[cid]
+        cos = _seq_dot(v, qvec) / (_seq_norm(v) * qnorm)
+        scored.append((cid, cos))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    hits = [(cid, round(cos, 6)) for cid, cos in scored[:5]]
+    hit_set = {cid for cid, _ in hits}
+
+    # ---- edges (build_edges dedup on (src, dst, rel_type, conv_id)) ---
+    edge_rows = {
+        (e["src"], e["dst"], e["rel_type"], e["conv_id"]) for e in res.edges
+    }
+    has_ent = {(s, d) for s, d, r, _ in edge_rows if r == "HAS_ENTITY"}
+    pred_edges_all = {
+        (s, d, r) for s, d, r, _ in edge_rows if r not in STRUCTURAL
+    }
+
+    # ---- nodes (build_nodes without canonical map) ---------------------
+    groups: Dict[str, list] = defaultdict(list)
+    for m in res.mentions:
+        groups[m["node_id"]].append(m)
+    node_label: Dict[str, str] = {}
+    node_name: Dict[str, str] = {}
+    for nid, ms in groups.items():
+        lead = min(ms, key=lambda m: m["node_id"])
+        typ = lead["type"] or "Entity"
+        node_label[nid] = f"{typ}:{lead['name']}"
+        node_name[nid] = lead["name"]
+
+    # ---- per-document text block + avg score --------------------------
+    by_conv: Dict[str, list] = defaultdict(list)
+    for cid, sc in hits:
+        conv, text = uniq[cid]
+        by_conv[conv].append((sc, cid, text))
+    doc_text: Dict[str, Tuple[str, float, int]] = {}
+    for conv, items in by_conv.items():
+        items.sort(key=lambda t: (-t[0], t[1], t[2]))
+        block = "\n----\n".join(t for _, _, t in items)
+        score = sum(t[0] for t in items) / len(items)
+        doc_text[conv] = (block, score, len(items))
+
+    # ---- per-document top-40 entities ----------------------------------
+    doc_ents: Dict[str, list] = {}
+    for conv, items in by_conv.items():
+        counts: Dict[str, int] = defaultdict(int)
+        for _, cid, _ in items:
+            for s, d in has_ent:
+                if s == cid:
+                    counts[d] += 1
+        ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:40]
+        doc_ents[conv] = [nid for nid, _ in ranked]
+
+    # ---- band gate [0.3, 0.9) on entity-vs-query cosine ----------------
+    qn = qnorm or 1.0
+    qunit = [x / qn for x in qvec]
+    names_sorted = sorted(node_label)
+    ents_mat = entity_embed([node_name[n] for n in names_sorted], dim=64)
+    in_band = set()
+    for nid, vec in zip(names_sorted, ents_mat.astype(np.float32)):
+        cos = _seq_dot(vec, qunit)
+        if 0.3 <= cos < 0.9:
+            in_band.add(nid)
+    pred_edges = {(s, d, r) for s, d, r in pred_edges_all if d in in_band}
+
+    # ---- per-seed 2-hop expansion --------------------------------------
+    expanded: set = set()  # (seed, src, dst, rel)
+    for conv, seeds in doc_ents.items():
+        frontier = set(seeds)
+        for _hop in (1, 2):
+            step = {(conv, s, d, r) for s, d, r in pred_edges if s in frontier}
+            expanded |= step
+            frontier = {d for _, _, d, _ in step}
+
+    # ---- assembly -------------------------------------------------------
+    ctx_rows = []
+    for conv in doc_text:
+        exp = [(s, d, r) for cv, s, d, r in expanded if cv == conv]
+        rel_lines = sorted(
+            {f"{node_label[s]} {r} {node_label[d]}" for s, d, r in exp}
+        )
+        n_rels = len({(s, d, r) for s, d, r in exp})
+        ent_ids = set(doc_ents.get(conv, []))
+        ent_ids |= {s for s, _, _ in exp} | {d for _, d, _ in exp}
+        ent_labels = sorted({node_label[n] for n in ent_ids if n in node_label})
+        block, score, n_chunks = doc_text[conv]
+        text = (
+            "Text Content:\n" + block
+            + "\n----\nEntities:\n" + "\n".join(ent_labels)
+            + "\n----\nRelationships:\n" + "\n".join(rel_lines)
+        )
+        ctx_rows.append((conv, text, round(score, 6)))
+
+    # ---- compression query vector: first piece of the min source -------
+    ctx_rows.sort(key=lambda t: t[0])
+    seps = ["Text:", "\n\n", "\n", "\n-"]
+    first_piece = split_text(
+        ctx_rows[0][1], chunk_size=500, chunk_overlap=10, separators=seps
+    )[0]
+    q2 = [float(x) for x in hash_embed([first_piece], dim=64)[0].astype(np.float32)]
+    q2n = _seq_norm(q2) or 1.0
+    q2unit = [x / q2n for x in q2]
+
+    out = []
+    for source, text, _score in ctx_rows:
+        pieces = split_text(
+            text, chunk_size=500, chunk_overlap=10, separators=seps
+        )
+        kept = []
+        best = None
+        for idx, piece in enumerate(pieces):
+            v = hash_embed([piece], dim=64)[0].astype(np.float32)
+            sim = _seq_dot(v, q2unit)
+            if sim >= 0.10:
+                kept.append((idx, piece))
+                best = sim if best is None else max(best, sim)
+        if not kept:
+            continue
+        kept.sort()
+        compressed = "\n\n".join(p for _, p in kept)
+        out.append(
+            (source, compressed, len(kept), round(best, 6), len(compressed))
+        )
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
 # ANN IVF expected table (over embeddings.parquet)
 # ---------------------------------------------------------------------------
 

@@ -6,8 +6,8 @@ lineitem / documents / embeddings), or — for pandas-UDF-backed stages
 ANSI SQL cannot express (chunking, extraction, canonicalization,
 MinHash/SimHash) — against PRECOMPUTED pure-Python oracle parquet
 (oracle/precompute.py, snapshotted by tools/gen_oracle_data.py and
-verified bit-exact in tests). Only `ep3_compressed_context`
-(the multi-stage retrieval pipeline) remains rows-only.
+verified bit-exact in tests). ALL 50 driver
+queries are SQL-checked.
 
 Column names are aliased identically on both sides; floats are rounded
 identically on both sides (the driver hash is exact).
@@ -1205,10 +1205,20 @@ def ep3_graph_vector_search(spark, sf_dir):
     )
 
 
-@q("ep3_compressed_context")
+@q(
+    "ep3_compressed_context",
+    f"""
+    SELECT source, compressed_text, n_pieces_kept, best_piece_sim,
+           compressed_length
+    FROM read_parquet('{_pq("ep3_compressed_context")}')
+    """,
+)
 def ep3_compressed_context(spark, sf_dir):
     """EP3 + contextual compression (splitter 500/10 + embedding filter
-    at 0.10 — reference neo4j_db.py:1274-1299)."""
+    at 0.10 — reference neo4j_db.py:1274-1299). Hash-checked against
+    the full pure-Python EP3 replication
+    (oracle/precompute.py:ep3_compressed_py — verified exact, every
+    cosine a sequential fold)."""
     from ..operators import retrieval
 
     from ..functions.embedder import hash_embed

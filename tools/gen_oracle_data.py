@@ -71,6 +71,11 @@ SCHEMAS = {
     "token_count_bpe": pa.schema(
         [("doc_id", pa.int64()), ("bpe_tokens", pa.int64())]
     ),
+    "ep3_compressed_context": pa.schema(
+        [("source", pa.string()), ("compressed_text", pa.string()),
+         ("n_pieces_kept", pa.int64()), ("best_piece_sim", pa.float64()),
+         ("compressed_length", pa.int64())]
+    ),
     "ann_ivf_topk": pa.schema(
         [("query_id", pa.int64()), ("vec_id", pa.int64()),
          ("cosine", pa.float64()), ("rank", pa.int32())]
@@ -141,6 +146,8 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "kg_similar_chunk_edges", kg["kg_similar_chunk_edges"])
         write(out_dir, "a10_tree_summarize", kg["a10_tree_summarize"])
         write(out_dir, "s6_batch_summaries", kg["s6_batch_summaries"])
+        write(out_dir, "ep3_compressed_context",
+              precompute.ep3_compressed_py(n_convs_for(sf_dir)))
 
 
 if __name__ == "__main__":
