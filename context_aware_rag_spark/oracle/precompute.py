@@ -373,14 +373,16 @@ def _seq_norm(a) -> float:
     return acc ** 0.5
 
 
-def ep3_compressed_py(n_convs: int) -> List[Tuple[str, str, int, float, int]]:
+def ep3_tables(n_convs: int) -> Dict[str, List[tuple]]:
     """Independent recomputation of the ep3_compressed_context query:
     the full EP3 assembly (vector top-5, per-doc entity top-40,
     band-gated 2-hop expansion, reference text format) followed by
     contextual compression (splitter 500/10, embedding filter 0.10),
     with every cosine computed as the LEFT-TO-RIGHT sequential fold the
-    JVM aggregate uses. Returns (source, compressed_text,
-    n_pieces_kept, best_piece_sim, compressed_length)."""
+    JVM aggregate uses. Returns both the ASSEMBLED context table
+    (source, text, score, n_chunks, n_entities, n_rels, length) and the
+    COMPRESSED one (source, compressed_text, n_pieces_kept,
+    best_piece_sim, compressed_length)."""
     from ..functions.embedder import entity_embed, hash_embed
     from ..functions.splitter import split_text
     from ..sources.transcripts import generate_rows
@@ -496,7 +498,11 @@ def ep3_compressed_py(n_convs: int) -> List[Tuple[str, str, int, float, int]]:
             + "\n----\nEntities:\n" + "\n".join(ent_labels)
             + "\n----\nRelationships:\n" + "\n".join(rel_lines)
         )
-        ctx_rows.append((conv, text, round(score, 6)))
+        n_entities = len({n for n in ent_ids if n in node_label})
+        ctx_rows.append(
+            (conv, text, round(score, 6), n_chunks, n_entities, n_rels,
+             len(text))
+        )
 
     # ---- compression query vector: first piece of the min source -------
     ctx_rows.sort(key=lambda t: t[0])
@@ -509,7 +515,7 @@ def ep3_compressed_py(n_convs: int) -> List[Tuple[str, str, int, float, int]]:
     q2unit = [x / q2n for x in q2]
 
     out = []
-    for source, text, _score in ctx_rows:
+    for source, text, *_rest in ctx_rows:
         pieces = split_text(
             text, chunk_size=500, chunk_overlap=10, separators=seps
         )
@@ -528,7 +534,7 @@ def ep3_compressed_py(n_convs: int) -> List[Tuple[str, str, int, float, int]]:
         out.append(
             (source, compressed, len(kept), round(best, 6), len(compressed))
         )
-    return sorted(out)
+    return {"assembled": ctx_rows, "compressed": sorted(out)}
 
 
 # ---------------------------------------------------------------------------

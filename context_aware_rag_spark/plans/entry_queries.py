@@ -1192,7 +1192,13 @@ def _ep3_inputs(spark, sf_dir):
     return res, with_emb, qvec
 
 
-@xq("ep3_graph_vector_search")
+@xq(
+    "ep3_graph_vector_search",
+    f"""
+    SELECT source, text, score, n_chunks, n_entities, n_rels, length
+    FROM read_parquet('{_pq("ep3_graph_vector_search")}')
+    """,
+)
 def ep3_graph_vector_search(spark, sf_dir):
     """EP3 end-to-end: assembled per-document context rows (text block +
     sorted entity/relationship lines + avg score), reference

@@ -71,6 +71,12 @@ SCHEMAS = {
     "token_count_bpe": pa.schema(
         [("doc_id", pa.int64()), ("bpe_tokens", pa.int64())]
     ),
+    "ep3_graph_vector_search": pa.schema(
+        [("source", pa.string()), ("text", pa.string()),
+         ("score", pa.float64()), ("n_chunks", pa.int64()),
+         ("n_entities", pa.int64()), ("n_rels", pa.int64()),
+         ("length", pa.int64())]
+    ),
     "ep3_compressed_context": pa.schema(
         [("source", pa.string()), ("compressed_text", pa.string()),
          ("n_pieces_kept", pa.int64()), ("best_piece_sim", pa.float64()),
@@ -146,8 +152,9 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "kg_similar_chunk_edges", kg["kg_similar_chunk_edges"])
         write(out_dir, "a10_tree_summarize", kg["a10_tree_summarize"])
         write(out_dir, "s6_batch_summaries", kg["s6_batch_summaries"])
-        write(out_dir, "ep3_compressed_context",
-              precompute.ep3_compressed_py(n_convs_for(sf_dir)))
+        ep3 = precompute.ep3_tables(n_convs_for(sf_dir))
+        write(out_dir, "ep3_graph_vector_search", ep3["assembled"])
+        write(out_dir, "ep3_compressed_context", ep3["compressed"])
 
 
 if __name__ == "__main__":
