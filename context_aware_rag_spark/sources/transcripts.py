@@ -111,7 +111,12 @@ def turn_row(conv_i: int, turn_idx: int) -> Tuple[str, int, str, str, str, datet
     rng = _rng(conv_i, turn_idx, "meta")
     role = _ROLES[turn_idx % 2] if rng.random() < 0.9 else _ROLES[int(rng.integers(0, 4))]
     tool = _TOOLS[int(rng.integers(0, 4))] if role == "tool" else None
-    ts = _EPOCH + timedelta(seconds=conv_i * 86400 + turn_idx * 7)
+    # day wraps at 100 years: a conv_i-days offset unbounded would pass
+    # pandas' datetime64[ns] ceiling (year 2262) beyond ~86k convs and
+    # crash every Arrow conversion — real transcripts span years, not
+    # centuries. Identity for conv_i < 36500, so every correctness-scale
+    # corpus (and its hashed ids) is unchanged.
+    ts = _EPOCH + timedelta(seconds=(conv_i % 36500) * 86400 + turn_idx * 7)
     return (
         f"conv{conv_i:05d}",
         turn_idx,
