@@ -512,3 +512,58 @@ def simhash_near_dups(
     return cand.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-family clustering + keeper election
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS (from any candidate generator —
+    MinHash, SimHash, n-gram Jaccard, embedding cosine) into duplicate
+    FAMILIES via connected components, then elect exactly one keeper
+    per family: the longest document, ties broken by smallest id (the
+    "keep one representative per cluster" step of Lee et al. 2022 /
+    SlimPajama-style dedup; the reference merges duplicate entities the
+    same way via CC over similarity edges, graph_rag/base.py:319-360).
+
+    Returns (id_col, cluster_id, is_keeper) for EVERY input document;
+    docs in no pair are singleton families (cluster_id = own id,
+    is_keeper = true).
+
+    Distributed shape: CC iterates only over the pair graph (tiny
+    vs the corpus — near-dup pairs, not documents); the corpus joins
+    the resulting label map once (left join, broadcast-able since the
+    map is bounded by 2x pair count), and keeper election is a single
+    window shuffle on cluster_id whose skew is bounded by the largest
+    duplicate family, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    from .canonicalize import connected_components
+
+    cc = connected_components(pairs.select("a", "b")).withColumnRenamed(
+        "node_id", id_col
+    )
+    labeled = (
+        docs.select(F.col(id_col), F.length(text_col).alias("_len"))
+        .join(cc, id_col, "left")
+        .select(
+            id_col,
+            "_len",
+            F.coalesce(F.col("canon_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )

@@ -173,6 +173,124 @@ def language_id_ngram(
     )
 
 
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, word-level):
+    per document, the fraction of word ``n``-grams that are duplicated
+    (``dup_gram_frac``) and the fraction claimed by the single most
+    frequent ``n``-gram (``top_gram_frac``). High values flag boilerplate
+    / degenerate repetition for training-data culling.
+
+    Distributed shape: explode n-grams → partial-agg count on
+    (doc, gram) → final agg on doc. Both aggregations map-side combine;
+    the only shuffle keys on (doc, gram), so skew is bounded by the
+    document length cap, not corpus size. Docs with fewer than ``n``
+    words emit no n-grams and are absent from the output (same on the
+    DuckDB twin).
+    """
+    words = _words(F.col(text_col))
+    # guard the sequence: sequence(1, 0) is DESCENDING [1, 0], not empty
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt")
+    return counts.groupBy(id_col).agg(
+        total.cast("long").alias("n_grams"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)) / total, 6
+        ).alias("dup_gram_frac"),
+        F.round(F.max("cnt") / total, 6).alias("top_gram_frac"),
+    )
+
+
+# PII patterns shared verbatim with the DuckDB oracle twins — restricted
+# to the Java-regex ∩ RE2 dialect (no lookarounds, no backrefs)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C4/Dolma-style PII redaction: replace emails / NANP-style phone
+    numbers / IPv4 addresses with typed placeholder tokens and report
+    per-document match counts (counted on the ORIGINAL text, so
+    overlapping rewrites can't hide matches).
+
+    Pure JVM regexp_replace / regexp_extract_all — narrow, no shuffle,
+    whole-stage codegen; scales as a map over the corpus.
+    """
+    text = F.col(text_col)
+
+    def _n(pat: str):
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("long")
+
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        _n(PII_EMAIL_RE).alias("n_emails"),
+        _n(PII_PHONE_RE).alias("n_phones"),
+        _n(PII_IP_RE).alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation, have at least
+    ``min_words_per_line`` words, and don't mention "javascript"; drop
+    whole pages containing "lorem ipsum" or a curly brace, or whose
+    kept-line count falls below ``min_kept_lines``.
+
+    Returns (id, n_lines, n_kept, cleaned) for SURVIVING docs only.
+    Pure JVM higher-order array functions over a line split — a narrow
+    map + filter with no shuffle; scales as a single pass over the
+    corpus with full predicate pushdown upstream.
+    """
+    lines = F.transform(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+    )
+    kept = F.filter(
+        lines,
+        lambda l: (
+            l.rlike(r'[.!?"]$')
+            & (F.size(F.split(l, r"\s+")) >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    page_bad = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("cleaned"),
+            page_bad.alias("_bad"),
+        )
+        .filter(~F.col("_bad") & (F.col("n_kept") >= min_kept_lines))
+        .drop("_bad")
+    )
+
+
 def rolling_fingerprints(
     docs: DataFrame,
     window: int = 8,

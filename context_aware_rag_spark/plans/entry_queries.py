@@ -633,7 +633,7 @@ def token_count_bpe(spark, sf_dir):
 
 @xq(
     "pack_sequences_bins",
-    """
+    r"""
     WITH t AS (
       SELECT doc_id,
              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
@@ -667,7 +667,7 @@ def pack_sequences_bins(spark, sf_dir):
 
 @xq(
     "shared_span_pairs",
-    """
+    r"""
     WITH w AS (SELECT doc_id,
                       regexp_split_to_array(lower(trim(text)), '\s+') AS words
                FROM documents),
@@ -818,6 +818,191 @@ def doc_fingerprints(spark, sf_dir):
     the oracle counts distinct span STRINGS."""
     fp = textmetrics.rolling_fingerprints(load(spark, sf_dir, "documents"))
     return fp.select("doc_id", F.col("n_fingerprints").cast("long"))
+
+
+@xq(
+    "repetition_signals",
+    """
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i+1])) AS gram
+          FROM w WHERE len(words) >= 2),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(cnt)::BIGINT AS n_grams,
+           round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / sum(cnt), 6)
+             AS dup_gram_frac,
+           round(max(cnt) / sum(cnt), 6) AS top_gram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_signals(spark, sf_dir):
+    """Gopher repetition filters (duplicate / top word-bigram char-free
+    fractions) — training-data culling signal over documents."""
+    return textmetrics.repetition_signals(load(spark, sf_dir, "documents"))
+
+
+# PII is planted deterministically from doc_id in BOTH twins so the
+# scrub demonstrably rewrites text (the synthetic corpus itself has no
+# emails/phones/IPs); patterns are interpolated from the shared module
+# constants so the two sides can never drift.
+_PII_PLANT_SQL = (
+    "SELECT doc_id, text || ' contact u' || doc_id::VARCHAR"
+    " || '@example.com tel 415-555-'"
+    " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS text"
+    " FROM documents"
+)
+
+
+@xq(
+    "pii_scrub",
+    "WITH planted AS (" + _PII_PLANT_SQL + ")\n"
+    "SELECT doc_id,\n"
+    "  len(regexp_extract_all(text, '" + textmetrics.PII_EMAIL_RE + "'))::BIGINT AS n_emails,\n"
+    "  len(regexp_extract_all(text, '" + textmetrics.PII_PHONE_RE + "'))::BIGINT AS n_phones,\n"
+    "  len(regexp_extract_all(text, '" + textmetrics.PII_IP_RE + "'))::BIGINT AS n_ips,\n"
+    "  regexp_replace(regexp_replace(regexp_replace(text,\n"
+    "      '" + textmetrics.PII_EMAIL_RE + "', '<EMAIL>', 'g'),\n"
+    "      '" + textmetrics.PII_PHONE_RE + "', '<PHONE>', 'g'),\n"
+    "      '" + textmetrics.PII_IP_RE + "', '<IP>', 'g') AS scrubbed\n"
+    "FROM planted",
+)
+def pii_scrub(spark, sf_dir):
+    """C4/Dolma-style PII redaction over documents with deterministic
+    planted PII (email + phone + IPv4 derived from doc_id); the twin
+    plants identically and scrubs with the same RE2∩Java patterns."""
+    planted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return textmetrics.pii_scrub(planted)
+
+
+@xq(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ),
+    p AS (
+      SELECT a, b
+      FROM inter
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = a
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    lab AS (SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                   length(d.text) AS l
+            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+    SELECT doc_id, cluster_id,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY l DESC, doc_id ASC)) = 1 AS is_keeper
+    FROM lab
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Duplicate-family clustering: connected components over the
+    n-gram-Jaccard near-dup pairs, one keeper per family (longest text,
+    ties -> smallest id); the twin recomputes the closure with a
+    recursive min-label CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+# Line structure is planted deterministically from doc_id in BOTH twins
+# (the synthetic corpus is single-line): one keepable sentence, one
+# too-short line, one javascript line, and — for doc_id % 7 == 0 /
+# % 11 == 0 — a lorem-ipsum / curly-brace page-kill line.
+_C4_PLANT_SQL = (
+    "SELECT doc_id, text"
+    " || chr(10) || 'Document ' || doc_id::VARCHAR || ' has useful content here.'"
+    " || chr(10) || 'Too short.'"
+    " || chr(10) || 'please enable javascript to view.'"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'config { x }' ELSE '' END"
+    " AS text FROM documents"
+)
+
+
+@xq(
+    "c4_line_filter",
+    "WITH planted AS (" + _C4_PLANT_SQL + "),\n"
+    r"""
+    l AS (SELECT doc_id, text,
+                 list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+          FROM planted),
+    k AS (SELECT doc_id, text, lines,
+                 list_filter(lines, x ->
+                   regexp_matches(x, '[.!?"]$')
+                   AND len(regexp_split_to_array(x, '\s+')) >= 3
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM l)
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept,
+           array_to_string(kept, chr(10)) AS cleaned
+    FROM k
+    WHERE NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(text, '{')
+      AND len(kept) >= 1
+    """,
+)
+def c4_line_filter_q(spark, sf_dir):
+    """C4 line-level cleaning over documents with deterministically
+    planted line structure; the twin plants identically and applies the
+    same keep/kill rules with DuckDB list functions."""
+    planted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nDocument "),
+            F.col("doc_id").cast("string"),
+            F.lit(" has useful content here."),
+            F.lit("\nToo short."),
+            F.lit("\nplease enable javascript to view."),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\nconfig { x }")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textmetrics.c4_line_filter(planted)
 
 
 @q(

@@ -341,3 +341,45 @@ class TestSharedSpans:
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         assert dedup.shared_span_pairs(df, df_cap=5).count() == 0
         assert dedup.shared_span_pairs(df, df_cap=None).count() == 10 * 9 // 2
+
+
+# ---------------------------------------------------------------------------
+# duplicate-family clustering + keeper election
+# ---------------------------------------------------------------------------
+
+
+class TestDedupClusters:
+    def test_families_and_keepers(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "aa"),
+                (2, "bbbbb"),   # longest in family {1,2,3} -> keeper
+                (3, "cc"),
+                (4, "solo"),    # in no pair -> singleton keeper
+                (5, "xx"),      # ties with 6 on length -> smaller id wins
+                (6, "yy"),
+            ],
+            ["doc_id", "text"],
+        )
+        # transitive chain 1-2, 2-3 must land in ONE family
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["a", "b"])
+        rows = {r["doc_id"]: r for r in dedup.dedup_clusters(docs, pairs).collect()}
+        assert len(rows) == 6  # every doc labeled exactly once
+        assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+        assert rows[5]["cluster_id"] == rows[6]["cluster_id"] == 5
+        assert rows[4]["cluster_id"] == 4
+        keepers = {i for i, r in rows.items() if r["is_keeper"]}
+        assert keepers == {2, 4, 5}
+
+    def test_exactly_one_keeper_per_family(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t" * (i % 3 + 1)) for i in range(20)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 18, 2)], ["a", "b"]
+        )
+        out = dedup.dedup_clusters(docs, pairs)
+        per = out.groupBy("cluster_id").agg(
+            F.sum(F.col("is_keeper").cast("int")).alias("k")
+        )
+        assert per.filter(F.col("k") != 1).count() == 0

@@ -49,3 +49,106 @@ def test_resize_plan_clamps_and_never_upscales(spark):
     # small image (64+0=64 wide, 48 tall) is NOT upscaled
     assert plans[0]["scale"] == 1.0
     assert plans[0]["dst_w"] == plans[0]["src_w"]
+
+
+def test_repetition_signals_hand_computed(spark):
+    from context_aware_rag_spark.operators.textmetrics import repetition_signals
+
+    rows = [
+        # bigrams: "a b","b a","a b" -> 3 grams, "a b"x2 dup
+        (1, "a b a b"),
+        # all bigrams distinct
+        (2, "w x y z"),
+        # fully degenerate: "r r" x4
+        (3, "r r r r r"),
+        (4, "solo"),       # < 2 words: no output row
+        (5, ""),           # empty: no output row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_grams"] == 3
+    assert got[1]["dup_gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[1]["top_gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2]["n_grams"] == 3
+    assert got[2]["dup_gram_frac"] == 0.0
+    assert got[2]["top_gram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["n_grams"] == 4
+    assert got[3]["dup_gram_frac"] == 1.0
+    assert got[3]["top_gram_frac"] == 1.0
+
+
+def test_repetition_signals_trigram_mode(spark):
+    from context_aware_rag_spark.operators.textmetrics import repetition_signals
+
+    df = spark.createDataFrame([(1, "a b c a b c a b"), (2, "a b c")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_signals(df, n=3).collect()}
+    # doc1 trigrams: abc, bca, cab, abc, bca, cab -> all 6 duplicated
+    assert got[1]["n_grams"] == 6
+    assert got[1]["dup_gram_frac"] == 1.0
+    assert got[1]["top_gram_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    # doc2: exactly one trigram
+    assert got[2]["n_grams"] == 1
+    assert got[2]["dup_gram_frac"] == 0.0
+    assert got[2]["top_gram_frac"] == 1.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from context_aware_rag_spark.operators.textmetrics import pii_scrub
+
+    rows = [
+        (1, "mail alice.b-1@sub.example.org now"),
+        (2, "call 415-555-0042 or 212-555-9999"),
+        (3, "host 192.168.1.254 up"),
+        (4, "a@b.co 10.0.0.1 650-555-1234 mixed"),
+        (5, "clean text with no pii at all"),
+        (6, "not-a-phone 1234-555-0000 and not-an-ip 1.2.3.4.5"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["scrubbed"]) == (1, "mail <EMAIL> now")
+    assert got[2]["n_phones"] == 2
+    assert got[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert (got[3]["n_ips"], got[3]["scrubbed"]) == (1, "host <IP> up")
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+    assert got[4]["scrubbed"] == "<EMAIL> <IP> <PHONE> mixed"
+    assert (got[5]["n_emails"], got[5]["n_phones"], got[5]["n_ips"]) == (0, 0, 0)
+    assert got[5]["scrubbed"] == rows[4][1]
+    # \b guards: 4-digit prefix blocks the phone; 5-dotted run still
+    # contains a legal leading 4-dotted IPv4 match (documented greedy-left)
+    assert got[6]["n_phones"] == 0
+    assert got[6]["n_ips"] == 1
+
+
+def test_c4_line_filter_rules(spark):
+    from context_aware_rag_spark.operators.textmetrics import c4_line_filter
+
+    rows = [
+        # keepable sentence + non-terminal line + short line + js line
+        (1, "The quick brown fox jumps high.\nno terminal punct here\nToo short.\nenable JavaScript now please."),
+        # page kills: lorem ipsum / curly brace
+        (2, "A fine long sentence right here.\nlorem ipsum dolor sit amet."),
+        (3, "A fine long sentence right here.\nvar x = { a: 1 }"),
+        # question + exclamation + quote terminals all count
+        (4, 'Is this a real question?\nWhat a great day indeed!\nHe said "stop right there."'),
+        # nothing survives -> doc absent
+        (5, "word\nanother word"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["n_kept"] == 1
+    assert got[1]["cleaned"] == "The quick brown fox jumps high."
+    assert got[4]["n_kept"] == 3
+    assert got[4]["cleaned"] == rows[3][1]
+
+
+def test_c4_line_filter_min_kept_threshold(spark):
+    from context_aware_rag_spark.operators.textmetrics import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "Only one good sentence here.\nbad line")], ["doc_id", "text"]
+    )
+    assert c4_line_filter(df, min_kept_lines=2).count() == 0
+    assert c4_line_filter(df, min_kept_lines=1).count() == 1
