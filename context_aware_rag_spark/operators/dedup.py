@@ -567,3 +567,51 @@ def dedup_clusters(
         F.col("cluster_id"),
         (F.row_number().over(w) == 1).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style eval-set decontamination (Brown et al. 2020 App. C):
+    flag training documents that share any normalized word ``n``-gram
+    with a benchmark / eval corpus. Returns (id_col,
+    n_contaminated_grams) for FLAGGED docs only — the count is over the
+    doc's DISTINCT shared grams.
+
+    Distributed shape: both sides normalize (lower / strip punct /
+    collapse whitespace) and shingle into word n-grams; the benchmark
+    side is distinct-ed and BROADCAST (eval sets are thousands of rows,
+    never corpus-scale), so the corpus pays one narrow scan + a
+    broadcast-hash join + a map-side-combined count — no wide shuffle
+    at any size.
+    """
+    def grams_col(tcol: str):
+        words = F.split(normalized_text(F.col(tcol)), " ")
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = benchmark.select(
+        F.explode(grams_col(bench_text_col)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams_col(text_col))).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams"))
+    )

@@ -1005,6 +1005,39 @@ def c4_line_filter_q(spark, sf_dir):
     return textmetrics.c4_line_filter(planted)
 
 
+@xq(
+    "decontaminate",
+    f"""
+    WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+                  FROM documents),
+    bench AS (SELECT DISTINCT array_to_string(words[5:12], ' ') AS gram
+              FROM norm WHERE doc_id % 10 = 0 AND len(words) >= 12),
+    g AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(words) >= 8
+                   THEN list_transform(range(1, len(words) - 6),
+                        i -> array_to_string(words[i:i+7], ' '))
+                   ELSE [] END) AS grams
+          FROM norm),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+    SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams
+    FROM dg JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_q(spark, sf_dir):
+    """Eval-set decontamination with a benchmark planted from the corpus
+    itself (words 5-12 of every 10th doc as one 8-gram "eval question");
+    the twin plants and shingles identically, so both sides must flag
+    the same docs with the same distinct-gram counts."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalized_text(F.col("text")), " ")
+    bench = (
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.size(words) >= 12))
+        .select(F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"))
+    )
+    return dedup.decontaminate(docs, bench, n=8)
+
+
 @q(
     "ann_cosine_topk",
     """

@@ -383,3 +383,43 @@ class TestDedupClusters:
             F.sum(F.col("is_keeper").cast("int")).alias("k")
         )
         assert per.filter(F.col("k") != 1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+class TestDecontaminate:
+    def test_flags_only_overlapping_docs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # contains the benchmark 4-gram verbatim
+                (1, "intro words the quick brown fox jumps outro"),
+                # same 4-gram but split by punctuation -> normalization
+                # strips it and the gram STILL matches
+                (2, "the quick, brown fox!! and more padding here"),
+                # no overlap
+                (3, "completely unrelated content with many words"),
+                # shares the gram TWICE but must count once (distinct)
+                (4, "the quick brown fox again the quick brown fox"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [("The Quick Brown Fox",)], ["text"]
+        )
+        got = {
+            r["doc_id"]: r["n_contaminated_grams"]
+            for r in dedup.decontaminate(docs, bench, n=4).collect()
+        }
+        assert got == {1: 1, 2: 1, 4: 1}
+
+    def test_short_docs_and_empty_benchmark(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "a b c d e")], ["doc_id", "text"]
+        )
+        bench = spark.createDataFrame([("x y z w",)], ["text"])
+        assert dedup.decontaminate(docs, bench, n=4).count() == 0
+        empty_bench = bench.filter(F.lit(False))
+        assert dedup.decontaminate(docs, empty_bench, n=4).count() == 0
