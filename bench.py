@@ -107,6 +107,12 @@ def main() -> None:
                    "w5_topk_per_user"):
         force(registry[warm_q](spark, sf_dir))
 
+    # evict the warm-up's own checkpoints BEFORE capturing the pin set —
+    # otherwise every warm-up RDD rides in `keep` and stays cached for
+    # the whole multi-round bench, exactly the GC tax drop_persisted
+    # is there to prevent
+    drop_persisted(spark)
+
     # inputs for the KG rounds, materialized once: we time the ENGINE,
     # not the synthesizer
     transcripts = eq.transcripts_for(spark, sf_dir).localCheckpoint()

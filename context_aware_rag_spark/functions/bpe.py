@@ -27,7 +27,15 @@ from typing import Dict, List, Sequence, Tuple
 
 from .bpe_merges import MERGES
 
-_PRETOKEN = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+# THE canonical pre-tokenizer pattern (letter runs | digit runs |
+# single punctuation). Defined here — a pyspark-free module — and
+# imported by operators.textmetrics (JVM regexp twin + SQL oracles)
+# and tools/gen_bpe_vocab.py, so the three consumers can never drift:
+# a desynchronized copy would silently split BPE counts from both the
+# regex-token oracle and the vendored merge table.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+_PRETOKEN = re.compile(BPE_TOKEN_RE)
 
 _RANK: Dict[Tuple[bytes, bytes], int] = {
     pair: i for i, pair in enumerate(MERGES)

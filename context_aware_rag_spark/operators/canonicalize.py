@@ -110,6 +110,7 @@ def canonicalize_incremental(
     lsh_bands: int = 8,
     lsh_bits_per_band: int = 16,
     n_blocks: int = 8,
+    auto_lsh_threshold: int = AUTO_LSH_THRESHOLD,
 ) -> DataFrame:
     """Incremental canonicalization: fold NEW nodes into an existing
     canonical map without re-pairing the whole corpus (the reference's
@@ -171,6 +172,12 @@ def canonicalize_incremental(
     )
     rep_nodes = reps.select(F.col("rep_id").alias("node_id"), "name", "type")
     with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
+
+    # accept the same blocking vocabulary as canonicalize_nodes — the
+    # config default is "auto", and passing it through to
+    # similarity_pairs would raise
+    if blocking == "auto":
+        blocking = "lsh" if reps.count() >= auto_lsh_threshold else "type"
 
     if blocking == "lsh":
         # narrow banding (see similarity_pairs): the NEW×ALL banded

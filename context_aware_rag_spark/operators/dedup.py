@@ -141,6 +141,10 @@ def minhash_lsh_candidates(
     static parameter, validated without touching the data: bands >
     num_hashes would make every band hash empty and degenerate the join
     to all-pairs; a non-divisor would silently ignore trailing hashes).
+    That the FRAME actually carries ``num_hashes``-long signatures is
+    enforced lazily in-plan (per-row ``assert_true``, no driver action)
+    so a mismatched signatures frame fails loudly instead of silently
+    halving recall / inflating est_jaccard.
     """
     if bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
@@ -148,6 +152,16 @@ def minhash_lsh_candidates(
             "bands > num_hashes degenerates the banding join to all-pairs"
         )
     rows_per_band = num_hashes // bands
+    signatures = signatures.filter(
+        F.assert_true(
+            F.size("signature") == F.lit(num_hashes),
+            F.concat(
+                F.lit("minhash_lsh_candidates: signature length "),
+                F.size("signature").cast("string"),
+                F.lit(f" does not match num_hashes={num_hashes}"),
+            ),
+        ).isNull()
+    )
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(

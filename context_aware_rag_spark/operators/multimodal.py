@@ -129,14 +129,27 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> np.ndarray:
     sha1-seeded double (stable across executors/runs, suitable for
     plumbing tests); otherwise NotImplementedError (JPEG/PNG/audio
     codecs are not in this container).
+
+    The two-byte magic sniff can false-positive (any text payload
+    starting "BM"/"P6"), so under ``fake=True`` a payload that fails to
+    DECODE falls back to the deterministic double instead of killing
+    the stage; with ``fake=False`` decode errors propagate (strict
+    mode stays honest about undecodable bytes).
     """
     feats = []
     for p in payloads:
         b = bytes(p) if p is not None else b""
-        if b[:2] == b"BM":
-            feats.append(_histogram_feature(decode_bmp(b)))
-        elif b[:2] == b"P6":
-            feats.append(_histogram_feature(decode_ppm(b)))
+        decoded = None
+        try:
+            if b[:2] == b"BM":
+                decoded = decode_bmp(b)
+            elif b[:2] == b"P6":
+                decoded = decode_ppm(b)
+        except Exception:
+            if not fake:
+                raise
+        if decoded is not None:
+            feats.append(_histogram_feature(decoded))
         elif fake:
             seed = int.from_bytes(hashlib.sha1(b).digest()[:8], "big")
             rng = np.random.default_rng(seed)

@@ -38,6 +38,9 @@ def pack_sequences(
     Row-identical to ``sum() OVER (ORDER BY ...)`` (tested) but with no
     Exchange SinglePartition in the plan.
     """
+    if max_tokens < 1:
+        # with ANSI off, /0 and %0 yield silent null bin ids downstream
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     order_cols = order_cols or ["doc_id"]
     spark = docs.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism

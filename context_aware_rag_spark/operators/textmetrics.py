@@ -29,8 +29,10 @@ def _words(text_col):
 
 # BPE-ish pre-tokenizer: word pieces, digit runs, and individual
 # punctuation — the GPT-2-style regex shape (letters | numbers | other),
-# minus the lookaheads JVM regex shares with DuckDB
-BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# minus the lookaheads JVM regex shares with DuckDB. Canonical
+# definition lives in functions.bpe (pyspark-free) — re-exported here
+# for the JVM/SQL twins.
+from ..functions.bpe import BPE_TOKEN_RE  # noqa: E402
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -275,9 +277,11 @@ def c4_line_filter(
             & ~F.lower(l).contains("javascript")
         ),
     )
-    page_bad = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
-        text_col
-    ).contains("{")
+    page_bad = (
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+        | F.col(text_col).contains("{")
+        | F.col(text_col).contains("}")
+    )
     return (
         docs.select(
             F.col(id_col),

@@ -978,6 +978,7 @@ _C4_PLANT_SQL = (
     FROM k
     WHERE NOT contains(lower(text), 'lorem ipsum')
       AND NOT contains(text, '{')
+      AND NOT contains(text, '}')
       AND len(kept) >= 1
     """,
 )

@@ -276,3 +276,26 @@ class TestAutoBlockingEscalation:
         b2, m2 = self._run_capturing(monkeypatch, nodes, blocking="lsh")
         assert (b1, b2) == ("type", "lsh")
         assert m1 == m2
+
+
+def test_incremental_accepts_auto_blocking(spark):
+    """blocking='auto' (the PipelineConfig default) must work on the
+    incremental path too — below the threshold it resolves to the exact
+    strategy and matches the full recompute."""
+    from context_aware_rag_spark.operators.canonicalize import (
+        canonicalize_incremental,
+        canonicalize_nodes,
+    )
+
+    old = spark.createDataFrame(
+        [("n1", "Alice", "Person"), ("n2", "Alice Johnson", "Person")],
+        ["node_id", "name", "type"],
+    )
+    new = spark.createDataFrame(
+        [("a0", "Alice", "Person")], ["node_id", "name", "type"]
+    )
+    thr = 0.9
+    map_old = canonicalize_nodes(old, threshold=thr).localCheckpoint()
+    inc = canonicalize_incremental(old, map_old, new, threshold=thr, blocking="auto")
+    full = canonicalize_nodes(old.unionByName(new), threshold=thr)
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}

@@ -423,3 +423,21 @@ class TestDecontaminate:
         assert dedup.decontaminate(docs, bench, n=4).count() == 0
         empty_bench = bench.filter(F.lit(False))
         assert dedup.decontaminate(docs, empty_bench, n=4).count() == 0
+
+
+class TestSignatureLengthGuard:
+    def test_mismatched_signature_frame_raises(self, spark):
+        import pyspark
+
+        sh = dedup.with_shingles(
+            spark.createDataFrame(
+                [(1, "a b c d e f"), (2, "a b c d e g")], ["doc_id", "text"]
+            )
+        )
+        sig128 = dedup.minhash_signatures(sh, num_hashes=128)
+        # correct usage works
+        dedup.minhash_lsh_candidates(sig128, bands=16, num_hashes=128).collect()
+        # a 128-long signature frame against the default num_hashes=64
+        # must fail LOUDLY, not half recall / inflate est_jaccard
+        with pytest.raises(Exception, match="does not match num_hashes"):
+            dedup.minhash_lsh_candidates(sig128, bands=16, num_hashes=64).collect()

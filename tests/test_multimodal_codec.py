@@ -80,3 +80,17 @@ def test_media_features_real_decode_for_images(spark):
         __import__("pandas").Series([multimodal.synthesize_bmp(0)])
     )
     assert list(rows[0]["feature"]) == pytest.approx(list(feats[0]))
+
+
+def test_magic_false_positive_falls_back_to_fake():
+    """A text payload that happens to start with 'BM'/'P6' must not
+    crash the fake path (the 2-byte sniff can false-positive); strict
+    mode still raises."""
+    import pandas as pd
+
+    bad = pd.Series([b"BMW is a carmaker, not a bitmap header at all"])
+    feats = multimodal.decode_image_batch(bad, fake=True)
+    assert feats.shape == (1, 32)
+    with pytest.raises(Exception):
+        multimodal.decode_image_batch(bad, fake=False)
+

@@ -53,3 +53,8 @@ def test_bin_stats_fill(spark, docs):
 def test_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_sequences(empty, max_tokens=128).count() == 0
+
+
+def test_max_tokens_must_be_positive(spark, docs):
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(docs, max_tokens=0)

@@ -152,3 +152,13 @@ def test_c4_line_filter_min_kept_threshold(spark):
     )
     assert c4_line_filter(df, min_kept_lines=2).count() == 0
     assert c4_line_filter(df, min_kept_lines=1).count() == 1
+
+
+def test_c4_line_filter_closing_brace_kills_page(spark):
+    from context_aware_rag_spark.operators.textmetrics import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "A fine long sentence right here.\n} end of template")],
+        ["doc_id", "text"],
+    )
+    assert c4_line_filter(df).count() == 0
