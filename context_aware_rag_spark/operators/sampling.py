@@ -1,0 +1,68 @@
+"""Deterministic corpus splitting and sampling.
+
+A training-data pipeline needs REPRODUCIBLE splits and samples: the
+same document must land in the same split on every run, on any cluster
+size, with no RNG state to ship. Both operators here key on
+``md5(id)`` — a content-stable hash Spark and DuckDB compute
+identically (lowercase hex), so every decision is exactly
+SQL-twin-able and, more importantly, re-derivable by any other engine
+auditing the split.
+
+Scale shape: both are single narrow maps over the corpus — no shuffle
+for the split (a literal string comparison per row), and a
+TakeOrdered(k) for the sample (per-partition top-k, then a k-row merge
+on the driver — never a full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# hex-string thresholds: md5 is uniform over [0, 16^32), so a
+# lexicographic cut at 'cc' keeps 204/256 = 79.7% and 'e6' keeps
+# 230/256 = 89.8% — the standard ~80/10/10 layout
+DEFAULT_CUTS = (("train", "cc"), ("val", "e6"))
+
+
+def _hash_col(id_col: str):
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def deterministic_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cuts=DEFAULT_CUTS,
+    final_split: str = "test",
+) -> DataFrame:
+    """Assign every row a stable train/val/test split from md5(id).
+
+    ``cuts`` is an ordered list of (name, hex_upper_bound): a row joins
+    the first split whose bound its hash precedes lexicographically;
+    rows past every bound join ``final_split``. Adding data never moves
+    an existing row between splits (the decision depends only on the
+    row's own id), which is the property random-number splits lose.
+    """
+    h = _hash_col(id_col)
+    expr = F.lit(final_split)
+    for name, bound in reversed(list(cuts)):
+        expr = F.when(h < bound, F.lit(name)).otherwise(expr)
+    return docs.select("*", expr.alias("split"))
+
+
+def hash_sample(
+    docs: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement: the ``k`` rows
+    with the smallest md5(id). Reproducible across runs/engines and
+    stable under partitioning; plans as TakeOrdered(k) (per-partition
+    top-k + driver merge of k rows), never a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        docs.withColumn("_h", _hash_col(id_col))
+        .orderBy("_h")
+        .limit(k)
+        .drop("_h")
+    )

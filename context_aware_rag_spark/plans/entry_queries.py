@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..operators import ann, dedup, multimodal, similarity, textmetrics
+from ..operators import ann, dedup, multimodal, sampling, similarity, textmetrics
 from ..plans.pipeline import run_pipeline
 from ..sources.transcripts import generate_transcripts
 
@@ -1037,6 +1037,37 @@ def decontaminate_q(spark, sf_dir):
         .select(F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"))
     )
     return dedup.decontaminate(docs, bench, n=8)
+
+
+@xq(
+    "deterministic_split",
+    """
+    SELECT doc_id,
+           CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'
+                WHEN md5(doc_id::VARCHAR) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def deterministic_split_q(spark, sf_dir):
+    """Stable train/val/test assignment from md5(doc_id) — Spark and
+    DuckDB compute the identical lowercase hex, so the twin re-derives
+    every assignment exactly."""
+    return sampling.deterministic_split(
+        load(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
+@xq(
+    "hash_sample",
+    "SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR) LIMIT 50",
+)
+def hash_sample_q(spark, sf_dir):
+    """Deterministic 50-row uniform sample: smallest md5(doc_id) values;
+    reproducible across engines, planned as TakeOrdered, not a sort."""
+    return sampling.hash_sample(
+        load(spark, sf_dir, "documents").select("doc_id"), k=50
+    )
 
 
 @q(

@@ -1,0 +1,66 @@
+"""Deterministic split / sample: stability, proportions, plan shape,
+and exact agreement with an independent hashlib recomputation."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.operators.sampling import (
+    deterministic_split,
+    hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1000)], ["doc_id", "text"]
+    ).localCheckpoint()
+
+
+def _py_md5(i: int) -> str:
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+def test_split_matches_independent_recomputation(spark, docs):
+    got = {r["doc_id"]: r["split"] for r in deterministic_split(docs).collect()}
+    for i in range(1000):
+        h = _py_md5(i)
+        want = "train" if h < "cc" else ("val" if h < "e6" else "test")
+        assert got[i] == want, (i, h, got[i], want)
+
+
+def test_split_stable_under_corpus_growth(spark, docs):
+    small = docs.filter(F.col("doc_id") < 100)
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in deterministic_split(docs).collect()}
+    assert all(b[i] == a[i] for i in a)  # adding data never moves a row
+
+
+def test_split_proportions_roughly_80_10_10(spark, docs):
+    counts = {
+        r["split"]: r["n"]
+        for r in deterministic_split(docs).groupBy("split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert 0.75 <= counts["train"] / 1000 <= 0.85
+    assert 0.06 <= counts["val"] / 1000 <= 0.14
+    assert 0.06 <= counts["test"] / 1000 <= 0.14
+
+
+def test_hash_sample_exact_and_deterministic(spark, docs):
+    want = set(sorted(range(1000), key=_py_md5)[:25])
+    got = {r["doc_id"] for r in hash_sample(docs, k=25).collect()}
+    assert got == want
+    assert {r["doc_id"] for r in hash_sample(docs, k=25).collect()} == want
+
+
+def test_hash_sample_plans_take_ordered(spark, docs):
+    plan = (
+        hash_sample(docs, k=25)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global Sort+Limit
+    with pytest.raises(ValueError):
+        hash_sample(docs, k=0)
