@@ -66,3 +66,52 @@ def hash_sample(
         .limit(k)
         .drop("_h")
     )
+
+
+def _hex8_threshold(frac: float) -> str:
+    """frac in [0, 1] -> the 8-hex-digit string t such that
+    P[md5(id)[:8] < t] = frac under a uniform hash."""
+    return format(min(int(frac * 16**8), 16**8 - 1), "08x")
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain mixing (the Pile / DoReMi-style per-source
+    epoch weights): replicate every document of source ``s``
+    ``weights[s]`` times in expectation — ``floor(w)`` guaranteed
+    copies plus one fractional copy iff the first 8 hex chars of
+    md5(id) fall below a per-source threshold. Sources absent from
+    ``weights`` default to 1.0 (pass 0.0 to drop a source).
+
+    Every decision is a pure function of (id, weights): re-running, on
+    any cluster size, yields the SAME mixed corpus — the property RNG
+    sampling loses — and the twin re-derives it in SQL. Output adds
+    ``copy_idx`` (1..n_copies); rows with n_copies = 0 are dropped.
+
+    Scale shape: one narrow map (hash + CASE on source) and an explode
+    bounded by ceil(max weight) — no shuffle; the output inherits the
+    input partitioning with each partition growing by at most the
+    largest per-source weight.
+    """
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be >= 0: {weights}")
+    h8 = F.substring(_hash_col(id_col), 1, 8)
+    base = F.lit(1)
+    extra = h8 < _hex8_threshold(0.0)  # default frac 0 -> never true
+    for s, w in sorted(weights.items()):
+        src = F.col(source_col) == s
+        base = F.when(src, F.lit(int(w))).otherwise(base)
+        extra = F.when(src, h8 < _hex8_threshold(w - int(w))).otherwise(extra)
+    n_copies = (base + extra.cast("int")).alias("_n")
+    return (
+        docs.select("*", n_copies)
+        .filter(F.col("_n") >= 1)  # sequence(1, 0) is DESCENDING, guard it
+        .select(
+            "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx")
+        )
+        .drop("_n")
+    )

@@ -1070,6 +1070,47 @@ def hash_sample_q(spark, sf_dir):
     )
 
 
+# domain-mix weights exercised by the query: a 2x up-sample, a
+# fractional 1.5x, a 0.5x down-sample, a dropped source, and the
+# implicit 1.0 default for every other source; thresholds are derived
+# by the SAME _hex8_threshold on both sides so they cannot drift
+_MIX_WEIGHTS = {"src0": 2.0, "src1": 1.5, "src2": 0.5, "src3": 0.0}
+
+
+def _mix_case(fmt) -> str:
+    return (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN {fmt(w)}" for s, w in sorted(_MIX_WEIGHTS.items())
+        )
+        + f" ELSE {fmt(1.0)} END"
+    )
+
+
+@xq(
+    "mix_corpus",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             {_mix_case(lambda w: int(w))}
+             + CASE WHEN substring(md5(doc_id::VARCHAR), 1, 8)
+                    < {_mix_case(lambda w: "'" + sampling._hex8_threshold(w - int(w)) + "'")}
+               THEN 1 ELSE 0 END AS n
+      FROM documents)
+    SELECT doc_id, source, unnest(range(1, n + 1))::INT AS copy_idx
+    FROM m WHERE n >= 1
+    """,
+)
+def mix_corpus_q(spark, sf_dir):
+    """Deterministic domain mixing: per-source epoch weights realized as
+    md5-thresholded replication; the twin recomputes every copy count
+    from the same hash and thresholds."""
+    return sampling.mix_corpus(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        weights=_MIX_WEIGHTS,
+    )
+
+
 @q(
     "ann_cosine_topk",
     """

@@ -64,3 +64,45 @@ def test_hash_sample_plans_take_ordered(spark, docs):
     assert "TakeOrderedAndProject" in plan  # never a global Sort+Limit
     with pytest.raises(ValueError):
         hash_sample(docs, k=0)
+
+
+def test_mix_corpus_copy_counts(spark):
+    from context_aware_rag_spark.operators.sampling import (
+        _hex8_threshold,
+        mix_corpus,
+    )
+
+    rows = [(i, f"t{i}", ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = (
+        mix_corpus(df, {"a": 2.0, "b": 0.5, "c": 0.0})
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n"), F.max("copy_idx").alias("mx"))
+        .collect()
+    )
+    per = {r["doc_id"]: r for r in got}
+    thr = _hex8_threshold(0.5)
+    for i, _, src in rows:
+        if src == "a":
+            assert per[i]["n"] == 2 and per[i]["mx"] == 2
+        elif src == "b":
+            want = 1 if _py_md5(i)[:8] < thr else 0
+            assert (i in per) == (want == 1)
+            if want:
+                assert per[i]["n"] == 1
+        else:
+            assert i not in per  # weight 0 drops the source
+
+    # text column rides through untouched
+    sample = mix_corpus(df, {"a": 2.0}).filter(F.col("doc_id") == 0).collect()
+    assert all(r["text"] == "t0" for r in sample)
+
+
+def test_mix_corpus_default_weight_and_validation(spark):
+    from context_aware_rag_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame([(1, "x", "zz")], ["doc_id", "text", "source"])
+    out = mix_corpus(df, {"a": 3.0}).collect()  # 'zz' not in weights -> 1.0
+    assert len(out) == 1 and out[0]["copy_idx"] == 1
+    with pytest.raises(ValueError):
+        mix_corpus(df, {"a": -0.5})
