@@ -1111,6 +1111,84 @@ def mix_corpus_q(spark, sf_dir):
     )
 
 
+@xq(
+    "curation_pipeline",
+    f"""
+    WITH RECURSIVE wds AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(words)),
+                                        i -> words[i] || ' ' || words[i+1])) AS gram
+           FROM wds WHERE len(words) >= 2),
+    bgc AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    keepdocs AS (SELECT doc_id FROM bgc GROUP BY doc_id
+                 HAVING sum(cnt) >= 30
+                    AND round(max(cnt) / sum(cnt), 6) <= 0.2),
+    f AS (SELECT d.doc_id, d.text FROM documents d JOIN keepdocs USING (doc_id)),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM f)
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ),
+    p AS (
+      SELECT a, b FROM inter
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = a
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    lab AS (SELECT f.doc_id,
+                   coalesce(cc.cluster_id, f.doc_id) AS cluster_id,
+                   length(f.text) AS l
+            FROM f LEFT JOIN cc ON cc.node = f.doc_id),
+    keepers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY l DESC, doc_id ASC) AS rn
+        FROM lab) WHERE rn = 1)
+    SELECT doc_id,
+           CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'
+                WHEN md5(doc_id::VARCHAR) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM keepers
+    """,
+)
+def curation_pipeline_q(spark, sf_dir):
+    """End-to-end corpus curation composed ENTIRELY from the operator
+    library: Gopher repetition/length gate (>= 31 words,
+    top_gram_frac <= 0.2) -> near-dup family clustering with keeper
+    election -> deterministic train/val/test split. The twin re-derives
+    every stage in one assembled SQL pipeline — the composition, not
+    just each stage, is hash-checked."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = textmetrics.repetition_signals(docs)
+    keep_ids = rep.filter(
+        (F.col("n_grams") >= 30) & (F.col("top_gram_frac") <= 0.2)
+    ).select("doc_id")
+    filtered = docs.join(keep_ids, "doc_id", "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(filtered, threshold=0.5, n=3)
+    fams = dedup.dedup_clusters(filtered, pairs)
+    keepers = fams.filter(F.col("is_keeper")).select("doc_id")
+    return sampling.deterministic_split(keepers)
+
+
 @q(
     "ann_cosine_topk",
     """
