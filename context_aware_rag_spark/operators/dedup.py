@@ -629,3 +629,36 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams"))
     )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """Survivors of a NEW batch against an EXISTING corpus: drop every
+    new doc whose (optionally normalized) text hash is already present,
+    then keep one representative (min id) per within-batch duplicate
+    group. Returns (id_col, text_hash) — the rows safe to append.
+
+    The batch-mode counterpart of the reference's MERGE-on-ingest
+    semantics (new chunks fold into the live graph without re-reading
+    old ones). Cost scales with the new batch plus the hash INDEX: the
+    existing side reduces to distinct hashes — at production scale
+    that is the stored hash table from prior runs, never a re-scan of
+    old text — and the anti-join ships only 16-byte keys.
+    """
+    def keyed(df):
+        t = normalized_text(F.col(text_col)) if normalized else F.col(text_col)
+        return df.select(F.col(id_col), F.md5(t).alias("text_hash"))
+
+    seen = keyed(existing_docs).select("text_hash").distinct()
+    return (
+        keyed(new_docs)
+        .join(seen, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_hash")
+    )

@@ -1112,6 +1112,52 @@ def mix_corpus_q(spark, sf_dir):
 
 
 @xq(
+    "dedup_exact_incremental",
+    f"""
+    WITH newb AS (
+      SELECT o.doc_id,
+             CASE WHEN o.doc_id % 25 = 9 THEN 'planted canary duplicate text'
+                  WHEN o.doc_id % 3 = 1 THEN e.text
+                  ELSE o.text END AS text
+      FROM documents o LEFT JOIN documents e ON e.doc_id = o.doc_id - 1
+      WHERE o.doc_id % 2 = 1),
+    keyed AS (SELECT doc_id, md5({_NORM_SQL}) AS text_hash FROM newb),
+    seen AS (SELECT DISTINCT md5({_NORM_SQL}) AS text_hash
+             FROM documents WHERE doc_id % 2 = 0)
+    SELECT min(doc_id) AS doc_id, text_hash
+    FROM keyed WHERE text_hash NOT IN (SELECT text_hash FROM seen)
+    GROUP BY text_hash
+    """,
+)
+def dedup_exact_incremental_q(spark, sf_dir):
+    """Incremental exact dedup: odd doc_ids are the NEW batch (with a
+    planted cross-batch copy of the preceding even doc for id % 3 == 1
+    and a planted within-batch canary for id % 25 == 9), even ids the
+    EXISTING corpus; survivors must drop the cross-batch copies and
+    collapse the canary group to its min id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("prev_text")
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .join(prev, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 25 == 9,
+                F.lit("planted canary duplicate text"),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.col("prev_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.exact_dedup_incremental(new, existing)
+
+
+@xq(
     "curation_pipeline",
     f"""
     WITH RECURSIVE wds AS (

@@ -441,3 +441,29 @@ class TestSignatureLengthGuard:
         # must fail LOUDLY, not half recall / inflate est_jaccard
         with pytest.raises(Exception, match="does not match num_hashes"):
             dedup.minhash_lsh_candidates(sig128, bands=16, num_hashes=64).collect()
+
+
+class TestExactDedupIncremental:
+    def test_cross_batch_and_within_batch(self, spark):
+        existing = spark.createDataFrame(
+            [(0, "old text one"), (2, "old text two")], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [
+                (11, "OLD, text one!"),   # normalized == existing -> dropped
+                (13, "fresh text"),
+                (15, "fresh text"),        # within-batch dup -> 13 kept
+                (17, "another new doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"] for r in dedup.exact_dedup_incremental(new, existing).collect()}
+        assert got == {13, 17}
+        # normalized=False: punctuation differences survive the anti-join
+        raw = {
+            r["doc_id"]
+            for r in dedup.exact_dedup_incremental(
+                new, existing, normalized=False
+            ).collect()
+        }
+        assert 11 in raw
