@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the DEDUP family (the training-data
+path, complementing bench_scaling.py's KG pipeline): exact-normalized,
+MinHash+LSH and SimHash dedup over the identical parquet document
+corpus at two parallelism levels; efficiency = (T_N / T_4N) / 4.
+
+Methodology is bench_scaling.py's, unchanged: same files both levels,
+fresh JVM per level session, untimed warm-up, interleaved lo/hi
+sessions with min-of-sessions (shared-box drift discipline), 4 vs 16
+cores (SMT-aware — raw-CPU probe caps 8→32 at ~0.73 on this host),
+2 MB splits.
+
+The corpus is synthesized fully JVM-side (no Python in the generator):
+doc k's words are vocab[xxhash64(k, position) mod V], ~60 words/doc,
+plus a 1-in-7 near-duplicate neighbor (same seed as the previous doc
+with one word in eight rewritten) so the LSH paths produce real
+candidate load, not empty band buckets.
+
+Prints one JSON line; recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+GEN = r"""
+import sys
+sys.path.insert(0, "{repo}")
+from pyspark.sql import functions as F
+from context_aware_rag_spark.session import build_session
+
+n_docs = int(sys.argv[1])
+out = sys.argv[2]
+spark = build_session(app_name="dedup-gen", master="local[32]",
+                      shuffle_partitions=32)
+vocab = [f"w{{i}}" for i in range(500)]
+varr = F.array(*[F.lit(w) for w in vocab])
+df = spark.range(0, n_docs, 1, 256).select(F.col("id").alias("doc_id"))
+# near-dup planting: doc_id % 7 == 0 reuses the PREVIOUS doc's seed...
+seed = F.when((F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0),
+              F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+words = F.transform(
+    F.sequence(F.lit(0), F.lit(59)),
+    lambda k: F.element_at(varr, (F.pmod(F.xxhash64(seed, k), 500) + 1).cast("int")),
+)
+# ...with every 8th word rewritten from its OWN id -> a true near-dup
+words = F.when(
+    F.col("doc_id") % 7 == 0,
+    F.zip_with(
+        words,
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda w, k: F.when(
+            k % 8 == 0,
+            F.element_at(varr, (F.pmod(F.xxhash64(F.col("doc_id"), k), 500) + 1).cast("int")),
+        ).otherwise(w),
+    ),
+).otherwise(words)
+df.select("doc_id", F.concat_ws(" ", words).alias("text")) \
+  .write.mode("overwrite").parquet(out)
+print("GENERATED", spark.read.parquet(out).count())
+spark.stop()
+"""
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, "{repo}")
+from context_aware_rag_spark.session import build_session
+from context_aware_rag_spark.operators import dedup
+
+cores = int(sys.argv[1])
+path = sys.argv[2]
+trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+mpb = os.environ.get("SCALE_MAX_PARTITION_BYTES", "2097152")
+spark = build_session(app_name=f"dedup{{cores}}", master=f"local[{{cores}}]",
+                      shuffle_partitions=cores,
+                      extra_conf={{"spark.sql.files.maxPartitionBytes": mpb}})
+from context_aware_rag_spark.deploy import ensure_on_executors
+ensure_on_executors(spark)
+
+docs = spark.read.parquet(path)
+n_docs = docs.count()          # warm: file listing + footers + one scan
+
+def one_trial():
+    t = {{}}
+    t0 = time.monotonic()
+    dedup.exact_duplicates_normalized(docs).count()
+    t["exact"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    dedup.minhash_dedup(docs, threshold=0.8).count()
+    t["minhash"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    dedup.simhash_near_dups(docs, max_hamming=3).count()
+    t["simhash"] = round(time.monotonic() - t0, 3)
+    t["total"] = round(t["exact"] + t["minhash"] + t["simhash"], 3)
+    # dedup paths localCheckpoint stage outputs; evict between trials
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+    return t
+
+one_trial()                     # untimed warm-up (codegen, worker pool)
+trials_out = [one_trial() for _ in range(trials)]
+best = min(trials_out, key=lambda t: t["total"])
+print(json.dumps({{"cores": cores, "n_docs": n_docs, "wall_s": best["total"],
+                  "per_op": best, "walls": [t["total"] for t in trials_out],
+                  "docs_per_sec": round(n_docs / best["total"], 1)}}))
+spark.stop()
+"""
+
+
+def _run(code: str, *args: str) -> str:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, "-c", code.format(repo=repo), *args],
+        capture_output=True, text=True,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"subprocess failed rc={out.returncode}: {args}")
+    return out.stdout
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("SCALE_N_DOCS", "300000"))
+    levels = os.environ.get("SCALE_LEVELS", "4,16").split(",")
+    n, n4 = int(levels[0]), int(levels[1])
+    input_dir = os.environ.get(
+        "SCALE_INPUT_DIR", os.path.join(tempfile.gettempdir(), "scale_docs")
+    )
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        _run(GEN, str(n_docs), input_dir)
+
+    def level(c: int, trials: int = 2) -> dict:
+        out = _run(WORKER, str(c), input_dir, str(trials))
+        return json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):     # interleave lo/hi sessions (drift discipline)
+        lo_runs.append(level(n))
+        hi_runs.append(level(n4))
+
+    def best(runs):
+        b = dict(min(runs, key=lambda r: r["wall_s"]))
+        b["walls"] = [r["wall_s"] for r in runs]
+        b["docs_per_sec"] = round(b["n_docs"] / b["wall_s"], 1)
+        return b
+
+    r_lo, r_hi = best(lo_runs), best(hi_runs)
+    eff = (r_lo["wall_s"] / r_hi["wall_s"]) / (n4 / n)
+    print(json.dumps({
+        "metric": f"dedup_scaling_efficiency_{n}_to_{n4}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"level_{n}": r_lo,
+        f"level_{n4}": r_hi,
+        "n_docs": n_docs,
+        "input": input_dir,
+    }))
+    if os.environ.get("SCALE_KEEP_INPUT", "1") != "1":
+        shutil.rmtree(input_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -240,12 +240,19 @@ def minhash_dedup(
     array work is CPU-bound.
     """
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # persist (not localCheckpoint) for the shingle stage: an
+    # InMemoryRelation is the same CollapseProject barrier, but it can
+    # be RELEASED once the (much smaller) signatures are materialized —
+    # the shingle arrays are ~3x the signatures' footprint and pinning
+    # them through the banding join showed up as GC tax at 600k docs /
+    # 16 threads in bench_scaling_dedup
     sh = with_shingles(
         docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col
-    ).localCheckpoint()
+    ).persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).select(
         id_col, "signature"
     ).localCheckpoint()
+    sh.unpersist(False)  # signatures are pinned; free the shingles
     cand = minhash_lsh_candidates(
         sig, bands=bands, id_col=id_col, num_hashes=num_hashes
     )
