@@ -129,8 +129,11 @@ def main() -> None:
     n_docs = int(os.environ.get("SCALE_N_DOCS", "300000"))
     levels = os.environ.get("SCALE_LEVELS", "4,16").split(",")
     n, n4 = int(levels[0]), int(levels[1])
+    # default dir is per-size so a kept corpus from an earlier run at a
+    # DIFFERENT SCALE_N_DOCS can never be silently reused
     input_dir = os.environ.get(
-        "SCALE_INPUT_DIR", os.path.join(tempfile.gettempdir(), "scale_docs")
+        "SCALE_INPUT_DIR",
+        os.path.join(tempfile.gettempdir(), f"scale_docs_{n_docs}"),
     )
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         _run(GEN, str(n_docs), input_dir)
@@ -159,7 +162,8 @@ def main() -> None:
         "unit": "ratio",
         f"level_{n}": r_lo,
         f"level_{n4}": r_hi,
-        "n_docs": n_docs,
+        # the size the workers actually SAW, not the requested env value
+        "n_docs": r_lo["n_docs"],
         "input": input_dir,
     }))
     if os.environ.get("SCALE_KEEP_INPUT", "1") != "1":

@@ -249,10 +249,14 @@ def minhash_dedup(
     sh = with_shingles(
         docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col
     ).persist()
-    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).select(
-        id_col, "signature"
-    ).localCheckpoint()
-    sh.unpersist(False)  # signatures are pinned; free the shingles
+    try:
+        sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).select(
+            id_col, "signature"
+        ).localCheckpoint()
+    finally:
+        # release even if the checkpoint job fails — a leaked shingle
+        # cache in a long-lived session is the GC tax this exists to fix
+        sh.unpersist(False)
     cand = minhash_lsh_candidates(
         sig, bands=bands, id_col=id_col, num_hashes=num_hashes
     )
@@ -656,10 +660,16 @@ def exact_dedup_incremental(
     existing side reduces to distinct hashes — at production scale
     that is the stored hash table from prior runs, never a re-scan of
     old text — and the anti-join ships only 16-byte keys.
+
+    NULL-text rows are EXCLUDED on both sides (they have no content
+    hash; without the filter every null row would collapse into one
+    survivor group, silently dropping distinct docs).
     """
     def keyed(df):
         t = normalized_text(F.col(text_col)) if normalized else F.col(text_col)
-        return df.select(F.col(id_col), F.md5(t).alias("text_hash"))
+        return df.select(F.col(id_col), F.md5(t).alias("text_hash")).filter(
+            F.col("text_hash").isNotNull()
+        )
 
     seen = keyed(existing_docs).select("text_hash").distinct()
     return (

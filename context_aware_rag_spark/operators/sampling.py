@@ -43,9 +43,22 @@ def deterministic_split(
     an existing row between splits (the decision depends only on the
     row's own id), which is the property random-number splits lose.
     """
+    cuts = list(cuts)
+    bounds = [b for _, b in cuts]
+    if any(b != b.lower() or not all(c in "0123456789abcdef" for c in b)
+           for b in bounds):
+        # md5 hex is lowercase; an uppercase bound compares BELOW every
+        # letter-leading hash and silently skews the split
+        raise ValueError(f"cut bounds must be lowercase hex: {bounds}")
+    if bounds != sorted(bounds):
+        raise ValueError(
+            f"cut bounds must be ascending (later splits unreachable): {bounds}"
+        )
+    if "split" in docs.columns:
+        raise ValueError("input already has a 'split' column")
     h = _hash_col(id_col)
     expr = F.lit(final_split)
-    for name, bound in reversed(list(cuts)):
+    for name, bound in reversed(cuts):
         expr = F.when(h < bound, F.lit(name)).otherwise(expr)
     return docs.select("*", expr.alias("split"))
 
@@ -54,15 +67,19 @@ def hash_sample(
     docs: DataFrame, k: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic uniform sample WITHOUT replacement: the ``k`` rows
-    with the smallest md5(id). Reproducible across runs/engines and
-    stable under partitioning; plans as TakeOrdered(k) (per-partition
-    top-k + driver merge of k rows), never a global sort.
+    with the smallest (md5(id), id). Reproducible across runs/engines
+    and stable under partitioning (the id tie-breaker keeps the
+    k-boundary deterministic; rows DUPLICATING an id still tie — feed
+    deduped input if row identity matters); plans as TakeOrdered(k)
+    (per-partition top-k + driver merge of k rows), never a global sort.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if "_h" in docs.columns:
+        raise ValueError("input already has a '_h' column")
     return (
         docs.withColumn("_h", _hash_col(id_col))
-        .orderBy("_h")
+        .orderBy("_h", id_col)
         .limit(k)
         .drop("_h")
     )
@@ -99,6 +116,9 @@ def mix_corpus(
     """
     if any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be >= 0: {weights}")
+    for taken in ("copy_idx", "_n"):
+        if taken in docs.columns:
+            raise ValueError(f"input already has a '{taken}' column")
     h8 = F.substring(_hash_col(id_col), 1, 8)
     base = F.lit(1)
     extra = h8 < _hex8_threshold(0.0)  # default frac 0 -> never true

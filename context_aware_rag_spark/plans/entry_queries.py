@@ -1060,7 +1060,7 @@ def deterministic_split_q(spark, sf_dir):
 
 @xq(
     "hash_sample",
-    "SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR) LIMIT 50",
+    "SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 50",
 )
 def hash_sample_q(spark, sf_dir):
     """Deterministic 50-row uniform sample: smallest md5(doc_id) values;

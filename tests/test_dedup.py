@@ -467,3 +467,19 @@ class TestExactDedupIncremental:
             ).collect()
         }
         assert 11 in raw
+
+
+    def test_null_text_rows_are_excluded(self, spark):
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+        new = spark.createDataFrame(
+            [(1, None), (2, None), (3, "real content")], schema
+        )
+        existing = spark.createDataFrame([(0, "old")], schema)
+        got = {r["doc_id"] for r in dedup.exact_dedup_incremental(new, existing).collect()}
+        # null-text rows neither survive nor collapse each other
+        assert got == {3}

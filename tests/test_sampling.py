@@ -106,3 +106,38 @@ def test_mix_corpus_default_weight_and_validation(spark):
     assert len(out) == 1 and out[0]["copy_idx"] == 1
     with pytest.raises(ValueError):
         mix_corpus(df, {"a": -0.5})
+
+
+def test_split_rejects_bad_cuts(spark):
+    from context_aware_rag_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="lowercase hex"):
+        deterministic_split(df, cuts=(("train", "CC"), ("val", "e6")))
+    with pytest.raises(ValueError, match="ascending"):
+        deterministic_split(df, cuts=(("train", "cc"), ("val", "40")))
+    with pytest.raises(ValueError, match="'split' column"):
+        deterministic_split(df.withColumn("split", F.lit("x")))
+
+
+def test_generated_column_collisions_fail_fast(spark):
+    from context_aware_rag_spark.operators.sampling import hash_sample, mix_corpus
+
+    df = spark.createDataFrame([(1, "s")], ["doc_id", "source"])
+    with pytest.raises(ValueError, match="'_h'"):
+        hash_sample(df.withColumn("_h", F.lit(1)), k=1)
+    with pytest.raises(ValueError, match="'copy_idx'"):
+        mix_corpus(df.withColumn("copy_idx", F.lit(1)), {"s": 2.0})
+
+
+def test_hash_sample_boundary_tie_is_deterministic(spark):
+    from context_aware_rag_spark.operators.sampling import hash_sample
+
+    # duplicate ids -> identical hashes at the k-boundary; the id
+    # tie-breaker keeps the SELECTED ID SET stable across shuffles
+    df = spark.createDataFrame(
+        [(i % 4, f"t{i}") for i in range(40)], ["doc_id", "text"]
+    ).repartition(8)
+    a = sorted(r["doc_id"] for r in hash_sample(df, k=10).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df.repartition(3), k=10).collect())
+    assert a == b
