@@ -665,16 +665,42 @@ def exact_dedup_incremental(
     hash; without the filter every null row would collapse into one
     survivor group, silently dropping distinct docs).
     """
-    def keyed(df):
-        t = normalized_text(F.col(text_col)) if normalized else F.col(text_col)
-        return df.select(F.col(id_col), F.md5(t).alias("text_hash")).filter(
-            F.col("text_hash").isNotNull()
-        )
+    return dedup_against_index(
+        new_docs,
+        hash_docs(existing_docs, id_col, text_col, normalized),
+        id_col=id_col,
+        text_col=text_col,
+        normalized=normalized,
+    )
 
-    seen = keyed(existing_docs).select("text_hash").distinct()
+
+def hash_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """(id, text) -> (id, text_hash) content keys; NULL-text dropped."""
+    t = normalized_text(F.col(text_col)) if normalized else F.col(text_col)
+    return docs.select(F.col(id_col), F.md5(t).alias("text_hash")).filter(
+        F.col("text_hash").isNotNull()
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    hash_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """Core of the incremental path, taking the STORED hash index
+    directly (any frame with a ``text_hash`` column — e.g. the
+    accumulated streaming stage table) instead of re-hashing old docs.
+    """
     return (
-        keyed(new_docs)
-        .join(seen, "text_hash", "left_anti")
+        hash_docs(new_docs, id_col, text_col, normalized)
+        .join(hash_index.select("text_hash").distinct(), "text_hash", "left_anti")
         .groupBy("text_hash")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "text_hash")

@@ -1,0 +1,121 @@
+"""Streaming deduplicating ingest: each micro-batch is exact-deduped
+against the hash index accumulated by every PRIOR epoch before its
+survivors are appended — the streaming counterpart of
+``dedup.exact_dedup_incremental`` (same pure transforms, same
+reference MERGE-on-ingest semantics as the KG streaming mode in
+``streaming/ingest.py``).
+
+Exactly-once shape (identical to ingest.py): every epoch writes its
+survivors and their hashes to ``epoch=<id>`` partition directories
+with overwrite, so a replayed epoch — the foreachBatch contract allows
+replays — recomputes against the SAME prior-epoch index (its own
+epoch's partial output is never part of its input) and rewrites the
+same directories byte-for-byte instead of appending duplicates.
+
+At scale the prior-hash read is a parquet scan of 16-byte keys pruned
+by the epoch partition column; on a real deployment the index would be
+an Iceberg table compacted periodically, same contract.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import dedup
+
+_HASH_SCHEMA = "doc_id long, text_hash string"
+
+
+def read_prior_hashes(
+    spark: SparkSession, out_dir: str, before_epoch: int
+) -> DataFrame:
+    """Hash index accumulated by epochs STRICTLY BEFORE ``before_epoch``
+    (a replayed epoch must not see its own partial output)."""
+    base = os.path.join(out_dir, "hashes")
+    prior = [
+        d for d in (os.listdir(base) if os.path.isdir(base) else [])
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < before_epoch
+    ]
+    if not prior:
+        return spark.createDataFrame([], _HASH_SCHEMA)
+    return (
+        spark.read.option("basePath", base)
+        .parquet(*[os.path.join(base, d) for d in prior])
+        .drop("epoch")
+    )
+
+
+def dedup_microbatch(
+    batch_df: DataFrame,
+    out_dir: str,
+    epoch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalized: bool = True,
+) -> None:
+    """Per-micro-batch body: survivors = batch anti-joined against the
+    prior-epoch hash index (plus within-batch min-id election); write
+    survivors' full rows and their hashes, epoch-partitioned."""
+    spark = batch_df.sparkSession
+    index = read_prior_hashes(spark, out_dir, epoch_id)
+    survivors = dedup.dedup_against_index(
+        batch_df, index, id_col=id_col, text_col=text_col, normalized=normalized
+    ).localCheckpoint()  # consumed twice (rows join + hash write)
+    rows = batch_df.join(survivors.select(id_col), id_col, "left_semi")
+    rows.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docs", f"epoch={epoch_id}")
+    )
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "hashes", f"epoch={epoch_id}")
+    )
+
+
+def read_deduped(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accumulated deduplicated corpus (epoch column dropped)."""
+    base = os.path.join(out_dir, "docs")
+    return (
+        spark.read.option("basePath", base)
+        .parquet(os.path.join(base, "epoch=*"))
+        .drop("epoch")
+    )
+
+
+def start_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: Optional[T.StructType] = None,
+    checkpoint_dir: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """File-source streaming dedup ingest; one file per trigger by
+    default so multi-file inputs exercise real cross-epoch dedup."""
+    schema = schema or T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch_id: dedup_microbatch(
+                df, out_dir, epoch_id, id_col=id_col, text_col=text_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
