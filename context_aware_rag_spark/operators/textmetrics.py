@@ -248,6 +248,79 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# the stopword list of Gopher's rule A1.1 #6 (Rae et al. 2021):
+# a doc must contain at least two of these
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 §A1.1) as a per-rule
+    boolean breakdown plus the composite ``keep``:
+
+    1. ``ok_words``      — word count in [min_words, max_words];
+    2. ``ok_mean_len``   — mean word length in [3, 10];
+    3. ``ok_symbols``    — (# + ellipsis) to word ratio <= 0.1;
+    4. ``ok_bullets``    — < 90% of lines bullet-started AND < 30%
+                           ellipsis-ended;
+    5. ``ok_alpha``      — >= 80% of words contain a letter;
+    6. ``ok_stopwords``  — >= 2 distinct required stopwords present.
+
+    (The repetition rules of the same table live in
+    :func:`repetition_signals` — compose them as in the curation
+    pipeline.) Pure JVM expressions — narrow map, no shuffle.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    mean_wl = F.length(F.regexp_replace(F.lower(F.trim(text)), r"\s", "")) / n_words
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        )
+        / n_lines
+    )
+    ell_frac = F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    )
+    n_req_stops = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+        )
+    )
+    rules = {
+        "ok_words": (F.size(words) >= min_words) & (F.size(words) <= max_words),
+        "ok_mean_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "ok_symbols": ((n_hash + n_ell) / n_words) <= 0.1,
+        "ok_bullets": (bullet_frac < 0.9) & (ell_frac < 0.3),
+        "ok_alpha": alpha_frac >= 0.8,
+        "ok_stopwords": n_req_stops >= 2,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
 def c4_line_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1111,6 +1111,84 @@ def mix_corpus_q(spark, sf_dir):
     )
 
 
+# plant rule-violating structure deterministically: hashes (symbol
+# rule) for doc_id % 5 == 0, ten bullet lines for % 6 == 0, an
+# ellipsis-ended line for % 9 == 0
+_GOPHER_PLANT_SQL = (
+    "SELECT doc_id, text"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ######## ########' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN repeat(chr(10) || '- bullet item', 10)"
+    "    ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'to be continued...'"
+    "    ELSE '' END"
+    " AS text FROM documents"
+)
+
+_GOPHER_STOPS_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@xq(
+    "gopher_filter",
+    "WITH planted AS (" + _GOPHER_PLANT_SQL + "),\n"
+    r"""
+    t AS (SELECT doc_id, text,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+                 list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+          FROM planted),
+    m AS (SELECT doc_id, text, words, lines,
+                 greatest(len(words), 1) AS nw,
+                 greatest(len(lines), 1) AS nl,
+                 length(regexp_replace(lower(trim(text)), '\s', '', 'g'))
+                   / greatest(len(words), 1) AS mean_wl,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+          FROM t)
+    SELECT doc_id,
+           len(words) >= 50 AND len(words) <= 100000 AS ok_words,
+           mean_wl >= 3 AND mean_wl <= 10 AS ok_mean_len,
+           (n_hash + n_ell) / nw <= 0.1 AS ok_symbols,
+           (len(list_filter(lines, x -> starts_with(x, '-')
+                OR starts_with(x, '*') OR starts_with(x, chr(8226)))) / nl < 0.9)
+             AND (len(list_filter(lines, x -> ends_with(x, '...'))) / nl < 0.3)
+             AS ok_bullets,
+           len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) / nw >= 0.8
+             AS ok_alpha,
+    """
+    f"       len(list_intersect(words, {_GOPHER_STOPS_SQL})) >= 2 AS ok_stopwords,\n"
+    r"""
+           (len(words) >= 50 AND len(words) <= 100000)
+             AND (mean_wl >= 3 AND mean_wl <= 10)
+             AND ((n_hash + n_ell) / nw <= 0.1)
+             AND ((len(list_filter(lines, x -> starts_with(x, '-')
+                  OR starts_with(x, '*') OR starts_with(x, chr(8226)))) / nl < 0.9)
+                  AND (len(list_filter(lines, x -> ends_with(x, '...'))) / nl < 0.3))
+             AND (len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) / nw >= 0.8)
+    """
+    f"       AND (len(list_intersect(words, {_GOPHER_STOPS_SQL})) >= 2) AS keep\n"
+    "FROM m",
+)
+def gopher_filter_q(spark, sf_dir):
+    """Gopher rule-set breakdown over documents with deterministically
+    planted rule violations (symbol runs, bullet walls, ellipsis
+    endings); the twin plants identically and re-derives every rule."""
+    planted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ######## ########")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("\n- bullet item" * 10)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit("\nto be continued...")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textmetrics.gopher_filter(planted)
+
+
 @xq(
     "dedup_exact_incremental",
     f"""

@@ -162,3 +162,31 @@ def test_c4_line_filter_closing_brace_kills_page(spark):
         ["doc_id", "text"],
     )
     assert c4_line_filter(df).count() == 0
+
+
+def test_gopher_filter_rules(spark):
+    from context_aware_rag_spark.operators.textmetrics import gopher_filter
+
+    base = "the words be to of and that have with " + "content " * 45
+    rows = [
+        (1, base),                                   # passes everything
+        (2, "too short to pass"),                    # word count
+        (3, base + " ## ## ## ## ## ## ## ## ## ## ## ## ##"),   # symbols
+        (4, base + ("\n- b" * 10)),                  # bullet wall
+        (5, base + "\nwait..." + "\nmore..."),       # ellipsis endings
+        (6, "zz " * 60),                             # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["ok_words"] and not got[2]["keep"]
+    assert not got[3]["ok_symbols"] and got[3]["ok_words"]
+    assert not got[4]["ok_bullets"] and got[4]["ok_stopwords"]
+    assert not got[5]["ok_bullets"]
+    assert not got[6]["ok_stopwords"] and got[6]["ok_words"]
+    # rule columns are the complete explanation of keep
+    for r in got.values():
+        assert r["keep"] == all(
+            r[c] for c in ("ok_words", "ok_mean_len", "ok_symbols",
+                           "ok_bullets", "ok_alpha", "ok_stopwords")
+        )
