@@ -137,6 +137,13 @@ def minhash_lsh_candidates(
     deduped pair set instead of replicating the payload ``bands`` times
     through the hot exchange.
 
+    PRECONDITION: ``id_col`` must be unique in ``signatures`` (one
+    signature row per document — what minhash_signatures produces from
+    a unique-id corpus). The post-dedup signature re-join fans out one
+    row per duplicate id, so duplicated ids would emit repeated (a, b)
+    rows where the pre-refactor shape collapsed them; dedupe ids
+    upstream rather than paying a defensive shuffle here.
+
     ``bands`` must divide ``num_hashes`` (the signature length — a
     static parameter, validated without touching the data: bands >
     num_hashes would make every band hash empty and degenerate the join
@@ -407,16 +414,41 @@ def embedding_near_dups(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    blocking: str = "auto",
+    bands: int = 8,
+    bits_per_band: int = 16,
+    auto_lsh_threshold: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine > threshold.
 
-    Reuses the blocked-GEMM triangle join from entity linking
-    (similarity._gemm_pairs_exact) — exact all-pairs scoring with
-    per-task memory bounded by the block size; the LSH-banded variant
-    (similarity.similarity_pairs blocking="lsh") is the approximate
-    path when the corpus outgrows exact pairing.
+    ``blocking`` picks the candidate generator:
+
+    - ``"exact"`` — blocked-GEMM triangle join (similarity.
+      _gemm_pairs_exact): exact all-pairs scoring, per-task memory
+      bounded by the block size but TOTAL scoring work O(n^2) — the
+      verification / small-corpus path.
+    - ``"lsh"`` — sign-random-projection banding (similarity.
+      similarity_pairs blocking="lsh"): near-linear candidate
+      generation; candidates are exactly re-scored, so precision is
+      1.0 and only recall is approximate (>0.999 for true near-dups at
+      cosine >= 0.9 with the default fine 8x16 bands).
+    - ``"auto"`` (default) — count the corpus (one agg on the
+      already-checkpointed normalized frame) and escalate to LSH at
+      ``auto_lsh_threshold`` docs (default canonicalize.
+      AUTO_LSH_THRESHOLD, the measured exact/LSH crossover), so a
+      100 TB corpus cannot silently get the quadratic plan because a
+      caller took the defaults (VERDICT r3 scale item 1).
+
+    PRECONDITION: ``id_col`` unique (the LSH path re-joins embeddings
+    by id after pair dedup — see minhash_lsh_candidates).
     """
-    from .similarity import _gemm_pairs_exact
+    from .canonicalize import AUTO_LSH_THRESHOLD
+    from .similarity import _gemm_pairs_exact, similarity_pairs
+
+    if blocking not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown blocking strategy: {blocking!r}")
+    if auto_lsh_threshold is None:
+        auto_lsh_threshold = AUTO_LSH_THRESHOLD
 
     # two-step normalize with a checkpoint between: inlining the O(dim)
     # norm aggregate into the per-element divide lambda would make
@@ -438,7 +470,28 @@ def embedding_near_dups(
         F.lit("doc").alias("type"),
         F.transform(F.col("_vec"), lambda x: x / F.col("_norm")).alias("embedding"),
     ).localCheckpoint()
-    pairs = _gemm_pairs_exact(nodes, threshold, n_blocks=n_blocks)
+    if blocking == "auto":
+        blocking = "lsh" if nodes.count() >= auto_lsh_threshold else "exact"
+    if blocking == "exact":
+        pairs = _gemm_pairs_exact(nodes, threshold, n_blocks=n_blocks)
+    else:
+        # dim read from the frame schema would still be unknown until
+        # runtime for array columns; one first() on the checkpointed
+        # frame is a bounded driver action (1 row)
+        first = nodes.select(F.size("embedding").alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
+        if dim == 0:
+            return nodes.sparkSession.createDataFrame(
+                [], "a string, b string, cosine double"
+            )
+        pairs = similarity_pairs(
+            nodes,
+            threshold=threshold,
+            blocking="lsh",
+            bands=bands,
+            bits_per_band=bits_per_band,
+            dim=dim,
+        )
     # ids come back as strings (the GEMM path's id type), pair-ordered
     # lexicographically; callers with typed ids cast + reorder themselves
     return pairs.select("a", "b", F.round("score", 6).alias("cosine"))

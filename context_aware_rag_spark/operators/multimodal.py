@@ -250,10 +250,18 @@ def synthesize_media(spark, docs: DataFrame, id_col: str = "doc_id") -> DataFram
         (F.col(id_col) % 3 + 1).cast("int"),
     )
 
+    # the image-kind gate lives INSIDE the UDF: Spark evaluates Python
+    # UDFs in a separate ArrowEvalPython projection BEFORE the CASE
+    # expression, so a `F.when(cond, udf(...))` still pays the Python
+    # synthesis cost for every non-image row and discards the result —
+    # 2/3 of rows here. Returning None for those ids keeps the per-row
+    # Python work proportional to the image subset.
     @F.pandas_udf(T.BinaryType())
     def bmp_payload(ids: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in ids:
-            yield s.map(lambda i: synthesize_bmp(int(i)))
+            yield s.map(
+                lambda i: synthesize_bmp(int(i)) if int(i) % 3 == 0 else None
+            )
 
     payload = F.when(
         F.col(id_col) % 3 == 0, bmp_payload(F.col(id_col))

@@ -194,6 +194,11 @@ def similarity_pairs(
     connected-components canonicalization. ``blocking="type"`` is the
     exact path (blocked GEMM); ``blocking="lsh"`` the approximate scale
     path for very large per-type populations.
+
+    PRECONDITION (lsh path): ``node_id`` must be unique — the
+    embedding re-join after pair dedup fans out per duplicate id
+    (see minhash_lsh_candidates). Callers here pass distinct-ed
+    representatives, which satisfies it by construction.
     """
     if blocking == "type":
         return _gemm_pairs_exact(
@@ -253,6 +258,7 @@ def knn_similar_edges(
     bits_per_band: int = 4,
     max_degree: int | None = 5,
     max_iter: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SIMILAR edges: per item, top-k neighbors with score >= min_score
     (reference KNN pass, neo4j_db.py:610-653: top-6, score >= 0.8).
@@ -277,6 +283,15 @@ def knn_similar_edges(
     scales with dependency depth, not corpus size. Edges are
     MERGE-deduped undirected, keeping the row of the first accepting
     source. ``max_degree=None`` disables the gate (raw directed top-k).
+
+    PRECONDITION: ``id_col`` must be unique in ``items_with_emb`` —
+    the post-dedup embedding re-join fans out per duplicate id (see
+    minhash_lsh_candidates). Chunk frames are unique by chunk_id.
+
+    ``stats``: pass a dict to receive convergence telemetry —
+    ``stats["iterations"]`` is set to the number of fixpoint rounds the
+    degree gate ran (1 = converged immediately). Alias-dense corpora
+    settle in <= 3; bench.py records this per round as scale evidence.
     """
     # banded rows materialized once (not per join branch) and NARROW:
     # the candidate self-join shuffles only (id, band, band_hash);
@@ -326,7 +341,9 @@ def knn_similar_edges(
         # dependency chain is at most #sources deep — the true bound
         max_iter = max(int(srcs.count()), 1) + 1
     accepted = srcs
+    iterations = 0
     for _ in range(max_iter):
+        iterations += 1
         # degree of c when it processes = # earlier accepted sources s<c
         # that chose c (each contributes exactly one MERGEd edge)
         indeg = (
@@ -358,6 +375,8 @@ def knn_similar_edges(
             f"knn degree-gate fixpoint did not converge in {max_iter} "
             "iterations; raise max_iter"
         )
+    if stats is not None:
+        stats["iterations"] = iterations
 
     kept = ranked.join(accepted, "src", "left_semi")
     # MERGE is undirected: if a<b both accept each other, the second

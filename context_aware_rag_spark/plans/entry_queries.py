@@ -40,18 +40,31 @@ EXTRA_ORACLES: Dict[str, str] = {}
 
 # Precomputed pure-Python oracle tables (oracle/precompute.py — the
 # independent reference-semantics implementation snapshotted to
-# parquet by tools/gen_oracle_data.py). Pinned to sf0.01, the driver's
-# correctness scale; tests/test_entry_contract.py replicates the
-# comparison at the same scale.
+# parquet by tools/gen_oracle_data.py). The snapshot scale defaults to
+# sf0.01 — the driver's correctness scale per contract — and is
+# selectable via SPARK_GRAFT_ORACLE_SF for local sweeps at other
+# scales (generate the matching snapshot first). A missing snapshot
+# fails HERE with instructions instead of surfacing later as an opaque
+# oracle hash mismatch against the wrong-scale parquet.
+ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01")
 ORACLE_DATA = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "oracle_data",
-    "sf0.01",
+    f"sf{ORACLE_SF}",
 )
 
 
 def _pq(name: str) -> str:
-    return os.path.join(ORACLE_DATA, f"{name}.parquet")
+    path = os.path.join(ORACLE_DATA, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"precomputed oracle snapshot missing: {path} — run "
+            f"`python tools/gen_oracle_data.py /root/testdata/sf{ORACLE_SF}` "
+            "(or unset SPARK_GRAFT_ORACLE_SF to use the committed sf0.01 "
+            "snapshots). Snapshot-backed oracles are only valid when the "
+            "correctness run's sf_dir matches this scale."
+        )
+    return path
 
 
 def q(name: str, oracle: str | None = None):

@@ -31,21 +31,63 @@ from ..operators import dedup
 _HASH_SCHEMA = "doc_id long, text_hash string"
 
 
+def _epoch_ids(spark: SparkSession, base: str) -> list[int] | None:
+    """Epoch partition ids under ``base``, listed through the Hadoop
+    FileSystem API so remote stores (HDFS/S3) resolve like local paths —
+    a driver-side ``os.listdir`` would silently return nothing for a
+    non-local ``out_dir`` and disable cross-epoch dedup. Returns ``None``
+    when the base dir does not exist (vs ``[]`` for exists-but-empty)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(base)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    return [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+    ]
+
+
 def read_prior_hashes(
     spark: SparkSession, out_dir: str, before_epoch: int
 ) -> DataFrame:
     """Hash index accumulated by epochs STRICTLY BEFORE ``before_epoch``
-    (a replayed epoch must not see its own partial output)."""
+    (a replayed epoch must not see its own partial output).
+
+    Fails loudly on the two silent-corruption modes: a missing hashes
+    dir when prior epochs should have written one (remote-store
+    misconfiguration would otherwise disable dedup and append
+    duplicates), and epoch dirs FROM THE FUTURE (> current epoch),
+    which mean the stream checkpoint was reset while the output dir was
+    kept — epoch ids restart at 0, and new docs would be deduped
+    against dead epochs' hashes."""
     base = os.path.join(out_dir, "hashes")
-    prior = [
-        d for d in (os.listdir(base) if os.path.isdir(base) else [])
-        if d.startswith("epoch=") and int(d.split("=", 1)[1]) < before_epoch
-    ]
+    ids = _epoch_ids(spark, base)
+    if ids is None:
+        if before_epoch > 0:
+            raise FileNotFoundError(
+                f"streaming dedup hash index missing at {base!r} but epoch "
+                f"{before_epoch} expects epochs 0..{before_epoch - 1} to have "
+                "written it — wrong out_dir or filesystem misconfiguration "
+                "(cross-epoch dedup would be silently disabled)"
+            )
+        return spark.createDataFrame([], _HASH_SCHEMA)
+    stale = [e for e in ids if e > before_epoch]
+    if stale:
+        raise RuntimeError(
+            f"streaming dedup out_dir {out_dir!r} contains epoch dirs "
+            f"{sorted(stale)} beyond current epoch {before_epoch}: the "
+            "stream checkpoint was reset (epoch ids restart at 0) while the "
+            "output dir was kept — clear out_dir or restore the checkpoint"
+        )
+    prior = [e for e in ids if e < before_epoch]
     if not prior:
         return spark.createDataFrame([], _HASH_SCHEMA)
     return (
         spark.read.option("basePath", base)
-        .parquet(*[os.path.join(base, d) for d in prior])
+        .parquet(*[os.path.join(base, f"epoch={e}") for e in prior])
         .drop("epoch")
     )
 

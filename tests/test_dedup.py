@@ -483,3 +483,76 @@ class TestExactDedupIncremental:
         got = {r["doc_id"] for r in dedup.exact_dedup_incremental(new, existing).collect()}
         # null-text rows neither survive nor collapse each other
         assert got == {3}
+
+
+class TestEmbeddingNearDupAutoEscalation:
+    """VERDICT r3 scale item 1: embedding_near_dups blocking="auto" must
+    pick the exact blocked GEMM below the corpus-size threshold and the
+    banded-LSH path above it — same planted pair set either way — so
+    the engine's last quadratic-by-default path is gone."""
+
+    @pytest.fixture(scope="class")
+    def emb_docs(self, spark):
+        rng = np.random.default_rng(11)
+        rows = []
+        for g in range(6):
+            base = rng.standard_normal(16)
+            for a in range(3):  # 3 near-identical vectors per family
+                v = base + (0.01 * rng.standard_normal(16) if a else 0.0)
+                rows.append((g * 10 + a, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        ).localCheckpoint()
+
+    def _run(self, monkeypatch, emb_docs, **kw):
+        from context_aware_rag_spark.operators import similarity
+
+        seen = {"path": None}
+        real_gemm = similarity._gemm_pairs_exact
+        real_sp = similarity.similarity_pairs
+
+        def spy_gemm(*a, **k):
+            seen["path"] = "exact"
+            return real_gemm(*a, **k)
+
+        def spy_sp(*a, **k):
+            seen["path"] = "lsh"
+            return real_sp(*a, **k)
+
+        monkeypatch.setattr(similarity, "_gemm_pairs_exact", spy_gemm)
+        monkeypatch.setattr(similarity, "similarity_pairs", spy_sp)
+        out = dedup.embedding_near_dups(emb_docs, threshold=0.9, **kw)
+        return seen["path"], {(r["a"], r["b"]) for r in out.collect()}
+
+    def test_below_threshold_uses_exact_gemm(self, monkeypatch, emb_docs):
+        path, pairs = self._run(monkeypatch, emb_docs)  # default auto
+        assert path == "exact"
+        assert pairs  # planted families found
+
+    def test_above_threshold_escalates_to_lsh(self, monkeypatch, emb_docs):
+        path, _ = self._run(monkeypatch, emb_docs, auto_lsh_threshold=4)
+        assert path == "lsh"
+
+    def test_pair_sets_equal_across_escalation(self, monkeypatch, emb_docs):
+        _, exact = self._run(monkeypatch, emb_docs)
+        _, lsh = self._run(monkeypatch, emb_docs, auto_lsh_threshold=4)
+        # every planted within-family pair present on both paths
+        expected = {
+            (str(g * 10 + i), str(g * 10 + j))
+            for g in range(6)
+            for i in range(3)
+            for j in range(i + 1, 3)
+        }
+        assert exact == lsh
+        assert expected <= exact
+
+    def test_forced_overrides(self, monkeypatch, emb_docs):
+        p1, m1 = self._run(monkeypatch, emb_docs, blocking="exact",
+                           auto_lsh_threshold=1)
+        p2, m2 = self._run(monkeypatch, emb_docs, blocking="lsh")
+        assert (p1, p2) == ("exact", "lsh")
+        assert m1 == m2
+
+    def test_unknown_blocking_raises(self, emb_docs):
+        with pytest.raises(ValueError, match="blocking"):
+            dedup.embedding_near_dups(emb_docs, blocking="nope")
