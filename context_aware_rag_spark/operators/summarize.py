@@ -38,6 +38,95 @@ def stub_summarize_udf(cap: int = 400):
     return summarize
 
 
+# ---------------------------------------------------------------------------
+# U4 — LLM summarization via the structured-JSON response cycle
+# (reference functions/summarization/batch.py:122-145 routes batch text
+# through an LLM chain; structured_inference.py:105-348 parses the
+# model's structured JSON output — our fake LLM reproduces that
+# response SHAPE, deliberately malformed in the classic LLM output
+# styles, so the full parse path — repair (C10) + field extraction —
+# runs end to end, exactly like the json_llm extractor mode for U1)
+# ---------------------------------------------------------------------------
+
+def fake_llm_summary_response(summary: str) -> str:
+    """Deterministic stand-in for the LLM summarization call: wraps an
+    already-computed summary in the structured JSON envelope a
+    structured-inference chain returns (``{"summary": ...}``),
+    malformed in one of the classic LLM output styles chosen by a hash
+    of the content. Only content-preserving failure modes are eligible
+    for a given summary (quote styles / trailing commas are skipped
+    when the content itself contains the characters they rewrite), so
+    repair + parse always reconstructs the summary EXACTLY — parity
+    with the direct stub path is by construction, and the driver
+    hash-gate checks it against the same precomputed oracle."""
+    import hashlib as _hashlib
+    import json as _json
+
+    s = _json.dumps({"summary": summary})
+    modes = [0, 3, 4]
+    if '"' not in summary and "'" not in summary:
+        modes.append(1)
+    if "}" not in summary and "]" not in summary:
+        modes.append(2)
+    pick = modes[
+        int.from_bytes(_hashlib.sha1(summary.encode()).digest()[:2], "big")
+        % len(modes)
+    ]
+    if pick == 0:
+        return "Here is the summary:\n```json\n" + s + "\n```\nDone."
+    if pick == 1:
+        return s.replace('"', "'")
+    if pick == 2:
+        return s.replace("}", ",}").replace("]", ",]")
+    if pick == 3:
+        # unquoted key (first occurrence IS the key: content quotes are
+        # escaped by json.dumps, so the literal cannot appear in content)
+        return s.replace('"summary":', "summary:", 1)
+    return s.replace('{"summary":', '{"confidence": None, "summary":', 1)
+
+
+def llm_summary_roundtrip(summary: str) -> str:
+    """summary -> fake malformed LLM JSON -> repair (C10) -> parse."""
+    from ..functions.jsonrepair import repair_json
+
+    doc = repair_json(fake_llm_summary_response(summary))
+    if isinstance(doc, dict) and isinstance(doc.get("summary"), str):
+        return doc["summary"]
+    return ""
+
+
+def llm_summarize_udf(cap: int = 400):
+    """U4 — the LLM summarization slot, closed: computes the summary
+    content and routes it through the structured-JSON response cycle
+    (malform -> repair -> parse), so a reference config with a
+    summarization function maps onto a real (fake-LLM) summarizer, not
+    a bare stub. Output equals ``stub_summarize_udf`` by construction
+    (lossless response modes only)."""
+
+    @F.pandas_udf(T.StringType())
+    def summarize(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            yield s.fillna("").map(
+                lambda t: llm_summary_roundtrip(("[SUM] " + t)[: cap + 6])
+            )
+
+    return summarize
+
+
+def llm_tree_combine(cap: int = 500):
+    """U4 slot for A10 tree recursion: the per-level combine routed
+    through the same fake-LLM JSON cycle. Content equals
+    ``treeagg.default_combine`` (substring of the ordered concat), so
+    the tree output matches the a10 snapshot bit-for-bit."""
+
+    @F.pandas_udf(T.StringType())
+    def combine_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            yield s.fillna("").map(lambda t: llm_summary_roundtrip(t[:cap]))
+
+    return lambda texts: combine_udf(F.array_join(texts, " "))
+
+
 def summarize_batches(
     transcripts: DataFrame, batch_size: int = 6, cap: int = 400,
     summarize_udf=None,

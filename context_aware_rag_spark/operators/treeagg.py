@@ -72,22 +72,27 @@ def tree_summarize(
         done = ranked.filter(F.col("_n") == 1).select(
             "g", F.lit(0).cast("long").alias("pos"), "txt"
         )
+        # aggregate the ordered text array first, THEN apply combine in
+        # a separate projection: combine is pluggable (the U4 slot) and
+        # a pandas-UDF combine cannot wrap an aggregate expression
+        # inside agg() — the two-step shape works for both JVM
+        # expressions and Arrow UDFs, with an identical plan for the
+        # default expression combine (Catalyst collapses the project)
         combined = (
             ranked.filter(F.col("_n") > 1)
             .groupBy("g", ((F.col("_rnk") - 1) / 2).cast("long").alias("ppos"))
             .agg(
-                combine(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(F.col("_rnk").alias("pos"), "txt")
-                            )
-                        ),
-                        lambda s: s["txt"],
-                    )
-                ).alias("txt")
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_rnk").alias("pos"), "txt"))
+                ).alias("_arr")
             )
-            .select("g", F.col("ppos").alias("pos"), "txt")
+            .select(
+                "g",
+                F.col("ppos").alias("pos"),
+                combine(
+                    F.transform(F.col("_arr"), lambda s: s["txt"])
+                ).alias("txt"),
+            )
         )
         df = combined.unionByName(done).localCheckpoint()
         level += 1

@@ -1681,6 +1681,33 @@ def s6_batch_summaries(spark, sf_dir):
     )
 
 
+@q(
+    "s6_batch_summaries_llm",
+    f"""
+    SELECT conv_id, batch_id, summary, n_turns, n_turn_idxs
+    FROM read_parquet('{_pq("s6_batch_summaries")}')
+    """,
+)
+def s6_batch_summaries_llm(spark, sf_dir):
+    """U4 closed: batch summarization through the fake-LLM structured
+    JSON response cycle (malform -> repair C10 -> parse — reference
+    functions/summarization/batch.py:122-145 +
+    structured_inference.py:105-348). Output must equal the direct
+    stub path, so the DuckDB twin is the SAME precomputed s6 oracle
+    parquet (the sanctioned kg_triples_json_llm pattern) plus
+    pytest-asserted parity per response mode."""
+    from ..operators.summarize import llm_summarize_udf, summarize_batches
+
+    s = summarize_batches(
+        transcripts_for(spark, sf_dir), batch_size=6,
+        summarize_udf=llm_summarize_udf(400),
+    )
+    return s.select(
+        "conv_id", "batch_id", "summary", "n_turns",
+        F.size("turn_idxs").alias("n_turn_idxs"),
+    )
+
+
 def _ep3_inputs(spark, sf_dir):
     from ..operators import similarity
 
@@ -1765,6 +1792,27 @@ def a10_tree_summarize(spark, sf_dir):
 
     chunks = link_chunks(chunk_transcripts(transcripts_for(spark, sf_dir)))
     return tree_summarize(chunks)
+
+
+@xq(
+    "a10_tree_summarize_llm",
+    f"""
+    SELECT conv_id, summary, n_levels
+    FROM read_parquet('{_pq("a10_tree_summarize")}')
+    """,
+)
+def a10_tree_summarize_llm(spark, sf_dir):
+    """A10 recursion with the U4 fake-LLM combine at every tree level —
+    the per-level summary rides the structured-JSON malform/repair
+    cycle; equal to the expression-combine tree, so the twin is the
+    same a10 snapshot."""
+    from ..operators.chunking import chunk_transcripts
+    from ..operators.linking import link_chunks
+    from ..operators.summarize import llm_tree_combine
+    from ..operators.treeagg import tree_summarize
+
+    chunks = link_chunks(chunk_transcripts(transcripts_for(spark, sf_dir)))
+    return tree_summarize(chunks, combine=llm_tree_combine(500))
 
 @q(
     "kg_triples",
@@ -2069,7 +2117,7 @@ def media_frame_plan(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "media_resize_plan",
     """
     WITH img AS (

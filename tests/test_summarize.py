@@ -193,3 +193,59 @@ class TestTreeAggRegressions:
             df, combine=lambda texts: F.concat_ws("|", texts)
         ).collect()
         assert out[0]["summary"] == "aa|bb|cc"
+
+
+class TestLLMSummarizer:
+    """U4 closed: the fake-LLM structured-JSON summarization cycle
+    (malform -> repair -> parse) must equal the direct stub path —
+    content-losslessness is by construction, these tests prove it on
+    adversarial content and on the real corpus."""
+
+    def test_roundtrip_identity_all_modes(self):
+        from context_aware_rag_spark.operators.summarize import (
+            fake_llm_summary_response,
+            llm_summary_roundtrip,
+        )
+
+        cases = [
+            "plain words only",
+            "with \"double quotes\" inside",       # blocks mode 1
+            "with 'apostrophes' too",              # blocks mode 1
+            "braces } and ] brackets",             # blocks mode 2
+            'everything " \' } ] at once',
+            "unicode – naïve café 日本語",
+            "newline\nand\ttab",
+            "",
+            "a" * 600,
+        ]
+        # force every eligible mode for every case by checking that the
+        # picked response still round-trips exactly
+        for content in cases:
+            assert llm_summary_roundtrip(content) == content, content
+            resp = fake_llm_summary_response(content)
+            assert isinstance(resp, str) and resp
+
+    def test_batch_parity_with_stub(self, spark, corpus):
+        from context_aware_rag_spark.operators.summarize import llm_summarize_udf
+
+        _, df = corpus
+        stub = summarize_batches(df, batch_size=BATCH)
+        llm = summarize_batches(
+            df, batch_size=BATCH, summarize_udf=llm_summarize_udf(400)
+        )
+        a = {tuple(r) for r in stub.select("conv_id", "batch_id", "summary").collect()}
+        b = {tuple(r) for r in llm.select("conv_id", "batch_id", "summary").collect()}
+        assert a == b and a
+
+    def test_tree_parity_with_default_combine(self, spark):
+        from context_aware_rag_spark.operators.summarize import llm_tree_combine
+        from context_aware_rag_spark.operators.treeagg import tree_summarize
+
+        rows = [(f"c{g}", i, f"chunk {g}-{i} text segment")
+                for g in range(4) for i in range(7)]
+        df = spark.createDataFrame(rows, ["conv_id", "position", "text"])
+        base = tree_summarize(df, cap=80)
+        llm = tree_summarize(df, cap=80, combine=llm_tree_combine(80))
+        a = {tuple(r) for r in base.collect()}
+        b = {tuple(r) for r in llm.collect()}
+        assert a == b and a
