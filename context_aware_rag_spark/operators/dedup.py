@@ -404,6 +404,93 @@ def shared_span_pairs(
     )
 
 
+def remove_shared_spans(
+    docs: DataFrame,
+    window: int = 8,
+    every: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span REMOVAL (Lee et al. 2022 §3, completing the family whose
+    signal is :func:`shared_span_pairs`): cut every duplicated
+    ``window``-word span from the text, keeping the FIRST occurrence —
+    global order (doc_id, start) — and dropping all others. Overlapping
+    cut spans remove their covered word positions once (coverage-set
+    semantics).
+
+    Returns (id_col, cleaned_text, n_spans_cut, n_words_removed) for
+    every input doc. ``cleaned_text`` is the lowercased single-spaced
+    reconstruction from the surviving word positions (the operator works
+    on the same normalized word split as the fingerprint index;
+    original casing/whitespace of surviving words is not preserved —
+    document-level dedup upstream is unaffected).
+
+    Distributed shape — linear, no self-join: explode span occurrences
+    (doc, start, span) → ONE groupBy(span) electing the min
+    (doc_id, start) owner and counting occurrences → non-owner
+    occurrences of duplicated spans join back per doc (collect the cut
+    starts) → per-row word filter against the cut set. The span groupBy
+    is the only wide exchange and is map-side combinable; a
+    boilerplate span hot key costs one skewed reduce task (AQE splits
+    it), never a quadratic fan-out like the pair join would.
+    """
+    from .textmetrics import _words
+
+    words = _words(F.col(text_col))
+    base = docs.select(F.col(id_col), words.alias("_words")).localCheckpoint()
+    occ = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("_words") - window, F.lit(0)),
+                    F.lit(every),
+                ),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(
+                        " ", F.slice("_words", i + 1, window)
+                    ).alias("span"),
+                ),
+            )
+        ).alias("_o"),
+    ).select(F.col(id_col), F.col("_o.start").alias("start"), F.col("_o.span").alias("span"))
+    owners = occ.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col).alias("oid"), F.col("start").alias("ostart"))).alias("_owner"),
+        F.count(F.lit(1)).alias("_n_occ"),
+    )
+    cuts = (
+        occ.join(owners, "span")
+        .filter(
+            (F.col("_n_occ") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("_owner.oid"))
+                & (F.col("start") == F.col("_owner.ostart"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("start")).alias("_cut_starts"))
+    )
+    joined = base.join(cuts, id_col, "left").select(
+        F.col(id_col),
+        "_words",
+        F.coalesce(F.col("_cut_starts"), F.array().cast("array<int>")).alias("_cuts"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — word index i inside any cut span
+        F.col("_cuts"), lambda s: (i >= s) & (i < s + window)
+    )
+    kept = F.filter(
+        F.col("_words"), lambda w, i: ~covered(i)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size("_cuts").cast("long").alias("n_spans_cut"),
+        (F.size("_words") - F.size(kept)).cast("long").alias("n_words_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

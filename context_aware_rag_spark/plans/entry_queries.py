@@ -707,6 +707,49 @@ def shared_span_pairs(spark, sf_dir):
     return dedup.shared_span_pairs(load(spark, sf_dir, "documents"))
 
 
+@xq(
+    "remove_shared_spans",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents),
+    occ0 AS (SELECT doc_id, words,
+                    unnest(range(0, greatest(len(words) - 8, 0) + 1, 4)) AS start
+             FROM w),
+    occ AS (SELECT doc_id, start,
+                   array_to_string(words[start+1:start+8], ' ') AS span
+            FROM occ0),
+    ranked AS (SELECT doc_id, start,
+                      row_number() OVER (PARTITION BY span
+                                         ORDER BY doc_id, start) AS rn,
+                      count(*) OVER (PARTITION BY span) AS cnt
+               FROM occ),
+    cuts AS (SELECT doc_id, start FROM ranked WHERE cnt >= 2 AND rn > 1),
+    widx AS (SELECT doc_id, unnest(words) AS word,
+                    unnest(range(0, len(words))) AS i
+             FROM w),
+    kept AS (SELECT wi.doc_id, wi.word, wi.i FROM widx wi
+             WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                               WHERE c.doc_id = wi.doc_id
+                                 AND wi.i >= c.start AND wi.i < c.start + 8)),
+    agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS cleaned_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+    ncuts AS (SELECT doc_id, count(*) AS n_spans_cut FROM cuts GROUP BY doc_id)
+    SELECT w.doc_id,
+           coalesce(a.cleaned_text, '') AS cleaned_text,
+           coalesce(n.n_spans_cut, 0)::BIGINT AS n_spans_cut,
+           (len(w.words) - coalesce(a.n_kept, 0))::BIGINT AS n_words_removed
+    FROM w LEFT JOIN agg a USING (doc_id) LEFT JOIN ncuts n USING (doc_id)
+    """,
+)
+def remove_shared_spans_q(spark, sf_dir):
+    """Span REMOVAL (Lee et al. 2022 §3) — duplicated 8-word windows cut
+    from all but the first global occurrence; CLEANED TEXT ITSELF is
+    hash-checked (the pii_scrub pattern), plus cut/removed counts."""
+    return dedup.remove_shared_spans(load(spark, sf_dir, "documents"))
+
+
 _STOPS_SQL = "(" + ",".join(f"'{w}'" for w in textmetrics.EN_STOPWORDS) + ")"
 
 

@@ -556,3 +556,67 @@ class TestEmbeddingNearDupAutoEscalation:
     def test_unknown_blocking_raises(self, emb_docs):
         with pytest.raises(ValueError, match="blocking"):
             dedup.embedding_near_dups(emb_docs, blocking="nope")
+
+
+class TestRemoveSharedSpans:
+    """Span REMOVAL (Lee et al. 2022): duplicated windows are cut,
+    first global occurrence kept; coverage-set semantics on overlaps."""
+
+    def test_planted_span_cut_from_later_doc(self, spark):
+        span = "alpha beta gamma delta eps zeta eta theta"  # 8 words
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique one two three {span} tail words here now"),
+                (2, f"{span} completely different suffix content words x y"),
+                (3, "no shared content in this document at all ok"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in
+               dedup.remove_shared_spans(docs, window=8, every=4).collect()}
+        # doc 1 owns the first occurrence (scan starts land on multiples
+        # of 4: "unique one two three" shifts the span to index 4)
+        assert out[1]["n_spans_cut"] == 0
+        assert span in out[1]["cleaned_text"]
+        # doc 2's copy starts at index 0 (a multiple of 4) -> cut
+        assert out[2]["n_spans_cut"] >= 1
+        assert "alpha" not in out[2]["cleaned_text"]
+        assert "completely different suffix" in out[2]["cleaned_text"]
+        assert out[2]["n_words_removed"] >= 8
+        # untouched doc round-trips (lowercased single-space normal form)
+        assert out[3]["cleaned_text"] == docs.filter(
+            F.col("doc_id") == 3
+        ).collect()[0]["text"].lower()
+        assert out[3]["n_spans_cut"] == 0 and out[3]["n_words_removed"] == 0
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        span = " ".join(f"s{i}" for i in range(8))
+        filler = " ".join(f"f{i}" for i in range(4))
+        docs = spark.createDataFrame(
+            [(7, f"{span} {filler} {span} trailing bits")],
+            ["doc_id", "text"],
+        )
+        out = dedup.remove_shared_spans(docs, window=8, every=4).collect()[0]
+        # second in-doc occurrence (start=12, a multiple of 4) is cut
+        assert out["n_spans_cut"] == 1
+        assert out["cleaned_text"].count("s0") == 1
+        assert "trailing bits" in out["cleaned_text"]
+
+    def test_overlapping_cuts_counted_once(self, spark):
+        # doc 2 repeats doc 1's 12-word run: two overlapping 8-word
+        # windows (starts 0 and 4) both duplicated -> covered word set
+        # is 12 positions, not 16
+        run = " ".join(f"r{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [
+                (1, f"{run} owner suffix padding words"),
+                (2, f"{run} other suffix distinct words"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in
+               dedup.remove_shared_spans(docs, window=8, every=4).collect()}
+        assert out[2]["n_spans_cut"] == 2
+        assert out[2]["n_words_removed"] == 12
+        assert out[2]["cleaned_text"] == "other suffix distinct words"
+        assert out[1]["n_words_removed"] == 0
