@@ -688,14 +688,22 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keeper_score=None,
 ) -> DataFrame:
     """Collapse near-duplicate PAIRS (from any candidate generator —
     MinHash, SimHash, n-gram Jaccard, embedding cosine) into duplicate
     FAMILIES via connected components, then elect exactly one keeper
-    per family: the longest document, ties broken by smallest id (the
-    "keep one representative per cluster" step of Lee et al. 2022 /
-    SlimPajama-style dedup; the reference merges duplicate entities the
-    same way via CC over similarity edges, graph_rag/base.py:319-360).
+    per family: by default the longest document, ties broken by
+    smallest id (the "keep one representative per cluster" step of
+    Lee et al. 2022 / SlimPajama-style dedup; the reference merges
+    duplicate entities the same way via CC over similarity edges,
+    graph_rag/base.py:319-360).
+
+    ``keeper_score``: optional Column over the docs frame's columns —
+    the keeper becomes the family member with the HIGHEST score (ties
+    -> smallest id), so curation can keep the best-quality member
+    (e.g. the textmetrics quality composite) instead of merely the
+    longest. The election stays one window shuffle either way.
 
     Returns (id_col, cluster_id, is_keeper) for EVERY input document;
     docs in no pair are singleton families (cluster_id = own id,
@@ -715,17 +723,18 @@ def dedup_clusters(
     cc = connected_components(pairs.select("a", "b")).withColumnRenamed(
         "node_id", id_col
     )
+    score = keeper_score if keeper_score is not None else F.length(text_col)
     labeled = (
-        docs.select(F.col(id_col), F.length(text_col).alias("_len"))
+        docs.select(F.col(id_col), score.alias("_score"))
         .join(cc, id_col, "left")
         .select(
             id_col,
-            "_len",
+            "_score",
             F.coalesce(F.col("canon_id"), F.col(id_col)).alias("cluster_id"),
         )
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("_len").desc(), F.col(id_col).asc()
+        F.col("_score").desc(), F.col(id_col).asc()
     )
     return labeled.select(
         F.col(id_col),
@@ -741,7 +750,7 @@ def dedup_clusters(
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
-    n: int = 8,
+    n: "int | tuple[int, ...] | list[int]" = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
@@ -752,22 +761,41 @@ def decontaminate(
     n_contaminated_grams) for FLAGGED docs only — the count is over the
     doc's DISTINCT shared grams.
 
+    ``n`` may be a single gram size or a collection (Brown et al. use
+    8–13-gram collisions — pass e.g. ``(8, 13)``): a doc is flagged if
+    it collides at ANY size (the per-size flags OR together), and the
+    count sums the distinct shared grams across sizes (gram strings of
+    different word counts never collide, so one union-ed gram universe
+    preserves per-size distinctness).
+
     Distributed shape: both sides normalize (lower / strip punct /
-    collapse whitespace) and shingle into word n-grams; the benchmark
-    side is distinct-ed and BROADCAST (eval sets are thousands of rows,
-    never corpus-scale), so the corpus pays one narrow scan + a
-    broadcast-hash join + a map-side-combined count — no wide shuffle
-    at any size.
+    collapse whitespace) and shingle into word n-grams — per-size gram
+    arrays concatenated in ONE projection, so multiple sizes still cost
+    one narrow scan of each side; the benchmark side is distinct-ed
+    and BROADCAST (eval sets are thousands of rows, never
+    corpus-scale), so the corpus pays one broadcast-hash join + a
+    map-side-combined count — no wide shuffle at any size.
     """
-    def grams_col(tcol: str):
-        words = F.split(normalized_text(F.col(tcol)), " ")
+    ns = sorted({int(x) for x in (n if isinstance(n, (tuple, list)) else [n])})
+    if not ns or ns[0] < 1:
+        raise ValueError(f"n must be >= 1 gram sizes, got {n!r}")
+
+    def _size_grams(words, k: int):
+        # NOTE: a `lambda i, k=k:` closure would NOT work here —
+        # F.transform introspects the lambda arity and passes the array
+        # INDEX as the second argument, silently shadowing the default
         return F.when(
-            F.size(words) >= n,
+            F.size(words) >= k,
             F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
             ),
         ).otherwise(F.array().cast("array<string>"))
+
+    def grams_col(tcol: str):
+        words = F.split(normalized_text(F.col(tcol)), " ")
+        per_size = [_size_grams(words, k) for k in ns]
+        return per_size[0] if len(per_size) == 1 else F.concat(*per_size)
 
     bench_grams = benchmark.select(
         F.explode(grams_col(bench_text_col)).alias("gram")

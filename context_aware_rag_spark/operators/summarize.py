@@ -165,6 +165,57 @@ def summarize_batches(
     )
 
 
+def retrieve_summary(
+    summaries: DataFrame,
+    batch_lo: int | None = None,
+    batch_hi: int | None = None,
+    conv_id: str | None = None,
+    summarize_udf=None,
+    cap: int = 400,
+) -> DataFrame:
+    """Summary retriever — the reference's summarization Q&A entry
+    point (functions/summarization/summary_retriever.py:72-105 acall):
+    fetch the stored batch summaries for a requested range, stuff them
+    in batch order into one context per conversation
+    (create_stuff_documents_chain), and run the summarization chain
+    (the U4 slot) over the stitched context.
+
+    Returns (conv_id, summary, n_batches, batch_lo, batch_hi) — one row
+    per conversation with >= 1 summary in range. The range filter is on
+    ``batch_id`` (the reference filters chunks on stored metadata the
+    same way before stuffing); ``conv_id`` narrows to one stream (the
+    reference's uuid). Single shuffle (the per-conv stitch groupBy);
+    the summaries table is already tiny relative to the corpus.
+    """
+    df = summaries
+    if conv_id is not None:
+        df = df.filter(F.col("conv_id") == conv_id)
+    if batch_lo is not None:
+        df = df.filter(F.col("batch_id") >= batch_lo)
+    if batch_hi is not None:
+        df = df.filter(F.col("batch_id") <= batch_hi)
+    stitched = df.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("batch_id", "summary"))),
+                lambda s: s["summary"],
+            ),
+            " ",
+        ).alias("_context"),
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.min("batch_id").alias("batch_lo"),
+        F.max("batch_id").alias("batch_hi"),
+    )
+    summarize_udf = summarize_udf or llm_summarize_udf(cap)
+    return stitched.select(
+        "conv_id",
+        summarize_udf(F.col("_context")).alias("summary"),
+        "n_batches",
+        "batch_lo",
+        "batch_hi",
+    )
+
+
 def in_summary_edges(summaries: DataFrame, chunks: DataFrame) -> DataFrame:
     """J3 — UNWIND linked chunk indices MATCH chunk (neo4j_db.py:558-576):
     explode turn_idxs, equi-join chunks on (conv_id, turn_idx)."""

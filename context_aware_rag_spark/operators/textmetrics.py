@@ -76,6 +76,29 @@ def token_counts_bpe(
     )
 
 
+def quality_score_col(text_col) -> "F.Column":
+    """The composite quality score in [0,1] as a bare Column — shared
+    by :func:`quality_scores` and score-pluggable consumers (e.g. the
+    quality-aware dedup keeper)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    mean_word_len = (
+        F.length(F.regexp_replace(text, r"\s+", "")) / F.greatest(n_words, F.lit(1))
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    return (
+        F.when((n_words >= 5) & (n_words <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(0.3)).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(0.0)
+    )
+
+
 def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / uppercase ratios + a composite
     quality score in [0,1] (Gopher-style filters, simplified)."""
@@ -92,12 +115,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
-    score = (
-        F.when((n_words >= 5) & (n_words <= 100000), F.lit(0.4)).otherwise(0.0)
-        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(0.3)).otherwise(0.0)
-        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(0.0)
-        + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(0.0)
-    )
+    score = quality_score_col(text)
     return docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

@@ -999,6 +999,84 @@ def dedup_clusters_q(spark, sf_dir):
     return dedup.dedup_clusters(docs, pairs)
 
 
+@xq(
+    "dedup_clusters_quality",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ),
+    p AS (
+      SELECT a, b
+      FROM inter
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = a
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    qm AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               / greatest(len(words), 1) AS mean_word_len,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio,
+             len(list_filter(words, w -> w IN {_STOPS_SQL}))
+               / greatest(len(words), 1) AS stop_ratio
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ),
+    qual AS (
+      SELECT doc_id, round((
+               (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio >= 0.01 THEN 0.1 ELSE 0.0 END))::DOUBLE,
+             2) AS qs
+      FROM qm
+    ),
+    lab AS (SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                   q.qs
+            FROM documents d
+            LEFT JOIN cc ON cc.node = d.doc_id
+            JOIN qual q ON q.doc_id = d.doc_id)
+    SELECT doc_id, cluster_id,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY qs DESC, doc_id ASC)) = 1 AS is_keeper
+    FROM lab
+    """,
+)
+def dedup_clusters_quality_q(spark, sf_dir):
+    """Quality-aware keeper election (VERDICT r3 item 5): same duplicate
+    families, keeper = highest textmetrics quality composite (ties ->
+    smallest id) — curation keeps the BEST member, not the longest."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return dedup.dedup_clusters(
+        docs, pairs,
+        keeper_score=F.round(textmetrics.quality_score_col("text"), 2),
+    )
+
+
 # Line structure is planted deterministically from doc_id in BOTH twins
 # (the synthetic corpus is single-line): one keepable sentence, one
 # too-short line, one javascript line, and — for doc_id % 7 == 0 /
@@ -1093,6 +1171,65 @@ def decontaminate_q(spark, sf_dir):
         .select(F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"))
     )
     return dedup.decontaminate(docs, bench, n=8)
+
+
+@xq(
+    "decontaminate_multi",
+    f"""
+    WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+                  FROM documents),
+    plants AS (
+        SELECT words[5:12] AS pw
+        FROM norm WHERE doc_id % 10 = 0 AND len(words) >= 12
+        UNION ALL
+        SELECT words[3:15] AS pw
+        FROM norm WHERE doc_id % 15 = 0 AND len(words) >= 15),
+    bench AS (
+      SELECT DISTINCT unnest(
+        (CASE WHEN len(pw) >= 8
+          THEN list_transform(range(1, len(pw) - 6),
+               i -> array_to_string(pw[i:i+7], ' '))
+          ELSE [] END)
+        ||
+        (CASE WHEN len(pw) >= 13
+          THEN list_transform(range(1, len(pw) - 11),
+               i -> array_to_string(pw[i:i+12], ' '))
+          ELSE [] END)) AS gram
+      FROM plants),
+    g AS (SELECT doc_id,
+                 list_distinct(
+                   (CASE WHEN len(words) >= 8
+                     THEN list_transform(range(1, len(words) - 6),
+                          i -> array_to_string(words[i:i+7], ' '))
+                     ELSE [] END)
+                   ||
+                   (CASE WHEN len(words) >= 13
+                     THEN list_transform(range(1, len(words) - 11),
+                          i -> array_to_string(words[i:i+12], ' '))
+                     ELSE [] END)) AS grams
+          FROM norm),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+    SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams
+    FROM dg JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_multi_q(spark, sf_dir):
+    """Brown et al. use 8-13-gram collisions: decontamination at
+    n=(8,13) with contamination planted at BOTH sizes (words 5-12 of
+    every 10th doc; words 3-15 of every 15th doc). Per-size flags OR
+    together; counts sum distinct shared grams across sizes."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalized_text(F.col("text")), " ")
+    bench8 = (
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.size(words) >= 12))
+        .select(F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"))
+    )
+    bench13 = (
+        docs.filter((F.col("doc_id") % 15 == 0) & (F.size(words) >= 15))
+        .select(F.concat_ws(" ", F.slice(words, 3, 13)).alias("text"))
+    )
+    return dedup.decontaminate(docs, bench8.unionByName(bench13), n=(8, 13))
 
 
 @xq(
@@ -1749,6 +1886,36 @@ def s6_batch_summaries_llm(spark, sf_dir):
         "conv_id", "batch_id", "summary", "n_turns",
         F.size("turn_idxs").alias("n_turn_idxs"),
     )
+
+
+@xq(
+    "summary_retrieval",
+    f"""
+    WITH in_range AS (
+      SELECT conv_id, batch_id, summary
+      FROM read_parquet('{_pq("s6_batch_summaries")}')
+      WHERE batch_id BETWEEN 1 AND 3),
+    stitched AS (
+      SELECT conv_id,
+             string_agg(summary, ' ' ORDER BY batch_id) AS ctx,
+             count(*)::BIGINT AS n_batches,
+             min(batch_id) AS batch_lo, max(batch_id) AS batch_hi
+      FROM in_range GROUP BY conv_id)
+    SELECT conv_id, substr('[SUM] ' || ctx, 1, 406) AS summary,
+           n_batches, batch_lo, batch_hi
+    FROM stitched
+    """,
+)
+def summary_retrieval(spark, sf_dir):
+    """Summary retriever entry point (reference
+    summary_retriever.py:72-105): batch-range fetch over the stored
+    summaries table, batch-ordered stuff, U4 summarization chain over
+    the stitched context. The twin replicates the fetch+stitch on the
+    s6 snapshot and the stub summary arithmetic in SQL."""
+    from ..operators.summarize import retrieve_summary, summarize_batches
+
+    s = summarize_batches(transcripts_for(spark, sf_dir), batch_size=6)
+    return retrieve_summary(s, batch_lo=1, batch_hi=3)
 
 
 def _ep3_inputs(spark, sf_dir):

@@ -620,3 +620,70 @@ class TestRemoveSharedSpans:
         assert out[2]["n_words_removed"] == 12
         assert out[2]["cleaned_text"] == "other suffix distinct words"
         assert out[1]["n_words_removed"] == 0
+
+
+class TestQualityAwareKeeper:
+    def test_keeper_is_best_quality_not_longest(self, spark):
+        from context_aware_rag_spark.operators.textmetrics import quality_score_col
+
+        # doc 1: long but junk (no stopwords, heavy punctuation);
+        # doc 2: shorter but clean English -> higher composite
+        junk = ";;;" + " %$#@!" * 40
+        clean = "the quick brown fox is a very good clean document indeed"
+        docs = spark.createDataFrame(
+            [(1, junk), (2, clean)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+        by_len = {r["doc_id"]: r["is_keeper"]
+                  for r in dedup.dedup_clusters(docs, pairs).collect()}
+        by_q = {r["doc_id"]: r["is_keeper"]
+                for r in dedup.dedup_clusters(
+                    docs, pairs,
+                    keeper_score=F.round(quality_score_col("text"), 2),
+                ).collect()}
+        assert by_len == {1: True, 2: False}     # longest wins by default
+        assert by_q == {1: False, 2: True}       # quality flips the keeper
+
+    def test_score_ties_break_by_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [(5, "same quality text here ok"), (3, "same quality text here ok")],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame([(3, 5)], ["a", "b"])
+        out = {r["doc_id"]: r["is_keeper"]
+               for r in dedup.dedup_clusters(
+                   docs, pairs, keeper_score=F.lit(1.0)).collect()}
+        assert out == {3: True, 5: False}
+
+
+class TestDecontaminateMultiN:
+    def test_flags_or_across_sizes(self, spark):
+        w = lambda k, p: " ".join(f"{p}{i}" for i in range(k))  # noqa: E731
+        docs = spark.createDataFrame(
+            [
+                (1, "lead in " + w(8, "a") + " trailing words here"),    # 8-gram hit
+                (2, "other " + w(13, "b") + " suffix"),                  # 13-gram hit
+                (3, "totally clean document with no overlap at all ok"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [(w(8, "a"),), (w(13, "b"),)], ["text"]
+        )
+        single8 = {r["doc_id"] for r in
+                   dedup.decontaminate(docs, bench, n=8).collect()}
+        multi = {r["doc_id"]: r["n_contaminated_grams"] for r in
+                 dedup.decontaminate(docs, bench, n=(8, 13)).collect()}
+        # at n=8 alone, doc 2 is ALSO hit (the 13-word bench row sheds
+        # 8-grams); at (8,13) doc 2 additionally collides on the 13-gram
+        assert single8 == {1, 2}
+        assert set(multi) == {1, 2}
+        assert multi[2] == 6 + 1  # six 8-grams + one 13-gram
+        assert multi[1] == 1
+
+    def test_validation(self, spark):
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            dedup.decontaminate(docs, docs, n=[])
+        with pytest.raises(ValueError):
+            dedup.decontaminate(docs, docs, n=0)

@@ -249,3 +249,34 @@ class TestLLMSummarizer:
         a = {tuple(r) for r in base.collect()}
         b = {tuple(r) for r in llm.collect()}
         assert a == b and a
+
+
+class TestSummaryRetriever:
+    """Reference summary_retriever.py:72-105: range fetch -> ordered
+    stuff -> summarization chain over the stitched context."""
+
+    def test_range_fetch_stitch_and_summarize(self, spark, summaries):
+        from context_aware_rag_spark.operators.summarize import retrieve_summary
+
+        out = {r["conv_id"]: r for r in
+               retrieve_summary(summaries, batch_lo=0, batch_hi=1).collect()}
+        assert out
+        src = {}
+        for r in summaries.filter(F.col("batch_id") <= 1).collect():
+            src.setdefault(r["conv_id"], []).append((r["batch_id"], r["summary"]))
+        for conv, rows in src.items():
+            ctx = " ".join(s for _, s in sorted(rows))
+            expect = ("[SUM] " + ctx)[:406]
+            assert out[conv]["summary"] == expect
+            assert out[conv]["n_batches"] == len(rows)
+            assert out[conv]["batch_lo"] == min(b for b, _ in rows)
+            assert out[conv]["batch_hi"] == max(b for b, _ in rows)
+
+    def test_conv_and_range_filters(self, spark, summaries):
+        from context_aware_rag_spark.operators.summarize import retrieve_summary
+
+        conv = summaries.select("conv_id").first()["conv_id"]
+        rows = retrieve_summary(summaries, conv_id=conv).collect()
+        assert len(rows) == 1 and rows[0]["conv_id"] == conv
+        # out-of-range fetch returns nothing
+        assert retrieve_summary(summaries, batch_lo=10**6).count() == 0
