@@ -93,7 +93,15 @@ def main() -> None:
 
     registry = {**eq.EXTRA_QUERIES, **eq.QUERIES}
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for extra in ("kg_pipeline", "kg_pipeline_dedup", "kg_pipeline_10x"):
+    for extra in (
+        "kg_pipeline",
+        "kg_pipeline_dedup",
+        "kg_pipeline_10x",
+        "kg_pipeline_100x",
+        "kg_knn_edges",
+        "minhash_near_dups_50k",
+        "simhash_near_dups_50k",
+    ):
         samples[extra] = []
 
     # untimed warm-up: codegen, python worker pool, parquet footer reads,
@@ -121,7 +129,39 @@ def main() -> None:
 
     big = generate_transcripts(spark, 10 * eq.n_convs_for(sf_dir)).localCheckpoint()
     n_big_turns = big.count()
-    keep = persisted_ids(spark)  # pin the two input checkpoints
+
+    # 100x corpus (VERDICT r3 item 8: most headline queries finish
+    # <0.5 s at sf0.1 — pure overhead; the 100x KG run keeps plan
+    # deltas readable round-over-round) + a 50k-doc synthesized corpus
+    # for the dedup family (the testdata documents table is 500 rows at
+    # every sf)
+    big100_factor = int(os.environ.get("SPARK_GRAFT_BENCH_KG_FACTOR", "100"))
+    big100 = generate_transcripts(
+        spark, big100_factor * eq.n_convs_for(sf_dir)
+    ).localCheckpoint()
+    n_big100_turns = big100.count()
+
+    from context_aware_rag_spark.sources.synth_docs import synthesize_docs
+
+    n_dedup_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DEDUP_DOCS", "50000"))
+    docs50k = synthesize_docs(spark, n_dedup_docs).localCheckpoint()
+    docs50k.count()
+
+    # KNN SIMILAR input: unique bench-corpus chunks + embeddings
+    # (materialized untimed — the timed entry measures the KNN operator,
+    # candidate join + ranking + degree-gate fixpoint)
+    from context_aware_rag_spark.operators import dedup as dedup_ops
+    from context_aware_rag_spark.operators import similarity as sim_ops
+    from context_aware_rag_spark.operators.chunking import chunk_transcripts
+
+    knn_chunks = sim_ops.with_text_embeddings(
+        chunk_transcripts(transcripts).dropDuplicates(["chunk_id"]).select(
+            "chunk_id", "text"
+        )
+    ).localCheckpoint()
+    knn_chunks.count()
+
+    keep = persisted_ids(spark)  # pin the input checkpoints
 
     kg_counts: dict[str, int] = {}
     for _round in range(rounds):
@@ -155,11 +195,50 @@ def main() -> None:
             spark, big, PipelineConfig()
         ).triples.count()
         samples["kg_pipeline_10x"].append(round(time.monotonic() - t0, 3))
+
+        # 100x corpus: the scale mode — plan deltas visible above noise
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_big100_triples"] = run_pipeline(
+            spark, big100, PipelineConfig()
+        ).triples.count()
+        samples["kg_pipeline_100x"].append(round(time.monotonic() - t0, 3))
+
+        # chunk-KNN SIMILAR pass + degree-gate fixpoint depth telemetry
+        # (VERDICT r3 item 7: assert the alias-dense convergence claim
+        # with a measured iteration count every round)
+        drop_persisted(spark, keep)
+        knn_stats: dict = {}
+        t0 = time.monotonic()
+        kg_counts["n_knn_edges"] = sim_ops.knn_similar_edges(
+            knn_chunks, id_col="chunk_id", stats=knn_stats
+        ).count()
+        samples["kg_knn_edges"].append(round(time.monotonic() - t0, 3))
+        kg_counts["knn_fixpoint_iterations"] = knn_stats.get("iterations")
+
+        # dedup family at 50k synthesized docs (real candidate load)
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        # planted near-dups (1/8 words rewritten) sit at jaccard 0.45
+        # and simhash hamming ~10 (measured) — thresholds set to surface
+        # them so the timed run includes real verification + pair output
+        kg_counts["n_minhash_50k_pairs"] = dedup_ops.minhash_dedup(
+            docs50k, threshold=0.4
+        ).count()
+        samples["minhash_near_dups_50k"].append(round(time.monotonic() - t0, 3))
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_simhash_50k_pairs"] = dedup_ops.simhash_near_dups(
+            docs50k, max_hamming=10
+        ).count()
+        samples["simhash_near_dups_50k"].append(round(time.monotonic() - t0, 3))
         drop_persisted(spark, keep)
 
     timings = {name: min(vals) for name, vals in samples.items()}
     kg_wall = timings["kg_pipeline"]
     big_wall = timings["kg_pipeline_10x"]
+    big100_wall = timings["kg_pipeline_100x"]
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_wall",
@@ -177,6 +256,22 @@ def main() -> None:
             "kg_10x_turns": n_big_turns,
             "kg_10x_triples_per_sec": round(kg_counts["n_big_triples"] / big_wall, 1),
             "kg_10x_turns_per_sec": round(n_big_turns / big_wall, 1),
+            "kg_100x_turns": n_big100_turns,
+            "kg_100x_triples_per_sec": round(
+                kg_counts["n_big100_triples"] / big100_wall, 1
+            ),
+            "kg_100x_turns_per_sec": round(n_big100_turns / big100_wall, 1),
+            "knn_edges": kg_counts["n_knn_edges"],
+            "knn_fixpoint_iterations": kg_counts["knn_fixpoint_iterations"],
+            "dedup_50k_docs": n_dedup_docs,
+            "minhash_50k_pairs": kg_counts["n_minhash_50k_pairs"],
+            "minhash_50k_docs_per_sec": round(
+                n_dedup_docs / timings["minhash_near_dups_50k"], 1
+            ),
+            "simhash_50k_pairs": kg_counts["n_simhash_50k_pairs"],
+            "simhash_50k_docs_per_sec": round(
+                n_dedup_docs / timings["simhash_near_dups_50k"], 1
+            ),
         },
         "cpus": int(cpus),
     }

@@ -31,37 +31,14 @@ import tempfile
 GEN = r"""
 import sys
 sys.path.insert(0, "{repo}")
-from pyspark.sql import functions as F
 from context_aware_rag_spark.session import build_session
+from context_aware_rag_spark.sources.synth_docs import synthesize_docs
 
 n_docs = int(sys.argv[1])
 out = sys.argv[2]
 spark = build_session(app_name="dedup-gen", master="local[32]",
                       shuffle_partitions=32)
-vocab = [f"w{{i}}" for i in range(500)]
-varr = F.array(*[F.lit(w) for w in vocab])
-df = spark.range(0, n_docs, 1, 256).select(F.col("id").alias("doc_id"))
-# near-dup planting: doc_id % 7 == 0 reuses the PREVIOUS doc's seed...
-seed = F.when((F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0),
-              F.col("doc_id") - 1).otherwise(F.col("doc_id"))
-words = F.transform(
-    F.sequence(F.lit(0), F.lit(59)),
-    lambda k: F.element_at(varr, (F.pmod(F.xxhash64(seed, k), 500) + 1).cast("int")),
-)
-# ...with every 8th word rewritten from its OWN id -> a true near-dup
-words = F.when(
-    F.col("doc_id") % 7 == 0,
-    F.zip_with(
-        words,
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda w, k: F.when(
-            k % 8 == 0,
-            F.element_at(varr, (F.pmod(F.xxhash64(F.col("doc_id"), k), 500) + 1).cast("int")),
-        ).otherwise(w),
-    ),
-).otherwise(words)
-df.select("doc_id", F.concat_ws(" ", words).alias("text")) \
-  .write.mode("overwrite").parquet(out)
+synthesize_docs(spark, n_docs).write.mode("overwrite").parquet(out)
 print("GENERATED", spark.read.parquet(out).count())
 spark.stop()
 """
