@@ -292,8 +292,8 @@ def knn_edges_py(
     top_k: int = 6,
     max_degree: int = 5,
     dim: int = 64,
-    bands: int = 4,
-    bits_per_band: int = 4,
+    bands: int = 32,
+    bits_per_band: int = 12,
 ) -> List[Tuple[str, str, float]]:
     """Replicates similarity.knn_similar_edges over unique chunks: LSH
     band candidates, einsum scoring, per-src top-k, then the

@@ -1506,6 +1506,135 @@ def curation_pipeline_q(spark, sf_dir):
     return sampling.deterministic_split(keepers)
 
 
+@xq(
+    "curation_pipeline_v2",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+               FROM documents),
+    occ0 AS (SELECT doc_id, words,
+                    unnest(range(0, greatest(len(words) - 8, 0) + 1, 4)) AS start
+             FROM w),
+    occ AS (SELECT doc_id, start,
+                   array_to_string(words[start+1:start+8], ' ') AS span
+            FROM occ0),
+    rk AS (SELECT doc_id, start,
+                  row_number() OVER (PARTITION BY span
+                                     ORDER BY doc_id, start) AS rn,
+                  count(*) OVER (PARTITION BY span) AS cnt
+           FROM occ),
+    cuts AS (SELECT doc_id, start FROM rk WHERE cnt >= 2 AND rn > 1),
+    widx AS (SELECT doc_id, unnest(words) AS word,
+                    unnest(range(0, len(words))) AS i
+             FROM w),
+    keptw AS (SELECT wi.doc_id, wi.word, wi.i FROM widx wi
+              WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                                WHERE c.doc_id = wi.doc_id
+                                  AND wi.i >= c.start AND wi.i < c.start + 8)),
+    agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS cleaned_text
+            FROM keptw GROUP BY doc_id),
+    cleaned AS (SELECT w.doc_id, coalesce(a.cleaned_text, '') AS text
+                FROM w LEFT JOIN agg a USING (doc_id)),
+    orignorm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+                 FROM documents),
+    plants AS (
+        SELECT words[5:12] AS pw FROM orignorm
+        WHERE doc_id % 10 = 0 AND len(words) >= 12
+        UNION ALL
+        SELECT words[3:15] AS pw FROM orignorm
+        WHERE doc_id % 15 = 0 AND len(words) >= 15),
+    bench AS (
+      SELECT DISTINCT unnest(
+        (CASE WHEN len(pw) >= 8
+          THEN list_transform(range(1, len(pw) - 6),
+               i -> array_to_string(pw[i:i+7], ' '))
+          ELSE [] END)
+        ||
+        (CASE WHEN len(pw) >= 13
+          THEN list_transform(range(1, len(pw) - 11),
+               i -> array_to_string(pw[i:i+12], ' '))
+          ELSE [] END)) AS gram
+      FROM plants),
+    cnorm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+              FROM cleaned),
+    g AS (SELECT doc_id,
+                 list_distinct(
+                   (CASE WHEN len(words) >= 8
+                     THEN list_transform(range(1, len(words) - 6),
+                          i -> array_to_string(words[i:i+7], ' '))
+                     ELSE [] END)
+                   ||
+                   (CASE WHEN len(words) >= 13
+                     THEN list_transform(range(1, len(words) - 11),
+                          i -> array_to_string(words[i:i+12], ' '))
+                     ELSE [] END)) AS grams
+          FROM cnorm),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    flagged AS (SELECT DISTINCT doc_id FROM dg JOIN bench USING (gram)),
+    qm AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             length(regexp_replace(text, '\\s+', '', 'g'))
+               / greatest(len(words), 1) AS mean_word_len,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio,
+             len(list_filter(words, x -> x IN {_STOPS_SQL}))
+               / greatest(len(words), 1) AS stop_ratio
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM cleaned)),
+    qual AS (
+      SELECT doc_id, round((
+               (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN stop_ratio >= 0.01 THEN 0.1 ELSE 0.0 END))::DOUBLE,
+             2) AS qs
+      FROM qm),
+    survivors AS (
+      SELECT c.doc_id FROM cleaned c JOIN qual q USING (doc_id)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM flagged) AND q.qs >= 0.7)
+    SELECT doc_id,
+           CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'
+                WHEN md5(doc_id::VARCHAR) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM survivors
+    """,
+)
+def curation_pipeline_v2_q(spark, sf_dir):
+    """Round-4 curation composition chaining the three NEW operators:
+    span removal (cleaned text) -> multi-n decontamination (n=8,13,
+    plants from the ORIGINAL corpus — planted docs self-flag and drop
+    out, the correct behavior) -> quality gate on the CLEANED text ->
+    deterministic split. The assembled CTE hash-checks the COMPOSITION
+    end to end, not just each stage."""
+    from ..operators import textmetrics as tm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = dedup.remove_shared_spans(docs).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    words = F.split(dedup.normalized_text(F.col("text")), " ")
+    bench8 = (
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.size(words) >= 12))
+        .select(F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"))
+    )
+    bench13 = (
+        docs.filter((F.col("doc_id") % 15 == 0) & (F.size(words) >= 15))
+        .select(F.concat_ws(" ", F.slice(words, 3, 13)).alias("text"))
+    )
+    flagged = dedup.decontaminate(
+        cleaned, bench8.unionByName(bench13), n=(8, 13)
+    ).select("doc_id")
+    survivors = cleaned.join(flagged, "doc_id", "left_anti")
+    kept = survivors.filter(
+        F.round(tm.quality_score_col("text"), 2) >= F.lit(0.7)
+    )
+    return sampling.deterministic_split(kept.select("doc_id")).select(
+        "doc_id", "split"
+    )
+
+
 @q(
     "ann_cosine_topk",
     """

@@ -159,6 +159,7 @@ def assemble_graph(
                 min_score=cfg.knn_min_score,
                 top_k=cfg.knn_top_k,
                 bands=cfg.lsh_bands,
+                bits_per_band=cfg.lsh_bits_per_band,
                 dim=cfg.embedding_dim,
                 max_degree=cfg.knn_max_degree,
             )

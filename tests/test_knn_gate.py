@@ -100,3 +100,45 @@ def test_fixpoint_depth_shallow_on_alias_dense_geometry(dense_corpus):
     stats = {}
     knn_similar_edges(dense_corpus, max_degree=5, stats=stats).count()
     assert 1 <= stats["iterations"] <= 3
+
+
+class TestCollapseIdentical:
+    """collapse_identical=True must be output-IDENTICAL to the default
+    per-member path — duplicate-heavy corpora are where it matters, so
+    the fixture plants large identical families plus near-dup classes
+    and solo items."""
+
+    @pytest.fixture(scope="class")
+    def dup_heavy(self, spark):
+        rows = []
+        for fam in range(3):
+            for i in range(12):  # identical family of 12 (> top_k + 1)
+                rows.append((f"f{fam}-{i:02d}", f"family {fam} identical text"))
+        for c in range(4):
+            for i in range(3):   # small near-identical-by-construction sets
+                rows.append((f"n{c}-{i}", f"near cluster {c} payload"))
+        for i in range(5):
+            rows.append((f"z-solo-{i}", f"totally unique text {i} here"))
+        df = spark.createDataFrame(rows, ["chunk_id", "text"])
+        return with_text_embeddings(df).localCheckpoint()
+
+    def _edges(self, df, **kw):
+        return {
+            (r["src"], r["dst"], round(r["score"], 9))
+            for r in knn_similar_edges(df, **kw).collect()
+        }
+
+    def test_ungated_identical(self, dup_heavy):
+        a = self._edges(dup_heavy, max_degree=None)
+        b = self._edges(dup_heavy, max_degree=None, collapse_identical=True)
+        assert a == b and a
+
+    def test_gated_identical(self, dup_heavy):
+        a = self._edges(dup_heavy, max_degree=5)
+        b = self._edges(dup_heavy, max_degree=5, collapse_identical=True)
+        assert a == b and a
+
+    def test_gated_identical_on_dense_corpus(self, dense_corpus):
+        a = self._edges(dense_corpus, max_degree=5)
+        b = self._edges(dense_corpus, max_degree=5, collapse_identical=True)
+        assert a == b and a
