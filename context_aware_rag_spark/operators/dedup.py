@@ -491,6 +491,76 @@ def remove_shared_spans(
     )
 
 
+def dedup_exact_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Exact PARAGRAPH-level dedup (the line/paragraph pass of C4 and
+    Lee et al. 2022 §2: boilerplate lines repeat across pages far more
+    than whole documents do): drop every repeated paragraph except its
+    first global occurrence — ordered by (doc_id, paragraph index) —
+    and reassemble each document from its surviving paragraphs.
+
+    Paragraphs shorter than ``min_chars`` are exempt (never deduped):
+    empty segments from consecutive separators would otherwise all
+    collapse into the corpus's first empty line.
+
+    Returns (id_col, cleaned_text, n_paras, n_paras_removed).
+
+    Distributed shape — linear: posexplode paragraphs → one
+    map-side-combinable groupBy(paragraph) electing the min
+    (doc_id, idx) owner + occurrence count → non-owner occurrences of
+    repeated paragraphs anti-select → per-doc ordered reassembly (one
+    groupBy(doc) whose skew is bounded by paragraphs-per-doc). The
+    paragraph groupBy is the only wide exchange; a boilerplate hot key
+    is one skewed reduce task (AQE splits it), never a pair join.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+    owners = paras.filter(F.length("para") >= min_chars).groupBy("para").agg(
+        F.min(F.struct(F.col(id_col).alias("oid"), F.col("idx").alias("oidx"))).alias(
+            "_owner"
+        ),
+        F.count(F.lit(1)).alias("_n_occ"),
+    )
+    marked = paras.join(owners, "para", "left").withColumn(
+        "_drop",
+        (F.col("_n_occ") >= 2)
+        & ~(
+            (F.col(id_col) == F.col("_owner.oid"))
+            & (F.col("idx") == F.col("_owner.oidx"))
+        ),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(F.col("_drop"), F.lit(False)),
+                                F.struct("idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(
+                F.coalesce(F.col("_drop"), F.lit(False)).cast("long")
+            ).alias("n_paras_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -1141,6 +1141,58 @@ def c4_line_filter_q(spark, sf_dir):
 
 
 @xq(
+    "dedup_paragraphs",
+    f"""
+    WITH planted AS ({_C4_PLANT_SQL}),
+    p0 AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM planted),
+    paras AS (SELECT doc_id, unnest(parts) AS para,
+                     unnest(range(0, len(parts))) AS idx
+              FROM p0),
+    rk AS (SELECT doc_id, idx,
+                  row_number() OVER (PARTITION BY para
+                                     ORDER BY doc_id, idx) AS rn,
+                  count(*) OVER (PARTITION BY para) AS cnt
+           FROM paras WHERE length(para) >= 1),
+    drops AS (SELECT doc_id, idx FROM rk WHERE cnt >= 2 AND rn > 1),
+    marked AS (
+      SELECT p.doc_id, p.idx, p.para,
+             EXISTS (SELECT 1 FROM drops d
+                     WHERE d.doc_id = p.doc_id AND d.idx = p.idx) AS dropped
+      FROM paras p)
+    SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY idx)
+             FILTER (WHERE NOT dropped) AS cleaned_text,
+           count(*)::BIGINT AS n_paras,
+           sum(dropped::INT)::BIGINT AS n_paras_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs_q(spark, sf_dir):
+    """Exact paragraph dedup (C4/Lee et al. line pass) over the planted
+    multi-line corpus: boilerplate lines ('Too short.', the javascript
+    notice, lorem every 7th doc) survive only in their first global
+    occurrence; the CLEANED text itself is hash-checked."""
+    planted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nDocument "),
+            F.col("doc_id").cast("string"),
+            F.lit(" has useful content here."),
+            F.lit("\nToo short."),
+            F.lit("\nplease enable javascript to view."),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\nconfig { x }")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.dedup_exact_paragraphs(planted)
+
+
+@xq(
     "decontaminate",
     f"""
     WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words

@@ -687,3 +687,34 @@ class TestDecontaminateMultiN:
             dedup.decontaminate(docs, docs, n=[])
         with pytest.raises(ValueError):
             dedup.decontaminate(docs, docs, n=0)
+
+
+class TestParagraphDedup:
+    def test_boilerplate_kept_once_globally(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "unique intro one\nSubscribe to our newsletter!\nbody text a"),
+                (2, "unique intro two\nSubscribe to our newsletter!\nbody text b"),
+                (3, "unique intro three\nSubscribe to our newsletter!"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in
+               dedup.dedup_exact_paragraphs(docs).collect()}
+        assert "Subscribe" in out[1]["cleaned_text"]      # first occurrence kept
+        assert "Subscribe" not in out[2]["cleaned_text"]
+        assert "Subscribe" not in out[3]["cleaned_text"]
+        assert out[2]["cleaned_text"] == "unique intro two\nbody text b"
+        assert out[3]["cleaned_text"] == "unique intro three"
+        assert out[1]["n_paras_removed"] == 0
+        assert out[2]["n_paras_removed"] == 1 and out[2]["n_paras"] == 3
+
+    def test_within_doc_repeat_and_empty_exemption(self, spark):
+        docs = spark.createDataFrame(
+            [(9, "same line\n\nsame line\n\nother line")],
+            ["doc_id", "text"],
+        )
+        out = dedup.dedup_exact_paragraphs(docs).collect()[0]
+        # second 'same line' dropped; BOTH empty paragraphs survive
+        assert out["cleaned_text"] == "same line\n\n\nother line"
+        assert out["n_paras_removed"] == 1
