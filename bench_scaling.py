@@ -103,8 +103,13 @@ def main() -> None:
     n_convs = int(os.environ.get("SCALE_N_CONVS", "40000"))
     levels = os.environ.get("SCALE_LEVELS", "4,16").split(",")
     n, n4 = int(levels[0]), int(levels[1])
+    # per-size default dir: a kept corpus from an earlier run at a
+    # DIFFERENT SCALE_N_CONVS must never be silently reused (the same
+    # fix bench_scaling_dedup.py got in round 3 — this harness measured
+    # a stale 40k corpus under an 80k label once in round 4)
     input_dir = os.environ.get(
-        "SCALE_INPUT_DIR", os.path.join(tempfile.gettempdir(), "scale_transcripts")
+        "SCALE_INPUT_DIR",
+        os.path.join(tempfile.gettempdir(), f"scale_transcripts_{n_convs}"),
     )
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         _run(GEN, str(n_convs), input_dir)

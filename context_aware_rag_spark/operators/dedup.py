@@ -270,6 +270,132 @@ def minhash_dedup(
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    sig_index: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup survivors of a NEW batch against a STORED MinHash
+    signature index — the approximate counterpart of
+    :func:`exact_dedup_incremental` (same ingest contract: cost scales
+    with the new batch, old text is never re-read).
+
+    ``sig_index`` is any frame with (id_col, signature) — the
+    accumulated signatures of prior batches (at production scale a
+    stored stage table whose banded form is written once at append
+    time). Returns (id_col, signature) for the new docs safe to
+    append.
+
+    Drop policy (deterministic, order-free): a new doc is dropped iff
+    it has estimated Jaccard >= ``threshold`` with ANY index doc, or
+    with a smaller-id doc of its own batch (the min-id-wins election
+    of exact_dedup_incremental lifted to near-dups — the smallest
+    member of every duplicate family always survives). Candidate
+    generation is the banding equi-join restricted to pairs touching
+    >= 1 new doc, so the full-batch pair set restricted the same way
+    yields the identical decision (pytest-proven equivalence).
+    """
+    parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
+    sh = with_shingles(
+        new_docs.repartition(parallelism, id_col),
+        n=n, id_col=id_col, text_col=text_col,
+    ).persist()
+    try:
+        new_sigs = (
+            minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+            .select(id_col, "signature")
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist(False)
+    all_sigs = (
+        sig_index.select(
+            F.col(id_col), "signature", F.lit(True).alias("_existing")
+        )
+        .unionByName(
+            new_sigs.select(
+                F.col(id_col), "signature", F.lit(False).alias("_existing")
+            )
+        )
+        .localCheckpoint()
+    )
+    rows_per_band = num_hashes // bands
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    banded = all_sigs.select(
+        F.col(id_col),
+        "_existing",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature", b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    ).localCheckpoint()
+    new_banded = banded.filter(~F.col("_existing"))
+    # probe side = new docs only: per-bucket fan-out is
+    # bucket_new x bucket_all — work scales with the batch, never old^2
+    cand = (
+        banded.alias("l")
+        .join(
+            new_banded.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                # keep (other, new) pairs where other is an index doc
+                # or a smaller-id new doc — exactly the pairs that can
+                # kill the new doc. Index-side SAME-id pairs are kept
+                # deliberately: a replayed batch collides with its own
+                # appended signatures and drops out (idempotent
+                # re-ingest, the exactly-once contract). New-side
+                # self-pairs are already excluded (id < id is false).
+                F.col("l._existing")
+                | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("other"),
+            F.col(f"r.{id_col}").alias("new_id"),
+        )
+        .dropDuplicates(["other", "new_id"])
+    )
+    sig_o = all_sigs.select(F.col(id_col).alias("other"), F.col("signature").alias("sig_o"))
+    sig_n = new_sigs.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_n"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_o", "sig_n", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    dropped = (
+        cand.join(sig_o, "other")
+        .join(sig_n, "new_id")
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_sigs.join(dropped, id_col, "left_anti").select(id_col, "signature")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verification path / small-scale golden)
 # ---------------------------------------------------------------------------

@@ -2388,6 +2388,36 @@ def minhash_near_dups(spark, sf_dir):
     return dedup.minhash_dedup(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@xq(
+    "minhash_dedup_incremental",
+    f"""
+    WITH newdocs AS (SELECT doc_id FROM documents WHERE doc_id >= 250),
+    pairs AS (SELECT a, b
+              FROM read_parquet('{_pq("minhash_near_dups")}'))
+    -- index ids are all < 250 and snapshot pairs are a < b, so a new
+    -- doc is dropped iff it is the LARGER side of any near-dup pair
+    -- (smaller side = an index doc or an earlier new doc — exactly the
+    -- incremental drop policy)
+    SELECT doc_id FROM newdocs
+    WHERE doc_id NOT IN (SELECT b FROM pairs)
+    """,
+)
+def minhash_dedup_incremental_q(spark, sf_dir):
+    """Incremental near-dup ingest: the 500-doc corpus split into a
+    stored index (doc_id < 250; its SIGNATURES are the only thing the
+    operator reads) and a new batch (>= 250). The twin derives the
+    same survivor set from the full-batch minhash snapshot — valid
+    because incremental banding restricted to new-touching pairs
+    equals full banding restricted the same way."""
+    docs = load(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    idx = dedup.minhash_signatures(
+        dedup.with_shingles(existing), id_col="doc_id"
+    ).select("doc_id", "signature")
+    return dedup.minhash_dedup_incremental(new, idx).select("doc_id")
+
+
 @q(
     "simhash_near_dups",
     f"""

@@ -718,3 +718,53 @@ class TestParagraphDedup:
         # second 'same line' dropped; BOTH empty paragraphs survive
         assert out["cleaned_text"] == "same line\n\n\nother line"
         assert out["n_paras_removed"] == 1
+
+
+class TestMinHashIncremental:
+    """Incremental near-dup ingest == full-batch pair decisions
+    restricted to new-touching pairs (the exact_dedup_incremental
+    contract lifted to MinHash)."""
+
+    @pytest.fixture(scope="class")
+    def split_corpus(self, spark):
+        df, _ = _make_corpus(spark, n_base=14, words_per_doc=60, seed=13)
+        # ids are 0..27; index = first half, new batch = second half —
+        # planted near-dup pairs (2i, 2i+1) straddle the boundary at 14
+        existing = df.filter(F.col("doc_id") < 14)
+        new = df.filter(F.col("doc_id") >= 14)
+        return df, existing.localCheckpoint(), new.localCheckpoint()
+
+    def test_equivalence_with_full_batch(self, split_corpus):
+        df, existing, new = split_corpus
+        idx = dedup.minhash_signatures(
+            dedup.with_shingles(existing), id_col="doc_id"
+        ).select("doc_id", "signature")
+        got = {
+            r["doc_id"]
+            for r in dedup.minhash_dedup_incremental(
+                new, idx, threshold=0.5
+            ).collect()
+        }
+        # full-batch pairs (a < b): a new doc survives iff it is never
+        # the larger side of a pair
+        pairs = dedup.minhash_dedup(df, threshold=0.5).collect()
+        new_ids = {r["doc_id"] for r in new.collect()}
+        killed = {r["b"] for r in pairs if r["b"] in new_ids}
+        assert got == new_ids - killed
+        assert killed  # planted dups actually straddle the split
+
+    def test_survivors_carry_appendable_signatures(self, split_corpus):
+        _, existing, new = split_corpus
+        idx = dedup.minhash_signatures(
+            dedup.with_shingles(existing), id_col="doc_id"
+        ).select("doc_id", "signature")
+        out = dedup.minhash_dedup_incremental(new, idx, threshold=0.5)
+        row = out.first()
+        assert row is not None and len(row["signature"]) == 64
+        # appending survivors and re-ingesting the SAME batch drops all
+        idx2 = idx.unionByName(out)
+        again = dedup.minhash_dedup_incremental(
+            new.join(out.select("doc_id"), "doc_id", "left_semi"),
+            idx2, threshold=0.5,
+        )
+        assert again.count() == 0
