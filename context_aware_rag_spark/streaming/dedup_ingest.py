@@ -161,3 +161,114 @@ def start_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup ingest (MinHash) — the approximate counterpart
+# ---------------------------------------------------------------------------
+
+_SIG_SCHEMA = "doc_id long, signature array<bigint>"
+
+
+def read_prior_signatures(
+    spark: SparkSession, out_dir: str, before_epoch: int
+) -> DataFrame:
+    """MinHash signature index accumulated by epochs STRICTLY BEFORE
+    ``before_epoch`` — same epoch/replay/reset contract as
+    :func:`read_prior_hashes`, storing (doc_id, signature) instead of
+    content hashes."""
+    base = os.path.join(out_dir, "sigs")
+    ids = _epoch_ids(spark, base)
+    if ids is None:
+        if before_epoch > 0:
+            raise FileNotFoundError(
+                f"streaming near-dup signature index missing at {base!r} but "
+                f"epoch {before_epoch} expects epochs 0..{before_epoch - 1} "
+                "to have written it — wrong out_dir or filesystem "
+                "misconfiguration (cross-epoch dedup would be disabled)"
+            )
+        return spark.createDataFrame([], _SIG_SCHEMA)
+    stale = [e for e in ids if e > before_epoch]
+    if stale:
+        raise RuntimeError(
+            f"streaming near-dup out_dir {out_dir!r} contains epoch dirs "
+            f"{sorted(stale)} beyond current epoch {before_epoch}: the "
+            "stream checkpoint was reset while the output dir was kept — "
+            "clear out_dir or restore the checkpoint"
+        )
+    prior = [e for e in ids if e < before_epoch]
+    if not prior:
+        return spark.createDataFrame([], _SIG_SCHEMA)
+    return (
+        spark.read.option("basePath", base)
+        .parquet(*[os.path.join(base, f"epoch={e}") for e in prior])
+        .drop("epoch")
+    )
+
+
+def neardup_microbatch(
+    batch_df: DataFrame,
+    out_dir: str,
+    epoch_id: int,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Per-micro-batch body for NEAR-dup streaming ingest: survivors =
+    dedup.minhash_dedup_incremental against the prior-epoch signature
+    index; write survivors' full rows and their SIGNATURES (the stored
+    banding input for every later epoch), epoch-partitioned with
+    overwrite — a replayed epoch recomputes against the same prior
+    index and rewrites identical bytes."""
+    spark = batch_df.sparkSession
+    index = read_prior_signatures(spark, out_dir, epoch_id)
+    survivors = dedup.minhash_dedup_incremental(
+        batch_df, index, threshold=threshold, id_col=id_col, text_col=text_col
+    ).localCheckpoint()  # consumed twice (rows join + signature write)
+    rows = batch_df.join(survivors.select(id_col), id_col, "left_semi")
+    rows.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docs", f"epoch={epoch_id}")
+    )
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "sigs", f"epoch={epoch_id}")
+    )
+
+
+def start_streaming_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    threshold: float = 0.8,
+    schema: Optional[T.StructType] = None,
+    checkpoint_dir: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """File-source streaming NEAR-dup ingest (MinHash): each micro-batch
+    is deduplicated against every prior epoch's survivors before its
+    rows are appended. Same exactly-once shape as
+    :func:`start_streaming_dedup`."""
+    schema = schema or T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch_id: neardup_microbatch(
+                df, out_dir, epoch_id, threshold=threshold,
+                id_col=id_col, text_col=text_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

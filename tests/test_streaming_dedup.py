@@ -100,3 +100,82 @@ def test_sequential_epochs_match_batch_incremental(spark, tmp_path_factory):
         for r in dedup.exact_dedup_incremental(b1, b0).collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup ingest (MinHash)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.streaming.dedup_ingest import (  # noqa: E402
+    neardup_microbatch,
+    read_prior_signatures,
+    start_streaming_neardup,
+)
+
+
+def _near(text, i):
+    """A near-duplicate of `text`: one word in ~8 rewritten."""
+    words = text.split()
+    words[min(i, len(words) - 1)] = f"repl{i}"
+    return " ".join(words)
+
+
+_BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lam mu nu xi omicron pi rho sigma tau upsilon")
+_BASE2 = ("one two three four five six seven eight nine ten eleven "
+          "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+NEAR_BATCHES = [
+    [(0, _BASE), (1, "totally different first content here words")],
+    # 10 near-dups batch 0's doc 0 (cross-epoch); 11 is novel;
+    # 12 near-dups 11 (within-epoch; one word changed in ~18)
+    [(10, _near(_BASE, 3)), (11, _BASE2), (12, _near(_BASE2, 7))],
+    [(20, "third wave fresh unrelated content entirely")],
+]
+
+
+def test_streaming_neardup_end_to_end(spark, tmp_path_factory):
+    in_dir = str(tmp_path_factory.mktemp("nd_in"))
+    out_dir = str(tmp_path_factory.mktemp("nd_out"))
+    _write_batches(spark, in_dir, NEAR_BATCHES)
+    q = start_streaming_neardup(spark, in_dir, out_dir, threshold=0.5)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in read_deduped(spark, out_dir).collect()}
+    # doc 10 near-dups doc 0 across epochs -> dropped; doc 12 near-dups
+    # 11 within its epoch -> dropped (file order is epoch order here in
+    # id terms regardless of assignment: 0 < 10, 11 < 12)
+    assert 0 in got and 1 in got and 11 in got and 20 in got
+    assert 10 not in got and 12 not in got
+    # the accumulated signature index covers exactly the survivors
+    sigs = read_prior_signatures(spark, out_dir, before_epoch=10**6)
+    assert {r["doc_id"] for r in sigs.collect()} == got
+
+
+def test_neardup_replay_is_idempotent(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("nd_replay"))
+    b0 = spark.createDataFrame(NEAR_BATCHES[0], ["doc_id", "text"])
+    b1 = spark.createDataFrame(NEAR_BATCHES[1], ["doc_id", "text"])
+    neardup_microbatch(b0, out_dir, 0, threshold=0.5)
+    neardup_microbatch(b1, out_dir, 1, threshold=0.5)
+    first = sorted(
+        tuple(r) for r in read_deduped(spark, out_dir).collect()
+    )
+    neardup_microbatch(b1, out_dir, 1, threshold=0.5)  # replay epoch 1
+    assert sorted(
+        tuple(r) for r in read_deduped(spark, out_dir).collect()
+    ) == first
+
+
+def test_neardup_epochs_match_batch_incremental(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("nd_eq"))
+    dfs = [spark.createDataFrame(b, ["doc_id", "text"]) for b in NEAR_BATCHES]
+    for i, df in enumerate(dfs):
+        neardup_microbatch(df, out_dir, i, threshold=0.5)
+    got = {r["doc_id"] for r in read_deduped(spark, out_dir).collect()}
+    # sequential batch-mode incremental over the same batch order
+    idx = spark.createDataFrame([], "doc_id long, signature array<bigint>")
+    want = set()
+    for df in dfs:
+        surv = dedup.minhash_dedup_incremental(df, idx, threshold=0.5)
+        want |= {r["doc_id"] for r in surv.select("doc_id").collect()}
+        idx = idx.unionByName(surv).localCheckpoint()
+    assert got == want
