@@ -50,8 +50,9 @@ class PipelineConfig:
     # bands are FINE (8 bands x 16 bits): alias pairs sit at cosine
     # >= 0.98 (per-bit agreement >= 0.982) so recall stays ~0.99998
     # while random vectors spread over 2^16 buckets per band, keeping
-    # bucket fan-out ~group-sized. The coarse knn bands (lsh_bands x 4
-    # bits) would make buckets corpus/16-sized — quadratic again.
+    # bucket fan-out ~group-sized. The knn banding (lsh_bands x
+    # lsh_bits_per_band below) targets the LOWER 0.8 score floor, so it
+    # uses shorter bands and many more of them.
     canonicalize_blocking: str = "auto"
     canon_lsh_bands: int = 8
     canon_lsh_bits: int = 16

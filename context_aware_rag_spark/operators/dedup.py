@@ -117,6 +117,81 @@ def minhash_signatures(
     return shingled.select(F.col(id_col), sig.alias("signature"), "shingles")
 
 
+def _validate_bands(bands: int, num_hashes: int) -> int:
+    """rows_per_band, after the static banding-parameter checks."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}; "
+            "bands > num_hashes degenerates the banding join to all-pairs"
+        )
+    return num_hashes // bands
+
+
+def _guard_signature_length(
+    signatures: DataFrame, num_hashes: int, where: str
+) -> DataFrame:
+    """In-plan (lazy, per-row assert_true — no driver action) guard that
+    the frame actually carries ``num_hashes``-long signatures: a
+    mismatched stored index would otherwise silently halve recall and
+    deflate est_jaccard instead of failing loudly."""
+    return signatures.filter(
+        F.assert_true(
+            F.size("signature") == F.lit(num_hashes),
+            F.concat(
+                F.lit(f"{where}: signature length "),
+                F.size("signature").cast("string"),
+                F.lit(f" does not match num_hashes={num_hashes}"),
+            ),
+        ).isNull()
+    )
+
+
+def banded_signatures(
+    signatures: DataFrame,
+    bands: int = 16,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_hash) banding of a signature frame — the NARROW
+    exchange form every LSH join shuffles, and the form a production
+    index store persists once at append time (so later batches never
+    re-band history). Includes the signature-length guard."""
+    rows_per_band = _validate_bands(bands, num_hashes)
+    guarded = _guard_signature_length(signatures, num_hashes, "banded_signatures")
+    return guarded.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature", b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def _sig_agreement(col_a: str, col_b: str, num_hashes: int):
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(col_a, col_b, lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -153,40 +228,8 @@ def minhash_lsh_candidates(
     so a mismatched signatures frame fails loudly instead of silently
     halving recall / inflating est_jaccard.
     """
-    if bands > num_hashes or num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes}; "
-            "bands > num_hashes degenerates the banding join to all-pairs"
-        )
-    rows_per_band = num_hashes // bands
-    signatures = signatures.filter(
-        F.assert_true(
-            F.size("signature") == F.lit(num_hashes),
-            F.concat(
-                F.lit("minhash_lsh_candidates: signature length "),
-                F.size("signature").cast("string"),
-                F.lit(f" does not match num_hashes={num_hashes}"),
-            ),
-        ).isNull()
-    )
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                "signature", b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
+    banded = banded_signatures(
+        signatures, bands=bands, num_hashes=num_hashes, id_col=id_col
     )
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
@@ -210,15 +253,7 @@ def minhash_lsh_candidates(
     sig_b = signatures.select(
         F.col(id_col).alias("b"), F.col("signature").alias("sig_b")
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(num_hashes)
-    )
+    est = _sig_agreement("sig_a", "sig_b", num_hashes)
     return (
         pairs.join(sig_a, "a")
         .join(sig_b, "b")
@@ -279,6 +314,7 @@ def minhash_dedup_incremental(
     bands: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup survivors of a NEW batch against a STORED MinHash
     signature index — the approximate counterpart of
@@ -286,10 +322,15 @@ def minhash_dedup_incremental(
     with the new batch, old text is never re-read).
 
     ``sig_index`` is any frame with (id_col, signature) — the
-    accumulated signatures of prior batches (at production scale a
-    stored stage table whose banded form is written once at append
-    time). Returns (id_col, signature) for the new docs safe to
-    append.
+    accumulated signatures of prior batches. Returns
+    (id_col, signature) for the new docs safe to append.
+
+    ``index_banded``: optionally the index's STORED banded form
+    ((id_col, band, band_hash) — what :func:`banded_signatures`
+    produces, written once per append by the streaming ingest). Without
+    it the index is re-banded here each call, which is O(history) work
+    per batch; with it the per-batch cost is the batch's own banding
+    plus one pruned scan of the stored bands.
 
     Drop policy (deterministic, order-free): a new doc is dropped iff
     it has estimated Jaccard >= ``threshold`` with ANY index doc, or
@@ -300,6 +341,16 @@ def minhash_dedup_incremental(
     >= 1 new doc, so the full-batch pair set restricted the same way
     yields the identical decision (pytest-proven equivalence).
     """
+    _validate_bands(bands, num_hashes)  # static — before any cluster work
+    # the index's signature length is guarded in-plan wherever its rows
+    # are read (banding below and the est re-join): a stored index
+    # written with a different num_hashes must fail loudly, not halve
+    # recall / deflate estimates silently
+    sig_index = _guard_signature_length(
+        sig_index.select(F.col(id_col), "signature"),
+        num_hashes,
+        "minhash_dedup_incremental(sig_index)",
+    )
     parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
     sh = with_shingles(
         new_docs.repartition(parallelism, id_col),
@@ -313,41 +364,23 @@ def minhash_dedup_incremental(
         )
     finally:
         sh.unpersist(False)
-    all_sigs = (
-        sig_index.select(
-            F.col(id_col), "signature", F.lit(True).alias("_existing")
+    new_banded = banded_signatures(
+        new_sigs, bands=bands, num_hashes=num_hashes, id_col=id_col
+    ).localCheckpoint()
+    if index_banded is None:
+        index_banded = banded_signatures(
+            sig_index, bands=bands, num_hashes=num_hashes, id_col=id_col
+        )
+    banded = (
+        index_banded.select(
+            F.col(id_col), "band", "band_hash", F.lit(True).alias("_existing")
         )
         .unionByName(
-            new_sigs.select(
-                F.col(id_col), "signature", F.lit(False).alias("_existing")
+            new_banded.select(
+                F.col(id_col), "band", "band_hash", F.lit(False).alias("_existing")
             )
         )
-        .localCheckpoint()
     )
-    rows_per_band = num_hashes // bands
-    if bands > num_hashes or num_hashes % bands != 0:
-        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    banded = all_sigs.select(
-        F.col(id_col),
-        "_existing",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                "signature", b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    ).localCheckpoint()
-    new_banded = banded.filter(~F.col("_existing"))
     # probe side = new docs only: per-bucket fan-out is
     # bucket_new x bucket_all — work scales with the batch, never old^2
     cand = (
@@ -374,17 +407,15 @@ def minhash_dedup_incremental(
         )
         .dropDuplicates(["other", "new_id"])
     )
+    # lazy union for the est lookup — never materialized: the candidate
+    # set joins it BY ID, so the index side costs one id-pruned scan at
+    # query time, not a per-batch checkpoint of all history. (A
+    # replayed batch id present on both sides fans the join out to two
+    # identical rows; dropped.distinct() collapses them.)
+    all_sigs = sig_index.unionByName(new_sigs)
     sig_o = all_sigs.select(F.col(id_col).alias("other"), F.col("signature").alias("sig_o"))
     sig_n = new_sigs.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_n"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_o", "sig_n", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(num_hashes)
-    )
+    est = _sig_agreement("sig_o", "sig_n", num_hashes)
     dropped = (
         cand.join(sig_o, "other")
         .join(sig_n, "new_id")
@@ -644,9 +675,13 @@ def dedup_exact_paragraphs(
     paragraph groupBy is the only wide exchange; a boilerplate hot key
     is one skewed reduce task (AQE splits it), never a pair join.
     """
+    # F.split takes a Java REGEX but the reassembly joins with the
+    # LITERAL separator — quote it (\Q...\E) so sep='.' or '|' splits
+    # literally instead of exploding per character
+    split_pat = "\\Q" + sep + "\\E"
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+        F.posexplode(F.split(F.col(text_col), split_pat, -1)).alias("idx", "para"),
     )
     owners = paras.filter(F.length("para") >= min_chars).groupBy("para").agg(
         F.min(F.struct(F.col(id_col).alias("oid"), F.col("idx").alias("oidx"))).alias(

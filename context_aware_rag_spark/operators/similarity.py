@@ -264,17 +264,23 @@ def _collapsed_candidates(
     quadratic member pairing it replaces); banding + scoring touch one
     REP per class; expansion emits |C1| x min(top_k+1, |C2|) rows per
     class pair instead of |C1| x |C2|."""
+    # class key: float-to-string casts are shortest-round-trip (Ryu),
+    # hence injective — equal strings <=> byte-equal embeddings, so ANY
+    # member's embedding represents the class exactly
     classed = base.withColumn(
         "class_id", F.md5(F.col("embedding").cast("string"))
     )
     wcls = Window.partitionBy("class_id").orderBy(F.col(id_col).asc())
-    ranked_members = classed.select(
+    # the member-rank window runs on the NARROW (class_id, id)
+    # projection; rep embeddings come from one aggregate — the old
+    # shape ran a second window carrying the dim-long embedding through
+    # its exchange (narrow-shuffle discipline)
+    ranked_members = classed.select("class_id", id_col).select(
         "class_id", id_col, F.row_number().over(wcls).alias("_mrank")
     ).localCheckpoint()
     reps = (
-        classed.withColumn("_mrank", F.row_number().over(wcls))
-        .filter(F.col("_mrank") == 1)
-        .select("class_id", "embedding")
+        classed.groupBy("class_id")
+        .agg(F.any_value("embedding").alias("embedding"))
         .localCheckpoint()
     )
     sizes = ranked_members.groupBy("class_id").agg(

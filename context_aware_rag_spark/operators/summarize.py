@@ -63,7 +63,11 @@ def fake_llm_summary_response(summary: str) -> str:
     import json as _json
 
     s = _json.dumps({"summary": summary})
-    modes = [0, 3, 4]
+    modes = [3, 4]
+    if "```" not in summary:
+        # a fence INSIDE the content would terminate the repair's fence
+        # extraction early and truncate the summary
+        modes.append(0)
     if '"' not in summary and "'" not in summary:
         modes.append(1)
     if "}" not in summary and "]" not in summary:

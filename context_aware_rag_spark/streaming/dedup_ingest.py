@@ -23,7 +23,6 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import dedup
@@ -50,45 +49,59 @@ def _epoch_ids(spark: SparkSession, base: str) -> list[int] | None:
     ]
 
 
-def read_prior_hashes(
-    spark: SparkSession, out_dir: str, before_epoch: int
+def _read_prior_index(
+    spark: SparkSession,
+    out_dir: str,
+    subdir: str,
+    before_epoch: int,
+    schema: str,
+    what: str,
 ) -> DataFrame:
-    """Hash index accumulated by epochs STRICTLY BEFORE ``before_epoch``
+    """Index rows accumulated by epochs STRICTLY BEFORE ``before_epoch``
     (a replayed epoch must not see its own partial output).
 
-    Fails loudly on the two silent-corruption modes: a missing hashes
+    Fails loudly on the two silent-corruption modes: a missing index
     dir when prior epochs should have written one (remote-store
     misconfiguration would otherwise disable dedup and append
     duplicates), and epoch dirs FROM THE FUTURE (> current epoch),
     which mean the stream checkpoint was reset while the output dir was
     kept — epoch ids restart at 0, and new docs would be deduped
-    against dead epochs' hashes."""
-    base = os.path.join(out_dir, "hashes")
+    against dead epochs' rows."""
+    base = os.path.join(out_dir, subdir)
     ids = _epoch_ids(spark, base)
     if ids is None:
         if before_epoch > 0:
             raise FileNotFoundError(
-                f"streaming dedup hash index missing at {base!r} but epoch "
+                f"streaming {what} index missing at {base!r} but epoch "
                 f"{before_epoch} expects epochs 0..{before_epoch - 1} to have "
                 "written it — wrong out_dir or filesystem misconfiguration "
                 "(cross-epoch dedup would be silently disabled)"
             )
-        return spark.createDataFrame([], _HASH_SCHEMA)
+        return spark.createDataFrame([], schema)
     stale = [e for e in ids if e > before_epoch]
     if stale:
         raise RuntimeError(
-            f"streaming dedup out_dir {out_dir!r} contains epoch dirs "
+            f"streaming {what} out_dir {out_dir!r} contains epoch dirs "
             f"{sorted(stale)} beyond current epoch {before_epoch}: the "
             "stream checkpoint was reset (epoch ids restart at 0) while the "
             "output dir was kept — clear out_dir or restore the checkpoint"
         )
     prior = [e for e in ids if e < before_epoch]
     if not prior:
-        return spark.createDataFrame([], _HASH_SCHEMA)
+        return spark.createDataFrame([], schema)
     return (
         spark.read.option("basePath", base)
         .parquet(*[os.path.join(base, f"epoch={e}") for e in prior])
         .drop("epoch")
+    )
+
+
+def read_prior_hashes(
+    spark: SparkSession, out_dir: str, before_epoch: int
+) -> DataFrame:
+    """Exact-dedup hash index from epochs before ``before_epoch``."""
+    return _read_prior_index(
+        spark, out_dir, "hashes", before_epoch, _HASH_SCHEMA, "dedup hash"
     )
 
 
@@ -170,39 +183,28 @@ def start_streaming_dedup(
 _SIG_SCHEMA = "doc_id long, signature array<bigint>"
 
 
+_BAND_SCHEMA = "doc_id long, band int, band_hash long"
+
+
 def read_prior_signatures(
     spark: SparkSession, out_dir: str, before_epoch: int
 ) -> DataFrame:
-    """MinHash signature index accumulated by epochs STRICTLY BEFORE
-    ``before_epoch`` — same epoch/replay/reset contract as
-    :func:`read_prior_hashes`, storing (doc_id, signature) instead of
-    content hashes."""
-    base = os.path.join(out_dir, "sigs")
-    ids = _epoch_ids(spark, base)
-    if ids is None:
-        if before_epoch > 0:
-            raise FileNotFoundError(
-                f"streaming near-dup signature index missing at {base!r} but "
-                f"epoch {before_epoch} expects epochs 0..{before_epoch - 1} "
-                "to have written it — wrong out_dir or filesystem "
-                "misconfiguration (cross-epoch dedup would be disabled)"
-            )
-        return spark.createDataFrame([], _SIG_SCHEMA)
-    stale = [e for e in ids if e > before_epoch]
-    if stale:
-        raise RuntimeError(
-            f"streaming near-dup out_dir {out_dir!r} contains epoch dirs "
-            f"{sorted(stale)} beyond current epoch {before_epoch}: the "
-            "stream checkpoint was reset while the output dir was kept — "
-            "clear out_dir or restore the checkpoint"
-        )
-    prior = [e for e in ids if e < before_epoch]
-    if not prior:
-        return spark.createDataFrame([], _SIG_SCHEMA)
-    return (
-        spark.read.option("basePath", base)
-        .parquet(*[os.path.join(base, f"epoch={e}") for e in prior])
-        .drop("epoch")
+    """MinHash signature index from epochs before ``before_epoch`` —
+    same epoch/replay/reset contract as :func:`read_prior_hashes`."""
+    return _read_prior_index(
+        spark, out_dir, "sigs", before_epoch, _SIG_SCHEMA, "near-dup signature"
+    )
+
+
+def read_prior_bands(
+    spark: SparkSession, out_dir: str, before_epoch: int
+) -> DataFrame:
+    """The index's STORED banded form ((doc_id, band, band_hash), one
+    write per epoch at append time) — so each micro-batch probes the
+    accumulated bands instead of re-banding all history (O(batch), not
+    O(history), per epoch)."""
+    return _read_prior_index(
+        spark, out_dir, "bands", before_epoch, _BAND_SCHEMA, "near-dup banding"
     )
 
 
@@ -216,15 +218,18 @@ def neardup_microbatch(
 ) -> None:
     """Per-micro-batch body for NEAR-dup streaming ingest: survivors =
     dedup.minhash_dedup_incremental against the prior-epoch signature
-    index; write survivors' full rows and their SIGNATURES (the stored
-    banding input for every later epoch), epoch-partitioned with
-    overwrite — a replayed epoch recomputes against the same prior
-    index and rewrites identical bytes."""
+    index, probed through the STORED banded form; write survivors'
+    full rows, their signatures (the est re-join side), and their
+    bands (so no later epoch ever re-bands them), epoch-partitioned
+    with overwrite — a replayed epoch recomputes against the same
+    prior index and rewrites identical bytes."""
     spark = batch_df.sparkSession
     index = read_prior_signatures(spark, out_dir, epoch_id)
+    index_banded = read_prior_bands(spark, out_dir, epoch_id)
     survivors = dedup.minhash_dedup_incremental(
-        batch_df, index, threshold=threshold, id_col=id_col, text_col=text_col
-    ).localCheckpoint()  # consumed twice (rows join + signature write)
+        batch_df, index, threshold=threshold, id_col=id_col,
+        text_col=text_col, index_banded=index_banded,
+    ).localCheckpoint()  # consumed thrice (rows join + sig/band writes)
     rows = batch_df.join(survivors.select(id_col), id_col, "left_semi")
     rows.write.mode("overwrite").parquet(
         os.path.join(out_dir, "docs", f"epoch={epoch_id}")
@@ -232,6 +237,9 @@ def neardup_microbatch(
     survivors.write.mode("overwrite").parquet(
         os.path.join(out_dir, "sigs", f"epoch={epoch_id}")
     )
+    dedup.banded_signatures(survivors, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "bands", f"epoch={epoch_id}"))
 
 
 def start_streaming_neardup(

@@ -768,3 +768,37 @@ class TestMinHashIncremental:
             idx2, threshold=0.5,
         )
         assert again.count() == 0
+
+
+def test_incremental_index_length_guard(spark):
+    """A stored index written with a different num_hashes must fail
+    loudly (review finding: silent recall halving otherwise)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    new = spark.createDataFrame(
+        [(100, "some new document text here")], ["doc_id", "text"]
+    )
+    bad_idx = spark.createDataFrame(
+        [(1, [11, 22, 33])], "doc_id long, signature array<bigint>"
+    )
+    with pytest.raises(SparkRuntimeException, match="num_hashes"):
+        dedup.minhash_dedup_incremental(new, bad_idx).collect()
+    # static banding validation fires BEFORE any cluster work
+    ok_idx = spark.createDataFrame([], "doc_id long, signature array<bigint>")
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_dedup_incremental(new, ok_idx, bands=10)
+
+
+def test_paragraph_sep_is_literal_not_regex(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta|gamma delta|alpha beta"), (2, "alpha beta|other")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_exact_paragraphs(docs, sep="|").collect()}
+    # '|' as a regex would split between every character; literally it
+    # yields 3 segments for doc 1, with the repeated 'alpha beta'
+    # deduped at its later occurrences
+    assert out[1]["cleaned_text"] == "alpha beta|gamma delta"
+    assert out[1]["n_paras"] == 3 and out[1]["n_paras_removed"] == 1
+    assert out[2]["cleaned_text"] == "other"

@@ -217,6 +217,8 @@ class TestLLMSummarizer:
             "newline\nand\ttab",
             "",
             "a" * 600,
+            "use ```code fences``` like this",     # blocks mode 0
+            'fences ``` AND " quotes } braces',
         ]
         # force every eligible mode for every case by checking that the
         # picked response still round-trips exactly
