@@ -1,0 +1,111 @@
+"""Corpus-trained n-gram language-model perplexity scoring.
+
+CCNet-style quality signal (Wenzek et al. 2020 §4.3: per-document LM
+perplexity drives the head/middle/tail quality split used to cull web
+corpora before LLM training). The reference engine has no LM scoring —
+this extends the training-data culling family (textmetrics / dedup)
+with the standard third leg: dedup, rule filters, perplexity.
+
+Instead of an external pretrained LM (unavailable and non-reproducible
+here), the LM is trained ON THE CORPUS ITSELF in the same job — an
+add-alpha-smoothed word bigram model. That keeps everything inside two
+map-side-combined aggregations plus equi-joins, and makes the whole
+computation expressible in ANSI SQL for the DuckDB oracle twin.
+
+Determinism discipline: each bigram occurrence's log-probability is
+rounded to integer MICRO-NATS (``round(ln(p) * 1e6)`` as BIGINT)
+*before* the per-document sum, so the aggregate is order-independent
+exact integer arithmetic — no float-summation-order hazard between
+Spark and the SQL twin. The float→int rounding itself is safe: both
+engines compute ``ln`` of the identical IEEE-754 ratio via libm.
+
+100 TB shape: bigram/context counts are groupBy aggs with map-side
+partial combine (shuffle keyed on the gram, bounded by vocabulary, not
+corpus); the scoring joins are equi-joins on (w1, w2) / (w1) where AQE
+skew-split handles Zipf-hot function words; the vocab size is a 1-row
+broadcast. No UDF anywhere — the whole plan is JVM codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text_col):
+    # identical convention to textmetrics._words / the SQL twins'
+    # regexp_split_to_array(lower(trim(text)), '\s+')
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram-LM log-probability and perplexity.
+
+    P(w2|w1) = (c(w1,w2) + alpha) / (c(w1·) + alpha·V) with V = corpus
+    vocabulary size; counts come from the scored corpus itself.
+
+    Returns (id_col, n_bigrams, logprob_micro, ppl):
+      - ``logprob_micro``: sum over the doc's bigram occurrences of
+        round(ln(P) * 1e6) — exact integers, order-independent.
+      - ``ppl`` = round(exp(-logprob_micro/1e6 / n_bigrams), 4).
+
+    Documents with fewer than two tokens emit no bigrams and are absent
+    (same as the SQL twin). Low ppl = fluent/typical text ("head" of
+    the CCNet split); high ppl = atypical/garbled ("tail").
+    """
+    words = _words(F.col(text_col))
+    # parallel-slice zip: (w1, w2) pairs without an index transform
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.when(
+                F.size(words) >= 2,
+                F.arrays_zip(
+                    F.slice(words, 1, F.size(words) - 1).alias("w1"),
+                    F.slice(words, 2, F.size(words) - 1).alias("w2"),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("bi"),
+        )
+        .select(F.col(id_col), F.explode("bi").alias("bi"))
+        .select(F.col(id_col), F.col("bi.w1").alias("w1"), F.col("bi.w2").alias("w2"))
+    )
+    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    context_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .agg(F.countDistinct("word").alias("vocab"))
+    )
+    scored = (
+        pairs.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("c_big") + F.lit(float(alpha)))
+                    / (F.col("c_ctx") + F.lit(float(alpha)) * F.col("vocab"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp_micro").alias("logprob_micro"),
+        F.round(
+            F.exp(
+                -(F.sum("lp_micro") / F.lit(1000000.0)) / F.count(F.lit(1))
+            ),
+            4,
+        ).alias("ppl"),
+    )

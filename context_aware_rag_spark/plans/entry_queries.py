@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..operators import ann, dedup, multimodal, sampling, similarity, textmetrics
+from ..operators import ann, dedup, lm, multimodal, sampling, similarity, textmetrics
 from ..plans.pipeline import run_pipeline
 from ..sources.transcripts import generate_transcripts
 
@@ -2559,3 +2559,39 @@ def media_resize_plan(spark, sf_dir):
     the stub-gated decode."""
     media = multimodal.synthesize_media(spark, load(spark, sf_dir, "documents"))
     return multimodal.resize_plan(media, max_side=256)
+
+
+# =========================================================================
+# Corpus-trained LM perplexity (CCNet-style quality split)
+# =========================================================================
+
+@xq(
+    "lm_perplexity",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents),
+    p AS (SELECT doc_id,
+                 unnest(words[1:len(words)-1]) AS w1,
+                 unnest(words[2:len(words)]) AS w2
+          FROM w WHERE len(words) >= 2),
+    cb AS (SELECT w1, w2, count(*) AS c_big FROM p GROUP BY 1, 2),
+    cc AS (SELECT w1, count(*) AS c_ctx FROM p GROUP BY 1),
+    v AS (SELECT count(DISTINCT word) AS vocab
+          FROM (SELECT unnest(words) AS word FROM w)),
+    s AS (SELECT p.doc_id,
+                 CAST(round(ln((cb.c_big + 0.5) / (cc.c_ctx + 0.5 * v.vocab))
+                            * 1000000) AS BIGINT) AS lp
+          FROM p JOIN cb USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(lp)::BIGINT AS logprob_micro,
+           round(exp(-(sum(lp) / 1000000.0) / count(*)), 4) AS ppl
+    FROM s GROUP BY doc_id
+    """,
+)
+def lm_perplexity(spark, sf_dir):
+    """Corpus-trained add-alpha bigram LM perplexity per document
+    (CCNet quality split, Wenzek et al. 2020 §4.3). Per-occurrence
+    log-probs are rounded to integer micro-nats BEFORE the per-doc sum,
+    so the aggregate is exact integer arithmetic on both engines."""
+    return lm.bigram_lm_scores(load(spark, sf_dir, "documents"))
