@@ -648,3 +648,77 @@ def c10_repair_table(
         ((k, n, bad) for k, (n, bad) in agg.items()),
         key=lambda t: (t[0] is None, t[0]),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup expected table (over embeddings.parquet) — SemDeDup
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_py(
+    vectors: Sequence[Tuple[int, Sequence[float]]],
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_size: int = 20000,
+) -> List[Tuple[int, int, int, bool]]:
+    """Independent recomputation of the semantic_dedup query (SemDeDup,
+    Abbas et al. 2023): same hash-ordered centroid sample (via the XXH64
+    reimplementation), same fixed-seed Lloyd's k-means, same float32
+    nearest-centroid assignment, and the same sorted-by-id within-cluster
+    float32 GEMM + union-find + farthest-from-centroid keeper — so every
+    float comparison sees bit-identical values."""
+    from ..operators.ann import _kmeans_centroids
+
+    def norm32(mat: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1
+        return mat / n
+
+    ordered = sorted(
+        ((i, np.asarray(v, dtype=np.float32)) for i, v in vectors),
+        key=lambda t: (spark_xxhash64_str(str(t[0])), t[0]),
+    )
+    sample = np.stack([v for _, v in ordered[:sample_size]]).astype(np.float32)
+    cents = _kmeans_centroids(norm32(sample), n_clusters)
+
+    ids_all = np.array([i for i, _ in vectors], dtype="int64")
+    mat_all = norm32(np.stack([np.asarray(v, dtype=np.float32) for _, v in vectors]))
+    cells = np.argmax(mat_all @ cents.T, axis=1)
+
+    out: List[Tuple[int, int, int, bool]] = []
+    for cid in np.unique(cells):
+        sel = np.nonzero(cells == cid)[0]
+        order = np.argsort(ids_all[sel], kind="stable")
+        sel = sel[order]
+        ids = ids_all[sel]
+        mat = mat_all[sel]
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(iu[hit].tolist(), ju[hit].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(ids))])
+        cent_sim = mat @ cents[int(cid)]
+        keep = np.zeros(len(ids), dtype=bool)
+        for root in np.unique(roots):
+            members = np.nonzero(roots == root)[0]
+            keep[members[np.argmin(cent_sim[members])]] = True
+        for k in range(len(ids)):
+            out.append(
+                (int(ids[k]), int(cid), int(ids[roots[k]]), bool(keep[k]))
+            )
+    out.sort(key=lambda t: t[0])
+    return out

@@ -2595,3 +2595,28 @@ def lm_perplexity(spark, sf_dir):
     log-probs are rounded to integer micro-nats BEFORE the per-doc sum,
     so the aggregate is exact integer arithmetic on both engines."""
     return lm.bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# SemDeDup — cluster-then-prune semantic deduplication
+# =========================================================================
+
+@xq(
+    "semantic_dedup",
+    f"""
+    SELECT vec_id, cluster_id, family_id, keep
+    FROM read_parquet('{_pq("semantic_dedup")}')
+    """,
+)
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then within each cluster connect cosine>=threshold pairs and
+    keep one member per family — the farthest from the centroid. Twin =
+    precomputed pure-Python replication (same hash-ordered sample via
+    the XXH64 reimplementation, same fixed-seed k-means, same sorted
+    float32 GEMM), verified bit-exact."""
+    from ..operators import semdedup
+
+    return semdedup.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=16
+    )

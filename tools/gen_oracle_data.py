@@ -86,6 +86,10 @@ SCHEMAS = {
         [("query_id", pa.int64()), ("vec_id", pa.int64()),
          ("cosine", pa.float64()), ("rank", pa.int32())]
     ),
+    "semantic_dedup": pa.schema(
+        [("vec_id", pa.int64()), ("cluster_id", pa.int32()),
+         ("family_id", pa.int64()), ("keep", pa.bool_())]
+    ),
 }
 
 
@@ -135,6 +139,8 @@ def main(sf_dirs: list[str]) -> None:
             " ORDER BY vec_id"
         ).fetchall()
         write(out_dir, "ann_ivf_topk", precompute.ivf_topk_py(vecs))
+        write(out_dir, "semantic_dedup",
+              precompute.semantic_dedup_py(vecs, threshold=0.4))
 
         from context_aware_rag_spark.functions.bpe import bpe_token_counts
 
