@@ -978,6 +978,34 @@ def dedup_clusters(
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 
+def _gram_sizes(n: "int | tuple[int, ...] | list[int]") -> "list[int]":
+    ns = sorted({int(x) for x in (n if isinstance(n, (tuple, list)) else [n])})
+    if not ns or ns[0] < 1:
+        raise ValueError(f"n must be >= 1 gram sizes, got {n!r}")
+    return ns
+
+
+def _size_grams(words, k: int):
+    # NOTE: a `lambda i, k=k:` closure would NOT work here —
+    # F.transform introspects the lambda arity and passes the array
+    # INDEX as the second argument, silently shadowing the default
+    return F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _norm_grams_col(tcol: str, ns: "list[int]"):
+    """Normalized word n-gram arrays for every size in ``ns``, concatenated
+    in ONE projection (one narrow scan regardless of size count)."""
+    words = F.split(normalized_text(F.col(tcol)), " ")
+    per_size = [_size_grams(words, k) for k in ns]
+    return per_size[0] if len(per_size) == 1 else F.concat(*per_size)
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -1007,26 +1035,10 @@ def decontaminate(
     corpus-scale), so the corpus pays one broadcast-hash join + a
     map-side-combined count — no wide shuffle at any size.
     """
-    ns = sorted({int(x) for x in (n if isinstance(n, (tuple, list)) else [n])})
-    if not ns or ns[0] < 1:
-        raise ValueError(f"n must be >= 1 gram sizes, got {n!r}")
-
-    def _size_grams(words, k: int):
-        # NOTE: a `lambda i, k=k:` closure would NOT work here —
-        # F.transform introspects the lambda arity and passes the array
-        # INDEX as the second argument, silently shadowing the default
-        return F.when(
-            F.size(words) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    ns = _gram_sizes(n)
 
     def grams_col(tcol: str):
-        words = F.split(normalized_text(F.col(tcol)), " ")
-        per_size = [_size_grams(words, k) for k in ns]
-        return per_size[0] if len(per_size) == 1 else F.concat(*per_size)
+        return _norm_grams_col(tcol, ns)
 
     bench_grams = benchmark.select(
         F.explode(grams_col(bench_text_col)).alias("gram")
@@ -1038,6 +1050,81 @@ def decontaminate(
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams"))
+    )
+
+
+def _bloom_positions(gram_col, m_bits: int, k: int):
+    """k Bloom bit positions per gram via Kirsch–Mitzenmacher double
+    hashing: pos_i = (h1 + i·h2) mod m, with h1/h2 reduced mod m FIRST
+    so the arithmetic never overflows a long (Spark 4 runs ANSI mode —
+    a raw h1 + i·h2 on full-range xxhash64 longs would throw)."""
+    p1 = F.pmod(F.xxhash64(gram_col), F.lit(m_bits))
+    p2 = F.pmod(F.xxhash64(gram_col, F.lit(7)), F.lit(m_bits))
+    return F.array(*[F.pmod(p1 + F.lit(i) * p2, F.lit(m_bits)) for i in range(k)])
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: "int | tuple[int, ...] | list[int]" = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination — the bounded-memory scale path.
+
+    Same semantics as :func:`decontaminate` (flag docs sharing any
+    normalized word n-gram with the benchmark) except membership is
+    tested through an m-bit / k-hash Bloom filter of the benchmark
+    grams: a gram is flagged iff ALL k of its bit positions are set.
+    NO false negatives ever (every truly shared gram is flagged); false
+    positives occur at the classic (1 - e^{-kg/m})^k rate (g = distinct
+    benchmark grams) and are DETERMINISTIC — fixed-seed xxhash64, so
+    the pure-Python oracle reproduces them bit-for-bit.
+
+    Why it scales where :func:`decontaminate` stops: the broadcast side
+    here is the SET BIT POSITIONS — at most min(k·g, m) longs, bounded
+    by ``m_bits`` no matter how large the benchmark suite grows —
+    whereas the exact operator broadcasts the gram strings themselves
+    (unbounded width: 13-gram strings easily average >80 bytes). On a
+    real cluster the position set ships once per executor as a
+    broadcast-hash-join build side; the corpus still pays exactly one
+    narrow scan + map-side-combined count. Returns
+    (id_col, n_flagged_grams) for flagged docs — counts include the
+    (deterministic) false positives by design; chase with the exact
+    operator over the flagged subset to confirm, the standard
+    bloom-then-verify cascade.
+    """
+    ns = _gram_sizes(n)
+    if m_bits < 2 or k < 1:
+        raise ValueError(f"need m_bits >= 2 and k >= 1, got {m_bits=}, {k=}")
+    bloom = (
+        benchmark.select(F.explode(_norm_grams_col(bench_text_col, ns)).alias("gram"))
+        .distinct()
+        .select(F.explode(_bloom_positions(F.col("gram"), m_bits, k)).alias("pos"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_norm_grams_col(text_col, ns))).alias("gram"),
+    )
+    doc_pos = doc_grams.select(
+        F.col(id_col),
+        F.col("gram"),
+        F.explode(_bloom_positions(F.col("gram"), m_bits, k)).alias("pos"),
+    )
+    # gram flagged iff all k exploded positions hit (duplicate positions
+    # within one gram's k-set hit or miss together, so count==k is exact)
+    flagged = (
+        doc_pos.join(F.broadcast(bloom), "pos")
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") == k)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged_grams")
     )
 
 

@@ -722,3 +722,59 @@ def semantic_dedup_py(
             )
     out.sort(key=lambda t: t[0])
     return out
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_bloom expected table — Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+def _bloom_positions_py(gram: str, m_bits: int, k: int) -> List[int]:
+    """Replicates dedup._bloom_positions: Kirsch–Mitzenmacher double
+    hashing with h1 = xxhash64(gram), h2 = xxhash64(gram, int 7), both
+    reduced mod m first (Python % on the signed value == Spark pmod)."""
+    from .xxh64 import spark_xxhash64_str, spark_xxhash64_str_int
+
+    p1 = spark_xxhash64_str(gram) % m_bits
+    p2 = spark_xxhash64_str_int(gram, 7) % m_bits
+    return [(p1 + i * p2) % m_bits for i in range(k)]
+
+
+def _word_grams_py(text: str, ns: Sequence[int]) -> List[str]:
+    """Replicates dedup._norm_grams_col: normalized word n-grams for
+    every size in ns, concatenated (docs shorter than a size contribute
+    nothing at that size)."""
+    words = normalize_py(text).split(" ")
+    out: List[str] = []
+    for n in ns:
+        if len(words) >= n:
+            out.extend(
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            )
+    return out
+
+
+def decontaminate_bloom_py(
+    docs: Sequence[Tuple[int, str]],
+    bench_texts: Sequence[str],
+    n: "int | Sequence[int]" = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> List[Tuple[int, int]]:
+    """Independent recomputation of decontaminate_bloom — including the
+    filter's deterministic false positives."""
+    ns = sorted({int(x) for x in (n if isinstance(n, (list, tuple)) else [n])})
+    bloom: set = set()
+    for t in bench_texts:
+        for g in set(_word_grams_py(t, ns)):
+            bloom.update(_bloom_positions_py(g, m_bits, k))
+    out: List[Tuple[int, int]] = []
+    for doc_id, text in docs:
+        n_flagged = sum(
+            1
+            for g in set(_word_grams_py(text, ns))
+            if all(p in bloom for p in _bloom_positions_py(g, m_bits, k))
+        )
+        if n_flagged:
+            out.append((doc_id, n_flagged))
+    out.sort(key=lambda t: t[0])
+    return out

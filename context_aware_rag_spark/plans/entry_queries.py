@@ -2620,3 +2620,30 @@ def semantic_dedup_q(spark, sf_dir):
     return semdedup.semantic_dedup(
         load(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=16
     )
+
+
+# =========================================================================
+# Bloom-filter decontamination (bounded-memory scale path)
+# =========================================================================
+
+@xq(
+    "decontaminate_bloom",
+    f"""
+    SELECT doc_id, n_flagged_grams
+    FROM read_parquet('{_pq("decontaminate_bloom")}')
+    """,
+)
+def decontaminate_bloom_q(spark, sf_dir):
+    """Decontamination through an m-bit/k-hash Bloom filter of the
+    benchmark grams (broadcast side bounded by m_bits regardless of
+    benchmark size; no false negatives, deterministic fixed-seed false
+    positives). Benchmark planted exactly like `decontaminate`; twin =
+    precomputed pure-Python replication via the XXH64 reimplementation,
+    false positives included."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(dedup.normalized_text(F.col("text")), " ")
+    bench = (
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.size(words) >= 12))
+        .select(F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"))
+    )
+    return dedup.decontaminate_bloom(docs, bench, n=8)

@@ -802,3 +802,74 @@ def test_paragraph_sep_is_literal_not_regex(spark):
     assert out[1]["cleaned_text"] == "alpha beta|gamma delta"
     assert out[1]["n_paras"] == 3 and out[1]["n_paras_removed"] == 1
     assert out[2]["cleaned_text"] == "other"
+
+
+class TestDecontaminateBloom:
+    def _docs(self, spark):
+        rows = [
+            (1, "intro words the quick brown fox jumps outro"),
+            (2, "the quick, brown fox!! and more padding here"),
+            (3, "completely unrelated content with many words"),
+            (4, "the quick brown fox again the quick brown fox"),
+            (5, "some other words entirely about different topics"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"]), rows
+
+    def test_no_false_negatives_and_matches_exact_at_large_m(self, spark):
+        docs, _ = self._docs(spark)
+        bench = spark.createDataFrame([("The Quick Brown Fox",)], ["text"])
+        exact = {
+            r["doc_id"]: r["n_contaminated_grams"]
+            for r in dedup.decontaminate(docs, bench, n=4).collect()
+        }
+        bloom = {
+            r["doc_id"]: r["n_flagged_grams"]
+            for r in dedup.decontaminate_bloom(docs, bench, n=4).collect()
+        }
+        # at m=2^20 with a handful of grams, FP probability ~ 0:
+        # bloom == exact, and every exact hit is present (no false negs)
+        assert bloom == exact == {1: 1, 2: 1, 4: 1}
+
+    def test_tiny_filter_false_positives_match_pure_python(self, spark):
+        # m=32 forces collisions; the oracle must reproduce the exact
+        # same (deterministic) false positives, including counts
+        from context_aware_rag_spark.oracle import precompute
+
+        docs, rows = self._docs(spark)
+        bench_texts = ["the quick brown fox", "different topics entirely"]
+        bench = spark.createDataFrame([(t,) for t in bench_texts], ["text"])
+        got = sorted(
+            (r["doc_id"], r["n_flagged_grams"])
+            for r in dedup.decontaminate_bloom(
+                docs, bench, n=3, m_bits=32, k=2
+            ).collect()
+        )
+        want = precompute.decontaminate_bloom_py(
+            rows, bench_texts, n=3, m_bits=32, k=2
+        )
+        assert got == want
+        # superset of the exact operator's flags (bloom never misses)
+        exact_ids = {
+            r["doc_id"] for r in dedup.decontaminate(docs, bench, n=3).collect()
+        }
+        assert exact_ids <= {d for d, _ in got}
+
+    def test_multi_n_and_validation(self, spark):
+        docs, rows = self._docs(spark)
+        bench = spark.createDataFrame([("the quick brown fox jumps",)], ["text"])
+        from context_aware_rag_spark.oracle import precompute
+
+        got = sorted(
+            (r["doc_id"], r["n_flagged_grams"])
+            for r in dedup.decontaminate_bloom(docs, bench, n=(3, 5)).collect()
+        )
+        want = precompute.decontaminate_bloom_py(
+            rows, ["the quick brown fox jumps"], n=(3, 5)
+        )
+        assert got == want
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            dedup.decontaminate_bloom(docs, bench, m_bits=1)
+        with _pytest.raises(ValueError):
+            dedup.decontaminate_bloom(docs, bench, k=0)

@@ -90,6 +90,9 @@ SCHEMAS = {
         [("vec_id", pa.int64()), ("cluster_id", pa.int32()),
          ("family_id", pa.int64()), ("keep", pa.bool_())]
     ),
+    "decontaminate_bloom": pa.schema(
+        [("doc_id", pa.int64()), ("n_flagged_grams", pa.int64())]
+    ),
 }
 
 
@@ -141,6 +144,17 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "ann_ivf_topk", precompute.ivf_topk_py(vecs))
         write(out_dir, "semantic_dedup",
               precompute.semantic_dedup_py(vecs, threshold=0.4))
+
+        # benchmark planted exactly like the decontaminate query: words
+        # 5-12 (1-based) of every 10th doc with >= 12 normalized words
+        bench_texts = []
+        for doc_id, text in docs:
+            if doc_id % 10 == 0:
+                words = precompute.normalize_py(text).split(" ")
+                if len(words) >= 12:
+                    bench_texts.append(" ".join(words[4:12]))
+        write(out_dir, "decontaminate_bloom",
+              precompute.decontaminate_bloom_py(docs, bench_texts, n=8))
 
         from context_aware_rag_spark.functions.bpe import bpe_token_counts
 
