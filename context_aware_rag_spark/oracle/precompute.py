@@ -778,3 +778,66 @@ def decontaminate_bloom_py(
             out.append((doc_id, n_flagged))
     out.sort(key=lambda t: t[0])
     return out
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_topk expected table (over embeddings.parquet) — IVF-PQ
+# ---------------------------------------------------------------------------
+
+def ivfpq_topk_py(
+    vectors: Sequence[Tuple[int, Sequence[float]]],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 16,
+    n_codes: int = 32,
+    sample_size: int = 20000,
+    query_cutoff: int = 5,
+) -> List[Tuple[int, int, float, int]]:
+    """Independent recomputation of the ann_ivfpq_topk query: same
+    hash-ordered sample, same fixed-seed spherical+Euclidean Lloyd's,
+    same float32 PQ encode and fixed-order ADC accumulation — every
+    float comparison sees bit-identical values."""
+    from ..operators.ann import _kmeans_centroids, _pq_encode, _pq_train
+
+    corpus = [(i, np.asarray(v, dtype=np.float32)) for i, v in vectors
+              if i >= query_cutoff]
+    queries = [(i, np.asarray(v, dtype=np.float32)) for i, v in vectors
+               if i < query_cutoff]
+
+    ordered = sorted(corpus, key=lambda t: (spark_xxhash64_str(str(t[0])), t[0]))
+    sample = np.stack([v for _, v in ordered[:sample_size]]).astype(np.float32)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    unit_sample = sample / norms
+    cents = _kmeans_centroids(unit_sample, n_clusters)
+    books = _pq_train(unit_sample, m_sub, n_codes)
+
+    cmat = np.stack([v for _, v in corpus]).astype(np.float32)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0] = 1
+    cmat = cmat / cn
+    cells = np.argmax(cmat @ cents.T, axis=1)
+    codes = _pq_encode(cmat, books)
+
+    out: List[Tuple[int, int, float, int]] = []
+    for qid, qv in queries:
+        n = np.linalg.norm(qv)
+        q = qv / n if n else qv
+        w = q.shape[0] // m_sub
+        lut = np.stack(
+            [books[j] @ q[j * w : (j + 1) * w] for j in range(m_sub)]
+        ).astype(np.float32)
+        probe = set(np.argsort(-(q @ cents.T))[:nprobe].tolist())
+        scored = []
+        for (cid, _), cell, code in zip(corpus, cells, codes):
+            if int(cell) not in probe:
+                continue
+            acc = np.float32(0.0)
+            for j in range(m_sub):
+                acc += lut[j][code[j]]
+            scored.append((cid, float(np.float64(acc))))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (cid, s) in enumerate(scored[:k], start=1):
+            out.append((qid, cid, round(s, 6), rank))
+    return out

@@ -2647,3 +2647,32 @@ def decontaminate_bloom_q(spark, sf_dir):
         .select(F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"))
     )
     return dedup.decontaminate_bloom(docs, bench, n=8)
+
+
+# =========================================================================
+# IVF-PQ approximate nearest neighbor (memory-bounded index)
+# =========================================================================
+
+@xq(
+    "ann_ivfpq_topk",
+    f"""
+    SELECT query_id, vec_id, approx_score, rank
+    FROM read_parquet('{_pq("ann_ivfpq_topk")}')
+    """,
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k (Jégou et al. 2011): coarse cells bound WHICH
+    vectors are scored, product-quantized codes bound WHAT is scored —
+    the search never touches raw vectors after encoding (m_sub ints per
+    vector ride the probe join instead of the full embedding). Twin =
+    precomputed pure-Python replication (same hash-ordered sample,
+    fixed-seed Lloyd's both stages, fixed-order float32 ADC),
+    bit-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk_ivfpq(
+        corpus, queries, k=10, n_clusters=16, nprobe=4, m_sub=16, n_codes=32
+    )

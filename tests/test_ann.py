@@ -1,7 +1,10 @@
 """ANN: brute-force exactness and IVF recall against it."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+from context_aware_rag_spark.operators import ann
 
 
 @pytest.fixture(scope="module")
@@ -95,3 +98,68 @@ def test_ivf_deterministic_across_runs(spark, emb):
         ).collect()
     )
     assert a == b
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        """8 well-separated clusters; queries sit near cluster centers."""
+        rng = np.random.default_rng(11)
+        dim, per = 32, 40
+        centers = rng.normal(size=(8, dim)) * 4.0
+        rows, queries = [], []
+        vid = 100
+        for c in range(8):
+            for _ in range(per):
+                v = centers[c] + rng.normal(size=dim) * 0.2
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        for c in range(5):
+            v = centers[c] + rng.normal(size=dim) * 0.05
+            queries.append((c, [float(x) for x in v]))
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qdf = spark.createDataFrame(queries, "query_id long, embedding array<float>")
+        return corpus, qdf
+
+    def test_cluster_purity_on_planted_geometry(self, spark, planted):
+        """PQ quantizes away WITHIN-cluster perturbations by design, so
+        exact top-10 overlap is the wrong bar on a 40-member cluster of
+        near-identical points; the scale-relevant guarantee is that the
+        coarse probe + ADC ranking returns the query's TRUE cluster."""
+        corpus, qdf = planted
+        got = ann.cosine_topk_ivfpq(
+            corpus, qdf, k=10, n_clusters=8, nprobe=2, m_sub=8, n_codes=32
+        ).collect()
+        assert len(got) == 50  # 5 queries x k=10
+        # planted layout: cluster c owns ids [100+40c, 100+40(c+1))
+        purity = sum(
+            1 for r in got if (r.vec_id - 100) // 40 == r.query_id
+        ) / len(got)
+        assert purity >= 0.9, purity
+
+    def test_matches_pure_python_replication(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        corpus = emb.filter(F.col("vec_id") >= 5)
+        qdf = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = sorted(
+            (r.query_id, r.vec_id, r.approx_score, r.rank)
+            for r in ann.cosine_topk_ivfpq(
+                corpus, qdf, k=10, n_clusters=8, nprobe=3, m_sub=8, n_codes=16
+            ).collect()
+        )
+        from context_aware_rag_spark.oracle.precompute import ivfpq_topk_py
+
+        vecs = sorted(
+            (r.vec_id, list(r.embedding)) for r in emb.collect()
+        )
+        want = sorted(
+            ivfpq_topk_py(vecs, k=10, n_clusters=8, nprobe=3, m_sub=8, n_codes=16)
+        )
+        assert got == want
+
+    def test_rejects_indivisible_subvectors(self, spark, planted):
+        corpus, qdf = planted
+        with pytest.raises(ValueError):
+            ann.cosine_topk_ivfpq(corpus, qdf, m_sub=5).collect()

@@ -93,6 +93,10 @@ SCHEMAS = {
     "decontaminate_bloom": pa.schema(
         [("doc_id", pa.int64()), ("n_flagged_grams", pa.int64())]
     ),
+    "ann_ivfpq_topk": pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()),
+         ("approx_score", pa.float64()), ("rank", pa.int32())]
+    ),
 }
 
 
@@ -142,6 +146,7 @@ def main(sf_dirs: list[str]) -> None:
             " ORDER BY vec_id"
         ).fetchall()
         write(out_dir, "ann_ivf_topk", precompute.ivf_topk_py(vecs))
+        write(out_dir, "ann_ivfpq_topk", precompute.ivfpq_topk_py(vecs))
         write(out_dir, "semantic_dedup",
               precompute.semantic_dedup_py(vecs, threshold=0.4))
 
