@@ -841,3 +841,70 @@ def ivfpq_topk_py(
         for rank, (cid, s) in enumerate(scored[:k], start=1):
             out.append((qid, cid, round(s, 6), rank))
     return out
+
+
+# ---------------------------------------------------------------------------
+# dsir_select expected table (over documents.parquet) — importance resampling
+# ---------------------------------------------------------------------------
+
+def dsir_select_py(
+    docs: Sequence[Tuple[int, str]],
+    target_texts: Sequence[str],
+    k: int = 50,
+    n: "int | Sequence[int]" = (1, 2),
+    n_buckets: int = 2048,
+    alpha: float = 0.5,
+    temperature: float = 1.0,
+) -> List[Tuple[int, int, int, int, int, int]]:
+    """Independent recomputation of operators/dsir.dsir_select (Xie et
+    al. 2023 Gumbel-top-k importance resampling): same normalized
+    grams, same xxhash64 bucket trick, same micro-nat integer
+    arithmetic, same hash-derived Gumbel noise."""
+    import math
+    from collections import Counter
+
+    from .xxh64 import _to_signed, spark_xxhash64_str, xxh64_long
+
+    ns = sorted({int(x) for x in (n if isinstance(n, (list, tuple)) else [n])})
+
+    def buckets_of(text: str) -> List[int]:
+        return [
+            spark_xxhash64_str(g) % n_buckets for g in _word_grams_py(text, ns)
+        ]
+
+    doc_buckets = {doc_id: buckets_of(text) for doc_id, text in docs}
+    raw_counts: Counter = Counter()
+    for bs in doc_buckets.values():
+        raw_counts.update(bs)
+    tgt_counts: Counter = Counter()
+    for t in target_texts:
+        tgt_counts.update(buckets_of(t))
+    t_raw, t_tgt = sum(raw_counts.values()), sum(tgt_counts.values())
+    denom = alpha * n_buckets
+    lr = {
+        b: int(
+            round(
+                (
+                    math.log((tgt_counts.get(b, 0) + alpha) / (t_tgt + denom))
+                    - math.log((raw_counts.get(b, 0) + alpha) / (t_raw + denom))
+                )
+                * 1000000
+            )
+        )
+        for b in set(raw_counts) | set(tgt_counts)
+    }
+    keyed = []
+    for doc_id, bs in doc_buckets.items():
+        if not bs:
+            continue
+        logw = sum(lr[b] for b in bs)
+        h = _to_signed(xxh64_long(doc_id)) % (1 << 53)
+        u = (h + 0.5) / float(1 << 53)
+        gum = int(round(-math.log(-math.log(u)) * 1000000))
+        key = int(round(logw / temperature)) + gum
+        keyed.append((doc_id, len(bs), logw, gum, key))
+    keyed.sort(key=lambda t: (-t[4], t[0]))
+    return [
+        (doc_id, ng, logw, gum, key, rank)
+        for rank, (doc_id, ng, logw, gum, key) in enumerate(keyed[:k], start=1)
+    ]

@@ -2676,3 +2676,28 @@ def ann_ivfpq_topk(spark, sf_dir):
     return ann.cosine_topk_ivfpq(
         corpus, queries, k=10, n_clusters=16, nprobe=4, m_sub=16, n_codes=32
     )
+
+
+# =========================================================================
+# DSIR importance resampling (Xie et al. 2023)
+# =========================================================================
+
+@xq(
+    "dsir_select",
+    f"""
+    SELECT doc_id, n_grams, logw_micro, gumbel_micro, key_micro, rank
+    FROM read_parquet('{_pq("dsir_select")}')
+    """,
+)
+def dsir_select_q(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed-n-gram bag models
+    of a planted high-quality TARGET corpus (every 7th doc) vs the raw
+    corpus; per-doc importance log-weight = exact integer dot product
+    of bucket counts with micro-nat log-ratios; Gumbel-top-k selection
+    with hash-derived (fully deterministic) noise. Twin = precomputed
+    pure-Python replication via the XXH64 reimplementation."""
+    from ..operators import dsir
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return dsir.dsir_select(docs, target, k=50, n_buckets=2048)

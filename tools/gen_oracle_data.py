@@ -93,6 +93,11 @@ SCHEMAS = {
     "decontaminate_bloom": pa.schema(
         [("doc_id", pa.int64()), ("n_flagged_grams", pa.int64())]
     ),
+    "dsir_select": pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+         ("logw_micro", pa.int64()), ("gumbel_micro", pa.int64()),
+         ("key_micro", pa.int64()), ("rank", pa.int32())]
+    ),
     "ann_ivfpq_topk": pa.schema(
         [("query_id", pa.int64()), ("vec_id", pa.int64()),
          ("approx_score", pa.float64()), ("rank", pa.int32())]
@@ -160,6 +165,12 @@ def main(sf_dirs: list[str]) -> None:
                     bench_texts.append(" ".join(words[4:12]))
         write(out_dir, "decontaminate_bloom",
               precompute.decontaminate_bloom_py(docs, bench_texts, n=8))
+
+        # target corpus planted exactly like the dsir_select query:
+        # every 7th doc's full text is the "high-quality" target set
+        target_texts = [text for doc_id, text in docs if doc_id % 7 == 0]
+        write(out_dir, "dsir_select",
+              precompute.dsir_select_py(docs, target_texts, k=50))
 
         from context_aware_rag_spark.functions.bpe import bpe_token_counts
 
