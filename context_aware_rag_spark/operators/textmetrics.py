@@ -414,3 +414,59 @@ def rolling_fingerprints(
         F.array_distinct(prints).alias("fingerprints"),
         F.size(F.array_distinct(prints)).alias("n_fingerprints"),
     )
+
+
+def quality_classifier(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """fastText-style learned quality filter (CCNet / LLaMA data prep:
+    a linear classifier over hashed n-gram bags separates curated from
+    garbage text; Joulin et al. 2016 for the model shape).
+
+    Applies the VENDORED logistic-regression weights trained by
+    tools/gen_quality_clf.py (positives = the documents corpus,
+    negatives = deterministic word-salad/letter-scramble corruptions).
+    Scoring is exact cross-engine arithmetic: the hashed-bucket dot
+    product is an integer sum of ``count * w_micro[bucket]``; the
+    mean-bag division, bias, and sigmoid happen once per doc in a
+    fixed operation order, so the pure-Python oracle reproduces every
+    float bit-for-bit.
+
+    Returns (id_col, n_grams, dot_micro, logit, prob, keep).
+
+    100 TB shape: identical to DSIR scoring — the weight table is
+    ``B_BUCKETS`` rows broadcast once per executor; the corpus pays one
+    narrow gram scan + map-side-combined (doc, bucket) agg + one
+    broadcast-hash join. No Python UDF; the hash trick bounds the
+    feature space regardless of corpus vocabulary.
+    """
+    from ..functions import quality_clf_weights as qw
+    from .dsir import hashed_ngram_counts
+
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        list(enumerate(qw.W_MICRO)), "bucket: long, w_micro: long"
+    )
+    counts = hashed_ngram_counts(
+        docs, id_col, text_col, n=qw.NS, n_buckets=qw.B_BUCKETS
+    )
+    logit = (
+        F.lit(qw.BIAS_MICRO) / F.lit(1000000.0)
+        + (F.col("dot_micro") / F.col("n_grams")) / F.lit(1000000.0)
+    )
+    return (
+        counts.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("w_micro")).cast("long").alias("dot_micro"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "dot_micro",
+            F.round(logit, 6).alias("logit"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
+            (logit >= 0).alias("keep"),
+        )
+    )

@@ -908,3 +908,37 @@ def dsir_select_py(
         (doc_id, ng, logw, gum, key, rank)
         for rank, (doc_id, ng, logw, gum, key) in enumerate(keyed[:k], start=1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier expected table (over documents.parquet)
+# ---------------------------------------------------------------------------
+
+def quality_classifier_py(
+    docs: Sequence[Tuple[int, str]],
+) -> List[Tuple[int, int, int, float, float, bool]]:
+    """Independent recomputation of textmetrics.quality_classifier:
+    same vendored micro-int weights, same xxhash64 bucketing, same
+    fixed operation order for the mean-bag logit and sigmoid."""
+    import math
+
+    from ..functions import quality_clf_weights as qw
+    from .xxh64 import spark_xxhash64_str
+
+    out: List[Tuple[int, int, int, float, float, bool]] = []
+    for doc_id, text in docs:
+        buckets = [
+            spark_xxhash64_str(g) % qw.B_BUCKETS
+            for g in _word_grams_py(text, list(qw.NS))
+        ]
+        if not buckets:
+            continue
+        dot = sum(qw.W_MICRO[b] for b in buckets)
+        n = len(buckets)
+        logit = qw.BIAS_MICRO / 1000000.0 + (dot / n) / 1000000.0
+        prob = 1.0 / (1.0 + math.exp(-logit))
+        out.append(
+            (doc_id, n, dot, round(logit, 6), round(prob, 6), logit >= 0)
+        )
+    out.sort(key=lambda t: t[0])
+    return out

@@ -2701,3 +2701,24 @@ def dsir_select_q(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 7 == 0)
     return dsir.dsir_select(docs, target, k=50, n_buckets=2048)
+
+
+# =========================================================================
+# Learned quality classifier (fastText-style, vendored weights)
+# =========================================================================
+
+@xq(
+    "quality_classifier",
+    f"""
+    SELECT doc_id, n_grams, dot_micro, logit, prob, keep
+    FROM read_parquet('{_pq("quality_classifier")}')
+    """,
+)
+def quality_classifier_q(spark, sf_dir):
+    """fastText-style learned quality filter (Joulin et al. 2016 model
+    shape; CCNet/LLaMA data-prep usage): vendored logistic-regression
+    weights over hashed normalized {1,2}-gram mean bags, scored as an
+    exact integer bucket dot product + fixed-order float tail. Twin =
+    precomputed pure-Python replication via the XXH64
+    reimplementation, float-bit-exact."""
+    return textmetrics.quality_classifier(load(spark, sf_dir, "documents"))

@@ -93,6 +93,11 @@ SCHEMAS = {
     "decontaminate_bloom": pa.schema(
         [("doc_id", pa.int64()), ("n_flagged_grams", pa.int64())]
     ),
+    "quality_classifier": pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+         ("dot_micro", pa.int64()), ("logit", pa.float64()),
+         ("prob", pa.float64()), ("keep", pa.bool_())]
+    ),
     "dsir_select": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("logw_micro", pa.int64()), ("gumbel_micro", pa.int64()),
@@ -171,6 +176,8 @@ def main(sf_dirs: list[str]) -> None:
         target_texts = [text for doc_id, text in docs if doc_id % 7 == 0]
         write(out_dir, "dsir_select",
               precompute.dsir_select_py(docs, target_texts, k=50))
+        write(out_dir, "quality_classifier",
+              precompute.quality_classifier_py(docs))
 
         from context_aware_rag_spark.functions.bpe import bpe_token_counts
 
