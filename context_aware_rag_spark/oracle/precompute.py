@@ -942,3 +942,64 @@ def quality_classifier_py(
         )
     out.sort(key=lambda t: t[0])
     return out
+
+
+# ---------------------------------------------------------------------------
+# kg_graph_pagerank expected table — integer PageRank + degrees over the
+# canonicalized KG edge list
+# ---------------------------------------------------------------------------
+
+def pagerank_py(
+    pairs: Sequence[Tuple[str, str]],
+    iterations: int = 10,
+    damping_pct: int = 85,
+) -> Dict[str, int]:
+    """Independent recomputation of operators/graph.pagerank: identical
+    integer micro-unit recurrence (Python // on non-negative values ==
+    Spark ``div``)."""
+    from collections import Counter, defaultdict
+
+    ps = sorted(set(pairs))
+    out_deg = Counter(s for s, _ in ps)
+    nodes = sorted({s for s, _ in ps} | {d for _, d in ps})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    teleport = ((100 - damping_pct) * 1_000_000) // 100
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(iterations):
+        share = {u: r[u] // out_deg[u] for u in out_deg}
+        inbound: Dict[str, int] = defaultdict(int)
+        for s, d in ps:
+            inbound[d] += share[s]
+        dang = sum(r[v] for v in nodes if v not in out_deg)
+        ds = dang // n
+        r = {
+            v: teleport + (damping_pct * (inbound.get(v, 0) + ds)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def kg_graph_pagerank_table(n_convs: int) -> List[Tuple[str, int, int, int]]:
+    """(node_id, rank_micro, out_deg, in_deg) over the canonicalized KG
+    edge list of a generate_rows(n_convs) corpus — edge endpoints pass
+    through the canonical map exactly as the Spark pipeline's
+    endpoint-rewrite stage (J6) does."""
+    from collections import Counter
+
+    from ..sources.transcripts import generate_rows
+    from .reference_oracle import run_oracle
+
+    res = run_oracle(generate_rows(n_convs), deduplicate_nodes=True)
+    canon = _canon_of(res.canonical_map or {})
+    pairs = sorted(
+        {(canon(e["src"]), canon(e["dst"])) for e in res.edges}
+    )
+    ranks = pagerank_py(pairs)
+    out_deg = Counter(s for s, _ in pairs)
+    in_deg = Counter(d for _, d in pairs)
+    return [
+        (v, ranks[v], out_deg.get(v, 0), in_deg.get(v, 0))
+        for v in sorted(ranks)
+    ]

@@ -2722,3 +2722,35 @@ def quality_classifier_q(spark, sf_dir):
     precomputed pure-Python replication via the XXH64
     reimplementation, float-bit-exact."""
     return textmetrics.quality_classifier(load(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# KG graph analytics: integer PageRank + degree profile
+# =========================================================================
+
+@xq(
+    "kg_graph_pagerank",
+    f"""
+    SELECT node_id, rank_micro, out_deg, in_deg
+    FROM read_parquet('{_pq("kg_graph_pagerank")}')
+    """,
+)
+def kg_graph_pagerank_q(spark, sf_dir):
+    """Entity-salience analytics the reference delegates to its graph
+    DB / NetworkX plugin, run distributed instead: fixed-iteration
+    integer-micro PageRank + per-node degree profile over the
+    canonicalized KG edge list. The rank ordering doubles as the
+    hot-key detector for salted joins. Twin = precomputed pure-Python
+    replication of the identical integer recurrence."""
+    from ..operators import graph
+
+    res = run_pipeline(
+        spark,
+        transcripts_for(spark, sf_dir),
+        PipelineConfig(deduplicate_nodes=True),
+    )
+    return (
+        graph.pagerank(res.edges)
+        .join(graph.degree_stats(res.edges), "node_id")
+        .select("node_id", "rank_micro", "out_deg", "in_deg")
+    )

@@ -93,6 +93,10 @@ SCHEMAS = {
     "decontaminate_bloom": pa.schema(
         [("doc_id", pa.int64()), ("n_flagged_grams", pa.int64())]
     ),
+    "kg_graph_pagerank": pa.schema(
+        [("node_id", pa.string()), ("rank_micro", pa.int64()),
+         ("out_deg", pa.int64()), ("in_deg", pa.int64())]
+    ),
     "quality_classifier": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("dot_micro", pa.int64()), ("logit", pa.float64()),
@@ -185,6 +189,9 @@ def main(sf_dirs: list[str]) -> None:
               [(doc_id, n) for doc_id, n in
                zip([d[0] for d in docs],
                    bpe_token_counts([d[1] for d in docs]))])
+
+        write(out_dir, "kg_graph_pagerank",
+              precompute.kg_graph_pagerank_table(n_convs_for(sf_dir)))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
