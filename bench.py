@@ -101,6 +101,9 @@ def main() -> None:
         "kg_knn_edges",
         "minhash_near_dups_50k",
         "simhash_near_dups_50k",
+        "quality_classifier_50k",
+        "dsir_select_50k",
+        "lm_perplexity_50k",
     ):
         samples[extra] = []
 
@@ -245,6 +248,37 @@ def main() -> None:
             docs50k
         ).count()
         samples["simhash_near_dups_50k"].append(round(time.monotonic() - t0, 3))
+
+        # learned scoring family at 50k docs (r4 session additions:
+        # the hashed-feature ops must show real-throughput numbers,
+        # not 500-row overhead readings)
+        from pyspark.sql import functions as F
+
+        from context_aware_rag_spark.operators import dsir as dsir_ops
+        from context_aware_rag_spark.operators import lm as lm_ops
+        from context_aware_rag_spark.operators import textmetrics as tm_ops
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_clf_keep_50k"] = tm_ops.quality_classifier(
+            docs50k
+        ).filter("keep").count()
+        samples["quality_classifier_50k"].append(round(time.monotonic() - t0, 3))
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_dsir_50k"] = dsir_ops.dsir_select(
+            docs50k,
+            docs50k.filter(F.col("doc_id") % 7 == 0),
+            k=1000,
+            n_buckets=65536,
+        ).count()
+        samples["dsir_select_50k"].append(round(time.monotonic() - t0, 3))
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_lm_50k"] = lm_ops.bigram_lm_scores(docs50k).count()
+        samples["lm_perplexity_50k"].append(round(time.monotonic() - t0, 3))
         drop_persisted(spark, keep)
 
     timings = {name: min(vals) for name, vals in samples.items()}
@@ -258,6 +292,9 @@ def main() -> None:
         "kg_knn_edges",
         "minhash_near_dups_50k",
         "simhash_near_dups_50k",
+        "quality_classifier_50k",
+        "dsir_select_50k",
+        "lm_perplexity_50k",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in scale_entries), 3
@@ -295,6 +332,17 @@ def main() -> None:
             "simhash_50k_pairs": kg_counts["n_simhash_50k_pairs"],
             "simhash_50k_docs_per_sec": round(
                 n_dedup_docs / timings["simhash_near_dups_50k"], 1
+            ),
+            "clf_50k_keep": kg_counts["n_clf_keep_50k"],
+            "clf_50k_docs_per_sec": round(
+                n_dedup_docs / timings["quality_classifier_50k"], 1
+            ),
+            "dsir_50k_selected": kg_counts["n_dsir_50k"],
+            "dsir_50k_docs_per_sec": round(
+                n_dedup_docs / timings["dsir_select_50k"], 1
+            ),
+            "lm_50k_docs_per_sec": round(
+                n_dedup_docs / timings["lm_perplexity_50k"], 1
             ),
         },
         "cpus": int(cpus),
