@@ -42,9 +42,16 @@ _RANK: Dict[Tuple[bytes, bytes], int] = {
 }
 
 
+# token-id space: 256 base byte tokens, then one id per merge in rank
+# order (GPT-2's byte-level layout, minus the unicode remap)
+_VOCAB: Dict[bytes, int] = {bytes([b]): b for b in range(256)}
+for _i, (_a, _b) in enumerate(MERGES):
+    _VOCAB[_a + _b] = 256 + _i
+
+
 @lru_cache(maxsize=65536)
-def bpe_symbols(piece: bytes) -> int:
-    """Number of BPE symbols for one pre-token (bytes)."""
+def _bpe_word(piece: bytes) -> Tuple[bytes, ...]:
+    """The final symbol sequence for one pre-token (bytes)."""
     word: List[bytes] = [piece[i : i + 1] for i in range(len(piece))]
     while len(word) > 1:
         best_rank = None
@@ -66,7 +73,23 @@ def bpe_symbols(piece: bytes) -> int:
                 out.append(word[i])
                 i += 1
         word = out
-    return len(word)
+    return tuple(word)
+
+
+def bpe_symbols(piece: bytes) -> int:
+    """Number of BPE symbols for one pre-token (bytes)."""
+    return len(_bpe_word(piece))
+
+
+def bpe_encode(text: str | None) -> List[int]:
+    """Token-id sequence of a document (every symbol a merge product
+    or base byte, so encoding never fails)."""
+    if not text:
+        return []
+    ids: List[int] = []
+    for p in _PRETOKEN.findall(text):
+        ids.extend(_VOCAB[s] for s in _bpe_word(p.encode("utf-8")))
+    return ids
 
 
 def bpe_token_count(text: str | None) -> int:

@@ -148,3 +148,50 @@ def link_chunks_salted(chunks: DataFrame, block_turns: int = 8192) -> DataFrame:
         .withColumn("is_first", F.col("position") == 1)
         .drop("_blk", "_lpos", "_loff", "_lprev", "_pcount", "_plen", "_prev_last")
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: "list[str]", top_k: int = 20
+) -> DataFrame:
+    """Hot-key diagnostics: the top_k heaviest key groups with their
+    share of the table — (rank, <key_cols...>, cnt, frac_ppm,
+    cum_frac_ppm).
+
+    This is the measurement that DECIDES the skew strategy before a
+    big join/agg ships: keys above ~1/parallelism of the table need
+    salting (link_chunks_salted) or AQE skew-join, the rest can shuffle
+    normally. Fractions are integer PARTS-PER-MILLION (floor division)
+    so the report is bit-stable across engines and partitionings.
+
+    Shape: one map-side-combined groupBy over the key (the same
+    shuffle the operator being diagnosed would pay, which is the
+    honest cost of measuring it) and a top_k that plans as
+    TakeOrdered; the cumulative column is a window over top_k rows
+    only. The total is a 1-row broadcast.
+    """
+    if top_k < 1:
+        raise ValueError(f"need top_k >= 1, got {top_k}")
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(int(top_k))
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        *key_cols,
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(cnt * 1000000) div total").cast("long").alias("frac_ppm"),
+        F.expr(
+            "(sum(cnt) OVER (ORDER BY cnt DESC, "
+            + ", ".join(f"{c} ASC" for c in key_cols)
+            + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)"
+            " div total"
+        )
+        .cast("long")
+        .alias("cum_frac_ppm"),
+    )

@@ -1003,3 +1003,25 @@ def kg_graph_pagerank_table(n_convs: int) -> List[Tuple[str, int, int, int]]:
         (v, ranks[v], out_deg.get(v, 0), in_deg.get(v, 0))
         for v in sorted(ranks)
     ]
+
+
+# ---------------------------------------------------------------------------
+# tokenize_and_pack expected table (over documents.parquet)
+# ---------------------------------------------------------------------------
+
+def tokenize_and_pack_py(
+    docs: Sequence[Tuple[int, str]], max_tokens: int = 512
+) -> List[Tuple[int, int, str]]:
+    """Independent recomputation of operators/tokenize.tokenize_and_pack:
+    the naive semantics — encode every doc with the vendored BPE,
+    concatenate in doc_id order, chunk the global stream."""
+    from ..functions.bpe import bpe_encode
+
+    stream: List[int] = []
+    for _, text in sorted(docs, key=lambda t: t[0]):
+        stream.extend(bpe_encode(text))
+    out: List[Tuple[int, int, str]] = []
+    for b in range((len(stream) + max_tokens - 1) // max_tokens):
+        chunk = stream[b * max_tokens : (b + 1) * max_tokens]
+        out.append((b, len(chunk), ",".join(map(str, chunk))))
+    return out

@@ -2754,3 +2754,61 @@ def kg_graph_pagerank_q(spark, sf_dir):
         .join(graph.degree_stats(res.edges), "node_id")
         .select("node_id", "rank_micro", "out_deg", "in_deg")
     )
+
+
+# =========================================================================
+# Tokenize-and-pack: documents -> fixed-length training examples
+# =========================================================================
+
+@xq(
+    "tokenize_and_pack",
+    f"""
+    SELECT example_id, n_tokens, tokens_csv
+    FROM read_parquet('{_pq("tokenize_and_pack")}')
+    """,
+)
+def tokenize_and_pack_q(spark, sf_dir):
+    """The pretraining last mile: vendored byte-level BPE encode, global
+    concat in doc_id order, cut into 512-token examples (exact
+    concat-then-chunk semantics; Arrow-batched encode UDF + two-phase
+    prefix sum + one example-keyed array shuffle). Twin = precomputed
+    pure-Python replication with the same vendored merge table."""
+    from ..operators import tokenize
+
+    return tokenize.tokenize_and_pack(
+        load(spark, sf_dir, "documents"), max_tokens=512
+    )
+
+
+# =========================================================================
+# Hot-key skew diagnostics
+# =========================================================================
+
+@xq(
+    "key_skew_report",
+    """
+    WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+               FROM events GROUP BY event_type, user_id),
+    t AS (SELECT sum(cnt) AS total FROM c),
+    top AS (SELECT * FROM c ORDER BY cnt DESC, event_type ASC, user_id ASC
+            LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type ASC, user_id ASC)
+                AS INTEGER) AS rank,
+           event_type, user_id, cnt,
+           CAST((cnt * 1000000) // total AS BIGINT) AS frac_ppm,
+           CAST((sum(cnt) OVER (ORDER BY cnt DESC, event_type ASC, user_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000) // total AS BIGINT) AS cum_frac_ppm
+    FROM top CROSS JOIN t
+    """,
+)
+def key_skew_report_q(spark, sf_dir):
+    """Hot-key diagnostics over (event_type, user_id) of the events table:
+    the measurement that decides salting vs normal shuffle before a
+    big join ships. Integer ppm fractions keep the report bit-stable
+    across engines."""
+    from ..operators.skew import key_skew_report
+
+    return key_skew_report(
+        load(spark, sf_dir, "events"), ["event_type", "user_id"], top_k=20
+    )

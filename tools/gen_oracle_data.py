@@ -93,6 +93,10 @@ SCHEMAS = {
     "decontaminate_bloom": pa.schema(
         [("doc_id", pa.int64()), ("n_flagged_grams", pa.int64())]
     ),
+    "tokenize_and_pack": pa.schema(
+        [("example_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("tokens_csv", pa.string())]
+    ),
     "kg_graph_pagerank": pa.schema(
         [("node_id", pa.string()), ("rank_micro", pa.int64()),
          ("out_deg", pa.int64()), ("in_deg", pa.int64())]
@@ -182,6 +186,8 @@ def main(sf_dirs: list[str]) -> None:
               precompute.dsir_select_py(docs, target_texts, k=50))
         write(out_dir, "quality_classifier",
               precompute.quality_classifier_py(docs))
+        write(out_dir, "tokenize_and_pack",
+              precompute.tokenize_and_pack_py(docs, max_tokens=512))
 
         from context_aware_rag_spark.functions.bpe import bpe_token_counts
 
