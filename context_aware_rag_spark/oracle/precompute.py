@@ -1025,3 +1025,31 @@ def tokenize_and_pack_py(
         chunk = stream[b * max_tokens : (b + 1) * max_tokens]
         out.append((b, len(chunk), ",".join(map(str, chunk))))
     return out
+
+
+# ---------------------------------------------------------------------------
+# training_data_pipeline expected table — the composed curation capstone
+# ---------------------------------------------------------------------------
+
+def training_data_pipeline_py(
+    docs: Sequence[Tuple[int, str]],
+    k: int = 200,
+    n_buckets: int = 2048,
+    max_tokens: int = 256,
+) -> List[Tuple[int, int, str]]:
+    """Independent recomputation of the composed pipeline: learned
+    quality gate -> DSIR top-k selection (target = every 7th KEPT doc)
+    -> tokenize-and-pack in doc_id order. Each stage reuses the same
+    pure-Python replication the per-stage oracles are built on, so the
+    COMPOSITION is what this checks."""
+    kept_ids = {r[0] for r in quality_classifier_py(docs) if r[5]}
+    kept = [(i, t) for i, t in docs if i in kept_ids]
+    target_texts = [t for i, t in kept if i % 7 == 0]
+    selected = {
+        r[0]
+        for r in dsir_select_py(
+            kept, target_texts, k=k, n_buckets=n_buckets
+        )
+    }
+    chosen = [(i, t) for i, t in kept if i in selected]
+    return tokenize_and_pack_py(chosen, max_tokens=max_tokens)

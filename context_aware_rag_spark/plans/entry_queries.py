@@ -2812,3 +2812,40 @@ def key_skew_report_q(spark, sf_dir):
     return key_skew_report(
         load(spark, sf_dir, "events"), ["event_type", "user_id"], top_k=20
     )
+
+
+# =========================================================================
+# Composed capstone: raw docs -> packed training examples
+# =========================================================================
+
+@xq(
+    "training_data_pipeline",
+    f"""
+    SELECT example_id, n_tokens, tokens_csv
+    FROM read_parquet('{_pq("training_data_pipeline")}')
+    """,
+)
+def training_data_pipeline_q(spark, sf_dir):
+    """End-to-end training-data production, chained from the operator
+    library: learned quality gate (vendored classifier) -> DSIR top-200
+    importance selection (target = every 7th kept doc) -> BPE
+    tokenize-and-pack into 256-token examples. The twin is a pure-Python
+    replication of the SAME composition, so the chaining itself — not
+    just each stage — is hash-verified."""
+    from ..operators import dsir, textmetrics, tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        textmetrics.quality_classifier(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    selected = (
+        dsir.dsir_select(
+            kept, kept.filter(F.col("doc_id") % 7 == 0), k=200, n_buckets=2048
+        )
+        .select("doc_id")
+        .join(kept, "doc_id")
+    )
+    return tokenize.tokenize_and_pack(selected, max_tokens=256)

@@ -93,6 +93,10 @@ SCHEMAS = {
     "decontaminate_bloom": pa.schema(
         [("doc_id", pa.int64()), ("n_flagged_grams", pa.int64())]
     ),
+    "training_data_pipeline": pa.schema(
+        [("example_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("tokens_csv", pa.string())]
+    ),
     "tokenize_and_pack": pa.schema(
         [("example_id", pa.int64()), ("n_tokens", pa.int64()),
          ("tokens_csv", pa.string())]
@@ -188,6 +192,8 @@ def main(sf_dirs: list[str]) -> None:
               precompute.quality_classifier_py(docs))
         write(out_dir, "tokenize_and_pack",
               precompute.tokenize_and_pack_py(docs, max_tokens=512))
+        write(out_dir, "training_data_pipeline",
+              precompute.training_data_pipeline_py(docs))
 
         from context_aware_rag_spark.functions.bpe import bpe_token_counts
 
