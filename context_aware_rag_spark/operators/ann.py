@@ -316,8 +316,17 @@ def cosine_topk_ivfpq(
         order = np.argsort(-(qv @ cents.T))[:nprobe]
         for cell in order.tolist():
             probes.append((r[0], int(cell)))
+    # probe schema inherits the caller's query-id TYPE (string/int/...),
+    # not a hardcoded long — the generic id contract the sibling
+    # brute-force/IVF operators already honor
     probe_df = corpus.sparkSession.createDataFrame(
-        probes, f"{query_id_col} long, _cell int"
+        probes,
+        T.StructType(
+            [
+                queries.schema[query_id_col],
+                T.StructField("_cell", T.IntegerType()),
+            ]
+        ),
     )
 
     @F.pandas_udf(T.FloatType())

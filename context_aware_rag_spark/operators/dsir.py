@@ -209,7 +209,10 @@ def dsir_select(
     ).select(
         "*",
         (
-            F.round(F.col("logw_micro") / F.lit(float(temperature))).cast("long")
+            # bround = HALF_EVEN, matching Python round() in the oracle:
+            # logw_micro / temperature hits exact .5 values structurally
+            # (any odd integer over 2.0), where HALF_UP F.round diverges
+            F.bround(F.col("logw_micro") / F.lit(float(temperature))).cast("long")
             + F.col("gumbel_micro")
         ).alias("key_micro"),
     )

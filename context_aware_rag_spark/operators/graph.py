@@ -34,12 +34,19 @@ MICRO = 1_000_000
 
 
 def degree_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", deduped: bool = False
 ) -> DataFrame:
     """Per-node degree profile over the DISTINCT directed pair set:
     (node_id, out_deg, in_deg). Nodes appearing only as source (or only
-    as destination) report 0 for the missing side."""
-    pairs = edges.select(src, dst).dropDuplicates()
+    as destination) report 0 for the missing side.
+
+    ``deduped=True`` declares the input is ALREADY a distinct (src,
+    dst) pair set (e.g. the frame a sibling :func:`pagerank` call
+    materialized) and skips the dedup shuffle — the caller's contract,
+    not checked."""
+    pairs = edges.select(src, dst)
+    if not deduped:
+        pairs = pairs.dropDuplicates()
     out_deg = pairs.groupBy(F.col(src).alias("node_id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
@@ -68,6 +75,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    deduped: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank: (node_id, rank_micro).
 
@@ -92,7 +100,14 @@ def pagerank(
         raise ValueError(f"need iterations >= 1, got {iterations}")
     if not (0 < damping_pct < 100):
         raise ValueError(f"need 0 < damping_pct < 100, got {damping_pct}")
-    pairs = edges.select(src, dst).dropDuplicates().localCheckpoint()
+    # deduped=True: the caller hands in an already-distinct,
+    # already-materialized pair frame (shared with degree_stats) — skip
+    # the dedup shuffle and the redundant checkpoint
+    pairs = (
+        edges.select(src, dst)
+        if deduped
+        else edges.select(src, dst).dropDuplicates().localCheckpoint()
+    )
     out_deg = (
         pairs.groupBy(F.col(src).alias("node_id"))
         .agg(F.count(F.lit(1)).alias("out_deg"))

@@ -92,7 +92,18 @@ def semantic_dedup(
     ``keep`` is true for exactly one member per family — the member
     with the LOWEST cosine to the cluster centroid (paper keeper rule),
     ties to the smallest id.
+
+    ``id_col`` must be an INTEGRAL column (the per-cluster prune runs
+    over a fixed ``vec_id: long`` Arrow schema); a silent cast of
+    string ids would null them out and collapse every row into one
+    family, so non-integral ids fail loudly here instead.
     """
+    id_type = embs.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"semantic_dedup requires an integral id column; {id_col} is "
+            f"{id_type} — map string ids to a surrogate long first"
+        )
     # deterministic, unbiased centroid sample (same recipe as ann IVF:
     # hash order decorrelates the sample from ingest order)
     sample = np.array(

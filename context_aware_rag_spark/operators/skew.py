@@ -173,6 +173,16 @@ def key_skew_report(
         raise ValueError(f"need top_k >= 1, got {top_k}")
     if not key_cols:
         raise ValueError("need at least one key column")
+    clash = {"cnt", "total", "rank", "frac_ppm", "cum_frac_ppm"}.intersection(
+        key_cols
+    )
+    if clash:
+        # the same fail-fast convention as sampling's generated-column
+        # guards: an ambiguous 'cnt'/'total' binding would otherwise
+        # surface as an opaque analysis error (or a wrong silent bind)
+        raise ValueError(
+            f"key column(s) {sorted(clash)} collide with generated columns"
+        )
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     top = (

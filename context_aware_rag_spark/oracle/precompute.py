@@ -565,9 +565,8 @@ def ivf_topk_py(
     sample = np.stack([v for _, v in ordered[:sample_size]]).astype(np.float32)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1
-    from ..operators.ann import _kmeans_centroids
 
-    cents = _kmeans_centroids(sample / norms, n_clusters)
+    cents = _kmeans_centroids_py(sample / norms, n_clusters)
 
     def seq_dot(a, b) -> float:
         acc = 0.0
@@ -666,7 +665,6 @@ def semantic_dedup_py(
     nearest-centroid assignment, and the same sorted-by-id within-cluster
     float32 GEMM + union-find + farthest-from-centroid keeper — so every
     float comparison sees bit-identical values."""
-    from ..operators.ann import _kmeans_centroids
 
     def norm32(mat: np.ndarray) -> np.ndarray:
         n = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -678,7 +676,7 @@ def semantic_dedup_py(
         key=lambda t: (spark_xxhash64_str(str(t[0])), t[0]),
     )
     sample = np.stack([v for _, v in ordered[:sample_size]]).astype(np.float32)
-    cents = _kmeans_centroids(norm32(sample), n_clusters)
+    cents = _kmeans_centroids_py(norm32(sample), n_clusters)
 
     ids_all = np.array([i for i, _ in vectors], dtype="int64")
     mat_all = norm32(np.stack([np.asarray(v, dtype=np.float32) for _, v in vectors]))
@@ -798,7 +796,6 @@ def ivfpq_topk_py(
     hash-ordered sample, same fixed-seed spherical+Euclidean Lloyd's,
     same float32 PQ encode and fixed-order ADC accumulation — every
     float comparison sees bit-identical values."""
-    from ..operators.ann import _kmeans_centroids, _pq_encode, _pq_train
 
     corpus = [(i, np.asarray(v, dtype=np.float32)) for i, v in vectors
               if i >= query_cutoff]
@@ -810,15 +807,15 @@ def ivfpq_topk_py(
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1
     unit_sample = sample / norms
-    cents = _kmeans_centroids(unit_sample, n_clusters)
-    books = _pq_train(unit_sample, m_sub, n_codes)
+    cents = _kmeans_centroids_py(unit_sample, n_clusters)
+    books = _pq_train_py(unit_sample, m_sub, n_codes)
 
     cmat = np.stack([v for _, v in corpus]).astype(np.float32)
     cn = np.linalg.norm(cmat, axis=1, keepdims=True)
     cn[cn == 0] = 1
     cmat = cmat / cn
     cells = np.argmax(cmat @ cents.T, axis=1)
-    codes = _pq_encode(cmat, books)
+    codes = _pq_encode_py(cmat, books)
 
     out: List[Tuple[int, int, float, int]] = []
     for qid, qv in queries:
@@ -1053,3 +1050,78 @@ def training_data_pipeline_py(
     }
     chosen = [(i, t) for i, t in kept if i in selected]
     return tokenize_and_pack_py(chosen, max_tokens=max_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Pinned centroid/codebook fitting for the ANN/SemDeDup oracles.
+#
+# These deliberately do NOT import operators/ann.py: the oracle must be
+# a fixed, engine-independent reference, so an (accidental) change to
+# the engine's k-means/PQ helpers surfaces as a snapshot hash mismatch
+# here instead of silently propagating into the oracle and blinding the
+# parity gate. The procedures below are the operator's published
+# parameter-derivation spec (fixed-seed Lloyd's, 8 iters, float32 in /
+# float64 centroid accumulation for the spherical variant).
+# ---------------------------------------------------------------------------
+
+def _kmeans_centroids_py(
+    sample: "np.ndarray", n_clusters: int, iters: int = 8
+) -> "np.ndarray":
+    """Spherical Lloyd's on unit rows: seed-42 choice init, argmax-dot
+    assignment, re-normalized float64 mean update, float32 result."""
+    rng = np.random.default_rng(42)
+    pick = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cents = sample[pick].astype(np.float64)
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents.astype(np.float32)
+
+
+def _lloyd_l2_py(sample: "np.ndarray", n_codes: int, iters: int = 8) -> "np.ndarray":
+    """Euclidean Lloyd's (PQ subvectors are not unit): seed-42 init,
+    squared-distance argmin assignment, float32 mean update."""
+    rng = np.random.default_rng(42)
+    pick = rng.choice(len(sample), size=min(n_codes, len(sample)), replace=False)
+    cents = sample[pick].astype(np.float32)
+    for _ in range(iters):
+        d = (
+            np.sum(sample**2, axis=1, keepdims=True)
+            - 2.0 * (sample @ cents.T)
+            + np.sum(cents**2, axis=1)
+        )
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.astype(np.float32)
+
+
+def _pq_train_py(sample: "np.ndarray", m_sub: int, n_codes: int):
+    w = sample.shape[1] // m_sub
+    return [
+        _lloyd_l2_py(np.ascontiguousarray(sample[:, j * w : (j + 1) * w]), n_codes)
+        for j in range(m_sub)
+    ]
+
+
+def _pq_encode_py(mat: "np.ndarray", books) -> "np.ndarray":
+    m_sub = len(books)
+    w = mat.shape[1] // m_sub
+    cols = []
+    for j, book in enumerate(books):
+        sub = mat[:, j * w : (j + 1) * w]
+        d = (
+            np.sum(sub**2, axis=1, keepdims=True)
+            - 2.0 * (sub @ book.T)
+            + np.sum(book**2, axis=1)
+        )
+        cols.append(np.argmin(d, axis=1).astype("int32"))
+    return np.stack(cols, axis=1)

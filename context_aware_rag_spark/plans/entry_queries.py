@@ -2749,9 +2749,11 @@ def kg_graph_pagerank_q(spark, sf_dir):
         transcripts_for(spark, sf_dir),
         PipelineConfig(deduplicate_nodes=True),
     )
+    # one distinct-pair materialization shared by both analytics
+    pairs = res.edges.select("src", "dst").dropDuplicates().localCheckpoint()
     return (
-        graph.pagerank(res.edges)
-        .join(graph.degree_stats(res.edges), "node_id")
+        graph.pagerank(pairs, deduped=True)
+        .join(graph.degree_stats(pairs, deduped=True), "node_id")
         .select("node_id", "rank_micro", "out_deg", "in_deg")
     )
 

@@ -163,3 +163,20 @@ class TestIVFPQ:
         corpus, qdf = planted
         with pytest.raises(ValueError):
             ann.cosine_topk_ivfpq(corpus, qdf, m_sub=5).collect()
+
+
+def test_ivfpq_accepts_string_query_ids(spark):
+    """The probe frame inherits the caller's query-id type — string
+    ids must work end-to-end (regression: schema was hardcoded long)."""
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [("q-one", rows[0][1]), ("q-two", rows[5][1])],
+        "query_id string, embedding array<float>",
+    )
+    got = ann.cosine_topk_ivfpq(
+        corpus, qdf, k=3, n_clusters=4, nprobe=4, m_sub=8, n_codes=16
+    ).collect()
+    assert {r.query_id for r in got} == {"q-one", "q-two"}
+    assert all(isinstance(r.query_id, str) for r in got)

@@ -75,6 +75,28 @@ def test_target_like_docs_outweigh(spark):
     assert min(w[i] for i in finance_ids) > max(w[i] for i in cat_ids)
 
 
+def test_select_temperature_matches_python(spark):
+    # temperature=2.0 structurally produces exact .5 halves in
+    # logw_micro/temperature: HALF_EVEN on both engines (F.bround /
+    # Python round) or the selection sets drift apart
+    docs = _df(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    got = [
+        tuple(r)
+        for r in dsir.dsir_select(
+            docs, target, k=4, n_buckets=256, temperature=2.0
+        ).orderBy("rank").collect()
+    ]
+    want = precompute.dsir_select_py(
+        list(enumerate(TEXTS)),
+        [t for i, t in enumerate(TEXTS) if i % 2 == 0],
+        k=4,
+        n_buckets=256,
+        temperature=2.0,
+    )
+    assert got == want
+
+
 def test_deterministic_across_runs(spark):
     docs = _df(spark)
     target = docs.filter(F.col("doc_id") % 3 == 0)

@@ -68,3 +68,12 @@ def test_invariants(planted):
         assert fid == min(m.vec_id for m in members)
     # every vector labeled exactly once
     assert len({r.vec_id for r in out}) == len(out)
+
+
+def test_non_integral_id_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        semdedup.semantic_dedup(df, threshold=0.9, n_clusters=2)
