@@ -59,22 +59,22 @@ def bigram_lm_scores(
     the CCNet split); high ppl = atypical/garbled ("tail").
     """
     words = _words(F.col(text_col))
-    # ONE tokenization pass: the per-doc word arrays are materialized
-    # once and every consumer (bigram counts, context counts, vocab,
-    # scoring) re-derives from the cached arrays instead of re-running
-    # split/lower over the raw text four times (the same single-scan
-    # discipline as dsir.dsir_weights)
-    doc_words = docs.select(F.col(id_col), words.alias("ws")).localCheckpoint()
-    ws = F.col("ws")
+    # the pairs frame feeds THREE consumers (bigram counts, context
+    # counts, the scoring join): one checkpoint here replaces three
+    # full tokenize+zip+explode scans of the corpus text. The vocab
+    # scan stays its own pass — a second materialization barrier costs
+    # more than the one cheap split it would save (measured: the
+    # two-checkpoint variant pinned the operator at ~10 s regardless
+    # of core count; this shape scales with the scan).
     # parallel-slice zip: (w1, w2) pairs without an index transform
     pairs = (
-        doc_words.select(
+        docs.select(
             F.col(id_col),
             F.when(
-                F.size(ws) >= 2,
+                F.size(words) >= 2,
                 F.arrays_zip(
-                    F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
-                    F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+                    F.slice(words, 1, F.size(words) - 1).alias("w1"),
+                    F.slice(words, 2, F.size(words) - 1).alias("w2"),
                 ),
             )
             .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
@@ -86,7 +86,7 @@ def bigram_lm_scores(
     bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
     context_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
     vocab = (
-        doc_words.select(F.explode(ws).alias("word"))
+        docs.select(F.explode(words).alias("word"))
         .agg(F.countDistinct("word").alias("vocab"))
     )
     scored = (
