@@ -104,6 +104,7 @@ def main() -> None:
         "quality_classifier_50k",
         "dsir_select_50k",
         "lm_perplexity_50k",
+        "bm25_topk_50k",
     ):
         samples[extra] = []
 
@@ -279,6 +280,20 @@ def main() -> None:
         t0 = time.monotonic()
         kg_counts["n_lm_50k"] = lm_ops.bigram_lm_scores(docs50k).count()
         samples["lm_perplexity_50k"].append(round(time.monotonic() - t0, 3))
+
+        # lexical retrieval at 50k docs: the timed span covers the
+        # inverted-index build (tf/df aggs over the corpus) plus 8
+        # "more like this" queries — the index is the real cost
+        from context_aware_rag_spark.operators import bm25 as bm25_ops
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_bm25_50k_results"] = bm25_ops.bm25_topk(
+            docs50k,
+            bm25_ops.sample_doc_queries(docs50k, list(range(8)), n_words=5),
+            k=10,
+        ).count()
+        samples["bm25_topk_50k"].append(round(time.monotonic() - t0, 3))
         drop_persisted(spark, keep)
 
     timings = {name: min(vals) for name, vals in samples.items()}
@@ -295,6 +310,7 @@ def main() -> None:
         "quality_classifier_50k",
         "dsir_select_50k",
         "lm_perplexity_50k",
+        "bm25_topk_50k",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in scale_entries), 3
@@ -343,6 +359,10 @@ def main() -> None:
             ),
             "lm_50k_docs_per_sec": round(
                 n_dedup_docs / timings["lm_perplexity_50k"], 1
+            ),
+            "bm25_50k_results": kg_counts["n_bm25_50k_results"],
+            "bm25_50k_docs_per_sec": round(
+                n_dedup_docs / timings["bm25_topk_50k"], 1
             ),
         },
         "cpus": int(cpus),

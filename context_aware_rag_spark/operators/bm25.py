@@ -1,0 +1,168 @@
+"""BM25 keyword retrieval over the document corpus.
+
+The reference retrieves context by embedding similarity only
+(graph_retrieval/base.py chunk vector search); production RAG almost
+always pairs that with a lexical leg (hybrid retrieval), so the engine
+gets the standard one: Okapi BM25 with the Lucene idf variant
+(Robertson & Zaragoza 2009; ln(1 + (N - df + .5)/(df + .5)), which is
+always positive).
+
+Determinism discipline (same as operators/lm.py): each (query-term,
+doc) contribution is rounded to integer MICRO-NATS before the
+per-(query, doc) sum, so the aggregate is order-independent exact
+integer arithmetic and the DuckDB twin can reproduce it bit-for-bit.
+The float expression itself is pure-double arithmetic over exact
+integer counts with identical parenthesization on both engines.
+
+100 TB shape: ONE corpus tokenize scan feeds term frequencies
+(groupBy(doc, term) — map-side combined, shuffle bounded by distinct
+(doc, term)); document lengths come from size(words) on the same scan
+(no extra shuffle); df is a vocabulary-sized agg over the tf frame.
+The query side is tiny and explicitly broadcast — df lookup joins the
+broadcast query terms first, so the postings join streams the tf frame
+past a broadcast hash table and the only wide exchange in the whole
+plan is the tf aggregation itself. Zipf-hot query terms (stopwords)
+fan out the postings join; callers should drop stopword-only queries
+or rely on AQE skew handling — idf makes their contribution ~0 anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text_col):
+    # identical tokenization convention to textmetrics/lm and the SQL
+    # twins' regexp_split_to_array(lower(trim(text)), '\s+')
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Score every (query, doc) pair sharing at least one term.
+
+    Returns (query_id, doc_id, score_micro) where ``score_micro`` is
+    the BM25 score in integer micro-nats: per distinct query term t,
+
+        round(1e6 * idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)))
+
+    summed over matching terms (dl/avgdl is computed as the exact
+    integer product dl*n_docs divided by the exact integer sum_dl, so
+    both engines divide the same two numbers).
+    """
+    words = _words(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col), F.explode(words).alias("term"), F.size(words).alias("dl")
+    )
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    stats = tf.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_words(F.col(query_text_col)))).alias("term"),
+    )
+    # df lookup against the broadcast query terms FIRST: the result is
+    # query-sized, so the postings join below is broadcast too
+    q_with_df = F.broadcast(
+        df_counts.join(F.broadcast(qterms), "term")
+    )
+    contrib = (
+        tf.join(q_with_df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * (F.col("dl") * F.col("n_docs"))
+                        / F.col("sum_dl")
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("query_id", id_col).agg(
+        F.sum("c_micro").alias("score_micro")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25, deterministic tie-break
+    on ascending doc id. One window shuffle keyed on query_id (query
+    count is small by construction — it is the broadcast side)."""
+    scored = bm25_scores(
+        docs,
+        queries,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score_micro")
+    )
+
+
+def sample_doc_queries(
+    docs: DataFrame,
+    doc_ids: "list[int]",
+    n_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic query set for tests/benchmarks: the first
+    ``n_words`` tokens of the chosen documents ("more like this" —
+    retrieval by exemplar). Reproducible on any engine from the same
+    corpus, no external query log needed."""
+    words = _words(F.col(text_col))
+    return docs.filter(F.col(id_col).isin(list(doc_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.array_join(F.slice(words, 1, n_words), " ").alias("query_text"),
+    )

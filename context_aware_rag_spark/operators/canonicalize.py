@@ -270,10 +270,36 @@ def canonicalize_incremental(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+    pairs: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+    algorithm: str = "label",
 ) -> DataFrame:
     """pairs(a, b) -> canonical_map(node_id, canon_id) for ALL nodes that
-    appear in any pair (canon = min node_id of the component)."""
+    appear in any pair (canon = min node_id of the component).
+
+    ``algorithm``:
+      - ``"label"`` (default) — min-label propagation; one join + one
+        agg per round, rounds = component DIAMETER. The right choice
+        for the engine's dominant workload (alias groups / near-dup
+        families are near-cliques: 2-3 rounds regardless of corpus
+        size).
+      - ``"lss"`` — alternating large-star / small-star (Kiveris et
+        al., "Connected Components in MapReduce and Beyond", SoCC
+        2014). Rounds = O(log n) INDEPENDENT of diameter, and each
+        star step hangs high-degree nodes' neighbors directly off the
+        component minimum, so Zipf-hot nodes shrink rather than
+        re-propagate. The scale path when the pair graph's shape is
+        unknown (chained shared-span / near-dup graphs at web scale
+        can have long filaments that would cost label-prop one shuffle
+        round per hop).
+
+    Both produce the identical minimum-id labeling.
+    """
+    if algorithm == "lss":
+        return _connected_components_lss(pairs, max_iter=max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown cc algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -322,6 +348,128 @@ def connected_components(
             "(component diameter exceeds max_iter); raise max_iter"
         )
     return labels.select("node_id", F.col("label").alias("canon_id"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-LARGER neighbor of u to min(N(u) + {u}).
+
+    Emissions come from each edge's smaller endpoint, so connectivity
+    is preserved; larger nodes' neighborhoods collapse toward the
+    minimum (the skew-friendly direction: a hot node's fan-out is
+    rewired in one round instead of propagating hop by hop).
+    """
+    adj = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        adj.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("m"))
+    )
+    return (
+        adj.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges larger->smaller, then connect every SMALLER
+    neighbor of u (and u itself) to min(N(u))."""
+    oriented = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(mins, "src")
+    return (
+        joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(
+            joined.select("src", F.col("m").alias("dst")).dropDuplicates()
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _connected_components_lss(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    One round = large-star + small-star, each a groupBy(min) plus an
+    equi-join on the grouping key — two shuffles, both keyed on node
+    id. Convergence is detected by an order-independent edge-set
+    signature (count + bit_xor + modular sum of xxhash64) — one agg
+    action per round; the paper's potential argument makes a repeated
+    signature a true fixpoint, and the fixpoint of both operations is
+    a forest of depth-1 stars rooted at each component's minimum.
+    The star shape is re-validated structurally after the loop (three
+    bounded actions) so a signature collision can never return a
+    wrong labeling silently.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    all_nodes = (
+        pairs.select(F.col("a").alias("node_id"))
+        .unionByName(pairs.select(F.col("b").alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("x"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("dst", "src"), F.lit(1_000_000_007))),
+                F.lit(0),
+            ).alias("s"),
+        ).first()
+        sig = (row["n"], row["x"], row["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components(lss) did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    # structural validation of the fixpoint: child > root everywhere,
+    # two-level (no root is also a child), one root per child
+    if edges.filter(F.col("src") <= F.col("dst")).limit(1).count():
+        raise RuntimeError("lss fixpoint violates child > root orientation")
+    if (
+        edges.alias("a")
+        .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"), "left_semi")
+        .limit(1)
+        .count()
+    ):
+        raise RuntimeError("lss fixpoint is not two-level (root is a child)")
+    if (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise RuntimeError("lss fixpoint assigns multiple roots to a node")
+    labels = edges.select(
+        F.col("src").alias("node_id"), F.col("dst").alias("canon_id")
+    )
+    return all_nodes.join(labels, "node_id", "left").select(
+        "node_id",
+        F.coalesce(F.col("canon_id"), F.col("node_id")).alias("canon_id"),
+    )
 
 
 def merged_counts(canonical_map: DataFrame) -> DataFrame:

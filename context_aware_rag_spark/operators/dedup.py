@@ -920,6 +920,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     keeper_score=None,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """Collapse near-duplicate PAIRS (from any candidate generator —
     MinHash, SimHash, n-gram Jaccard, embedding cosine) into duplicate
@@ -936,6 +937,11 @@ def dedup_clusters(
     (e.g. the textmetrics quality composite) instead of merely the
     longest. The election stays one window shuffle either way.
 
+    ``cc_algorithm``: ``"label"`` (default — pair graphs from
+    threshold dedup are near-cliques, diameter 2-3) or ``"lss"``
+    (large-star/small-star, O(log n) rounds — use when the pair graph
+    may contain long chains, e.g. shared-span filaments at web scale).
+
     Returns (id_col, cluster_id, is_keeper) for EVERY input document;
     docs in no pair are singleton families (cluster_id = own id,
     is_keeper = true).
@@ -951,9 +957,9 @@ def dedup_clusters(
 
     from .canonicalize import connected_components
 
-    cc = connected_components(pairs.select("a", "b")).withColumnRenamed(
-        "node_id", id_col
-    )
+    cc = connected_components(
+        pairs.select("a", "b"), algorithm=cc_algorithm
+    ).withColumnRenamed("node_id", id_col)
     score = keeper_score if keeper_score is not None else F.length(text_col)
     labeled = (
         docs.select(F.col(id_col), score.alias("_score"))

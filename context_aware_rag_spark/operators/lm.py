@@ -19,11 +19,15 @@ exact integer arithmetic — no float-summation-order hazard between
 Spark and the SQL twin. The float→int rounding itself is safe: both
 engines compute ``ln`` of the identical IEEE-754 ratio via libm.
 
-100 TB shape: bigram/context counts are groupBy aggs with map-side
-partial combine (shuffle keyed on the gram, bounded by vocabulary, not
-corpus); the scoring joins are equi-joins on (w1, w2) / (w1) where AQE
-skew-split handles Zipf-hot function words; the vocab size is a 1-row
-broadcast. No UDF anywhere — the whole plan is JVM codegen.
+100 TB shape: occurrences collapse to per-(doc, bigram) counts in one
+map-side-combined shuffle; bigram/context counts aggregate that frame
+(keyed on grams, bounded by vocabulary); the per-bigram log-prob table
+is assembled vocabulary-side (the Zipf-hot w1 join fans over DISTINCT
+bigrams, never occurrences — see the skew note in the function body)
+and the single corpus-sized join is doc_pairs x lp_table on the full
+(w1, w2) key, whose skew is the hottest BIGRAM (orders of magnitude
+milder than the hottest word; AQE covers the residue). The vocab size
+is a 1-row broadcast. No UDF anywhere — the whole plan is JVM codegen.
 """
 
 from __future__ import annotations
@@ -59,13 +63,6 @@ def bigram_lm_scores(
     the CCNet split); high ppl = atypical/garbled ("tail").
     """
     words = _words(F.col(text_col))
-    # the pairs frame feeds THREE consumers (bigram counts, context
-    # counts, the scoring join): one checkpoint here replaces three
-    # full tokenize+zip+explode scans of the corpus text. The vocab
-    # scan stays its own pass — a second materialization barrier costs
-    # more than the one cheap split it would save (measured: the
-    # two-checkpoint variant pinned the operator at ~10 s regardless
-    # of core count; this shape scales with the scan).
     # parallel-slice zip: (w1, w2) pairs without an index transform
     pairs = (
         docs.select(
@@ -82,19 +79,35 @@ def bigram_lm_scores(
         )
         .select(F.col(id_col), F.explode("bi").alias("bi"))
         .select(F.col(id_col), F.col("bi.w1").alias("w1"), F.col("bi.w2").alias("w2"))
-    ).localCheckpoint()
-    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
-    context_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    )
+    # SKEW DISCIPLINE: never join per-OCCURRENCE rows on a word key —
+    # Zipf makes the hottest w1 ("the") a single straggler task that
+    # caps scaling (measured: the occurrence-joined shape scaled 1.46x
+    # from 4->16 cores at 100k docs; this shape restored the family to
+    # >=0.8). Instead: (1) collapse occurrences to per-(doc, bigram)
+    # counts ONCE — this frame feeds the bigram agg, the context agg
+    # and the scoring join; (2) build a vocabulary-bounded per-bigram
+    # log-prob table (the context join fans out only over DISTINCT
+    # bigrams per w1, not occurrences); (3) join doc counts to the lp
+    # table and weight by c. sum_c(round(lp)) == c * round(lp), so the
+    # result is bit-identical to per-occurrence scoring.
+    doc_pairs = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    bigram_counts = doc_pairs.groupBy("w1", "w2").agg(F.sum("c").alias("c_big"))
+    context_counts = doc_pairs.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
     vocab = (
         docs.select(F.explode(words).alias("word"))
         .agg(F.countDistinct("word").alias("vocab"))
     )
-    scored = (
-        pairs.join(bigram_counts, ["w1", "w2"])
-        .join(context_counts, ["w1"])
+    lp_table = (
+        bigram_counts.join(context_counts, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
             F.round(
                 F.log(
                     (F.col("c_big") + F.lit(float(alpha)))
@@ -106,12 +119,17 @@ def bigram_lm_scores(
             .alias("lp_micro"),
         )
     )
+    scored = doc_pairs.join(lp_table, ["w1", "w2"]).select(
+        F.col(id_col),
+        F.col("c"),
+        (F.col("c") * F.col("lp_micro")).alias("lp_sum"),
+    )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("lp_micro").alias("logprob_micro"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum("lp_sum").alias("logprob_micro"),
         F.round(
             F.exp(
-                -(F.sum("lp_micro") / F.lit(1000000.0)) / F.count(F.lit(1))
+                -(F.sum("lp_sum") / F.lit(1000000.0)) / F.sum("c")
             ),
             4,
         ).alias("ppl"),

@@ -23,7 +23,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..operators import ann, dedup, lm, multimodal, sampling, similarity, textmetrics
+from ..operators import (
+    ann,
+    bm25,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    textmetrics,
+)
 from ..plans.pipeline import run_pipeline
 from ..sources.transcripts import generate_transcripts
 
@@ -2595,6 +2604,206 @@ def lm_perplexity(spark, sf_dir):
     log-probs are rounded to integer micro-nats BEFORE the per-doc sum,
     so the aggregate is exact integer arithmetic on both engines."""
     return lm.bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# As-of (point-in-time) join
+# =========================================================================
+
+@xq(
+    "asof_latest_order",
+    """
+    WITH r AS (SELECT o_custkey, o_orderdate,
+                      max(o_orderkey) AS o_orderkey,
+                      max_by(o_totalprice, o_orderkey) AS o_totalprice
+               FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey
+     AND e.ts >= CAST(r.o_orderdate AS TIMESTAMP)
+    """,
+)
+def asof_latest_order_q(spark, sf_dir):
+    """Backward as-of join: each event enriched with the customer's
+    latest order at event time — the union-window formulation checked
+    against DuckDB's NATIVE ASOF LEFT JOIN. Right side deduplicated
+    per (key, ts) first (max order key) so the match is unambiguous
+    on both engines."""
+    from ..operators import asof
+
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    r = asof.dedup_right_latest(orders, "o_custkey", "o_orderdate", "o_orderkey")
+    return asof.asof_join_backward(
+        events.select("event_id", "user_id", "ts"),
+        r,
+        key_col_left="user_id",
+        key_col_right="o_custkey",
+        left_ts_col="ts",
+        right_ts_col="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+# =========================================================================
+# Gap-based sessionization
+# =========================================================================
+
+@xq(
+    "event_sessions",
+    """
+    WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev_us
+               FROM events),
+    f AS (SELECT event_id, user_id, ts,
+                 CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e),
+    s AS (SELECT event_id, user_id,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS session_idx
+          FROM f)
+    SELECT event_id, user_id, session_idx,
+           user_id::VARCHAR || '#' || session_idx::VARCHAR AS session_id
+    FROM s
+    """,
+)
+def event_sessions_q(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity boundary) — exact
+    integer-microsecond gap comparisons, one user-keyed window."""
+    from ..operators import sessions
+
+    out = sessions.sessionize(load(spark, sf_dir, "events"), gap_seconds=1800)
+    return out.select("event_id", "user_id", "session_idx", "session_id")
+
+
+# =========================================================================
+# BM25 keyword retrieval (lexical leg of hybrid retrieval)
+# =========================================================================
+
+@xq(
+    "bm25_topk",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(len(words))::BIGINT AS sum_dl FROM w),
+    tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, unnest(words) AS term,
+                         len(words)::BIGINT AS dl FROM w)
+            GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+    qt AS (SELECT doc_id AS query_id,
+                  unnest(list_distinct(words[1:5])) AS term
+           FROM w WHERE doc_id IN (0, 7, 42)),
+    con AS (SELECT qt.query_id, tfc.doc_id,
+                   CAST(round(ln(1.0 + (st.n_docs - dfc.df + 0.5)
+                                       / (dfc.df + 0.5))
+                        * (tfc.tf * 2.2)
+                        / (tfc.tf + 1.2 * (0.25 + 0.75
+                             * (tfc.dl * st.n_docs) / st.sum_dl))
+                        * 1000000) AS BIGINT) AS c
+            FROM qt JOIN tfc USING (term) JOIN dfc USING (term) CROSS JOIN st),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
+           FROM con GROUP BY 1, 2)
+    SELECT query_id, doc_id, rank, score_micro FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id)::INT AS rank,
+             score_micro
+      FROM sc) WHERE rank <= 10
+    """,
+)
+def bm25_topk_q(spark, sf_dir):
+    """Okapi BM25 (Lucene idf) top-10 per query; queries are the first
+    five tokens of docs 0/7/42 ("more like this"). Micro-nat integer
+    contributions make the score exact on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    qs = bm25.sample_doc_queries(docs, [0, 7, 42], n_words=5)
+    return bm25.bm25_topk(docs, qs, k=10)
+
+
+@xq(
+    "hybrid_rrf_topk",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(len(words))::BIGINT AS sum_dl FROM w),
+    tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, unnest(words) AS term,
+                         len(words)::BIGINT AS dl FROM w)
+            GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+    qt AS (SELECT doc_id AS query_id,
+                  unnest(list_distinct(words[1:5])) AS term
+           FROM w WHERE doc_id IN (0, 7, 42)),
+    con AS (SELECT qt.query_id, tfc.doc_id,
+                   CAST(round(ln(1.0 + (st.n_docs - dfc.df + 0.5)
+                                       / (dfc.df + 0.5))
+                        * (tfc.tf * 2.2)
+                        / (tfc.tf + 1.2 * (0.25 + 0.75
+                             * (tfc.dl * st.n_docs) / st.sum_dl))
+                        * 1000000) AS BIGINT) AS c
+            FROM qt JOIN tfc USING (term) JOIN dfc USING (term) CROSS JOIN st),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
+           FROM con GROUP BY 1, 2),
+    bmleg AS (SELECT query_id, doc_id, rank FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rank
+      FROM sc) WHERE rank <= 20),
+    annleg AS (SELECT query_id, doc_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+                 DESC, c.vec_id ASC) AS rank
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id IN (0, 7, 42)) t WHERE rank <= 20),
+    u AS (SELECT query_id, doc_id,
+                 CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM bmleg
+          UNION ALL
+          SELECT query_id, doc_id,
+                 CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM annleg),
+    f AS (SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_micro,
+                 count(*)::BIGINT AS n_legs
+          FROM u GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_micro, n_legs, rank FROM (
+      SELECT query_id, doc_id, rrf_micro, n_legs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_micro DESC, doc_id)::INT AS rank
+      FROM f) WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_topk_q(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical leg + brute-force cosine dense
+    leg (vec_id aligns 1:1 with doc_id in the testdata), fused with
+    Reciprocal Rank Fusion (k=60). Only integer ranks cross the fusion
+    boundary, so the fused scores are engine-exact."""
+    from ..operators import fusion
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qs = bm25.sample_doc_queries(docs, [0, 7, 42], n_words=5)
+    lex = bm25.bm25_topk(docs, qs, k=20).select("query_id", "doc_id", "rank")
+    qvec = emb.filter(F.col("vec_id").isin([0, 7, 42])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = ann.cosine_topk_bruteforce(emb, qvec, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return fusion.rrf_fuse([lex, dense], rrf_k=60, topk=10)
 
 
 # =========================================================================
