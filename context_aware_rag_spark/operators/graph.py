@@ -152,3 +152,84 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node_id", F.col("r").alias("rank_micro"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the UNDIRECTED simple graph underlying
+    ``edges`` (direction, duplicate pairs and self-loops are ignored).
+
+    Degree-ordered orientation (the MapReduce-classic "compact-forward"
+    scheme, Suri & Vassilvitskii WWW 2011): orient every undirected
+    edge from the endpoint with the smaller (degree, id) pair to the
+    larger, then count wedges u->v, u->w (v before w in the same
+    order) that close with an oriented edge v->w. Every triangle is
+    counted exactly once — at its minimum-order corner.
+
+    Why this shape at 100 TB: the wedge self-join is the quadratic
+    hazard, and orientation bounds each node's out-degree by
+    O(sqrt(m)) REGARDLESS of raw degree skew — a celebrity hub with
+    10^7 neighbors contributes wedges only through its (few)
+    higher-order neighbors, so no task materializes deg^2 pairs. Three
+    hash shuffles total: degree agg, wedge self-join on the apex,
+    closure join on (v, w).
+
+    Returns a 1-row frame: (n_nodes, n_edges, n_wedges, n_triangles).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    with_deg = (
+        und.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select(
+            "a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b")
+        )
+    )
+    lower_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("d_v"),
+    ).localCheckpoint()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    order_lt = (F.col("e1.d_v") < F.col("e2.d_v")) | (
+        (F.col("e1.d_v") == F.col("e2.d_v"))
+        & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & order_lt
+    ).select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    # wedge/triangle totals need the wedge frame twice; both aggs are
+    # cheap counts, so recompute rather than checkpoint the (possibly
+    # huge) wedge set
+    counts = (
+        und.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+    return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles")

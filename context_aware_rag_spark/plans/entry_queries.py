@@ -2968,6 +2968,81 @@ def kg_graph_pagerank_q(spark, sf_dir):
 
 
 # =========================================================================
+# Triangle census over the supplier co-occurrence graph
+# =========================================================================
+
+@xq(
+    "kg_graph_triangles",
+    """
+    WITH pairs AS (
+      SELECT a, b FROM (
+        SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+               count(DISTINCT x.l_orderkey) AS n_orders
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        GROUP BY 1, 2
+      ) WHERE n_orders >= 20
+    ),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)
+      GROUP BY n
+    ),
+    odeg AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+                  THEN p.a ELSE p.b END AS u,
+             count(*) AS k
+      FROM pairs p
+      JOIN deg da ON p.a = da.n
+      JOIN deg db ON p.b = db.n
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(COALESCE((SELECT sum(k * (k - 1) // 2) FROM odeg), 0)
+                AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def kg_graph_triangles_q(spark, sf_dir):
+    """Exact triangle census (degree-ordered wedge orientation, Suri &
+    Vassilvitskii 2011) over the supplier co-occurrence graph: an
+    undirected edge per supplier pair sharing an order. The twin counts
+    triangles by an INDEPENDENT algorithm — brute-force 3-way self-join
+    on the a<b edge list — so the two sides agreeing checks the
+    orientation scheme itself, not a transliteration of it; oriented
+    wedges cross-check as sum C(outdeg, 2). Edges are gated on >= 20
+    shared orders so the sf0.01 graph is a partial (non-complete)
+    structure — on the ungated K100 every wedge closes and the count
+    degenerates to C(100, 3)."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+        .select("src", "dst")
+    )
+    return graph.triangle_count(pairs)
+
+
+# =========================================================================
 # Tokenize-and-pack: documents -> fixed-length training examples
 # =========================================================================
 

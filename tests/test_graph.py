@@ -66,6 +66,67 @@ def test_degree_stats(spark):
     }
 
 
+def _tri(spark, pairs):
+    return graph.triangle_count(
+        spark.createDataFrame(pairs, "src: string, dst: string")
+    ).collect()[0]
+
+
+def test_triangle_k4(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles; oriented
+    # out-degrees 3/2/1/0 -> wedges C(3,2)+C(2,2)+0+0 = 4, all closed
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    r = _tri(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 4, 4)
+
+
+def test_triangle_direction_dups_selfloops_collapse(spark):
+    # reversed duplicates, repeated pairs and self-loops all reduce to
+    # the simple undirected graph {ab, bc, ac}: one triangle
+    pairs = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"),
+             ("c", "b"), ("a", "c"), ("a", "b")]
+    r = _tri(spark, pairs)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_star_hub_no_wedges(spark):
+    # star: every edge orients leaf->hub (degree order), so the hub
+    # contributes NO wedges despite degree 5 — the skew-boundedness
+    # property the orientation buys at scale
+    star = [("h", f"x{i}") for i in range(5)]
+    r = _tri(spark, star)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (6, 5, 0, 0)
+
+
+def test_triangle_matches_bruteforce(spark):
+    # deterministic pseudo-random graph vs a from-first-principles
+    # Python count (both triangles and oriented wedges)
+    pairs = [(f"n{i}", f"n{(i * i + 1) % 23}") for i in range(60)]
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tris = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in adj[a]
+        if b > a
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    deg = {n: len(adj[n]) for n in nodes}
+    odeg = {n: 0 for n in nodes}
+    for a, b in und:
+        lo = a if (deg[a], a) < (deg[b], b) else b
+        odeg[lo] += 1
+    wedges = sum(k * (k - 1) // 2 for k in odeg.values())
+    r = _tri(spark, pairs)
+    assert (r.n_nodes, r.n_edges) == (len(nodes), len(und))
+    assert (r.n_wedges, r.n_triangles) == (wedges, tris)
+
+
 def test_single_iteration_and_validation(spark):
     df = _edges_df(spark)
     got = {r.node_id: r.rank_micro for r in graph.pagerank(df, iterations=1).collect()}
