@@ -3043,6 +3043,84 @@ def kg_graph_triangles_q(spark, sf_dir):
 
 
 # =========================================================================
+# Link prediction: structural scores for absent edges
+# =========================================================================
+
+@xq(
+    "kg_link_prediction",
+    """
+    WITH pairs AS (
+      SELECT a, b FROM (
+        SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+               count(DISTINCT x.l_orderkey) AS n_orders
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        GROUP BY 1, 2
+      ) WHERE n_orders >= 20
+    ),
+    sym AS (
+      SELECT a AS n, b AS z FROM pairs
+      UNION ALL SELECT b AS n, a AS z FROM pairs
+    ),
+    deg AS (SELECT n AS node, count(*) AS d FROM sym GROUP BY 1),
+    centers AS (
+      SELECT node AS z,
+             CAST(round(1000000 / ln(d)) AS BIGINT) AS aa_micro
+      FROM deg WHERE d >= 2
+    ),
+    cn AS (
+      SELECT s1.n AS a, s2.n AS b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(c.aa_micro) AS BIGINT) AS adamic_adar_micro
+      FROM sym s1
+      JOIN sym s2 ON s1.z = s2.z AND s1.n < s2.n
+      JOIN centers c ON c.z = s1.z
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT cn.* FROM cn
+      ANTI JOIN pairs p ON cn.a = p.a AND cn.b = p.b
+    )
+    SELECT cand.a, cand.b, common_neighbors,
+           common_neighbors * 1000000 // (da.d + db.d - common_neighbors)
+             AS jaccard_ppm,
+           adamic_adar_micro
+    FROM cand
+    JOIN deg da ON cand.a = da.node
+    JOIN deg db ON cand.b = db.node
+    """,
+)
+def kg_link_prediction_q(spark, sf_dir):
+    """KG-completion link prediction (Liben-Nowell & Kleinberg 2003)
+    over the thresholded supplier co-occurrence graph: for every
+    non-adjacent distance-2 pair, common-neighbor count, integer-ppm
+    Jaccard and micro-unit Adamic-Adar. Twin replicates the scores in
+    pure SQL (DuckDB ln agrees with JVM log well inside the micro
+    rounding)."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+        .select("src", "dst")
+    )
+    # cap effectively off: the twin enumerates every center, and
+    # supplier degrees stay far below any real hub regime
+    return graph.link_prediction_scores(pairs, max_center_degree=10**9)
+
+
+# =========================================================================
 # Tokenize-and-pack: documents -> fixed-length training examples
 # =========================================================================
 

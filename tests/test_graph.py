@@ -127,6 +127,81 @@ def test_triangle_matches_bruteforce(spark):
     assert (r.n_wedges, r.n_triangles) == (wedges, tris)
 
 
+def _lp(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src: string, dst: string")
+    return {
+        (r.a, r.b): (r.common_neighbors, r.jaccard_ppm, r.adamic_adar_micro)
+        for r in graph.link_prediction_scores(df, **kw).collect()
+    }
+
+
+AA2 = round(1_000_000 / __import__("math").log(2))  # deg-2 center weight
+
+
+def test_linkpred_path(spark):
+    # a-b-c: one candidate (a, c) through center b (degree 2);
+    # |N(a) u N(c)| = {b} so jaccard = 1.0
+    got = _lp(spark, [("a", "b"), ("b", "c")])
+    assert got == {("a", "c"): (1, 1_000_000, AA2)}
+
+
+def test_linkpred_square_and_adjacency_exclusion(spark):
+    # 4-cycle: diagonals (a,c) and (b,d) each share two deg-2 centers;
+    # existing edges never appear as candidates
+    got = _lp(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert got == {
+        ("a", "c"): (2, 1_000_000, 2 * AA2),
+        ("b", "d"): (2, 1_000_000, 2 * AA2),
+    }
+
+
+def test_linkpred_triangle_all_adjacent(spark):
+    got = _lp(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert got == {}
+
+
+def test_linkpred_center_degree_cap(spark):
+    import math
+
+    star = [("h", f"x{i}") for i in range(5)]
+    # hub degree 5 > cap 4: enumeration drops it entirely
+    assert _lp(spark, star, max_center_degree=4) == {}
+    got = _lp(spark, star, max_center_degree=5)
+    aa5 = round(1_000_000 / math.log(5))
+    assert len(got) == 10
+    # leaf pair: N(a) u N(b) = {h} -> jaccard 1.0
+    assert all(v == (1, 1_000_000, aa5) for v in got.values())
+    with pytest.raises(ValueError):
+        _lp(spark, star, max_center_degree=1)
+
+
+def test_linkpred_matches_bruteforce(spark):
+    import math
+
+    pairs = [(f"n{i}", f"n{(i * i + 1) % 23}") for i in range(60)]
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    want = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            shared = [z for z in adj[a] & adj[b] if len(adj[z]) >= 2]
+            if not shared:
+                continue
+            cn = len(shared)
+            want[(a, b)] = (
+                cn,
+                cn * 1_000_000 // (len(adj[a]) + len(adj[b]) - cn),
+                sum(round(1_000_000 / math.log(len(adj[z]))) for z in shared),
+            )
+    assert _lp(spark, pairs) == want
+
+
 def test_single_iteration_and_validation(spark):
     df = _edges_df(spark)
     got = {r.node_id: r.rank_micro for r in graph.pagerank(df, iterations=1).collect()}
