@@ -1003,6 +1003,69 @@ def kg_graph_pagerank_table(n_convs: int) -> List[Tuple[str, int, int, int]]:
 
 
 # ---------------------------------------------------------------------------
+# kg_graph_ppr expected table — seed-personalized integer PageRank over the
+# canonicalized KG edge list
+# ---------------------------------------------------------------------------
+
+def ppr_py(
+    pairs: Sequence[Tuple[str, str]],
+    seeds: Sequence[str],
+    iterations: int = 10,
+    damping_pct: int = 85,
+) -> Dict[str, int]:
+    """Independent recomputation of operators/graph.personalized_pagerank:
+    identical integer recurrence — teleport AND dangling mass return to
+    the seed set only."""
+    from collections import Counter, defaultdict
+
+    ps = sorted(set(pairs))
+    out_deg = Counter(a for a, _ in ps)
+    nodes = sorted({a for a, _ in ps} | {b for _, b in ps})
+    seed_set = set(seeds)
+    missing = seed_set - set(nodes)
+    if missing:
+        raise ValueError(f"seeds not in graph: {sorted(missing)}")
+    s = len(seed_set)
+    teleport = ((100 - damping_pct) * 1_000_000) // 100
+    r = {v: (1_000_000 if v in seed_set else 0) for v in nodes}
+    for _ in range(iterations):
+        share = {u: r[u] // out_deg[u] for u in out_deg}
+        inbound: Dict[str, int] = defaultdict(int)
+        for a, b in ps:
+            inbound[b] += share[a]
+        dang = sum(r[v] for v in nodes if v not in out_deg)
+        r = {
+            v: (teleport if v in seed_set else 0)
+            + (
+                damping_pct
+                * (inbound.get(v, 0) + (dang // s if v in seed_set else 0))
+            )
+            // 100
+            for v in nodes
+        }
+    return r
+
+
+def kg_graph_ppr_table(n_convs: int) -> List[Tuple[str, int]]:
+    """(node_id, ppr_micro) over the canonicalized KG edge list of a
+    generate_rows(n_convs) corpus, seeded on the 3 lexicographically
+    smallest node ids (the Spark query derives the same seeds with a
+    bounded sort-limit collect)."""
+    from ..sources.transcripts import generate_rows
+    from .reference_oracle import run_oracle
+
+    res = run_oracle(generate_rows(n_convs), deduplicate_nodes=True)
+    canon = _canon_of(res.canonical_map or {})
+    pairs = sorted(
+        {(canon(e["src"]), canon(e["dst"])) for e in res.edges}
+    )
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    seeds = nodes[:3]
+    ranks = ppr_py(pairs, seeds)
+    return [(v, ranks[v]) for v in sorted(ranks)]
+
+
+# ---------------------------------------------------------------------------
 # tokenize_and_pack expected table (over documents.parquet)
 # ---------------------------------------------------------------------------
 

@@ -3043,6 +3043,40 @@ def kg_graph_triangles_q(spark, sf_dir):
 
 
 # =========================================================================
+# Personalized PageRank: seed-anchored graph-retrieval salience
+# =========================================================================
+
+@xq(
+    "kg_graph_ppr",
+    f"""
+    SELECT node_id, ppr_micro
+    FROM read_parquet('{_pq("kg_graph_ppr")}')
+    """,
+)
+def kg_graph_ppr_q(spark, sf_dir):
+    """Topic-sensitive PageRank (Haveliwala 2002) over the
+    canonicalized KG: random walks restart at a query's entity seed
+    set, so the ranking answers "which nodes matter for THIS query" —
+    the graph-augmented-retrieval reranking step. Seeds here = the 3
+    lexicographically smallest node ids (a bounded sort-limit collect,
+    standing in for a real query's mention set). Twin = precomputed
+    pure-Python replication of the identical integer recurrence."""
+    from ..operators import graph
+
+    res = run_pipeline(
+        spark,
+        transcripts_for(spark, sf_dir),
+        PipelineConfig(deduplicate_nodes=True),
+    )
+    pairs = res.edges.select("src", "dst").dropDuplicates().localCheckpoint()
+    nodes = pairs.select(F.col("src").alias("n")).union(
+        pairs.select(F.col("dst").alias("n"))
+    )
+    seeds = [r.n for r in nodes.distinct().orderBy("n").limit(3).collect()]
+    return graph.personalized_pagerank(pairs, seeds, deduped=True)
+
+
+# =========================================================================
 # Link prediction: structural scores for absent edges
 # =========================================================================
 

@@ -127,6 +127,58 @@ def test_triangle_matches_bruteforce(spark):
     assert (r.n_wedges, r.n_triangles) == (wedges, tris)
 
 
+def test_ppr_matches_python(spark):
+    from context_aware_rag_spark.oracle.precompute import ppr_py
+
+    got = {
+        r.node_id: r.ppr_micro
+        for r in graph.personalized_pagerank(
+            _edges_df(spark), ["a", "h"]
+        ).collect()
+    }
+    assert got == ppr_py(sorted({(s, d) for s, d in EDGES}), ["a", "h"])
+
+
+def test_ppr_mass_anchors_at_seeds(spark):
+    got = {
+        r.node_id: r.ppr_micro
+        for r in graph.personalized_pagerank(_edges_df(spark), ["h"]).collect()
+    }
+    # the walk restarts at h: h outranks everything, and the
+    # disconnected self-loop x (unreachable from h) holds zero mass
+    assert got["h"] == max(got.values())
+    assert got["x"] == 0
+    assert got["a"] > 0  # h -> a edge feeds it
+
+
+def test_ppr_partitioning_invariance(spark):
+    a = {
+        r.node_id: r.ppr_micro
+        for r in graph.personalized_pagerank(
+            _edges_df(spark, parts=1), ["b", "s"]
+        ).collect()
+    }
+    b = {
+        r.node_id: r.ppr_micro
+        for r in graph.personalized_pagerank(
+            _edges_df(spark, parts=7), ["b", "s"]
+        ).collect()
+    }
+    assert a == b
+
+
+def test_ppr_validation(spark):
+    df = _edges_df(spark)
+    with pytest.raises(ValueError):
+        graph.personalized_pagerank(df, [])
+    with pytest.raises(ValueError):
+        graph.personalized_pagerank(df, ["a", "a"])
+    with pytest.raises(ValueError):
+        graph.personalized_pagerank(df, ["a", "NOT_A_NODE"])
+    with pytest.raises(ValueError):
+        graph.personalized_pagerank(df, ["a"], iterations=0)
+
+
 def _lp(spark, pairs, **kw):
     df = spark.createDataFrame(pairs, "src: string, dst: string")
     return {

@@ -105,6 +105,9 @@ SCHEMAS = {
         [("node_id", pa.string()), ("rank_micro", pa.int64()),
          ("out_deg", pa.int64()), ("in_deg", pa.int64())]
     ),
+    "kg_graph_ppr": pa.schema(
+        [("node_id", pa.string()), ("ppr_micro", pa.int64())]
+    ),
     "quality_classifier": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("dot_micro", pa.int64()), ("logit", pa.float64()),
@@ -204,6 +207,8 @@ def main(sf_dirs: list[str]) -> None:
 
         write(out_dir, "kg_graph_pagerank",
               precompute.kg_graph_pagerank_table(n_convs_for(sf_dir)))
+        write(out_dir, "kg_graph_ppr",
+              precompute.kg_graph_ppr_table(n_convs_for(sf_dir)))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
