@@ -3043,6 +3043,68 @@ def kg_graph_triangles_q(spark, sf_dir):
 
 
 # =========================================================================
+# Negative sampling for KG-embedding training
+# =========================================================================
+
+@xq(
+    "kg_negative_samples",
+    """
+    WITH tri AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS src,
+             'placed' AS rel,
+             CAST(o_orderkey AS VARCHAR) AS dst
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    ents AS (
+      SELECT e, row_number() OVER (ORDER BY e) AS idx
+      FROM (SELECT src AS e FROM tri UNION SELECT dst AS e FROM tri)
+    ),
+    n AS (SELECT count(*) AS c FROM ents),
+    attempts AS (
+      SELECT t.src, t.rel, t.dst, sides.side,
+             CAST(rj.j AS INTEGER) AS sample_idx,
+             CAST(concat('0x', substr(md5(concat_ws(chr(31), sides.side,
+                    t.src, t.rel, t.dst, CAST(rj.j AS VARCHAR))), 1, 8))
+                  AS BIGINT) % n.c + 1 AS neg_idx
+      FROM tri t, (VALUES ('src'), ('dst')) sides(side),
+           range(2) rj(j), n
+    ),
+    sampled AS (
+      SELECT a.src, a.rel, a.dst, a.side, a.sample_idx,
+             e.e AS neg_entity
+      FROM attempts a JOIN ents e ON e.idx = a.neg_idx
+      WHERE CASE WHEN a.side = 'src' THEN e.e <> a.src
+                 ELSE e.e <> a.dst END
+    )
+    SELECT s.* FROM sampled s
+    ANTI JOIN tri t
+      ON t.src = CASE WHEN s.side = 'src' THEN s.neg_entity ELSE s.src END
+     AND t.rel = s.rel
+     AND t.dst = CASE WHEN s.side = 'dst' THEN s.neg_entity ELSE s.dst END
+    """,
+)
+def kg_negative_samples_q(spark, sf_dir):
+    """TransE-style filtered negative sampling (Bordes et al. 2013)
+    over a (customer, 'placed', order) triple slice: k md5-derived
+    corruption attempts per triple per side, degenerate and
+    true-triple corruptions dropped. Twin replicates the whole scheme
+    in SQL — Spark and DuckDB md5 agree byte-for-byte, so the sampled
+    entity set matches exactly."""
+    from ..operators import negatives
+
+    tri = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.lit("placed").alias("rel"),
+            F.col("o_orderkey").alias("dst"),
+        )
+    )
+    return negatives.negative_samples(tri, k=2)
+
+
+# =========================================================================
 # Personalized PageRank: seed-anchored graph-retrieval salience
 # =========================================================================
 
