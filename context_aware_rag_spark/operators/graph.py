@@ -350,6 +350,73 @@ def link_prediction_scores(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """The k-core of the undirected simple graph underlying ``edges``:
+    the (unique) maximal subgraph in which every node has degree >= k
+    — the standard dense-region extractor (Seidman 1983), here the
+    "structurally load-bearing entities" filter over a KG.
+
+    Returns (node_id, core_degree): surviving nodes with their degree
+    INSIDE the core.
+
+    Algorithm: iterative peeling — drop all nodes of degree < k,
+    recompute, repeat to fixpoint. Each round is one degree aggregate
+    + two anti-joins against the (usually tiny) peel set, with
+    ``localCheckpoint`` keeping lineage flat and exactly one driver
+    action (the peel-set count, which doubles as the convergence
+    test) — the same fixpoint discipline as the canonicalization CC
+    loop. Round count is bounded by the peel DEPTH (adversarial
+    worst case O(n) on a path; real co-occurrence graphs settle in a
+    handful of cascades); ``max_iter`` defaults to the node count —
+    the true bound — and the loop raises rather than silently
+    returning a non-fixpoint.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+
+    def degrees(und: DataFrame) -> DataFrame:
+        return (
+            und.select(F.col("a").alias("node_id"))
+            .unionAll(und.select(F.col("b").alias("node_id")))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+
+    if max_iter is None:
+        max_iter = max(1, degrees(cur).count())
+    for _ in range(max_iter):
+        deg = degrees(cur).localCheckpoint()
+        low = deg.filter(F.col("core_degree") < k).select("node_id")
+        if low.count() == 0:
+            return deg
+        la = low.select(F.col("node_id").alias("a"))
+        lb = low.select(F.col("node_id").alias("b"))
+        cur = (
+            cur.join(la, "a", "left_anti")
+            .join(lb, "b", "left_anti")
+            .localCheckpoint()
+        )
+    # empty graph: zero iterations of peeling still need a result
+    if degrees(cur).count() == 0:
+        return degrees(cur)
+    raise RuntimeError(f"k_core failed to converge in {max_iter} rounds")
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

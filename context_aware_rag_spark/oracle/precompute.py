@@ -1066,6 +1066,32 @@ def kg_graph_ppr_table(n_convs: int) -> List[Tuple[str, int]]:
 
 
 # ---------------------------------------------------------------------------
+# graph_kcore expected table — k-core peeling over the thresholded supplier
+# co-occurrence graph
+# ---------------------------------------------------------------------------
+
+def k_core_py(
+    pairs: Sequence[Tuple[int, int]], k: int
+) -> List[Tuple[int, int]]:
+    """Independent recomputation of operators/graph.k_core: peel nodes
+    of degree < k to fixpoint; returns sorted (node, core_degree)."""
+    from collections import Counter
+
+    und = {
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    }
+    while True:
+        deg = Counter()
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        low = {v for v, d in deg.items() if d < k}
+        if not low:
+            return sorted(deg.items())
+        und = {(a, b) for a, b in und if a not in low and b not in low}
+
+
+# ---------------------------------------------------------------------------
 # tokenize_and_pack expected table (over documents.parquet)
 # ---------------------------------------------------------------------------
 

@@ -179,6 +179,62 @@ def test_ppr_validation(spark):
         graph.personalized_pagerank(df, ["a"], iterations=0)
 
 
+def _kcore(spark, pairs, k, **kw):
+    df = spark.createDataFrame(pairs, "src: string, dst: string")
+    return {
+        r.node_id: r.core_degree
+        for r in graph.k_core(df, k, **kw).collect()
+    }
+
+
+def test_kcore_path_peels_away(spark):
+    # a path has no 2-core: the ends peel, exposing new ends, until
+    # nothing is left — also exercises cascade depth (5 rounds)
+    path = [(f"p{i}", f"p{i+1}") for i in range(9)]
+    assert _kcore(spark, path, 2) == {}
+    # every node of a path IS in the 1-core
+    assert _kcore(spark, path, 1) == {f"p{i}": (1 if i in (0, 9) else 2)
+                                      for i in range(10)}
+
+
+def test_kcore_cycle_and_pendants(spark):
+    # 2-core of a cycle with pendant chains = exactly the cycle
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    pendants = [("a", "x"), ("x", "y"), ("c", "z")]
+    assert _kcore(spark, cyc + pendants, 2) == {
+        "a": 2, "b": 2, "c": 2, "d": 2
+    }
+
+
+def test_kcore_clique_with_fringe(spark):
+    # K5 plus a fringe node attached to three clique members: the
+    # 4-core keeps only the clique (fringe degree 3 peels, clique
+    # degrees drop back to 4)
+    k5 = [(a, b) for a in "abcde" for b in "abcde" if a < b]
+    fringe = [("f", "a"), ("f", "b"), ("f", "c")]
+    assert _kcore(spark, k5 + fringe, 4) == {c: 4 for c in "abcde"}
+
+
+def test_kcore_matches_python(spark):
+    from context_aware_rag_spark.oracle.precompute import k_core_py
+
+    pairs = [(f"n{i}", f"n{(i * i + 1) % 23}") for i in range(60)]
+    for k in (2, 3, 4):
+        want = dict(k_core_py(pairs, k))
+        assert _kcore(spark, pairs, k) == want
+
+
+def test_kcore_validation_and_max_iter(spark):
+    df = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    with pytest.raises(ValueError):
+        graph.k_core(df, 0)
+    # insufficient iteration budget on a deep cascade raises
+    path = [(f"p{i}", f"p{i+1}") for i in range(9)]
+    pdf = spark.createDataFrame(path, "src: string, dst: string")
+    with pytest.raises(RuntimeError):
+        graph.k_core(pdf, 2, max_iter=2)
+
+
 def _lp(spark, pairs, **kw):
     df = spark.createDataFrame(pairs, "src: string, dst: string")
     return {

@@ -108,6 +108,9 @@ SCHEMAS = {
     "kg_graph_ppr": pa.schema(
         [("node_id", pa.string()), ("ppr_micro", pa.int64())]
     ),
+    "graph_kcore": pa.schema(
+        [("node_id", pa.int64()), ("core_degree", pa.int64())]
+    ),
     "quality_classifier": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("dot_micro", pa.int64()), ("logit", pa.float64()),
@@ -209,6 +212,26 @@ def main(sf_dirs: list[str]) -> None:
               precompute.kg_graph_pagerank_table(n_convs_for(sf_dir)))
         write(out_dir, "kg_graph_ppr",
               precompute.kg_graph_ppr_table(n_convs_for(sf_dir)))
+
+        # thresholded supplier co-occurrence graph (same SQL shape as
+        # the kg_graph_triangles / kg_link_prediction twins but at the
+        # sparser >= 28 gate so the core is PROPER: 63 of 100 nodes
+        # survive a real multi-round cascade), peeled by the
+        # pure-Python fixpoint
+        supp_pairs = con.execute(
+            f"""
+            SELECT a, b FROM (
+              SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+                     count(DISTINCT x.l_orderkey) AS n_orders
+              FROM read_parquet('{sf_dir}/lineitem.parquet') x
+              JOIN read_parquet('{sf_dir}/lineitem.parquet') y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_suppkey < y.l_suppkey
+              GROUP BY 1, 2
+            ) WHERE n_orders >= 28
+            """
+        ).fetchall()
+        write(out_dir, "graph_kcore", precompute.k_core_py(supp_pairs, k=12))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
