@@ -1,0 +1,109 @@
+"""Deterministic random-walk corpus generation over the KG.
+
+DeepWalk / node2vec (Perozzi et al. 2014; Grover & Leskovec 2016)
+train node embeddings on a corpus of short random walks — the
+graph-structured analogue of the text corpus a language model trains
+on. This operator is that corpus generator, distributed: ``w`` walks
+of length ``<= L`` from every node, following directed edges.
+
+Determinism: the "random" next hop at step t of walk (start, wid) is
+md5-derived — first 32 bits of md5 over a chr(31)-joined
+(start, wid, t) key, mod the current node's out-degree — so any
+cluster size, partitioning, or replay emits the identical walk
+corpus, and a DuckDB recursive-CTE twin reproduces it exactly (the
+portable-hash discipline of operators/sampling.py).
+
+100 TB shape: the neighbor table gets a per-source neighbor index
+once (one window sort per adjacency list); each step is then ONE
+equi-join of the walk frontier against (node, slot) — hash
+partitioned, no fan-out, frontier size monotonically non-increasing
+(walks die at sinks). L steps = L narrow joins, each localCheckpointed
+so lineage stays flat. Hub adjacency lists sort within one task
+(O(d log d) per hub) — acceptable for real degree distributions;
+a 10^8-degree pathology would call for the two-phase global_index
+per source, which the docstring notes rather than pre-pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+def _md5_u32(col):
+    """First 32 bits of md5 as an unsigned integer — identical in
+    DuckDB as CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Walk corpus as flat rows (start, walk_id, pos, node).
+
+    Every distinct node starts ``walks_per_node`` walks (walk_id in
+    [0, w)); position 0 is the start itself; each subsequent hop
+    follows the md5-selected out-edge of the current node. A walk
+    ends early at a sink (no out-edges) — shorter walks are emitted
+    as-is, never padded or resampled.
+    """
+    if walk_length < 1:
+        raise ValueError(f"need walk_length >= 1, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"need walks_per_node >= 1, got {walks_per_node}")
+    pairs = (
+        edges.select(
+            F.col(src).cast("string").alias("s"),
+            F.col(dst).cast("string").alias("d"),
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    adj = pairs.select(
+        "s",
+        "d",
+        F.row_number().over(Window.partitionBy("s").orderBy("d")).alias("slot"),
+    ).localCheckpoint()
+    deg = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
+    starts = (
+        pairs.select(F.col("s").alias("node"))
+        .union(pairs.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    cur = starts.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("walk_id"),
+        F.lit(0).alias("pos"),
+        "node",
+    ).localCheckpoint()
+    out = cur
+    for t in range(walk_length - 1):
+        hop = F.pmod(
+            _md5_u32(
+                F.concat_ws(
+                    SEP, "start", F.col("walk_id").cast("string"), F.lit(str(t))
+                )
+            ),
+            F.col("out_deg"),
+        )
+        cur = (
+            cur.join(deg, deg.s == cur.node)  # inner: sinks end the walk
+            .withColumn("slot", (hop + 1).cast("int"))
+            .join(adj, ["s", "slot"])
+            .select(
+                "start", "walk_id",
+                (F.col("pos") + 1).alias("pos"),
+                F.col("d").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionAll(cur)
+    return out
