@@ -107,3 +107,39 @@ def random_walks(
         )
         out = out.unionAll(cur)
     return out
+
+
+def skipgram_pairs(
+    walk_rows: DataFrame, window: int = 2
+) -> DataFrame:
+    """(center, context, offset) training pairs from a walk corpus —
+    the skip-gram extraction step of DeepWalk/word2vec (Mikolov et
+    al. 2013): within each walk, every ordered node pair at distance
+    1..window becomes one example; ``offset`` = context_pos -
+    center_pos (negative = context precedes center).
+
+    Input is :func:`random_walks` output (start, walk_id, pos, node).
+    One self-equi-join on the walk key with the bounded |pos| window
+    as a post-filter — cost is walks x L x 2w examples, linear in the
+    corpus; the join key (start, walk_id) is perfectly uniform by
+    construction, so no skew story is even needed."""
+    if window < 1:
+        raise ValueError(f"need window >= 1, got {window}")
+    a, b = walk_rows.alias("a"), walk_rows.alias("b")
+    off = F.col("b.pos") - F.col("a.pos")
+    return (
+        a.join(
+            b,
+            (F.col("a.start") == F.col("b.start"))
+            & (F.col("a.walk_id") == F.col("b.walk_id")),
+        )
+        .filter((off != 0) & (F.abs(off) <= window))
+        .select(
+            F.col("a.node").alias("center"),
+            F.col("b.node").alias("context"),
+            off.alias("offset"),
+            F.col("a.start").alias("start"),
+            F.col("a.walk_id").alias("walk_id"),
+            F.col("a.pos").alias("center_pos"),
+        )
+    )

@@ -3091,6 +3091,94 @@ def kg_graph_triangles_q(spark, sf_dir):
     SELECT start, walk_id, pos, node FROM walk
     """,
 )
+
+# =========================================================================
+# Skip-gram pairs from the walk corpus
+# =========================================================================
+
+@xq(
+    "kg_walk_skipgrams",
+    """
+    WITH RECURSIVE
+    -- DISTINCT-over-UNION-ALL instead of UNION: DuckDB 1.0 drops a
+    -- UNION's implicit dedup when the CTE is inlined into a recursive
+    -- base term (reproduced; the explicit DISTINCT survives)
+    edges AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT 'c:' || o_custkey AS s, 'o:' || o_orderkey AS d
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT 'o:' || l_orderkey, 's:' || l_suppkey
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL
+        SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+      )
+    ),
+    adj AS (
+      SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS slot
+      FROM edges
+    ),
+    deg AS (SELECT s, count(*) AS out_deg FROM edges GROUP BY s),
+    starts AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM edges UNION ALL SELECT d AS node FROM edges
+      )
+    ),
+    walk(start, walk_id, pos, node) AS (
+      SELECT node, CAST(w.j AS INTEGER), 0, node
+      FROM starts, range(2) w(j)
+      UNION ALL
+      SELECT wk.start, wk.walk_id, wk.pos + 1, a.d
+      FROM walk wk
+      JOIN deg ON deg.s = wk.node
+      JOIN adj a ON a.s = wk.node
+       AND a.slot = CAST(concat('0x', substr(md5(concat_ws(chr(31),
+             wk.start, CAST(wk.walk_id AS VARCHAR),
+             CAST(wk.pos AS VARCHAR))), 1, 8)) AS BIGINT)
+             % deg.out_deg + 1
+      WHERE wk.pos < 3
+    )
+    SELECT a.node AS center, b.node AS context,
+           b.pos - a.pos AS "offset",
+           a.start, a.walk_id, a.pos AS center_pos
+    FROM walk a JOIN walk b
+      ON a.start = b.start AND a.walk_id = b.walk_id
+    WHERE a.pos <> b.pos AND abs(b.pos - a.pos) <= 2
+    """,
+)
+def kg_walk_skipgrams_q(spark, sf_dir):
+    """The node-embedding training pairs themselves: skip-gram
+    extraction (window 2) over the kg_random_walks corpus — one
+    bounded self-join on the walk key. Twin = the same recursive walk
+    replay plus the identical pair join."""
+    from ..operators import walks
+
+    orders_e = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+        )
+    )
+    li_e = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    supp_e = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    edges = orders_e.unionAll(li_e).unionAll(supp_e)
+    corpus = walks.random_walks(
+        edges, walk_length=4, walks_per_node=2
+    ).localCheckpoint()
+    return walks.skipgram_pairs(corpus, window=2)
+
 def kg_random_walks_q(spark, sf_dir):
     """DeepWalk-style walk-corpus generation (Perozzi et al. 2014)
     over a heterogeneous customer->order->supplier->nation KG: 2

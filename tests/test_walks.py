@@ -78,6 +78,32 @@ def test_walk_length_one_is_just_starts(spark):
     assert got == {(n, w, 0, n) for n in nodes for w in range(3)}
 
 
+def test_skipgram_pairs(spark):
+    rows = [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"),
+            ("a", 0, 3, "d"), ("z", 1, 0, "z"), ("z", 1, 1, "a")]
+    df = spark.createDataFrame(
+        rows, "start: string, walk_id: int, pos: int, node: string"
+    )
+    got = {
+        (r.center, r.context, r.offset, r.start, r.walk_id, r.center_pos)
+        for r in walks.skipgram_pairs(df, window=2).collect()
+    }
+    want = set()
+    by_walk = {}
+    for start, wid, pos, node in rows:
+        by_walk.setdefault((start, wid), []).append((pos, node))
+    for (start, wid), steps in by_walk.items():
+        for p1, n1 in steps:
+            for p2, n2 in steps:
+                if p1 != p2 and abs(p2 - p1) <= 2:
+                    want.add((n1, n2, p2 - p1, start, wid, p1))
+    assert got == want
+    # the 4-step walk with window 2: pairs at offsets +-1, +-2 only
+    assert ("a", "d", 3, "a", 0, 0) not in got
+    with pytest.raises(ValueError):
+        walks.skipgram_pairs(df, window=0)
+
+
 def test_validation(spark):
     df = _df(spark)
     with pytest.raises(ValueError):
