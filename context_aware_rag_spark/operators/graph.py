@@ -100,58 +100,109 @@ def pagerank(
         raise ValueError(f"need iterations >= 1, got {iterations}")
     if not (0 < damping_pct < 100):
         raise ValueError(f"need 0 < damping_pct < 100, got {damping_pct}")
-    # deduped=True: the caller hands in an already-distinct,
-    # already-materialized pair frame (shared with degree_stats) — skip
-    # the dedup shuffle and the redundant checkpoint
-    pairs = (
-        edges.select(src, dst)
-        if deduped
-        else edges.select(src, dst).dropDuplicates().localCheckpoint()
-    )
-    out_deg = (
-        pairs.groupBy(F.col(src).alias("node_id"))
-        .agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint()
+    pairs = _pin_pairs(edges, src, dst, deduped)
+    state = _pagerank_state(pairs, src, dst)
+    n = state.count()
+    if n == 0:
+        pairs.unpersist()
+        return state.select("node_id", F.lit(0).cast("long").alias("rank_micro"))
+    teleport = ((100 - damping_pct) * MICRO) // 100
+    # per iteration exactly ONE edge-sized exchange — the (dst, share)
+    # combine feeding groupBy(dst); the pairs⋈shares join reuses pairs'
+    # pinned src partitioning (shares, node-sized, shuffles to match).
+    # The edge list itself never moves again.
+    for _ in range(iterations):
+        state = _pagerank_step(
+            state, pairs, src, dst, n, teleport, damping_pct
+        ).localCheckpoint()
+    # every iteration's localCheckpoint is eager, so the final state is
+    # already materialized — the cache can go
+    pairs.unpersist()
+    return state.select("node_id", F.col("r").alias("rank_micro"))
+
+
+def _pin_pairs(
+    edges: DataFrame, src: str, dst: str, deduped: bool
+) -> DataFrame:
+    """Distinct (src, dst) pairs, pre-partitioned by src ONCE and
+    pinned, so every iteration's contribution join reuses this
+    partitioning — the edge list (the 100 TB side) never re-shuffles.
+
+    persist(), NOT localCheckpoint(): under AQE a checkpoint captures
+    UnknownPartitioning and the pin is silently lost, while a cached
+    plan keeps its output partitioning
+    (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning defaults
+    false). Plan-asserted in tests/test_plans.py. ``deduped=True``
+    declares the input already distinct (shared with degree_stats) and
+    skips the dedup shuffle."""
+    base = edges.select(src, dst)
+    if not deduped:
+        base = base.dropDuplicates()
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return base.repartition(p, F.col(src)).persist()
+
+
+def _pagerank_state(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Initial rank state (node_id, out_deg, r=MICRO). out_deg is
+    STATIC: folded into the state once so the per-iteration share
+    computation is a narrow map, never a join (dangling nodes carry
+    NULL out_deg — the dangling term becomes a filter-agg)."""
+    p = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out_deg = pairs.groupBy(F.col(src).alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
     )
     nodes = (
         pairs.select(F.col(src).alias("node_id"))
         .union(pairs.select(F.col(dst).alias("node_id")))
         .distinct()
+    )
+    return (
+        nodes.join(out_deg, "node_id", "left")
+        .repartition(p, F.col("node_id"))
+        .select("node_id", "out_deg", F.lit(MICRO).cast("long").alias("r"))
         .localCheckpoint()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node_id", F.lit(0).cast("long").alias("rank_micro"))
-    teleport = ((100 - damping_pct) * MICRO) // 100
-    ranks = nodes.select("node_id", F.lit(MICRO).cast("long").alias("r"))
-    for _ in range(iterations):
-        shares = ranks.join(out_deg, "node_id").select(
-            "node_id", F.expr("r div out_deg").alias("share")
+
+
+def _pagerank_step(
+    state: DataFrame,
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    n: int,
+    teleport: int,
+    damping_pct: int,
+) -> DataFrame:
+    """One un-checkpointed PageRank iteration over the folded state —
+    factored out so the plan shape (single wide exchange) is testable."""
+    shares = state.filter(F.col("out_deg").isNotNull()).select(
+        "node_id", F.expr("r div out_deg").alias("share")
+    )
+    contrib = (
+        pairs.join(shares, pairs[src] == shares.node_id)
+        .groupBy(F.col(dst).alias("node_id"))
+        .agg(F.sum("share").alias("inbound"))
+    )
+    dang = (
+        state.filter(F.col("out_deg").isNull())
+        .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+    )
+    return (
+        state.select("node_id", "out_deg")
+        .join(contrib, "node_id", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node_id",
+            "out_deg",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_pct} * (coalesce(inbound, 0L) + dang div {n})) div 100"
+                )
+            ).cast("long").alias("r"),
         )
-        contrib = (
-            pairs.join(shares, pairs[src] == shares.node_id)
-            .groupBy(F.col(dst).alias("node_id"))
-            .agg(F.sum("share").alias("inbound"))
-        )
-        dang = (
-            ranks.join(out_deg, "node_id", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
-        )
-        ranks = (
-            nodes.join(contrib, "node_id", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node_id",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(inbound, 0L) + dang div {n})) div 100"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint()
-        )
-    return ranks.select("node_id", F.col("r").alias("rank_micro"))
+    )
 
 
 def personalized_pagerank(
@@ -193,43 +244,44 @@ def personalized_pagerank(
         raise ValueError("need at least one seed")
     if len(set(seeds)) != len(seeds):
         raise ValueError("duplicate seeds")
-    pairs = (
-        edges.select(src, dst)
-        if deduped
-        else edges.select(src, dst).dropDuplicates().localCheckpoint()
-    )
-    out_deg = (
-        pairs.groupBy(F.col(src).alias("node_id"))
-        .agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint()
-    )
+    # same single-edge-shuffle-per-iteration shape as pagerank(): edges
+    # pinned on src once (see _pin_pairs), static (out_deg, is_seed)
+    # folded into the rank state, dangling term a filter-agg
+    pairs = _pin_pairs(edges, src, dst, deduped)
     spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out_deg = pairs.groupBy(F.col(src).alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
     seed_df = spark.createDataFrame(
         [(s,) for s in seeds], ["node_id"]
     ).withColumn("is_seed", F.lit(True))
-    nodes = (
+    state = (
         pairs.select(F.col(src).alias("node_id"))
         .union(pairs.select(F.col(dst).alias("node_id")))
         .distinct()
         .join(F.broadcast(seed_df), "node_id", "left")
-        .select("node_id", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        .join(out_deg, "node_id", "left")
+        .repartition(p, F.col("node_id"))
+        .select(
+            "node_id",
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+            "out_deg",
+            F.when(F.coalesce("is_seed", F.lit(False)), F.lit(MICRO))
+            .otherwise(F.lit(0)).cast("long").alias("r"),
+        )
         .localCheckpoint()
     )
-    n_seeds_present = nodes.filter("is_seed").count()
+    n_seeds_present = state.filter("is_seed").count()
     if n_seeds_present != len(seeds):
+        pairs.unpersist()
         raise ValueError(
             f"{len(seeds) - n_seeds_present} seed(s) not present in the graph"
         )
     s = len(seeds)
     teleport = ((100 - damping_pct) * MICRO) // 100
-    ranks = nodes.select(
-        "node_id",
-        "is_seed",
-        F.when(F.col("is_seed"), F.lit(MICRO)).otherwise(F.lit(0))
-        .cast("long").alias("r"),
-    )
     for _ in range(iterations):
-        shares = ranks.join(out_deg, "node_id").select(
+        shares = state.filter(F.col("out_deg").isNotNull()).select(
             "node_id", F.expr("r div out_deg").alias("share")
         )
         contrib = (
@@ -238,15 +290,17 @@ def personalized_pagerank(
             .agg(F.sum("share").alias("inbound"))
         )
         dang = (
-            ranks.join(out_deg, "node_id", "left_anti")
+            state.filter(F.col("out_deg").isNull())
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
         )
-        ranks = (
-            nodes.join(contrib, "node_id", "left")
+        state = (
+            state.select("node_id", "is_seed", "out_deg")
+            .join(contrib, "node_id", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node_id",
                 "is_seed",
+                "out_deg",
                 (
                     F.when(F.col("is_seed"), F.lit(teleport)).otherwise(F.lit(0))
                     + F.expr(
@@ -257,7 +311,8 @@ def personalized_pagerank(
             )
             .localCheckpoint()
         )
-    return ranks.select("node_id", F.col("r").alias("ppr_micro"))
+    pairs.unpersist()
+    return state.select("node_id", F.col("r").alias("ppr_micro"))
 
 
 def link_prediction_scores(

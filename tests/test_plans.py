@@ -82,6 +82,62 @@ def _band_exchanges(plan: str) -> list:
     ]
 
 
+def _exec_nodes(plan):
+    """Walk a physical SparkPlan tree via py4j (children(), a Scala
+    Seq). InMemoryTableScan is a leaf here, so a cached subtree's own
+    exchanges are naturally excluded — exactly the point."""
+    out = [plan]
+    ch = plan.children()
+    for i in range(ch.length()):
+        out.extend(_exec_nodes(ch.apply(i)))
+    return out
+
+
+def test_pagerank_step_single_edge_shuffle(spark):
+    """graph.pagerank pins the edge list on src via persist() (NOT
+    localCheckpoint — AQE drops checkpoint partitioning); one iteration
+    must then contain ZERO shuffles of the edge list itself and exactly
+    ONE edge-count-sized exchange: the narrow (dst, share) combine.
+    Asserted with broadcast joins disabled (the 100 TB shape, where
+    neither side fits in memory) and AQE off for the step query so the
+    executed plan is a plain walkable tree."""
+    from context_aware_rag_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(120)],
+        ["src", "dst"],
+    )
+    pairs = graph._pin_pairs(edges, "src", "dst", deduped=False)
+    state = graph._pagerank_state(pairs, "src", "dst")
+    overrides = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        step = graph._pagerank_step(
+            state, pairs, "src", "dst", 40, 150_000, 85
+        )
+        shuffles = [
+            n.outputPartitioning().toString()
+            for n in _exec_nodes(step._jdf.queryExecution().executedPlan())
+            if n.getClass().getSimpleName() == "ShuffleExchangeExec"
+        ]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        pairs.unpersist()
+    on_src = [s for s in shuffles if "src" in s]
+    on_dst = [s for s in shuffles if "dst" in s]
+    assert not on_src, f"edge list re-shuffled: {shuffles}"
+    assert len(on_dst) == 1, f"expected one (dst, share) combine: {shuffles}"
+    # everything else is node-sized (the rank vector) or scalar (the
+    # dangling-mass agg) — never the edge list
+    assert len(shuffles) <= 4, shuffles
+
+
 def test_lsh_banded_exchanges_exclude_embeddings(spark):
     """Narrow-shuffle discipline (VERDICT r2 item 4, generalized): every
     LSH-banded self-join — entity similarity pairs AND the chunk-KNN
