@@ -27,7 +27,7 @@ map-side-combined aggs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -551,3 +551,165 @@ def triangle_count(
         .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
     return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+def pmi_edges(
+    occurrences: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_group_size: int = 1000,
+) -> DataFrame:
+    """Pointwise-mutual-information weights for the co-occurrence edge
+    list — the statistical upgrade of the raw mention-cooccurrence
+    edges the canonicalization connected-components run on (reference
+    builds its entity graph from unweighted co-mentions,
+    graph_extraction.py; PMI separates "co-occur because both are
+    frequent" from "co-occur because they are related").
+
+    One row per unordered item pair (a < b) co-occurring in at least
+    ``min_pair_count`` groups:
+      pmi_micro = round(1e6 * (ln n_ab + ln N - ln n_a - ln n_b))
+    with N = number of distinct groups. The log-sum form (not
+    ln(n_ab*N/(n_a*n_b))) keeps every intermediate in double range at
+    any scale — integer products of corpus-scale counts would overflow
+    int64. Each term is evaluated left-to-right identically in any
+    engine, so the rounded micro value is portable.
+
+    100 TB shape: pair enumeration is confined WITHIN groups (one
+    self-join keyed on the group), so cost is sum over groups of
+    C(m, 2); ``max_group_size`` drops degenerate hub groups from
+    enumeration (same default-on truncation discipline as df_cap /
+    max_center_degree) while item counts and N stay exact. Item-count
+    attachment is two 1-row-per-item joins after aggregation.
+    """
+    if min_pair_count < 1:
+        raise ValueError(f"need min_pair_count >= 1, got {min_pair_count}")
+    if max_group_size < 2:
+        raise ValueError(f"need max_group_size >= 2, got {max_group_size}")
+    occ = (
+        occurrences.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("i")
+        )
+        .dropDuplicates(["g", "i"])
+        .localCheckpoint()
+    )
+    sizes = occ.groupBy("g").agg(F.count(F.lit(1)).alias("_m"))
+    eligible = occ.join(
+        sizes.filter(F.col("_m") <= max_group_size).select("g"), "g"
+    )
+    x, y = eligible.alias("x"), eligible.alias("y")
+    pair_counts = (
+        x.join(y, (F.col("x.g") == F.col("y.g")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(F.col("x.i").alias("a"), F.col("y.i").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    item_counts = occ.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    n_groups = occ.select(
+        F.countDistinct("g").cast("double").alias("_n_groups")
+    )
+    na = item_counts.select(F.col("i").alias("a"), F.col("n_i").alias("n_a"))
+    nb = item_counts.select(F.col("i").alias("b"), F.col("n_i").alias("n_b"))
+    pmi = (
+        F.log(F.col("n_ab").cast("double"))
+        + F.log(F.col("_n_groups"))
+        - F.log(F.col("n_a").cast("double"))
+        - F.log(F.col("n_b").cast("double"))
+    )
+    return (
+        pair_counts.join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.lit(1_000_000) * pmi).cast("long").alias("pmi_micro"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, made order-independent): community detection over the
+    undirected simple graph underlying ``edges`` — the cheap
+    community signal for entity neighborhoods that the reference
+    delegates to its graph-DB plugin.
+
+    Every node starts labeled with itself; each round, every node
+    adopts the label that is most frequent among its neighbors, ties
+    broken by MINIMUM label — a total order per node, so the sweep is
+    deterministic regardless of partitioning (classic async LPA is
+    visit-order dependent; the synchronous min-tie-break variant
+    trades a little convergence speed for reproducibility).
+    Synchronous LPA can 2-cycle on bipartite structure, so the loop is
+    bounded by ``max_iter`` and also stops early at a fixpoint.
+
+    Returns (node_id, label, n_iter) where label is the community
+    representative and n_iter the rounds actually run.
+
+    100 TB shape: per round, ONE edge-sized shuffle — the
+    neighbor-label gather joins labels (node-sized, hash-partitioned
+    on node) to the symmetric adjacency, then a map-side-combined
+    (node, label) count and a per-node window max. Label state is
+    localCheckpointed per round (bounded lineage, same discipline as
+    :func:`pagerank`); convergence costs one count action per round on
+    the changed-rows frame.
+    """
+    if max_iter < 1:
+        raise ValueError(f"need max_iter >= 1, got {max_iter}")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sym = und.select(F.col("a").alias("n"), F.col("b").alias("z")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("z"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("n").alias("node_id"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint()
+    )
+    pick = Window.partitionBy("n").orderBy(
+        F.col("cnt").desc(), F.col("nbr_label").asc()
+    )
+    n_iter = 0
+    for _ in range(max_iter):
+        n_iter += 1
+        nbr = sym.join(
+            labels.select(
+                F.col("node_id").alias("z"), F.col("label").alias("nbr_label")
+            ),
+            "z",
+        )
+        new_labels = (
+            nbr.groupBy("n", "nbr_label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("n").alias("node_id"), F.col("nbr_label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "node_id")
+            .filter(F.col("x.label") != F.col("y.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node_id", "label", F.lit(n_iter).alias("n_iter"))

@@ -1214,3 +1214,32 @@ def _pq_encode_py(mat: "np.ndarray", books) -> "np.ndarray":
         )
         cols.append(np.argmin(d, axis=1).astype("int32"))
     return np.stack(cols, axis=1)
+
+
+def lpa_py(
+    pairs: Sequence[Tuple[int, int]], max_iter: int = 10
+) -> List[Tuple[int, int, int]]:
+    """Independent recomputation of operators/graph.label_propagation:
+    deterministic synchronous LPA, min-label tie-break, early stop at
+    fixpoint. Returns sorted (node, label, n_iter)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {n: n for n in adj}
+    n_iter = 0
+    for _ in range(max_iter):
+        n_iter += 1
+        new = {}
+        for n in adj:
+            counts = Counter(labels[z] for z in adj[n])
+            top = max(counts.values())
+            new[n] = min(lbl for lbl, c in counts.items() if c == top)
+        changed = new != labels
+        labels = new
+        if not changed:
+            break
+    return sorted((n, lbl, n_iter) for n, lbl in labels.items())

@@ -3043,56 +3043,6 @@ def kg_graph_triangles_q(spark, sf_dir):
 
 
 # =========================================================================
-# Random-walk corpus for node-embedding training
-# =========================================================================
-
-@xq(
-    "kg_random_walks",
-    """
-    WITH RECURSIVE
-    -- DISTINCT-over-UNION-ALL instead of UNION: DuckDB 1.0 drops a
-    -- UNION's implicit dedup when the CTE is inlined into a recursive
-    -- base term (reproduced; the explicit DISTINCT survives)
-    edges AS (
-      SELECT DISTINCT s, d FROM (
-        SELECT 'c:' || o_custkey AS s, 'o:' || o_orderkey AS d
-        FROM orders WHERE o_orderkey % 100 = 0
-        UNION ALL
-        SELECT 'o:' || l_orderkey, 's:' || l_suppkey
-        FROM lineitem WHERE l_orderkey % 100 = 0
-        UNION ALL
-        SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
-      )
-    ),
-    adj AS (
-      SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS slot
-      FROM edges
-    ),
-    deg AS (SELECT s, count(*) AS out_deg FROM edges GROUP BY s),
-    starts AS (
-      SELECT DISTINCT node FROM (
-        SELECT s AS node FROM edges UNION ALL SELECT d AS node FROM edges
-      )
-    ),
-    walk(start, walk_id, pos, node) AS (
-      SELECT node, CAST(w.j AS INTEGER), 0, node
-      FROM starts, range(2) w(j)
-      UNION ALL
-      SELECT wk.start, wk.walk_id, wk.pos + 1, a.d
-      FROM walk wk
-      JOIN deg ON deg.s = wk.node
-      JOIN adj a ON a.s = wk.node
-       AND a.slot = CAST(concat('0x', substr(md5(concat_ws(chr(31),
-             wk.start, CAST(wk.walk_id AS VARCHAR),
-             CAST(wk.pos AS VARCHAR))), 1, 8)) AS BIGINT)
-             % deg.out_deg + 1
-      WHERE wk.pos < 3
-    )
-    SELECT start, walk_id, pos, node FROM walk
-    """,
-)
-
-# =========================================================================
 # Skip-gram pairs from the walk corpus
 # =========================================================================
 
@@ -3179,6 +3129,55 @@ def kg_walk_skipgrams_q(spark, sf_dir):
     ).localCheckpoint()
     return walks.skipgram_pairs(corpus, window=2)
 
+# =========================================================================
+# Random-walk corpus for node-embedding training
+# =========================================================================
+
+@xq(
+    "kg_random_walks",
+    """
+    WITH RECURSIVE
+    -- DISTINCT-over-UNION-ALL instead of UNION: DuckDB 1.0 drops a
+    -- UNION's implicit dedup when the CTE is inlined into a recursive
+    -- base term (reproduced; the explicit DISTINCT survives)
+    edges AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT 'c:' || o_custkey AS s, 'o:' || o_orderkey AS d
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT 'o:' || l_orderkey, 's:' || l_suppkey
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL
+        SELECT 's:' || s_suppkey, 'n:' || s_nationkey FROM supplier
+      )
+    ),
+    adj AS (
+      SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) AS slot
+      FROM edges
+    ),
+    deg AS (SELECT s, count(*) AS out_deg FROM edges GROUP BY s),
+    starts AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM edges UNION ALL SELECT d AS node FROM edges
+      )
+    ),
+    walk(start, walk_id, pos, node) AS (
+      SELECT node, CAST(w.j AS INTEGER), 0, node
+      FROM starts, range(2) w(j)
+      UNION ALL
+      SELECT wk.start, wk.walk_id, wk.pos + 1, a.d
+      FROM walk wk
+      JOIN deg ON deg.s = wk.node
+      JOIN adj a ON a.s = wk.node
+       AND a.slot = CAST(concat('0x', substr(md5(concat_ws(chr(31),
+             wk.start, CAST(wk.walk_id AS VARCHAR),
+             CAST(wk.pos AS VARCHAR))), 1, 8)) AS BIGINT)
+             % deg.out_deg + 1
+      WHERE wk.pos < 3
+    )
+    SELECT start, walk_id, pos, node FROM walk
+    """,
+)
 def kg_random_walks_q(spark, sf_dir):
     """DeepWalk-style walk-corpus generation (Perozzi et al. 2014)
     over a heterogeneous customer->order->supplier->nation KG: 2
@@ -3520,3 +3519,188 @@ def training_data_pipeline_q(spark, sf_dir):
         .join(kept, "doc_id")
     )
     return tokenize.tokenize_and_pack(selected, max_tokens=256)
+
+
+# =========================================================================
+# TF-IDF keyword extraction (corpus statistics for doc summarization)
+# =========================================================================
+
+@xq(
+    "tfidf_keywords",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             CAST(round(1000000 * ln(n.n / df.df)) AS BIGINT) AS idf_micro
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf, idf_micro,
+             tf * idf_micro AS score_micro,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * idf_micro DESC, token ASC) AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, idf_micro, score_micro, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_keywords_q(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — exact corpus-wide idf in
+    integer micro-nats; the df table is derived from the tf frame (one
+    token scan total) and corpus size N attaches as a broadcast 1-row
+    crossJoin, no driver action."""
+    return textmetrics.tfidf_keywords(
+        load(spark, sf_dir, "documents"), top_k=3
+    ).select("doc_id", "token", "tf", "idf_micro", "score_micro", "rk")
+
+
+# =========================================================================
+# PMI-weighted co-occurrence edges (statistical edge weighting)
+# =========================================================================
+
+@xq(
+    "kg_pmi_edges",
+    """
+    WITH occ AS (
+      SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+      FROM occ x JOIN occ y ON x.g = y.g AND x.i < y.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 20
+    ),
+    items AS (SELECT i, count(*) AS n_i FROM occ GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM occ)
+    SELECT p.a, p.b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+           CAST(round(1000000 * (ln(CAST(p.n_ab AS DOUBLE)) + ln(n.n)
+                - ln(CAST(ia.n_i AS DOUBLE)) - ln(CAST(ib.n_i AS DOUBLE))))
+                AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN items ia ON p.a = ia.i
+    JOIN items ib ON p.b = ib.i
+    CROSS JOIN n
+    """,
+)
+def kg_pmi_edges_q(spark, sf_dir):
+    """PMI weights over the supplier co-occurrence graph (orders as
+    co-occurrence groups, >= 20 shared orders): the statistical
+    upgrade of the raw co-mention edge list the canonicalization CC
+    runs on. Log-sum form keeps intermediates in double range at any
+    corpus size; micro-rounding makes the weight an exact integer."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    return graph.pmi_edges(
+        li.select(
+            F.col("l_orderkey").alias("g"), F.col("l_suppkey").alias("i")
+        ),
+        "g",
+        "i",
+        min_pair_count=20,
+    )
+
+
+# =========================================================================
+# Keyed snapshot diff (incremental graph materialization delta)
+# =========================================================================
+
+@xq(
+    "kg_snapshot_diff",
+    """
+    WITH old_snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 != 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 13 != 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def kg_snapshot_diff_q(spark, sf_dir):
+    """Row-level delta between two simulated materialization epochs of
+    the orders table (mod-11 rows absent from the old epoch, mod-13
+    rows deleted in the new, mod-7 statuses rewritten): the
+    incremental-materialize primitive — downstream cost scales with
+    churn, not table size. One full-outer sort-merge join."""
+    from ..operators.diff import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+# =========================================================================
+# Label-propagation communities over the supplier co-occurrence graph
+# =========================================================================
+
+@xq(
+    "kg_graph_lpa",
+    f"""
+    SELECT node_id, label, n_iter
+    FROM read_parquet('{_pq("graph_lpa")}')
+    """,
+)
+def kg_graph_lpa_q(spark, sf_dir):
+    """Deterministic synchronous label propagation (min-label
+    tie-break) over the >= 35-gated supplier co-occurrence graph — 63
+    nodes split into 26 communities, and the run exercises the
+    max_iter bound (synchronous LPA 2-cycles on bipartite fragments).
+    Twin = precomputed pure-Python replication of the identical
+    sweep."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 35)
+        .select("src", "dst")
+    )
+    return graph.label_propagation(pairs, max_iter=10)

@@ -1,0 +1,210 @@
+"""Unit tests: tfidf_keywords, pmi_edges, snapshot_diff,
+label_propagation — this session's corpus-statistics / incremental /
+community additions, each checked against small hand-computed or
+pure-Python expectations (the SQL/precomputed twins live in
+entry_queries and are swept by test_entry_contract)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.operators import graph, textmetrics
+from context_aware_rag_spark.operators.diff import snapshot_diff
+from context_aware_rag_spark.oracle.precompute import lpa_py
+
+
+# ---------------------------------------------------------------------------
+# tfidf_keywords
+# ---------------------------------------------------------------------------
+
+class TestTfidfKeywords:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "durian durian durian"),
+            ],
+            "doc_id: long, text: string",
+        )
+        out = textmetrics.tfidf_keywords(docs, top_k=2)
+        rows = {
+            (r.doc_id, r.token): r for r in out.collect()
+        }
+        # idf(apple) = ln(3/1); tf in doc1 = 2
+        idf_apple = round(1_000_000 * math.log(3 / 1))
+        assert rows[(1, "apple")].tf == 2
+        assert rows[(1, "apple")].idf_micro == idf_apple
+        assert rows[(1, "apple")].score_micro == 2 * idf_apple
+        assert rows[(1, "apple")].rk == 1
+        # banana appears in 2 of 3 docs
+        idf_banana = round(1_000_000 * math.log(3 / 2))
+        assert rows[(2, "banana")].idf_micro == idf_banana
+        # doc3 has one distinct token -> exactly one row despite top_k=2
+        assert sorted(k for k in rows if k[0] == 3) == [(3, "durian")]
+
+    def test_rank_cut_is_deterministic(self, spark):
+        # equal scores break ties by token ASC
+        docs = spark.createDataFrame(
+            [(1, "zeta alpha"), (2, "common common")],
+            "doc_id: long, text: string",
+        )
+        out = textmetrics.tfidf_keywords(docs, top_k=1).collect()
+        by_doc = {r.doc_id: r.token for r in out}
+        assert by_doc[1] == "alpha"  # same tf/idf -> lexicographic cut
+
+    def test_validates_top_k(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+        with pytest.raises(ValueError, match="top_k"):
+            textmetrics.tfidf_keywords(docs, top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# pmi_edges
+# ---------------------------------------------------------------------------
+
+class TestPmiEdges:
+    def test_hand_computed(self, spark):
+        # groups: g1={a,b}, g2={a,b}, g3={a,c}, g4={b} -> N=4
+        occ = spark.createDataFrame(
+            [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
+             ("g3", "a"), ("g3", "c"), ("g4", "b")],
+            "g: string, i: string",
+        )
+        out = {
+            (r.a, r.b): r
+            for r in graph.pmi_edges(occ, "g", "i").collect()
+        }
+        ab = out[("a", "b")]
+        assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 3)
+        expected = round(
+            1_000_000
+            * (math.log(2.0) + math.log(4.0) - math.log(3.0) - math.log(3.0))
+        )
+        assert ab.pmi_micro == expected
+        ac = out[("a", "c")]
+        # (1*4)/(3*1): positive PMI — c only ever co-occurs with a
+        assert ac.pmi_micro == round(
+            1_000_000 * (math.log(1.0) + math.log(4.0)
+                         - math.log(3.0) - math.log(1.0))
+        )
+
+    def test_duplicate_occurrences_collapse(self, spark):
+        occ = spark.createDataFrame(
+            [("g1", "a"), ("g1", "a"), ("g1", "b")], "g: string, i: string"
+        )
+        out = graph.pmi_edges(occ, "g", "i").collect()
+        assert len(out) == 1 and out[0].n_ab == 1 and out[0].n_a == 1
+
+    def test_max_group_size_drops_hub_group(self, spark):
+        rows = [("hub", f"i{k}") for k in range(5)] + [
+            ("g1", "i0"), ("g1", "i1")
+        ]
+        occ = spark.createDataFrame(rows, "g: string, i: string")
+        out = graph.pmi_edges(occ, "g", "i", max_group_size=4).collect()
+        # only g1's single pair enumerates, but n_i / N stay global
+        assert len(out) == 1
+        r = out[0]
+        assert (r.a, r.b, r.n_ab, r.n_a, r.n_b) == ("i0", "i1", 1, 2, 2)
+
+    def test_validates_params(self, spark):
+        occ = spark.createDataFrame([("g", "i")], "g: string, i: string")
+        with pytest.raises(ValueError, match="min_pair_count"):
+            graph.pmi_edges(occ, "g", "i", min_pair_count=0)
+        with pytest.raises(ValueError, match="max_group_size"):
+            graph.pmi_edges(occ, "g", "i", max_group_size=1)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "A", 10), (2, "B", 20), (3, "C", 30), (4, None, 40)],
+            "k: long, s: string, v: long",
+        )
+        new = spark.createDataFrame(
+            [(2, "B", 20), (3, "C2", 30), (4, None, 40), (5, "E", 50)],
+            "k: long, s: string, v: long",
+        )
+        out = {
+            r.k: r
+            for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+        }
+        assert set(out) == {1, 3, 5}  # 2 unchanged, 4 null==null unchanged
+        assert out[1].status == "removed" and out[1].new_s is None
+        assert out[3].status == "changed" and (
+            out[3].old_s, out[3].new_s
+        ) == ("C", "C2")
+        assert out[5].status == "added" and out[5].old_v is None
+
+    def test_null_transitions_are_changes(self, spark):
+        old = spark.createDataFrame([(1, "A")], "k: long, s: string")
+        new = spark.createDataFrame([(1, None)], "k: long, s: string")
+        out = snapshot_diff(old, new, ["k"], ["s"]).collect()
+        assert len(out) == 1 and out[0].status == "changed"
+
+    def test_validates_columns(self, spark):
+        df = spark.createDataFrame([(1, "A")], "k: long, s: string")
+        with pytest.raises(ValueError, match="key column"):
+            snapshot_diff(df, df, [], ["s"])
+        with pytest.raises(ValueError, match="value column"):
+            snapshot_diff(df, df, ["k"], [])
+        with pytest.raises(ValueError, match="overlap"):
+            snapshot_diff(df, df, ["k"], ["k", "s"])
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src: long, dst: long"
+    )
+
+
+class TestLabelPropagation:
+    def test_two_cliques_bridge(self, spark):
+        # two triangles joined by one bridge edge -> two communities
+        pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        out = graph.label_propagation(_edges_df(spark, pairs)).collect()
+        labels = {r.node_id: r.label for r in out}
+        assert labels[1] == labels[2] == labels[3]
+        assert labels[4] == labels[5] == labels[6]
+        assert labels[1] != labels[4]
+
+    def test_matches_pure_python_and_early_stops(self, spark):
+        # deterministic pseudo-random sparse graph
+        pairs = sorted(
+            {((k * 7 + 3) % 23, (k * 11 + 5) % 23) for k in range(60)}
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        expected = lpa_py(pairs, max_iter=10)
+        got = sorted(
+            (r.node_id, r.label, r.n_iter)
+            for r in graph.label_propagation(
+                _edges_df(spark, pairs), max_iter=10
+            ).collect()
+        )
+        assert got == expected
+
+    def test_bipartite_hits_max_iter(self, spark):
+        # K2,2 oscillates under synchronous sweeps: bound must hold
+        pairs = [(1, 10), (1, 20), (2, 10), (2, 20)]
+        out = graph.label_propagation(
+            _edges_df(spark, pairs), max_iter=4
+        ).collect()
+        assert all(r.n_iter == 4 for r in out)
+        assert sorted(
+            (r.node_id, r.label, r.n_iter) for r in out
+        ) == lpa_py(pairs, max_iter=4)
+
+    def test_validates_max_iter(self, spark):
+        with pytest.raises(ValueError, match="max_iter"):
+            graph.label_propagation(
+                _edges_df(spark, [(1, 2)]), max_iter=0
+            )

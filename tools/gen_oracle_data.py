@@ -111,6 +111,10 @@ SCHEMAS = {
     "graph_kcore": pa.schema(
         [("node_id", pa.int64()), ("core_degree", pa.int64())]
     ),
+    "graph_lpa": pa.schema(
+        [("node_id", pa.int64()), ("label", pa.int64()),
+         ("n_iter", pa.int64())]
+    ),
     "quality_classifier": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("dot_micro", pa.int64()), ("logit", pa.float64()),
@@ -232,6 +236,25 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_kcore", precompute.k_core_py(supp_pairs, k=12))
+
+        # sparser >= 35 gate for LPA: 63 nodes / 56 edges splits into
+        # 26 communities and exercises the max_iter bound (synchronous
+        # LPA 2-cycles on bipartite fragments; >= 28 collapses to one
+        # giant community in 4 rounds — structurally boring)
+        lpa_pairs = con.execute(
+            f"""
+            SELECT a, b FROM (
+              SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+                     count(DISTINCT x.l_orderkey) AS n_orders
+              FROM read_parquet('{sf_dir}/lineitem.parquet') x
+              JOIN read_parquet('{sf_dir}/lineitem.parquet') y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_suppkey < y.l_suppkey
+              GROUP BY 1, 2
+            ) WHERE n_orders >= 35
+            """
+        ).fetchall()
+        write(out_dir, "graph_lpa", precompute.lpa_py(lpa_pairs, max_iter=10))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
