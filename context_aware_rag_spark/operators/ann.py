@@ -361,3 +361,108 @@ def cosine_topk_ivfpq(
             "rank",
         )
     )
+
+
+MMR_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("rel", T.DoubleType()),
+        T.StructField("mmr_micro", T.LongType()),
+        T.StructField("sel_rank", T.IntegerType()),
+    ]
+)
+
+
+def _seq_cosine(a, b) -> float:
+    """Left-to-right sequential-fold cosine in pure Python floats —
+    BLAS-independent, so the pure-Python oracle reproduces it bit-for-
+    bit on any build (same discipline as the IVF scoring fold)."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        x = float(x)
+        y = float(y)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    denom = (na ** 0.5) * (nb ** 0.5)
+    return round(dot / denom, 6) if denom > 0 else 0.0
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_pct: int = 70,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) of a per-query candidate set: greedily select ``k``
+    results maximizing ``lam * rel(d) - (1 - lam) * max_{s in S}
+    cos(d, s)`` — the standard rerank between retrieval and context
+    assembly (the reference returns raw similarity top-k from its
+    vector DB; near-duplicate chunks then waste the context window EP3
+    assembles).
+
+    Selection compares ``mmr_micro = round(1e6 * mmr)`` integers with
+    ``vec_id`` ASC tie-break — a total order, so the greedy sweep is
+    deterministic; candidate-candidate cosines use a sequential
+    pure-float fold rounded to 6 decimals (BLAS-independent, oracle-
+    replicable). The first pick has no diversity term (empty S —
+    ``mmr = lam * rel``).
+
+    ``candidates`` carries (query_id, vec_id, rel, embedding) — the
+    output of any cosine_topk_* variant joined back to its vectors.
+
+    100 TB shape: MMR is inherently sequential per query, so it runs
+    AFTER candidate generation on the bounded candidate set only —
+    cost is queries x k x |candidates| pair folds inside one
+    applyInPandas over query_id (each group is k'-bounded by the
+    upstream top-k'; the corpus is never touched). The greedy loop is
+    the textbook non-SQL operator: grouped-map Pandas UDF, never a
+    driver collect.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if not (0 <= lambda_pct <= 100):
+        raise ValueError(f"need 0 <= lambda_pct <= 100, got {lambda_pct}")
+    lam = lambda_pct / 100.0
+    kk = k
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic intake order (selection order is score-driven,
+        # but stable intake makes debugging reproducible)
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].tolist()
+        rels = [float(r) for r in pdf[rel_col]]
+        vecs = [list(v) for v in pdf[vec_col]]
+        qid = pdf[query_id_col].iloc[0]
+        remaining = list(range(len(ids)))
+        max_sim = [0.0] * len(ids)  # max cosine vs selected set so far
+        out = []
+        for rank in range(1, min(kk, len(ids)) + 1):
+            best = None
+            best_key = None
+            for i in remaining:
+                mmr = lam * rels[i] - (1.0 - lam) * (
+                    max_sim[i] if out else 0.0
+                )
+                key = (-round(mmr * 1_000_000), ids[i])
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = i
+            out.append((qid, ids[best], rels[best], -best_key[0], rank))
+            remaining.remove(best)
+            for i in remaining:
+                s = _seq_cosine(vecs[i], vecs[best])
+                if s > max_sim[i]:
+                    max_sim[i] = s
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "rel", "mmr_micro", "sel_rank"]
+        )
+
+    return candidates.groupBy(query_id_col).applyInPandas(greedy, MMR_SCHEMA)

@@ -1,0 +1,151 @@
+"""Mergeable cardinality sketches (HyperLogLog, Flajolet et al. 2007).
+
+The reference counts distinct entities by materializing them
+(graph_db node MERGE + count queries); at 100 TB the distinct-count
+questions an ingest pipeline actually asks per partition/epoch
+("how many distinct entities / conversations / users landed?") need a
+MERGEABLE sketch: fixed 2^p-register state per group, combinable by a
+plain max — so partial aggregation, cross-epoch accumulation, and
+streaming all come for free, and a re-merged epoch is a no-op
+(idempotent replay, the same exactly-once discipline as
+streaming/dedup_ingest).
+
+Portability discipline: the hash is md5 (identical literal hex in
+Spark and DuckDB — the same trick sampling.py uses), the register
+value is derived with integer/bit ops only (conv/bin/shiftleft have
+exact DuckDB twins), and the harmonic denominator is accumulated as
+the INTEGER sum of 2^(49 - M_j) — dyadic terms summed exactly in
+int64 (max m * 2^49 = 2^57 at p = 8), so the only float ops are the
+final alpha multiply/divide and ln correction, identical
+double-expressions in any engine. No approx_count_distinct black box:
+the whole estimator is visible, testable, and hash-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rho is computed from a 48-bit suffix of md5 (hex chars 9-20): the
+# register ceiling is 49, and 2^(49 - M) stays an exact int64 term.
+_RHO_BITS = 48
+
+
+def _alpha(m: int) -> float:
+    # standard bias constant; p >= 7 keeps the closed form exact
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> int:
+    if not (7 <= p <= 14):
+        raise ValueError(f"need 7 <= p <= 14, got {p}")
+    return 1 << p
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., bucket, m_j) with
+    m_j = max over hashed values in the bucket of (leading zeros of
+    the 48-bit hash suffix + 1). Only OCCUPIED buckets are emitted —
+    the state per group is at most 2^p rows regardless of input size.
+
+    100 TB shape: one narrow md5 projection + one map-side-combined
+    groupBy max — registers ARE partial aggregates, so the combine
+    happens before any shuffle; the shuffled payload per group is
+    <= 2^p tiny rows.
+    """
+    m = _check_p(p)
+    h = F.md5(F.col(value_col).cast("string"))
+    b32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    v48 = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
+    rho = F.when(v48 == 0, F.lit(_RHO_BITS + 1)).otherwise(
+        F.lit(_RHO_BITS + 1) - F.length(F.bin(v48))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *[F.col(g) for g in group_cols],
+            (b32 % m).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("m_j"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge register tables from any number of partial computations
+    (partitions, epochs, streams): union + max. Max is idempotent and
+    commutative, so re-merging a duplicate epoch is a no-op — replayed
+    ingest cannot inflate the estimate."""
+    if not register_frames:
+        raise ValueError("need at least one register frame")
+    out = register_frames[0]
+    for r in register_frames[1:]:
+        out = out.unionByName(r)
+    group_cols = [c for c in out.columns if c not in ("bucket", "m_j")]
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("m_j").cast("int").alias("m_j")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    (group_cols..., n_registers, n_empty, harmonic_s49, estimate).
+
+    harmonic_s49 = sum over all 2^p buckets of 2^(49 - M_j), empty
+    buckets contributing 2^49 — an exact integer, so the raw estimate
+    alpha * m^2 * 2^49 / S involves exactly one float division.
+    Small-range (linear-counting) correction applies below 2.5 * m
+    when empty buckets remain, the standard HLL regime switch; the
+    48-bit rho space makes the large-range collision correction moot
+    at any realistic cardinality.
+    """
+    m = _check_p(p)
+    two49 = 1 << (_RHO_BITS + 1)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(
+            # PySpark's shiftleft() only takes a literal shift amount;
+            # the SQL form accepts a column expression
+            F.expr(f"shiftleft(1L, {_RHO_BITS + 1} - m_j)")
+        ).alias("_s_present"),
+    )
+    n_empty = F.lit(m) - F.col("n_registers")
+    s49 = (F.col("_s_present") + n_empty * F.lit(two49)).cast("long")
+    est_raw = (
+        F.lit(_alpha(m)) * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(two49))
+    ) / s49.cast("double")
+    corrected = F.when(
+        (n_empty > 0) & (est_raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
+    ).otherwise(est_raw)
+    return agg.select(
+        *group_cols,
+        "n_registers",
+        n_empty.cast("int").alias("n_empty"),
+        s49.alias("harmonic_s49"),
+        F.round(corrected, 4).alias("estimate"),
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Convenience: registers -> estimate in one call."""
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col, p=p), group_cols, p=p
+    )

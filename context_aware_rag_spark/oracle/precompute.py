@@ -1243,3 +1243,69 @@ def lpa_py(
         if not changed:
             break
     return sorted((n, lbl, n_iter) for n, lbl in labels.items())
+
+
+def mmr_topk_py(
+    vectors: Sequence[Tuple[int, Sequence[float]]],
+    n_candidates: int = 25,
+    k: int = 10,
+    lambda_pct: int = 70,
+    query_cutoff: int = 5,
+) -> List[Tuple[int, int, float, int, int]]:
+    """Independent recomputation of the ann_mmr_topk query: brute-force
+    cosine top-n_candidates per query (sequential left-to-right fold,
+    bit-identical to the JVM aggregate at round 6), then the
+    deterministic MMR greedy sweep with integer-micro comparison and
+    vec_id tie-break."""
+    corpus = [(i, np.asarray(v, dtype=np.float32)) for i, v in vectors
+              if i >= query_cutoff]
+    queries = [(i, np.asarray(v, dtype=np.float32)) for i, v in vectors
+               if i < query_cutoff]
+    lam = lambda_pct / 100.0
+
+    def seq_cosine(a, b) -> float:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            x = float(x)
+            y = float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        denom = (na ** 0.5) * (nb ** 0.5)
+        return round(dot / denom, 6) if denom > 0 else 0.0
+
+    out: List[Tuple[int, int, float, int, int]] = []
+    for qid, qv in sorted(queries, key=lambda t: t[0]):
+        scored = sorted(
+            ((seq_cosine(cv, qv), cid, cv) for cid, cv in corpus),
+            key=lambda t: (-t[0], t[1]),
+        )[:n_candidates]
+        # greedy MMR over the candidate set, intake in vec_id order
+        cands = sorted(scored, key=lambda t: t[1])
+        ids = [cid for _, cid, _ in cands]
+        rels = [rel for rel, _, _ in cands]
+        vecs = [cv for _, _, cv in cands]
+        remaining = list(range(len(ids)))
+        max_sim = [0.0] * len(ids)
+        picked: List[Tuple[int, int, float, int, int]] = []
+        for rank in range(1, min(k, len(ids)) + 1):
+            best = None
+            best_key = None
+            for i in remaining:
+                mmr = lam * rels[i] - (1.0 - lam) * (
+                    max_sim[i] if picked else 0.0
+                )
+                key = (-round(mmr * 1_000_000), ids[i])
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = i
+            picked.append((qid, ids[best], rels[best], -best_key[0], rank))
+            remaining.remove(best)
+            for i in remaining:
+                s = seq_cosine(vecs[i], vecs[best])
+                if s > max_sim[i]:
+                    max_sim[i] = s
+        out.extend(picked)
+    return out

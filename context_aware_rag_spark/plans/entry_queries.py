@@ -3704,3 +3704,98 @@ def kg_graph_lpa_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.label_propagation(pairs, max_iter=10)
+
+
+# =========================================================================
+# MMR-diversified retrieval rerank
+# =========================================================================
+
+@xq(
+    "ann_mmr_topk",
+    f"""
+    SELECT query_id, vec_id, rel, mmr_micro, sel_rank
+    FROM read_parquet('{_pq("ann_mmr_topk")}')
+    """,
+)
+def ann_mmr_topk_q(spark, sf_dir):
+    """MMR diversification of the brute-force cosine top-25 candidate
+    set down to 10 per query (lambda = 0.7): the rerank between
+    retrieval and EP3 context assembly that stops near-duplicate
+    chunks wasting the context window. The greedy sweep runs inside
+    one applyInPandas over the BOUNDED candidate set (the corpus is
+    never touched after candidate generation). Twin = precomputed
+    pure-Python replication: same sequential-fold cosines, same
+    integer-micro greedy."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = ann.cosine_topk_bruteforce(corpus, queries, k=25).join(
+        corpus.select("vec_id", "embedding"), "vec_id"
+    )
+    return ann.mmr_rerank(cands, k=10, lambda_pct=70)
+
+
+# =========================================================================
+# HyperLogLog distinct sketch (mergeable cardinality state)
+# =========================================================================
+
+@xq(
+    "hll_user_distinct",
+    """
+    WITH reg AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS bucket,
+             max(CASE WHEN CAST(concat('0x',
+                        substr(md5(CAST(user_id AS VARCHAR)), 9, 12))
+                        AS BIGINT) = 0 THEN 49
+                      ELSE 49 - length(bin(CAST(concat('0x',
+                        substr(md5(CAST(user_id AS VARCHAR)), 9, 12))
+                        AS BIGINT))) END) AS m_j
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n_registers,
+             sum(1::BIGINT << (49 - m_j)) AS s_present
+      FROM reg GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, n_registers,
+             256 - n_registers AS n_empty,
+             CAST(s_present + (256 - n_registers) * (1::BIGINT << 49)
+                  AS BIGINT) AS harmonic_s49
+      FROM agg
+    )
+    SELECT event_type,
+           CAST(n_registers AS BIGINT) AS n_registers,
+           CAST(n_empty AS INTEGER) AS n_empty,
+           harmonic_s49,
+           round(CASE WHEN n_empty > 0
+                       AND (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                           * 562949953421312.0
+                           / CAST(harmonic_s49 AS DOUBLE) <= 640.0
+                      THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
+                      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                           * 562949953421312.0
+                           / CAST(harmonic_s49 AS DOUBLE) END,
+                 4) AS estimate
+    FROM est
+    """,
+)
+def hll_user_distinct_q(spark, sf_dir):
+    """Per-event-type distinct-user estimate from a 256-register
+    HyperLogLog — the mergeable replacement for countDistinct at
+    ingest-metrics scale (registers are partial aggregates: map-side
+    combine + cross-epoch max-merge + idempotent replay all come
+    free). The ENTIRE estimator is replicated in the SQL twin — md5
+    bucket/rho, exact-integer harmonic sum, alpha product, linear-
+    counting regime switch — so the sketch implementation itself is
+    hash-gated, not just its output shape."""
+    from ..operators import sketches
+
+    return sketches.hll_count_distinct(
+        load(spark, sf_dir, "events"), ["event_type"], "user_id", p=8
+    )

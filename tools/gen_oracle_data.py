@@ -129,6 +129,11 @@ SCHEMAS = {
         [("query_id", pa.int64()), ("vec_id", pa.int64()),
          ("approx_score", pa.float64()), ("rank", pa.int32())]
     ),
+    "ann_mmr_topk": pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()),
+         ("rel", pa.float64()), ("mmr_micro", pa.int64()),
+         ("sel_rank", pa.int32())]
+    ),
 }
 
 
@@ -181,6 +186,7 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "ann_ivfpq_topk", precompute.ivfpq_topk_py(vecs))
         write(out_dir, "semantic_dedup",
               precompute.semantic_dedup_py(vecs, threshold=0.4))
+        write(out_dir, "ann_mmr_topk", precompute.mmr_topk_py(vecs))
 
         # benchmark planted exactly like the decontaminate query: words
         # 5-12 (1-based) of every 10th doc with >= 12 normalized words
