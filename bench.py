@@ -105,6 +105,8 @@ def main() -> None:
         "dsir_select_50k",
         "lm_perplexity_50k",
         "bm25_topk_50k",
+        "hll_distinct_3m",
+        "cms_build_3m",
     ):
         samples[extra] = []
 
@@ -294,6 +296,32 @@ def main() -> None:
             k=10,
         ).count()
         samples["bm25_topk_50k"].append(round(time.monotonic() - t0, 3))
+
+        # mergeable sketches over the exploded word stream (~3M values
+        # from 50k docs): distinct-count (HLL) and heavy-hitter (CMS)
+        # state builds are the scan-bound ingest-metrics path
+        from context_aware_rag_spark.operators import sketches as sk_ops
+
+        words50k = docs50k.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        est = sk_ops.hll_count_distinct(
+            words50k.select(F.lit("all").alias("g"), "word"), ["g"], "word",
+            p=12,
+        ).collect()[0]
+        samples["hll_distinct_3m"].append(round(time.monotonic() - t0, 3))
+        kg_counts["n_hll_words_estimate"] = int(est.estimate)
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        cms = sk_ops.cms_build(words50k, "word", depth=4, width=4096)
+        probe_keys = words50k.limit(64).dropDuplicates()
+        kg_counts["n_cms_probes"] = sk_ops.cms_query(
+            cms, probe_keys, "word", depth=4, width=4096
+        ).count()
+        samples["cms_build_3m"].append(round(time.monotonic() - t0, 3))
         drop_persisted(spark, keep)
 
     timings = {name: min(vals) for name, vals in samples.items()}
@@ -311,6 +339,8 @@ def main() -> None:
         "dsir_select_50k",
         "lm_perplexity_50k",
         "bm25_topk_50k",
+        "hll_distinct_3m",
+        "cms_build_3m",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in scale_entries), 3

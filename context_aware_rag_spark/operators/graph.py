@@ -713,3 +713,63 @@ def label_propagation(
         if changed == 0:
             break
     return labels.select("node_id", "label", F.lit(n_iter).alias("n_iter"))
+
+
+def random_indexing_embeddings(
+    pmi: DataFrame,
+    dim: int = 8,
+    a_col: str = "a",
+    b_col: str = "b",
+    weight_col: str = "pmi_micro",
+) -> DataFrame:
+    """Training-free node embeddings by random indexing (Kanerva et al.
+    2000; the sparse-random-projection shortcut to spectral embedding):
+    every node's vector is the weight-scaled SUM of its neighbors'
+    fixed random sign vectors,
+
+        emb[x, j] = sum over neighbors y of w(x, y) * sign(y, j)
+
+    with sign(y, j) = +/-1 derived from md5("<j>\\x1f<y>") — portable,
+    and INTEGER: weights are micro-units (e.g. :func:`pmi_edges`
+    output), signs are +/-1, so each coordinate is an exact int64 sum,
+    partition-order independent, engine-reproducible. Johnson-
+    Lindenstrauss gives cosine preservation in expectation; unlike
+    skip-gram training the result needs ONE aggregation, no iterations.
+
+    ``pmi`` carries undirected weighted pairs (a < b convention is
+    fine — both directions are materialized internally). Returns long
+    format (node_id, j, emb_micro): SQL-checkable, and pivotable to an
+    array column downstream.
+
+    100 TB shape: edges explode x dim (a constant fan-out) into one
+    map-side-combined (node, j) sum — a single shuffle bounded by
+    nodes x dim; no iteration, no driver state.
+    """
+    if not (1 <= dim <= 64):
+        raise ValueError(f"need 1 <= dim <= 64, got {dim}")
+    sym = pmi.select(
+        F.col(a_col).alias("x"), F.col(b_col).alias("y"),
+        F.col(weight_col).alias("w"),
+    ).unionAll(
+        pmi.select(
+            F.col(b_col).alias("x"), F.col(a_col).alias("y"),
+            F.col(weight_col).alias("w"),
+        )
+    )
+    expanded = sym.select(
+        "x", "y", "w",
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
+    )
+    h = F.md5(
+        F.concat_ws("\x1f", F.col("j").cast("string"), F.col("y").cast("string"))
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        expanded.select(
+            F.col("x").alias("node_id"), "j", (F.col("w") * sign).alias("term")
+        )
+        .groupBy("node_id", "j")
+        .agg(F.sum("term").cast("long").alias("emb_micro"))
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # rho is computed from a 48-bit suffix of md5 (hex chars 9-20): the
@@ -148,4 +148,196 @@ def hll_count_distinct(
     """Convenience: registers -> estimate in one call."""
     return hll_estimate(
         hll_registers(df, group_cols, value_col, p=p), group_cols, p=p
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+def _check_cms(depth: int, width: int) -> None:
+    if not (1 <= depth <= 16):
+        raise ValueError(f"need 1 <= depth <= 16, got {depth}")
+    if width < 16:
+        raise ValueError(f"need width >= 16, got {width}")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of key frequencies: (row, bucket, cnt) with
+    ``depth`` independent hash rows of ``width`` buckets. Row hashes
+    are md5 over "<row>\\x1f<key>" (the same portable-hash trick as
+    sampling.py / the walk twins), so any engine derives identical
+    buckets. Point estimates (:func:`cms_query`) are min over rows —
+    an upper bound on the true count, within eps*N (eps = e/width)
+    with probability 1 - (1/2)^depth.
+
+    Sketch state is depth * width rows REGARDLESS of key cardinality,
+    and merges by plain SUM — so partial aggregation, cross-epoch
+    accumulation, and exactly-once streaming (per-epoch overwrite +
+    sum-on-read) all come free. The heavy-hitter companion to the
+    exact-but-key-bounded key_skew_report.
+
+    100 TB shape: one narrow projection exploding each key into
+    ``depth`` (row, bucket) cells + one map-side-combined sum; the
+    shuffle payload is bounded by depth * width per map partition.
+    """
+    _check_cms(depth, width)
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+    rows = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        w.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    h = F.md5(F.concat_ws("\x1f", F.col("row").cast("string"), F.col("_k")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+    return (
+        rows.filter(F.col("_k").isNotNull())
+        .select("row", bucket.alias("bucket"), "_w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables from partial computations: union + sum (same
+    depth/width assumed — the caller's contract)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for each key in ``keys``: (key_col, est) with
+    est = min over the sketch's rows of the key's bucket count (0 when
+    a bucket row is absent — possible on sparse sketches).
+
+    100 TB shape: the probe side explodes to depth rows per key and
+    equi-joins the (depth*width)-bounded sketch — broadcast-sized by
+    construction.
+    """
+    _check_cms(depth, width)
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", F.col("row").cast("string"), F.col(key_col).cast("string")
+        )
+    )
+    probes = probes.select(
+        key_col, "row",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles (the third mergeable summary: bin
+# counts merge by sum, like CMS; quantile extraction is a cum-sum scan
+# over at most n_bins rows)
+# ---------------------------------------------------------------------------
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 1000,
+    quantiles: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """Approximate quantiles from a single-pass fixed-bin histogram:
+    one row per requested integer percentile q — (q, bin, upper_edge,
+    cum_count, n_total). The answer bin is the first whose cumulative
+    count reaches ceil(q * N / 100); ``upper_edge`` bounds the true
+    quantile from above by one bin width ((hi - lo) / n_bins).
+
+    Everything except the two edge doubles is integer: bin ids, counts,
+    thresholds — so results are partition-order independent and
+    engine-portable (no percentile_approx black box).
+
+    100 TB shape: one min/max agg (broadcast back as a 1-row
+    crossJoin), one narrow bin projection + map-side-combined count —
+    scan-bound; the cum-sum window runs over <= n_bins rows. Bin
+    counts are mergeable by SUM across partitions/epochs like
+    :func:`cms_build` cells.
+    """
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    qs = sorted(set(int(q) for q in quantiles))
+    if not qs or qs[0] < 1 or qs[-1] > 100:
+        raise ValueError(f"quantiles must be integer percents in [1, 100]: {quantiles}")
+    vals = df.select(F.col(value_col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    bounds = vals.agg(
+        F.min("_x").alias("_lo"),
+        F.max("_x").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")
+        )
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1).cast("long"),
+                F.floor(
+                    (F.col("_x") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * n_bins
+                ),
+            )
+        )
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = counts.select(
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_count"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(q,) for q in qs], "q: int")
+    hit = (
+        qdf.crossJoin(cum.crossJoin(F.broadcast(bounds)))
+        .filter(
+            F.col("cum_count") >= F.expr("CAST((q * _n + 99) div 100 AS BIGINT)")
+        )
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hit.join(cum, "bin")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "q",
+            "bin",
+            F.round(
+                F.col("_lo")
+                + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / n_bins,
+                6,
+            ).alias("upper_edge"),
+            "cum_count",
+            F.col("_n").alias("n_total"),
+        )
     )

@@ -3799,3 +3799,188 @@ def hll_user_distinct_q(spark, sf_dir):
     return sketches.hll_count_distinct(
         load(spark, sf_dir, "events"), ["event_type"], "user_id", p=8
     )
+
+
+# =========================================================================
+# Count-Min heavy hitters (bounded-state frequency estimates)
+# =========================================================================
+
+@xq(
+    "cms_heavy_hitters",
+    """
+    WITH cells AS (
+      SELECT r.rw,
+             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
+                  chr(31), CAST(e.user_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 1024 AS bucket,
+             count(*) AS cnt
+      FROM events e CROSS JOIN range(4) r(rw)
+      WHERE e.user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    probe AS (
+      SELECT k.user_id, r.rw,
+             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
+                  chr(31), CAST(k.user_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 1024 AS bucket
+      FROM keys k CROSS JOIN range(4) r(rw)
+    ),
+    est AS (
+      SELECT p.user_id, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+      FROM probe p LEFT JOIN cells c ON p.rw = c.rw AND p.bucket = c.bucket
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS exact_cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT est.user_id, est.est, exact.exact_cnt
+    FROM est JOIN exact USING (user_id)
+    ORDER BY est.est DESC, est.user_id ASC
+    LIMIT 20
+    """,
+)
+def cms_heavy_hitters_q(spark, sf_dir):
+    """Count-Min frequency estimates for every distinct user against
+    the exact counts, top-20 by estimate: the bounded-state heavy-
+    hitter detector (sketch state = depth x width cells regardless of
+    key cardinality; merges by SUM across partitions/epochs). Twin
+    replicates the whole sketch — md5 cells, probe min, exact join —
+    so over-count collisions, not just shape, are hash-gated."""
+    from ..operators import sketches
+
+    events = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cms = sketches.cms_build(events, "user_id", depth=4, width=1024)
+    keys = events.select("user_id").dropDuplicates()
+    est = sketches.cms_query(cms, keys, "user_id", depth=4, width=1024)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+# =========================================================================
+# Histogram quantiles (single-pass mergeable distribution summary)
+# =========================================================================
+
+@xq(
+    "histogram_quantiles",
+    """
+    WITH vals AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    bounds AS (
+      SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM vals
+    ),
+    binned AS (
+      SELECT CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least(999, CAST(floor((v.x - b.lo) / (b.hi - b.lo)
+                       * 1000) AS BIGINT)) END AS bin
+      FROM vals v CROSS JOIN bounds b
+    ),
+    cum AS (
+      SELECT bin, count(*) AS cnt,
+             sum(count(*)) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_count
+      FROM binned GROUP BY bin
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q),
+    hit AS (
+      SELECT qs.q, min(cum.bin) AS bin
+      FROM qs CROSS JOIN cum CROSS JOIN bounds b
+      WHERE cum.cum_count >= (qs.q * b.n + 99) // 100
+      GROUP BY qs.q
+    )
+    SELECT hit.q, hit.bin,
+           round(b.lo + (hit.bin + 1) * (b.hi - b.lo) / 1000, 6) AS upper_edge,
+           CAST(cum.cum_count AS BIGINT) AS cum_count,
+           b.n AS n_total
+    FROM hit JOIN cum USING (bin) CROSS JOIN bounds b
+    """,
+)
+def histogram_quantiles_q(spark, sf_dir):
+    """p50/p90/p99 of lineitem extended price from a 1000-bin one-pass
+    histogram — the scan-bound, mergeable (bin counts sum like CMS
+    cells) replacement for percentile_approx, with the estimator fully
+    visible: integer bins/thresholds, the only floats are the two data
+    edges. Twin replicates bins, cum-sum, and threshold arithmetic."""
+    from ..operators import sketches
+
+    return sketches.histogram_quantiles(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice",
+        n_bins=1000, quantiles=(50, 90, 99),
+    )
+
+
+# =========================================================================
+# Random-indexing entity embeddings over the PMI graph
+# =========================================================================
+
+@xq(
+    "kg_entity_embeddings",
+    """
+    WITH occ AS (
+      SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT x.i AS a, y.i AS b, count(*) AS n_ab
+      FROM occ x JOIN occ y ON x.g = y.g AND x.i < y.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 20
+    ),
+    items AS (SELECT i, count(*) AS n_i FROM occ GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM occ),
+    pmi AS (
+      SELECT p.a, p.b,
+             CAST(round(1000000 * (ln(CAST(p.n_ab AS DOUBLE)) + ln(n.n)
+                  - ln(CAST(ia.n_i AS DOUBLE)) - ln(CAST(ib.n_i AS DOUBLE))))
+                  AS BIGINT) AS w
+      FROM pairs p
+      JOIN items ia ON p.a = ia.i
+      JOIN items ib ON p.b = ib.i
+      CROSS JOIN n
+    ),
+    sym AS (
+      SELECT a AS x, b AS y, w FROM pmi
+      UNION ALL
+      SELECT b AS x, a AS y, w FROM pmi
+    ),
+    terms AS (
+      SELECT s.x, s.y, s.w, r.j,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(
+                    CAST(r.j AS VARCHAR), chr(31), CAST(s.y AS VARCHAR))),
+                    1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM sym s CROSS JOIN range(8) r(j)
+    )
+    SELECT x AS node_id, CAST(j AS INTEGER) AS j,
+           CAST(sum(w * sgn) AS BIGINT) AS emb_micro
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def kg_entity_embeddings_q(spark, sf_dir):
+    """Training-free 8-dim supplier embeddings by random indexing over
+    the PMI-weighted co-occurrence graph — the one-aggregation
+    alternative to walk-corpus + skip-gram training for entity
+    similarity features. All-integer coordinates (micro PMI x +/-1
+    md5 signs), so the embedding itself is hash-gated in the twin."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    pmi = graph.pmi_edges(
+        li.select(
+            F.col("l_orderkey").alias("g"), F.col("l_suppkey").alias("i")
+        ),
+        "g",
+        "i",
+        min_pair_count=20,
+    )
+    emb = graph.random_indexing_embeddings(pmi, dim=8)
+    return emb.select("node_id", F.col("j").cast("int").alias("j"), "emb_micro")

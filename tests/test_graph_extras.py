@@ -208,3 +208,53 @@ class TestLabelPropagation:
             graph.label_propagation(
                 _edges_df(spark, [(1, 2)]), max_iter=0
             )
+
+
+# ---------------------------------------------------------------------------
+# random_indexing_embeddings
+# ---------------------------------------------------------------------------
+
+def _py_sign(j: int, y: str) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{j}\x1f{y}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 0 else -1
+
+
+class TestRandomIndexingEmbeddings:
+    def test_hand_computed(self, spark):
+        pmi = spark.createDataFrame(
+            [("a", "b", 100), ("a", "c", -40), ("b", "c", 7)],
+            "a: string, b: string, pmi_micro: long",
+        )
+        out = {
+            (r.node_id, r.j): r.emb_micro
+            for r in graph.random_indexing_embeddings(pmi, dim=4).collect()
+        }
+        # a's neighbors: b (w=100), c (w=-40)
+        for j in range(4):
+            assert out[("a", j)] == 100 * _py_sign(j, "b") + (
+                -40
+            ) * _py_sign(j, "c")
+            # b's neighbors: a (100), c (7)
+            assert out[("b", j)] == 100 * _py_sign(j, "a") + 7 * _py_sign(
+                j, "c"
+            )
+
+    def test_identical_neighborhoods_identical_embeddings(self, spark):
+        # x and y both connect only to z with the same weight
+        pmi = spark.createDataFrame(
+            [("x", "z", 55), ("y", "z", 55)],
+            "a: string, b: string, pmi_micro: long",
+        )
+        out = {}
+        for r in graph.random_indexing_embeddings(pmi, dim=8).collect():
+            out.setdefault(r.node_id, {})[r.j] = r.emb_micro
+        assert out["x"] == out["y"]
+
+    def test_validates_dim(self, spark):
+        pmi = spark.createDataFrame(
+            [("a", "b", 1)], "a: string, b: string, pmi_micro: long"
+        )
+        with pytest.raises(ValueError, match="dim"):
+            graph.random_indexing_embeddings(pmi, dim=0)

@@ -185,3 +185,135 @@ class TestStreamingHll:
             twice.harmonic_s49,
             twice.estimate,
         )
+
+
+def _py_cms_bucket(row: int, key: str, width: int = 1024) -> int:
+    h = hashlib.md5(f"{row}\x1f{key}".encode()).hexdigest()
+    return int(h[:8], 16) % width
+
+
+class TestCountMin:
+    def test_cells_match_hashlib(self, spark):
+        data = [("a",)] * 3 + [("b",)] * 2 + [("c",)]
+        df = spark.createDataFrame(data, "k: string")
+        got = {
+            (r.row, r.bucket): r.cnt
+            for r in sketches.cms_build(df, "k", depth=2, width=64).collect()
+        }
+        expected = {}
+        for k, n in (("a", 3), ("b", 2), ("c", 1)):
+            for row in range(2):
+                cell = (row, _py_cms_bucket(row, k, 64))
+                expected[cell] = expected.get(cell, 0) + n
+        assert got == expected
+
+    def test_estimate_upper_bounds_exact(self, spark):
+        data = [(f"k{i % 37}",) for i in range(1000)]
+        df = spark.createDataFrame(data, "k: string")
+        cms = sketches.cms_build(df, "k", depth=4, width=64)  # collisions likely
+        keys = df.dropDuplicates()
+        est = {
+            r.k: r.est
+            for r in sketches.cms_query(cms, keys, "k", depth=4, width=64).collect()
+        }
+        exact = {}
+        for (k,) in data:
+            exact[k] = exact.get(k, 0) + 1
+        assert all(est[k] >= exact[k] for k in exact)
+
+    def test_exact_when_no_collisions(self, spark):
+        data = [("x",)] * 5 + [("y",)] * 7
+        df = spark.createDataFrame(data, "k: string")
+        cms = sketches.cms_build(df, "k", depth=4, width=4096)
+        est = {
+            r.k: r.est
+            for r in sketches.cms_query(
+                cms, df.dropDuplicates(), "k", depth=4, width=4096
+            ).collect()
+        }
+        assert est == {"x": 5, "y": 7}
+
+    def test_merge_equals_recompute(self, spark):
+        a = spark.createDataFrame([("x",)] * 3 + [("y",)], "k: string")
+        b = spark.createDataFrame([("x",)] * 2 + [("z",)], "k: string")
+        merged = sorted(
+            (r.row, r.bucket, r.cnt)
+            for r in sketches.cms_merge(
+                sketches.cms_build(a, "k", depth=2, width=64),
+                sketches.cms_build(b, "k", depth=2, width=64),
+            ).collect()
+        )
+        full = sorted(
+            (r.row, r.bucket, r.cnt)
+            for r in sketches.cms_build(
+                a.unionAll(b), "k", depth=2, width=64
+            ).collect()
+        )
+        assert merged == full
+
+    def test_weighted(self, spark):
+        df = spark.createDataFrame([("x", 10), ("x", 5)], "k: string, w: long")
+        est = sketches.cms_query(
+            sketches.cms_build(df, "k", depth=2, width=256, weight_col="w"),
+            df.select("k").dropDuplicates(),
+            "k", depth=2, width=256,
+        ).collect()
+        assert est[0].est == 15
+
+    def test_validates_params(self, spark):
+        df = spark.createDataFrame([("x",)], "k: string")
+        with pytest.raises(ValueError, match="depth"):
+            sketches.cms_build(df, "k", depth=0)
+        with pytest.raises(ValueError, match="width"):
+            sketches.cms_build(df, "k", width=8)
+
+
+class TestHistogramQuantiles:
+    def test_uniform_integers_hit_exact_bins(self, spark):
+        # values 1..100, 100 bins over [1, 100]: p50 lands in the bin
+        # holding 50, p99 in the bin holding 99
+        df = spark.createDataFrame(
+            [(float(v),) for v in range(1, 101)], "x: double"
+        )
+        out = {
+            r.q: r
+            for r in sketches.histogram_quantiles(
+                df, "x", n_bins=100, quantiles=(50, 99, 100)
+            ).collect()
+        }
+        assert out[50].cum_count == 50
+        assert out[99].cum_count == 99
+        assert out[100].cum_count == 100  # last occupied bin
+        # threshold arithmetic: ceil semantics
+        assert out[50].n_total == 100
+
+    def test_single_value_degenerate_range(self, spark):
+        df = spark.createDataFrame([(7.0,)] * 5, "x: double")
+        out = sketches.histogram_quantiles(df, "x", quantiles=(50,)).collect()
+        assert len(out) == 1
+        assert out[0].bin == 0 and out[0].cum_count == 5
+
+    def test_upper_edge_bounds_true_quantile(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        vals = sorted(rnd.uniform(0, 1000) for _ in range(5000))
+        df = spark.createDataFrame([(v,) for v in vals], "x: double")
+        out = {
+            r.q: r.upper_edge
+            for r in sketches.histogram_quantiles(
+                df, "x", n_bins=500, quantiles=(50, 90)
+            ).collect()
+        }
+        true_p50 = vals[2499]
+        true_p90 = vals[4499]
+        width = (vals[-1] - vals[0]) / 500
+        assert true_p50 <= out[50] <= true_p50 + 2 * width
+        assert true_p90 <= out[90] <= true_p90 + 2 * width
+
+    def test_validates_params(self, spark):
+        df = spark.createDataFrame([(1.0,)], "x: double")
+        with pytest.raises(ValueError, match="n_bins"):
+            sketches.histogram_quantiles(df, "x", n_bins=0)
+        with pytest.raises(ValueError, match="quantiles"):
+            sketches.histogram_quantiles(df, "x", quantiles=(0,))
