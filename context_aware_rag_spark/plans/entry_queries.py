@@ -3984,3 +3984,63 @@ def kg_entity_embeddings_q(spark, sf_dir):
     )
     emb = graph.random_indexing_embeddings(pmi, dim=8)
     return emb.select("node_id", F.col("j").cast("int").alias("j"), "emb_micro")
+
+
+# =========================================================================
+# Bucketed range join (point-in-interval without a nested-loop join)
+# =========================================================================
+
+@xq(
+    "range_join_coverage",
+    """
+    WITH pts AS (
+      SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+               CAST(l_shipdate AS DATE)) AS ship_day
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    iv AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               + (o_orderkey % 30 + 1) AS e
+      FROM orders WHERE o_orderdate IS NOT NULL
+    )
+    SELECT p.ship_day, CAST(count(i.s) AS BIGINT) AS n_covering
+    FROM pts p LEFT JOIN iv i ON p.ship_day BETWEEN i.s AND i.e
+    GROUP BY 1
+    """,
+)
+def range_join_coverage_q(spark, sf_dir):
+    """Per distinct ship day, the number of synthetic order windows
+    [o_orderdate, o_orderdate + (o_orderkey % 30 + 1) days] covering
+    it — the point-in-interval join Spark would otherwise plan as a
+    BroadcastNestedLoopJoin. The bucketed rewrite (width 32 days)
+    makes it an equi-join on the bucket id; the twin is DuckDB's
+    native inequality join, so match semantics (inclusive bounds,
+    zero-coverage retention) are value-checked end to end."""
+    from ..operators import intervals
+
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).alias(
+                "ship_day"
+            )
+        )
+    )
+    iv = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("s"),
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), epoch)
+                + (F.col("o_orderkey") % 30 + 1)
+            ).alias("e"),
+        )
+    )
+    return intervals.coverage_counts(
+        pts, iv, "ship_day", "s", "e", bucket_width=32
+    )
