@@ -4044,3 +4044,51 @@ def range_join_coverage_q(spark, sf_dir):
     return intervals.coverage_counts(
         pts, iv, "ship_day", "s", "e", bucket_width=32
     )
+
+
+# =========================================================================
+# Z-order clustering key (lakehouse layout for multi-column data skipping)
+# =========================================================================
+
+def _zorder_twin_sql(bits: int = 8) -> str:
+    # the same interleave arithmetic as layout.add_zorder_key, spelled
+    # in portable SQL: bit j of cell i -> position j*2 + i
+    terms = " + ".join(
+        f"(((c{i} >> {j}) & 1) << {j * 2 + i})"
+        for i in range(2)
+        for j in range(bits)
+    )
+    return f"""
+    WITH b AS (
+      SELECT min(l_orderkey) AS lo0, max(l_orderkey) AS hi0,
+             min(l_partkey) AS lo1, max(l_partkey) AS hi1
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+             CAST(floor((l_orderkey - b.lo0) * {2 ** bits}
+                  / (b.hi0 - b.lo0 + 1)) AS BIGINT) AS c0,
+             CAST(floor((l_partkey - b.lo1) * {2 ** bits}
+                  / (b.hi1 - b.lo1 + 1)) AS BIGINT) AS c1
+      FROM lineitem CROSS JOIN b
+    )
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           CAST({terms} AS BIGINT) AS zkey
+    FROM cells
+    """
+
+
+@xq("zorder_key_lineitem", _zorder_twin_sql(8))
+def zorder_key_lineitem_q(spark, sf_dir):
+    """Z-order clustering key over (l_orderkey, l_partkey) — the
+    write-side layout primitive behind OPTIMIZE ZORDER BY: interleaved
+    min/max-normalized cell bits, all-integer output, so the twin
+    reproduces every key bit-for-bit. Data-skipping evidence (parquet
+    min-max stats pruning on BOTH dimensions) is asserted separately
+    in tests/test_layout.py."""
+    from ..operators import layout
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    return layout.add_zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
