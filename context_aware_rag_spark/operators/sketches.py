@@ -341,3 +341,153 @@ def histogram_quantiles(
             F.col("_n").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch — Bar-Yossef et al. 2002,
+# Beyer et al. 2007. The set-OPERATION sketch: unlike HLL registers,
+# KMV register sets support intersection estimates (audience overlap,
+# cross-corpus contamination mass) because the k smallest hashes of a
+# union are a uniform sample of the union.
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = 2**48  # 12 hex chars of md5: exactly representable in
+# int64 products ((k-1) * 2^48 < 2^63 for k <= 16384), so estimates
+# are pure integer arithmetic — no FP, engine-portable bit-for-bit.
+
+
+def _check_kmv(k: int) -> None:
+    if not (2 <= k <= 4096):
+        raise ValueError(f"need 2 <= k <= 4096, got {k}")
+
+
+def _kmv_hash(col):
+    # +1 maps into [1, 2^48] — the kth-smallest divisor can never be 0
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+            "long"
+        )
+        + 1
+    )
+
+
+def kmv_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per group: the ascending array of the k smallest distinct value
+    hashes (fewer when the group has < k distinct values — then the
+    sketch IS the exact distinct set). Two shuffles: one distinct on
+    (group, hash), one window on group; register state is bounded by
+    k per group regardless of cardinality, and two sketches merge by
+    'k smallest of the union' (:func:`kmv_union_registers`).
+    """
+    _check_kmv(k)
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, _kmv_hash(F.col(value_col)).alias("h"))
+        .dropDuplicates([*group_cols, "h"])
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("hashes"))
+    )
+
+
+def _kmv_est_expr(hashes_col: str, k: int):
+    """n_distinct estimate from a register array column: exact size
+    when under-filled, else (k-1) * 2^48 div h_k — int64 `div`, no
+    floats anywhere (DuckDB twin: `//`)."""
+    return F.expr(
+        f"CASE WHEN size({hashes_col}) < {k} "
+        f"THEN CAST(size({hashes_col}) AS BIGINT) "
+        f"ELSE {(k - 1) * _KMV_SPACE} "
+        f"div get({hashes_col}, size({hashes_col}) - 1) END"
+    )
+
+
+def kmv_count_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group distinct estimate: (group_cols..., n_distinct_est).
+    Relative error ~ 1/sqrt(k-2); exact below k."""
+    regs = kmv_registers(df, group_cols, value_col, k=k)
+    return regs.select(
+        *group_cols, _kmv_est_expr("hashes", k).alias("n_distinct_est")
+    )
+
+
+def kmv_union_registers(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Merge two register tables on their group columns (inner join on
+    the shared group cols): k smallest of the union — the same sketch
+    the concatenated inputs would have produced."""
+    _check_kmv(k)
+    group_cols = [c for c in a.columns if c != "hashes"]
+    merged = a.join(
+        b.withColumnRenamed("hashes", "_hashes_b"), group_cols, "inner"
+    )
+    return merged.select(
+        *group_cols,
+        F.slice(
+            F.array_sort(F.array_union("hashes", "_hashes_b")), 1, k
+        ).alias("hashes"),
+    )
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-set overlap between every pair of groups (a < b):
+    (a, b, union_est, match_count, jaccard_ppm, intersect_est). The
+    union sketch U is the k smallest of both registers; matches are U
+    members present in BOTH registers; jaccard = matches/|U| in ppm;
+    intersect_est = matches * union_est div |U|. All integer — exact
+    (not just close) when both groups are under-filled.
+
+    100 TB shape: registers are k-bounded per group, the pair join is
+    |groups|^2 rows of 2k longs — driver-scale metadata even at
+    thousands of groups.
+    """
+    _check_kmv(k)
+    regs = kmv_registers(df, [group_col], value_col, k=k)
+    a = regs.select(
+        F.col(group_col).alias("a"), F.col("hashes").alias("ha")
+    )
+    b = regs.select(
+        F.col(group_col).alias("b"), F.col("hashes").alias("hb")
+    )
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    u = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
+    pairs = pairs.withColumn("u", u)
+    match_count = F.size(
+        F.array_intersect(F.array_intersect("u", "ha"), "hb")
+    ).cast("long")
+    union_est = _kmv_est_expr("u", k)
+    pairs = pairs.select(
+        "a",
+        "b",
+        union_est.alias("union_est"),
+        match_count.alias("match_count"),
+        F.size("u").cast("long").alias("_u_sz"),
+    )
+    # int64 overflow bound: match_count * union_est < 2^63, i.e. true
+    # union cardinality below ~2^63 / k — far past any real corpus
+    return pairs.select(
+        "a",
+        "b",
+        "union_est",
+        "match_count",
+        F.expr("match_count * 1000000 div _u_sz").alias("jaccard_ppm"),
+        F.expr("match_count * union_est div _u_sz").alias("intersect_est"),
+    )

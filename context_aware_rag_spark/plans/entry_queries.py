@@ -4092,3 +4092,76 @@ def zorder_key_lineitem_q(spark, sf_dir):
         "l_orderkey", "l_partkey", "l_linenumber"
     )
     return layout.add_zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+
+
+# =========================================================================
+# KMV sketch set overlap (distinct intersections — HLL cannot do this)
+# =========================================================================
+
+@xq(
+    "kmv_user_overlap",
+    """
+    WITH hashes AS (
+      SELECT DISTINCT event_type AS g,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) + 1 AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    tops AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM hashes
+    ),
+    regs AS (SELECT g, h FROM tops WHERE rn <= 128),
+    pairs AS (
+      SELECT DISTINCT a.g AS ga, b.g AS gb
+      FROM regs a JOIN regs b ON a.g < b.g
+    ),
+    u_rows AS (
+      SELECT p.ga, p.gb, r.h
+      FROM pairs p JOIN regs r ON r.g = p.ga OR r.g = p.gb
+      GROUP BY 1, 2, 3
+    ),
+    uk AS (
+      SELECT ga, gb, h
+      FROM (SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb
+              ORDER BY h) AS rn FROM u_rows)
+      WHERE rn <= 128
+    ),
+    marked AS (
+      SELECT uk.ga, uk.gb, uk.h,
+             CASE WHEN ra.h IS NOT NULL AND rb.h IS NOT NULL
+                  THEN 1 ELSE 0 END AS m
+      FROM uk
+      LEFT JOIN regs ra ON ra.g = uk.ga AND ra.h = uk.h
+      LEFT JOIN regs rb ON rb.g = uk.gb AND rb.h = uk.h
+    ),
+    agg AS (
+      SELECT ga AS a, gb AS b, count(*) AS u_sz, max(h) AS kth,
+             CAST(sum(m) AS BIGINT) AS match_count
+      FROM marked GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST(CASE WHEN u_sz < 128 THEN u_sz
+                ELSE (127 * 281474976710656) // kth END AS BIGINT)
+             AS union_est,
+           match_count,
+           match_count * 1000000 // u_sz AS jaccard_ppm,
+           match_count * (CASE WHEN u_sz < 128 THEN u_sz
+               ELSE (127 * 281474976710656) // kth END) // u_sz
+             AS intersect_est
+    FROM agg
+    """,
+)
+def kmv_user_overlap_q(spark, sf_dir):
+    """Estimated distinct-user overlap between every pair of event
+    types from k=128 KMV sketches — the set-operation sketch: the k
+    smallest hashes of a union are a uniform sample of it, so
+    intersections (which HLL registers cannot express) fall out of
+    register matching. All-integer estimator (48-bit hash space, int64
+    `div`), so the twin replicates every estimate bit-for-bit via the
+    rowset formulation of the same register algebra."""
+    from ..operators import sketches
+
+    return sketches.kmv_pairwise_overlap(
+        load(spark, sf_dir, "events"), "event_type", "user_id", k=128
+    )

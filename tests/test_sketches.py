@@ -317,3 +317,82 @@ class TestHistogramQuantiles:
             sketches.histogram_quantiles(df, "x", n_bins=0)
         with pytest.raises(ValueError, match="quantiles"):
             sketches.histogram_quantiles(df, "x", quantiles=(0,))
+
+
+def _py_kmv_hash(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16) + 1
+
+
+class TestKmv:
+    def test_registers_match_hashlib(self, spark):
+        vals = [f"v{i}" for i in range(40)] + ["v0", "v1"]  # dups collapse
+        df = spark.createDataFrame([(v,) for v in vals], "v: string")
+        got = sketches.kmv_registers(
+            df.withColumn("g", F.lit("x")), ["g"], "v", k=16
+        ).collect()
+        assert len(got) == 1
+        expected = sorted(_py_kmv_hash(f"v{i}") for i in range(40))[:16]
+        assert list(got[0].hashes) == expected
+
+    def test_exact_below_k(self, spark):
+        df = spark.createDataFrame(
+            [(f"u{i % 7}",) for i in range(100)], "v: string"
+        ).withColumn("g", F.lit("x"))
+        est = sketches.kmv_count_distinct(df, ["g"], "v", k=64).collect()
+        assert est[0].n_distinct_est == 7
+
+    def test_estimate_accuracy(self, spark):
+        df = spark.range(0, 20_000).select(
+            F.lit("x").alias("g"), F.col("id").cast("string").alias("v")
+        )
+        est = sketches.kmv_count_distinct(df, ["g"], "v", k=256).collect()
+        assert abs(est[0].n_distinct_est - 20_000) / 20_000 < 0.15
+
+    def test_union_merge_equals_recompute(self, spark):
+        a = spark.range(0, 500).select(
+            F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+        )
+        b = spark.range(300, 900).select(
+            F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+        )
+        merged = sketches.kmv_union_registers(
+            sketches.kmv_registers(a, ["g"], "v", k=64),
+            sketches.kmv_registers(b, ["g"], "v", k=64),
+            k=64,
+        ).collect()[0]
+        full = sketches.kmv_registers(
+            a.unionAll(b), ["g"], "v", k=64
+        ).collect()[0]
+        assert list(merged.hashes) == list(full.hashes)
+
+    def test_pairwise_overlap_exact_when_underfilled(self, spark):
+        # A = {0..59}, B = {40..99}: intersection 20, union 100 — both
+        # under k, so every output column is exact
+        rows = [("A", str(i)) for i in range(60)] + [
+            ("B", str(i)) for i in range(40, 100)
+        ]
+        df = spark.createDataFrame(rows, "g: string, v: string")
+        out = sketches.kmv_pairwise_overlap(df, "g", "v", k=128).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.a, r.b) == ("A", "B")
+        assert r.union_est == 100
+        assert r.match_count == 20
+        assert r.intersect_est == 20
+        assert r.jaccard_ppm == 200_000
+
+    def test_pairwise_overlap_estimation_regime(self, spark):
+        # 3000-element sets with 1000 shared: jaccard = 0.2
+        rows = [("A", str(i)) for i in range(3000)] + [
+            ("B", str(i)) for i in range(2000, 5000)
+        ]
+        df = spark.createDataFrame(rows, "g: string, v: string")
+        r = sketches.kmv_pairwise_overlap(df, "g", "v", k=256).collect()[0]
+        assert abs(r.union_est - 5000) / 5000 < 0.2
+        assert abs(r.jaccard_ppm - 200_000) / 200_000 < 0.35
+        assert abs(r.intersect_est - 1000) / 1000 < 0.45
+
+    def test_validates_k(self, spark):
+        df = spark.createDataFrame([("x", "v")], "g: string, v: string")
+        with pytest.raises(ValueError, match="k"):
+            sketches.kmv_registers(df, ["g"], "v", k=1)
