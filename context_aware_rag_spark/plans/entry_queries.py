@@ -4165,3 +4165,63 @@ def kmv_user_overlap_q(spark, sf_dir):
     return sketches.kmv_pairwise_overlap(
         load(spark, sf_dir, "events"), "event_type", "user_id", k=128
     )
+
+
+# =========================================================================
+# One-pass table profiler (data-quality census)
+# =========================================================================
+
+@xq(
+    "profile_events",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM events)
+    SELECT p.* FROM n, LATERAL (
+      SELECT 'event_id' AS "column", n.n_rows,
+             count(event_id) AS n_nonnull,
+             n.n_rows - count(event_id) AS n_nulls,
+             count(DISTINCT event_id) AS n_distinct,
+             CAST(min(event_id) AS VARCHAR) AS min_value,
+             CAST(max(event_id) AS VARCHAR) AS max_value,
+             CASE WHEN count(event_id) > 0 THEN
+               sum(length(CAST(event_id AS VARCHAR))) * 100
+                 // count(event_id) END AS avg_len_x100
+      FROM events
+      UNION ALL
+      SELECT 'user_id', n.n_rows, count(user_id),
+             n.n_rows - count(user_id), count(DISTINCT user_id),
+             CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+             CASE WHEN count(user_id) > 0 THEN
+               sum(length(CAST(user_id AS VARCHAR))) * 100
+                 // count(user_id) END
+      FROM events
+      UNION ALL
+      SELECT 'event_type', n.n_rows, count(event_type),
+             n.n_rows - count(event_type), count(DISTINCT event_type),
+             CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR),
+             CASE WHEN count(event_type) > 0 THEN
+               sum(length(CAST(event_type AS VARCHAR))) * 100
+                 // count(event_type) END
+      FROM events
+      UNION ALL
+      SELECT 'props', n.n_rows, count(props),
+             n.n_rows - count(props), count(DISTINCT props),
+             CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR),
+             CASE WHEN count(props) > 0 THEN
+               sum(length(CAST(props AS VARCHAR))) * 100
+                 // count(props) END
+      FROM events
+    ) p
+    """,
+)
+def profile_events_q(spark, sf_dir):
+    """Data-quality census of the events table's integer/string
+    columns in ONE aggregation over ONE scan (plan-asserted in
+    tests/test_profile.py): nulls, exact distincts, native-type
+    min/max, integer average length. The drift detector a curation
+    pipeline diffs before/after every transform."""
+    from ..operators import profile
+
+    return profile.profile_table(
+        load(spark, sf_dir, "events"),
+        ["event_id", "user_id", "event_type", "props"],
+    )
