@@ -773,3 +773,87 @@ def random_indexing_embeddings(
         .groupBy("node_id", "j")
         .agg(F.sum("term").cast("long").alias("emb_micro"))
     )
+
+
+def hyperball_states(
+    edges: DataFrame,
+    p: int = 7,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) — the web-scale neighborhood-
+    function algorithm: every node carries an HLL register set of the
+    nodes within distance t, and one iteration max-merges each node's
+    registers with its successors',
+
+        ball(x, t+1) = ball(x, t)  ∪  union over (x, y) in E of ball(y, t)
+
+    which in rowset form is a plain groupBy-max over (node, bucket) —
+    the same mergeable-register algebra as :mod:`.sketches`, so the
+    whole radius-t distance census costs t scans of the edge list with
+    bounded (2^p per node) state. This is how avg-distance / effective-
+    diameter is computed on billion-edge graphs where exact BFS per
+    node is impossible.
+
+    Runs EXACTLY ``n_iter`` iterations (deterministic output shape; a
+    converged graph just repeats its fixpoint rows at higher t) and
+    returns all radii: (t, node, bucket, m_j) for t in 0..n_iter.
+    Estimates per (t, node) come from :func:`..sketches.hll_estimate`
+    with group_cols ["t", "node"].
+
+    100 TB shape: per iteration one edge-state equi-join + one
+    map-side-combined max — registers are partial aggregates; state is
+    localCheckpoint-pinned per radius so the t-fold union does not
+    re-run earlier joins.
+    """
+    from .sketches import hll_merge, hll_registers
+
+    if n_iter < 1:
+        raise ValueError(f"need n_iter >= 1, got {n_iter}")
+    e = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col(dst_col).alias("x"), F.col(src_col).alias("y"))
+        )
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .dropDuplicates()
+    )
+    state = hll_registers(
+        nodes.select("node", F.col("node").alias("_v")), ["node"], "_v", p=p
+    ).localCheckpoint()
+    radii = [state.select(F.lit(0).alias("t"), "node", "bucket", "m_j")]
+    for t in range(1, n_iter + 1):
+        contrib = e.join(state, e["y"] == state["node"]).select(
+            e["x"].alias("node"), "bucket", "m_j"
+        )
+        state = hll_merge(state, contrib).localCheckpoint()
+        radii.append(state.select(F.lit(t).alias("t"), "node", "bucket", "m_j"))
+    out = radii[0]
+    for r in radii[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    p: int = 7,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Per (t, node) ball-size estimates: (t, node, n_registers,
+    n_empty, harmonic_s49, estimate) — the distance-distribution
+    census behind avg-distance / effective-diameter estimates."""
+    from .sketches import hll_estimate
+
+    states = hyperball_states(
+        edges, p=p, n_iter=n_iter, src_col=src_col, dst_col=dst_col,
+        directed=directed,
+    )
+    return hll_estimate(states, ["t", "node"], p=p)

@@ -4225,3 +4225,117 @@ def profile_events_q(spark, sf_dir):
         load(spark, sf_dir, "events"),
         ["event_id", "user_id", "event_type", "props"],
     )
+
+
+# =========================================================================
+# HyperBall neighborhood function (distance census by HLL propagation)
+# =========================================================================
+
+def _hyperball_twin_sql(n_iter: int = 3) -> str:
+    # register CTE chain: h{t} = groupBy-max of h{t-1} union the
+    # successor contributions — the rowset form of the max-merge
+    reg = (
+        "CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 128"
+    )
+    rho = (
+        "CASE WHEN CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), "
+        "9, 12)) AS BIGINT) = 0 THEN 49 ELSE 49 - length(bin(CAST("
+        "concat('0x', substr(md5(CAST(node AS VARCHAR)), 9, 12)) "
+        "AS BIGINT))) END"
+    )
+    chain = []
+    for t in range(1, n_iter + 1):
+        chain.append(
+            f"""h{t} AS (
+      SELECT node, bucket, max(m_j) AS m_j FROM (
+        SELECT node, bucket, m_j FROM h{t - 1}
+        UNION ALL
+        SELECT e.x AS node, s.bucket, s.m_j
+        FROM edges e JOIN h{t - 1} s ON s.node = e.y
+      ) GROUP BY 1, 2
+    )"""
+        )
+    states = " UNION ALL ".join(
+        f"SELECT {t} AS t, node, bucket, m_j FROM h{t}"
+        for t in range(0, n_iter + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a, b FROM (
+        SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+               count(DISTINCT x.l_orderkey) AS n_orders
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        GROUP BY 1, 2
+      ) WHERE n_orders >= 20
+    ),
+    edges AS (
+      SELECT a AS x, b AS y FROM pairs
+      UNION ALL SELECT b AS x, a AS y FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT x AS node FROM edges),
+    h0 AS (
+      SELECT node, {reg} AS bucket, max({rho}) AS m_j
+      FROM nodes GROUP BY 1, 2
+    ),
+    {', '.join(chain)},
+    states AS ({states}),
+    agg AS (
+      SELECT t, node, count(*) AS n_registers,
+             sum(1::BIGINT << (49 - m_j)) AS s_present
+      FROM states GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t, node, n_registers, 128 - n_registers AS n_empty,
+             CAST(s_present + (128 - n_registers) * (1::BIGINT << 49)
+                  AS BIGINT) AS harmonic_s49
+      FROM agg
+    )
+    SELECT t, node,
+           CAST(n_registers AS BIGINT) AS n_registers,
+           CAST(n_empty AS INTEGER) AS n_empty,
+           harmonic_s49,
+           round(CASE WHEN n_empty > 0
+                       AND (0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0
+                           * 562949953421312.0
+                           / CAST(harmonic_s49 AS DOUBLE) <= 320.0
+                      THEN 128.0 * ln(128.0 / CAST(n_empty AS DOUBLE))
+                      ELSE (0.7213 / (1.0 + 1.079 / 128.0)) * 128.0 * 128.0
+                           * 562949953421312.0
+                           / CAST(harmonic_s49 AS DOUBLE) END,
+                 4) AS estimate
+    FROM est
+    """
+
+
+@xq("kg_graph_hyperball", _hyperball_twin_sql(3))
+def kg_graph_hyperball_q(spark, sf_dir):
+    """HyperBall distance census (Boldi & Vigna 2013) over the
+    supplier co-occurrence graph: per (radius t, node) the HLL-
+    estimated ball size for t = 0..3 — the web-scale route to average
+    distance / effective diameter (t scans of the edge list, 2^p
+    registers per node, no per-node BFS). The twin replicates the
+    ENTIRE algorithm — md5 registers, the max-merge propagation as a
+    chained-CTE recursion, the exact-integer harmonic sum, and the
+    linear-counting regime switch — so the propagation itself is
+    hash-gated at every radius."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+        .select("src", "dst")
+    )
+    return graph.neighborhood_function(pairs, p=7, n_iter=3)

@@ -258,3 +258,93 @@ class TestRandomIndexingEmbeddings:
         )
         with pytest.raises(ValueError, match="dim"):
             graph.random_indexing_embeddings(pmi, dim=0)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall
+# ---------------------------------------------------------------------------
+
+def _py_hll_register(value: str, p: int = 7):
+    import hashlib
+
+    h = hashlib.md5(value.encode()).hexdigest()
+    bucket = int(h[:8], 16) % (1 << p)
+    v48 = int(h[8:20], 16)
+    rho = 49 if v48 == 0 else 49 - len(bin(v48)[2:])
+    return bucket, rho
+
+
+def _py_ball_registers(ball_nodes, p: int = 7):
+    regs = {}
+    for n in ball_nodes:
+        b, r = _py_hll_register(str(n), p)
+        regs[b] = max(regs.get(b, 0), r)
+    return regs
+
+
+class TestHyperball:
+    def _states(self, spark, edges, **kw):
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        out = {}
+        for r in graph.hyperball_states(df, **kw).collect():
+            out.setdefault((r.t, r.node), {})[r.bucket] = r.m_j
+        return out
+
+    def test_registers_equal_exact_ball_registers(self, spark):
+        # path 0-1-2-3 (undirected): ball(1, 1) = {0,1,2}, ball(0, 2) =
+        # {0,1,2}, ball(0, 3) = everything — registers must equal the
+        # hand-computed HLL registers of the EXACT BFS balls
+        edges = [(0, 1), (1, 2), (2, 3)]
+        got = self._states(spark, edges, p=7, n_iter=3)
+        balls = {
+            0: {0: {0}, 1: {0, 1}, 2: {0, 1, 2}, 3: {0, 1, 2, 3}},
+            1: {0: {1}, 1: {0, 1, 2}, 2: {0, 1, 2, 3}, 3: {0, 1, 2, 3}},
+            2: {0: {2}, 1: {1, 2, 3}, 2: {0, 1, 2, 3}, 3: {0, 1, 2, 3}},
+            3: {0: {3}, 1: {2, 3}, 2: {1, 2, 3}, 3: {0, 1, 2, 3}},
+        }
+        for node, per_t in balls.items():
+            for t, members in per_t.items():
+                assert got[(t, node)] == _py_ball_registers(members), (
+                    node, t,
+                )
+
+    def test_directed_follows_out_edges(self, spark):
+        # 0 -> 1 -> 2 directed: ball(0,1) = {0,1}; ball(2,t) stays {2}
+        got = self._states(
+            spark, [(0, 1), (1, 2)], p=7, n_iter=2, directed=True
+        )
+        assert got[(1, 0)] == _py_ball_registers({0, 1})
+        assert got[(2, 0)] == _py_ball_registers({0, 1, 2})
+        assert got[(2, 2)] == _py_ball_registers({2})
+
+    def test_estimates_accurate_on_star(self, spark):
+        # star: center 0 with 60 leaves; at t=1 center's ball = 61,
+        # leaves' balls = 62 - wait: leaf ball(1) = {leaf, 0}; center
+        # ball(1) = all 61. Linear-counting regime at p=7 -> tight.
+        edges = [(0, i) for i in range(1, 61)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        est = {
+            (r.t, r.node): r.estimate
+            for r in graph.neighborhood_function(df, p=7, n_iter=2).collect()
+        }
+        assert abs(est[(1, 0)] - 61) / 61 < 0.2
+        assert abs(est[(1, 5)] - 2) < 1.5
+        assert abs(est[(2, 5)] - 61) / 61 < 0.2
+
+    def test_monotone_and_fixpoint_repeats(self, spark):
+        # harmonic_s49 never increases with t; past the diameter the
+        # state repeats exactly
+        df = spark.createDataFrame([(0, 1), (1, 2)], "src: long, dst: long")
+        rows = graph.neighborhood_function(df, p=7, n_iter=4).collect()
+        s49 = {}
+        for r in rows:
+            s49.setdefault(r.node, {})[r.t] = r.harmonic_s49
+        for node, per_t in s49.items():
+            seq = [per_t[t] for t in sorted(per_t)]
+            assert all(a >= b for a, b in zip(seq, seq[1:]))
+            assert seq[2] == seq[3] == seq[4]  # diameter 2
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([(0, 1)], "src: long, dst: long")
+        with pytest.raises(ValueError, match="n_iter"):
+            graph.hyperball_states(df, n_iter=0)
