@@ -491,3 +491,31 @@ def kmv_pairwise_overlap(
         F.expr("match_count * 1000000 div _u_sz").alias("jaccard_ppm"),
         F.expr("match_count * union_est div _u_sz").alias("intersect_est"),
     )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches of
+    the join keys (same depth/width — the caller's contract): the
+    inner product of each hash row upper-bounds |A JOIN B| (Cormode &
+    Muthukrishnan 2005 §4.2), and the estimate is the MIN over rows.
+    One row out: (est_join_size).
+
+    This is the planner-style use of the sketch: sizing a join's
+    shuffle before running it from depth x width state per side —
+    e.g. choosing broadcast vs shuffle, or detecting a fan-out join
+    about to explode. All-integer (int64 sums of cnt_a * cnt_b).
+    """
+    prod = a.join(
+        b.withColumnRenamed("cnt", "_cnt_b"), ["row", "bucket"], "inner"
+    ).select("row", (F.col("cnt") * F.col("_cnt_b")).alias("_p"))
+    per_row = prod.groupBy("row").agg(F.sum("_p").alias("_dot"))
+    # a hash row whose buckets never collide across the two sketches
+    # has dot = 0 (its row is absent from the inner join) — the min
+    # must see it, so fill the row domain from both sketches
+    row_dom = a.select("row").unionAll(b.select("row")).dropDuplicates()
+    dots = row_dom.join(per_row, "row", "left").select(
+        F.coalesce("_dot", F.lit(0)).alias("_dot")
+    )
+    return dots.agg(
+        F.coalesce(F.min("_dot"), F.lit(0)).cast("long").alias("est_join_size")
+    )

@@ -4339,3 +4339,67 @@ def kg_graph_hyperball_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.neighborhood_function(pairs, p=7, n_iter=3)
+
+
+# =========================================================================
+# CMS join-size estimation (planner-style sketch inner product)
+# =========================================================================
+
+@xq(
+    "cms_join_size_estimate",
+    """
+    WITH ca AS (
+      SELECT r.rw,
+             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
+                  chr(31), CAST(o_orderkey AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 2048 AS bucket,
+             count(*) AS cnt
+      FROM orders CROSS JOIN range(4) r(rw)
+      WHERE o_orderkey IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT r.rw,
+             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
+                  chr(31), CAST(l_orderkey AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 2048 AS bucket,
+             count(*) AS cnt
+      FROM lineitem CROSS JOIN range(4) r(rw)
+      WHERE l_orderkey IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT d.rw, COALESCE(sum(ca.cnt * cb.cnt), 0) AS dot
+      FROM (SELECT DISTINCT rw FROM ca UNION SELECT DISTINCT rw FROM cb) d(rw)
+      LEFT JOIN ca ON ca.rw = d.rw
+      LEFT JOIN cb ON cb.rw = ca.rw AND cb.bucket = ca.bucket
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT count(*) AS n FROM orders o JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST((SELECT min(dot) FROM dots) AS BIGINT) AS est_join_size,
+           CAST((SELECT n FROM exact) AS BIGINT) AS exact_join_size
+    """,
+)
+def cms_join_size_estimate_q(spark, sf_dir):
+    """Planner-style join cardinality estimation: |orders JOIN
+    lineitem| on orderkey from two depth-4 x width-2048 Count-Min
+    sketches — min over hash rows of the sketch inner product (an
+    upper bound on the true size) — next to the exact join count. The
+    state needed to size a 100 TB shuffle before running it is
+    depth x width cells per side; the twin replicates the cells, the
+    row-domain dot products, and the exact count."""
+    from ..operators import sketches
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    est = sketches.cms_join_size(
+        sketches.cms_build(orders, "o_orderkey", depth=4, width=2048),
+        sketches.cms_build(li, "l_orderkey", depth=4, width=2048),
+    )
+    exact = orders.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    ).agg(F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(exact)

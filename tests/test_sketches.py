@@ -396,3 +396,109 @@ class TestKmv:
         df = spark.createDataFrame([("x", "v")], "g: string, v: string")
         with pytest.raises(ValueError, match="k"):
             sketches.kmv_registers(df, ["g"], "v", k=1)
+
+
+class TestCmsJoinSize:
+    def test_upper_bounds_and_tracks_exact(self, spark):
+        # zipf-ish keys: exact join size = sum over keys of n_a * n_b
+        a_rows = [(f"k{i % 13}",) for i in range(400)]
+        b_rows = [(f"k{i % 7}",) for i in range(300)]
+        a = spark.createDataFrame(a_rows, "k: string")
+        b = spark.createDataFrame(b_rows, "k: string")
+        exact = a.join(b, "k").count()
+        est = sketches.cms_join_size(
+            sketches.cms_build(a, "k", depth=4, width=1024),
+            sketches.cms_build(b, "k", depth=4, width=1024),
+        ).collect()[0].est_join_size
+        assert est >= exact
+        assert est <= exact * 1.2  # wide sketch: collisions negligible
+
+    def test_exact_when_collision_free(self, spark):
+        a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "k: string")
+        b = spark.createDataFrame([("x",)] * 5 + [("z",)], "k: string")
+        est = sketches.cms_join_size(
+            sketches.cms_build(a, "k", depth=4, width=4096),
+            sketches.cms_build(b, "k", depth=4, width=4096),
+        ).collect()[0].est_join_size
+        assert est == 15  # 3 * 5
+
+    def test_disjoint_keys_small(self, spark):
+        a = spark.createDataFrame([("a1",), ("a2",)], "k: string")
+        b = spark.createDataFrame([("b1",), ("b2",)], "k: string")
+        est = sketches.cms_join_size(
+            sketches.cms_build(a, "k", depth=4, width=4096),
+            sketches.cms_build(b, "k", depth=4, width=4096),
+        ).collect()[0].est_join_size
+        assert est == 0
+
+
+class TestStreamingCms:
+    SCHEMA = T.StructType([T.StructField("k", T.StringType())])
+
+    def _write_batches(self, spark, in_dir, batches):
+        import glob
+        import shutil
+
+        for i, rows in enumerate(batches):
+            stage = os.path.join(in_dir, f"_stage{i}")
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(in_dir, f"b{i}.parquet"))
+            shutil.rmtree(stage)
+
+    def test_stream_equals_batch(self, spark, tmp_path_factory):
+        from context_aware_rag_spark.streaming.cms_metrics import (
+            merged_query,
+            start_streaming_cms,
+        )
+
+        in_dir = str(tmp_path_factory.mktemp("cms_in"))
+        out_dir = str(tmp_path_factory.mktemp("cms_out"))
+        batches = [
+            [(f"k{i % 5}",) for i in range(60)],
+            [(f"k{i % 3}",) for i in range(30)],
+            [("k0",)] * 7,
+        ]
+        self._write_batches(spark, in_dir, batches)
+        q = start_streaming_cms(
+            spark, in_dir, out_dir, "k", schema=self.SCHEMA, width=256
+        )
+        q.awaitTermination(120)
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(5)], self.SCHEMA)
+        streamed = {
+            r.k: r.est
+            for r in merged_query(
+                spark, out_dir, keys, "k", width=256
+            ).collect()
+        }
+        all_rows = [r for b in batches for r in b]
+        batch = {
+            r.k: r.est
+            for r in sketches.cms_query(
+                sketches.cms_build(
+                    spark.createDataFrame(all_rows, self.SCHEMA), "k",
+                    width=256,
+                ),
+                keys, "k", width=256,
+            ).collect()
+        }
+        assert streamed == batch
+
+    def test_replayed_epoch_cannot_double_count(self, spark, tmp_path_factory):
+        # CMS merge is SUM (not idempotent) — replay safety comes from
+        # the per-epoch OVERWRITE, which this pins
+        from context_aware_rag_spark.streaming.cms_metrics import (
+            cms_microbatch,
+            merged_query,
+        )
+
+        out_dir = str(tmp_path_factory.mktemp("cms_replay"))
+        batch = spark.createDataFrame([("x",)] * 9, self.SCHEMA)
+        keys = spark.createDataFrame([("x",)], self.SCHEMA)
+        cms_microbatch(batch, out_dir, 0, "k")
+        once = merged_query(spark, out_dir, keys, "k").collect()[0].est
+        cms_microbatch(batch, out_dir, 0, "k")  # replay
+        twice = merged_query(spark, out_dir, keys, "k").collect()[0].est
+        assert once == twice == 9
