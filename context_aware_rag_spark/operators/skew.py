@@ -205,3 +205,67 @@ def key_skew_report(
         .cast("long")
         .alias("cum_frac_ppm"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    hot_keys: "list",
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with STATIC salting of the listed hot keys — the skew
+    fix for when runtime splitting can't help: AQE's skew-join only
+    fires on sort-merge joins and is defeated by bucketed/pre-shuffled
+    inputs or by a build side that replicates a single hot hash
+    partition. Supply ``hot_keys`` from :func:`key_skew_report`.
+
+    Mechanics: hot LEFT rows get a deterministic salt in [0, n_salt)
+    (xxhash64 of the whole row — any distribution works for
+    correctness, this one is reproducible); hot RIGHT rows are
+    replicated once per salt; the hot branch joins on (key, salt) so
+    the hottest key fans across n_salt reducers instead of one; cold
+    rows take the plain join. Row-identical to the unsalted join
+    (tested), supports inner and left joins.
+
+    100 TB shape: replication cost = |hot right rows| * n_salt —
+    bounded because hot_keys are FEW by construction (they came from a
+    top-k report); everything else is the join you already paid for.
+    """
+    if n_salt < 2:
+        raise ValueError(f"need n_salt >= 2, got {n_salt}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if not hot_keys:
+        raise ValueError("hot_keys must be non-empty (use a plain join)")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+
+    # coalesce: isin(NULL) is NULL, which would drop NULL-keyed rows
+    # from BOTH branches (a left join must keep them — in cold, where
+    # the equi-join treats them as unmatched anyway)
+    is_hot_l = F.coalesce(F.col(left_key).isin(hot_keys), F.lit(False))
+    is_hot_r = F.coalesce(F.col(right_key).isin(hot_keys), F.lit(False))
+
+    left_hot = left.filter(is_hot_l).withColumn(
+        "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(n_salt))
+    )
+    right_hot = right.filter(is_hot_r).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    hot = left_hot.join(
+        right_hot,
+        (left_hot[left_key] == right_hot[right_key])
+        & (left_hot["_salt"] == right_hot["_salt"].cast("long")),
+        how,
+    ).select(*[left_hot[c] for c in left.columns],
+             *[right_hot[c] for c in right.columns])
+    cold = left.filter(~is_hot_l).join(
+        right.filter(~is_hot_r),
+        F.col(left_key) == F.col(right_key),
+        how,
+    ).select(*left.columns, *right.columns)
+    return hot.unionByName(cold)

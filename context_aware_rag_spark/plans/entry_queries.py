@@ -4403,3 +4403,46 @@ def cms_join_size_estimate_q(spark, sf_dir):
         li, F.col("o_orderkey") == F.col("l_orderkey")
     ).agg(F.count(F.lit(1)).alias("exact_join_size"))
     return est.crossJoin(exact)
+
+
+# =========================================================================
+# Salted skew join (static hot-key fan-out)
+# =========================================================================
+
+@xq(
+    "salted_join_revenue",
+    """
+    SELECT s.s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def salted_join_revenue_q(spark, sf_dir):
+    """Revenue per supplier through the STATICALLY salted join (the
+    skew fix for bucketed/pre-shuffled inputs where AQE's runtime
+    skew split cannot fire): the three hottest suppkeys fan across 8
+    salted reducers, everything else takes the plain join. The twin
+    is the plain SQL join — the salted plan must be row-identical."""
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    hot = [
+        r.l_suppkey
+        for r in li.groupBy("l_suppkey")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("l_suppkey"))
+        .limit(3)
+        .collect()
+    ]
+    joined = salted_join(supp, li, "s_suppkey", "l_suppkey", hot, n_salt=8)
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -85,3 +85,82 @@ def test_long_conv_present(chunks):
     per_conv = chunks.groupBy("conv_id").count().collect()
     counts = {r["conv_id"]: r["count"] for r in per_conv}
     assert max(counts.values()) > 15 * (sorted(counts.values())[len(counts) // 2])
+
+
+# ---------------------------------------------------------------------------
+# salted_join
+# ---------------------------------------------------------------------------
+
+class TestSaltedJoin:
+    def _frames(self, spark):
+        import random
+
+        rnd = random.Random(5)
+        left = [(i, rnd.choice([1, 1, 1, 1, 2, 3, None])) for i in range(300)]
+        right = [(100 + j, rnd.choice([1, 2, 3, 4])) for j in range(40)]
+        ldf = spark.createDataFrame(left, "lid: long, k: long")
+        rdf = spark.createDataFrame(right, "rid: long, rk: long")
+        return ldf, rdf
+
+    def test_inner_equals_plain_join(self, spark):
+        from context_aware_rag_spark.operators.skew import salted_join
+
+        ldf, rdf = self._frames(spark)
+        got = sorted(
+            (r.lid, r.rid)
+            for r in salted_join(ldf, rdf, "k", "rk", [1], n_salt=4).collect()
+        )
+        want = sorted(
+            (r.lid, r.rid)
+            for r in ldf.join(rdf, ldf["k"] == rdf["rk"]).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_left_join_keeps_unmatched_and_null_keys(self, spark):
+        from context_aware_rag_spark.operators.skew import salted_join
+
+        ldf, rdf = self._frames(spark)
+        got = sorted(
+            (r.lid, r.rid)
+            for r in salted_join(
+                ldf, rdf, "k", "rk", [1, 2], n_salt=4, how="left"
+            ).collect()
+        )
+        want = sorted(
+            (r.lid, r.rid)
+            for r in ldf.join(rdf, ldf["k"] == rdf["rk"], "left").collect()
+        )
+        assert got == want
+        # NULL-keyed left rows present exactly once, unmatched
+        nulls = [t for t in got if t[1] is None]
+        assert len(nulls) == sum(1 for r in ldf.collect() if r.k is None) + sum(
+            1
+            for r in ldf.collect()
+            if r.k is not None
+            and r.k not in {x.rk for x in rdf.collect()}
+        )
+
+    def test_hot_branch_partitions_on_salt(self, spark):
+        from context_aware_rag_spark.operators.skew import salted_join
+
+        ldf, rdf = self._frames(spark)
+        jvm = spark.sparkContext._jvm
+        plan = salted_join(ldf, rdf, "k", "rk", [1])._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "_salt" in plan  # the fan-out key reaches the exchange
+
+    def test_validates(self, spark):
+        from context_aware_rag_spark.operators.skew import salted_join
+
+        ldf, rdf = self._frames(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_salt"):
+            salted_join(ldf, rdf, "k", "rk", [1], n_salt=1)
+        with _pytest.raises(ValueError, match="hot_keys"):
+            salted_join(ldf, rdf, "k", "rk", [])
+        with _pytest.raises(ValueError, match="how"):
+            salted_join(ldf, rdf, "k", "rk", [1], how="outer")
+        with _pytest.raises(ValueError, match="collision"):
+            salted_join(ldf, ldf, "k", "k", [1])
