@@ -107,6 +107,7 @@ def main() -> None:
         "bm25_topk_50k",
         "hll_distinct_3m",
         "cms_build_3m",
+        "range_join_2m",
     ):
         samples[extra] = []
 
@@ -322,6 +323,27 @@ def main() -> None:
             cms, probe_keys, "word", depth=4, width=4096
         ).count()
         samples["cms_build_3m"].append(round(time.monotonic() - t0, 3))
+
+        # bucketed range join at scale: 2M points against 200k
+        # intervals (avg length 300, bucket width 512 -> fan-out ~1.6)
+        # — the point-in-interval shape that nested-loops without the
+        # bucket rewrite
+        from context_aware_rag_spark.operators import intervals as iv_ops
+
+        pts2m = spark.range(2_000_000).select(
+            F.col("id").alias("pid"), ((F.col("id") * 7) % 40_000_000).alias("p")
+        )
+        ivs200k = spark.range(200_000).select(
+            F.col("id").alias("iid"),
+            ((F.col("id") * 131) % 40_000_000).alias("s"),
+            (((F.col("id") * 131) % 40_000_000) + F.col("id") % 600).alias("e"),
+        )
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_range_join_matches"] = iv_ops.range_join_points(
+            pts2m, ivs200k, "p", "s", "e", bucket_width=512
+        ).count()
+        samples["range_join_2m"].append(round(time.monotonic() - t0, 3))
         drop_persisted(spark, keep)
 
     timings = {name: min(vals) for name, vals in samples.items()}
@@ -341,6 +363,7 @@ def main() -> None:
         "bm25_topk_50k",
         "hll_distinct_3m",
         "cms_build_3m",
+        "range_join_2m",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in scale_entries), 3

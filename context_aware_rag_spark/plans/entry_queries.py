@@ -4605,3 +4605,75 @@ def tpch_q18_q(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# =========================================================================
+# Event-sequence analytics: funnel + cohort retention
+# =========================================================================
+
+@xq(
+    "funnel_conversion",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    s1 AS (SELECT user_id, min(t) AS t_done FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT ev.user_id, min(ev.t) AS t_done
+           FROM ev JOIN s1 ON ev.user_id = s1.user_id
+           WHERE ev.event_type = 'click'
+             AND ev.t > s1.t_done AND ev.t <= s1.t_done + 86400
+           GROUP BY 1),
+    s3 AS (SELECT ev.user_id, min(ev.t) AS t_done
+           FROM ev JOIN s2 ON ev.user_id = s2.user_id
+           WHERE ev.event_type = 'purchase'
+             AND ev.t > s2.t_done AND ev.t <= s2.t_done + 86400
+           GROUP BY 1)
+    SELECT 1 AS step, 'view' AS event_type,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def funnel_conversion_q(spark, sf_dir):
+    """view -> click -> purchase funnel with a 1-day step window:
+    greedy earliest-completion semantics, one bounded join + min-agg
+    per step (never a per-user sort or collect). Twin replicates the
+    step chain as CTEs."""
+    from ..operators import funnel
+
+    return funnel.funnel_counts(
+        load(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        window_seconds=86400,
+    )
+
+
+@xq(
+    "cohort_retention_weekly",
+    """
+    WITH ev AS (
+      SELECT user_id AS u,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS period
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    first AS (SELECT u, min(period) AS cohort_period FROM ev GROUP BY 1)
+    SELECT f.cohort_period, ev.period - f.cohort_period AS period_offset,
+           CAST(count(DISTINCT ev.u) AS BIGINT) AS n_users
+    FROM ev JOIN first f ON ev.u = f.u
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly_q(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    distinct actives per (cohort, weeks-since) — two aggregations on
+    integer epoch-week buckets."""
+    from ..operators import funnel
+
+    return funnel.cohort_retention(
+        load(spark, sf_dir, "events"), period_seconds=604800
+    )
