@@ -4677,3 +4677,64 @@ def cohort_retention_weekly_q(spark, sf_dir):
     return funnel.cohort_retention(
         load(spark, sf_dir, "events"), period_seconds=604800
     )
+
+
+# =========================================================================
+# Snapshot store (merge-on-read upserts without the Iceberg jar)
+# =========================================================================
+
+@xq(
+    "snapstore_resolution",
+    """
+    WITH log AS (
+      SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+             0 AS c, 'upsert' AS op
+      FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT o_orderkey, round(o_totalprice * 2, 2), 1, 'upsert'
+      FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, 2, 'delete'
+      FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 7 = 0
+    )
+    SELECT k, price FROM (
+      SELECT k, price, op,
+             row_number() OVER (PARTITION BY k ORDER BY c DESC) AS rn
+      FROM log
+    ) WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def snapstore_resolution_q(spark, sf_dir):
+    """Merge-on-read table semantics without the (sandbox-absent)
+    Iceberg jar: three REAL commits — base upsert, price-doubling
+    upsert, modulo delete — written as parquet deltas to a fresh
+    store, then resolved by newest-commit-wins. The twin resolves the
+    same log purely in SQL, so the store's resolution semantics
+    (override, tombstone, window tiebreak) are value-checked, not just
+    its row count."""
+    import tempfile
+
+    from ..sources import snapstore
+
+    base = tempfile.mkdtemp(prefix="snapstore_q_")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    snapstore.commit_upsert(spark, base, orders, ["k"])
+    snapstore.commit_upsert(
+        spark,
+        base,
+        orders.filter(F.col("k") % 10 == 0).select(
+            "k", F.round(F.col("price") * 2, 2).alias("price")
+        ),
+        ["k"],
+    )
+    snapstore.commit_delete(
+        spark, base, orders.filter(F.col("k") % 7 == 0).select("k"), ["k"]
+    )
+    return snapstore.read_state(spark, base, ["k"])
