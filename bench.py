@@ -417,6 +417,12 @@ def main() -> None:
             "bm25_50k_docs_per_sec": round(
                 n_dedup_docs / timings["bm25_topk_50k"], 1
             ),
+            "hll_words_estimate": kg_counts["n_hll_words_estimate"],
+            "cms_probe_keys": kg_counts["n_cms_probes"],
+            "range_join_matches": kg_counts["n_range_join_matches"],
+            "range_join_points_per_sec": round(
+                2_000_000 / timings["range_join_2m"], 1
+            ),
         },
         "cpus": int(cpus),
     }

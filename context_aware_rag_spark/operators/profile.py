@@ -71,3 +71,52 @@ def profile_table(
             F.expr("_len_sum * 100 div n_nonnull"),
         ).alias("avg_len_x100"),
     )
+
+
+def check_expectations(
+    df: DataFrame, rules: "dict[str, object]"
+) -> DataFrame:
+    """Declarative data-quality gate: ``rules`` maps rule name to a
+    boolean Column over the frame's columns; returns one row per rule
+    — (rule, n_rows, n_violations, violation_ppm, passed) — from ONE
+    aggregation over ONE scan (a NULL rule result counts as a
+    violation: unknown is not a pass).
+
+    The before/after-transform counterpart to :func:`profile_table`:
+    assert the invariants you know ("ids non-null", "ts within
+    range", "score in [0,1]") instead of eyeballing a census. Integer
+    ppm — no FP.
+    """
+    if not rules:
+        raise ValueError("need at least one rule")
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for i, name in enumerate(names):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(rules[name], F.lit(False)), 0).otherwise(1)
+            ).alias(f"_viol_{i}")
+        )
+    row = df.agg(*aggs)
+    stacked = row.select(
+        "_n_rows",
+        F.expr(
+            "stack({n}, {args}) AS (rule, n_violations)".format(
+                n=len(names),
+                args=", ".join(
+                    "'{}', _viol_{}".format(name.replace("'", "''"), i)
+                    for i, name in enumerate(names)
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "rule",
+        F.col("_n_rows").alias("n_rows"),
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+        F.when(
+            F.col("_n_rows") > 0,
+            F.expr("coalesce(n_violations, 0) * 1000000 div _n_rows"),
+        ).otherwise(F.lit(0)).cast("long").alias("violation_ppm"),
+        (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
+    )

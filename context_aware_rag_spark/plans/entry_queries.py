@@ -4738,3 +4738,66 @@ def snapstore_resolution_q(spark, sf_dir):
         spark, base, orders.filter(F.col("k") % 7 == 0).select("k"), ["k"]
     )
     return snapstore.read_state(spark, base, ["k"])
+
+
+# =========================================================================
+# Declarative expectations gate (data-quality rules in one scan)
+# =========================================================================
+
+@xq(
+    "expectations_lineitem",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+    v AS (
+      SELECT 'orderkey_not_null' AS rule,
+             sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS nv
+      FROM lineitem
+      UNION ALL
+      SELECT 'quantity_1_to_50',
+             sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                      THEN 0 ELSE 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_0_to_0_1',
+             sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1
+                      THEN 0 ELSE 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_positive',
+             sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_domain',
+             sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                      THEN 0 ELSE 1 END)
+      FROM lineitem
+    )
+    SELECT v.rule, n.n_rows,
+           CAST(COALESCE(v.nv, 0) AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n.n_rows > 0
+                THEN COALESCE(v.nv, 0) * 1000000 // n.n_rows
+                ELSE 0 END AS BIGINT) AS violation_ppm,
+           COALESCE(v.nv, 0) = 0 AS passed
+    FROM v CROSS JOIN n
+    """,
+)
+def expectations_lineitem_q(spark, sf_dir):
+    """Data-quality expectations over lineitem in ONE aggregation over
+    ONE scan: null/domain/range invariants with integer-ppm violation
+    rates (NULL rule results count as violations — unknown is not a
+    pass). The assert-style counterpart to profile_events."""
+    from ..operators.profile import check_expectations
+
+    li = load(spark, sf_dir, "lineitem")
+    return check_expectations(
+        li,
+        {
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+            "quantity_1_to_50": (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 50),
+            "discount_0_to_0_1": (F.col("l_discount") >= 0.0)
+            & (F.col("l_discount") <= 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )

@@ -46,3 +46,42 @@ class TestProfileTable:
             profile.profile_table(df, ["nope"])
         with pytest.raises(ValueError, match="at least one"):
             profile.profile_table(df, [])
+
+
+class TestCheckExpectations:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (3, None), (4, "d")],
+            "k: long, s: string",
+        )
+        from context_aware_rag_spark.operators.profile import check_expectations
+
+        got = {
+            r.rule: (r.n_rows, r.n_violations, r.violation_ppm, r.passed)
+            for r in check_expectations(
+                df,
+                {
+                    "k_not_null": F.col("k").isNotNull(),
+                    "k_positive": F.col("k") > 0,  # NULL -> violation
+                    "s_short": F.length("s") <= 1,  # NULL -> violation
+                    "always": F.lit(True),
+                },
+            ).collect()
+        }
+        assert got["k_not_null"] == (4, 1, 250_000, False)
+        assert got["k_positive"] == (4, 1, 250_000, False)
+        assert got["s_short"] == (4, 1, 250_000, False)
+        assert got["always"] == (4, 0, 0, True)
+
+    def test_single_scan_and_empty_frame(self, spark):
+        from context_aware_rag_spark.operators.profile import check_expectations
+
+        df = spark.createDataFrame([], "k: long")
+        rows = check_expectations(
+            df, {"r": F.col("k").isNotNull()}
+        ).collect()
+        assert rows[0].n_rows == 0 and rows[0].passed
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="at least one"):
+            check_expectations(df, {})
