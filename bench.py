@@ -318,7 +318,10 @@ def main() -> None:
         drop_persisted(spark, keep)
         t0 = time.monotonic()
         cms = sk_ops.cms_build(words50k, "word", depth=4, width=4096)
-        probe_keys = words50k.limit(64).dropDuplicates()
+        # dedup BEFORE limit: limit-then-dedup returns the first 64
+        # tokens of one doc (heavy on repeats) and a nondeterministic
+        # count, not the stated 64-key probe
+        probe_keys = words50k.dropDuplicates().limit(64)
         kg_counts["n_cms_probes"] = sk_ops.cms_query(
             cms, probe_keys, "word", depth=4, width=4096
         ).count()

@@ -67,16 +67,18 @@ def add_zorder_key(
         *[F.max(F.col(c).cast("long")).alias(f"_hi_{i}") for i, c in enumerate(cols)],
     )
     out = df.crossJoin(F.broadcast(bounds))
+    # TRUE int64 division (`div`), not floor(double /): near the 2^53
+    # double-precision edge (e.g. lo=0, hi=2^54, bits=8 — inside the
+    # documented contract) the double quotient for x = hi rounds up to
+    # exactly 2^bits, leaking a bit past the interleave width
     cells = []
     for i, c in enumerate(cols):
         lo, hi = F.col(f"_lo_{i}"), F.col(f"_hi_{i}")
-        cells.append(
-            F.floor(
-                (F.col(c).cast("long") - lo)
-                * F.lit(2**bits).cast("long")
-                / (hi - lo + 1)
-            ).cast("long")
+        num = (F.col(c).cast("long") - lo) * F.lit(2**bits).cast("long")
+        out = out.withColumn(f"_znum_{i}", num).withColumn(
+            f"_zden_{i}", hi - lo + 1
         )
+        cells.append(F.expr(f"_znum_{i} div _zden_{i}"))
     terms = [
         F.shiftleft(F.shiftright(cells[i], j).bitwiseAND(F.lit(1)), j * n + i)
         for i in range(n)
@@ -84,7 +86,10 @@ def add_zorder_key(
     ]
     zkey = reduce(lambda a, b: a.bitwiseOR(b), terms)
     return out.withColumn(key_name, zkey.cast("long")).drop(
-        *[f"_lo_{i}" for i in range(n)], *[f"_hi_{i}" for i in range(n)]
+        *[f"_lo_{i}" for i in range(n)],
+        *[f"_hi_{i}" for i in range(n)],
+        *[f"_znum_{i}" for i in range(n)],
+        *[f"_zden_{i}" for i in range(n)],
     )
 
 
@@ -111,10 +116,9 @@ def file_stats(spark: SparkSession, path: str) -> "list[tuple[str, int]]":
     listed through the Hadoop FileSystem API so remote stores resolve
     (same rationale as streaming.dedup_ingest). Raises when the path
     does not exist — a silent [] would read as 'already compact'."""
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    from ..fsutil import fs_and_path
+
+    fs, p = fs_and_path(spark, path)
     if not fs.exists(p):
         raise FileNotFoundError(path)
     return sorted(

@@ -52,7 +52,9 @@ def profile_table(
             "min_value, max_value, _len_sum)".format(
                 n=len(cols),
                 args=", ".join(
-                    f"'{c}', _cnt_{i}, _dst_{i}, _min_{i}, _max_{i}, _len_{i}"
+                    "'{}', _cnt_{}, _dst_{}, _min_{}, _max_{}, _len_{}".format(
+                        c.replace("'", "''"), i, i, i, i, i
+                    )
                     for i, c in enumerate(cols)
                 ),
             )

@@ -231,7 +231,10 @@ def cms_query(
     construction.
     """
     _check_cms(depth, width)
-    probes = keys.select(
+    # NULL keys were never counted (cms_build excludes them), and
+    # concat_ws would silently skip a NULL — hashing the bare row id
+    # and returning a fabricated estimate; exclude them here too
+    probes = keys.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
     )
@@ -426,18 +429,28 @@ def kmv_count_distinct(
 
 
 def kmv_union_registers(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
-    """Merge two register tables on their group columns (inner join on
-    the shared group cols): k smallest of the union — the same sketch
-    the concatenated inputs would have produced."""
+    """Merge two register tables on their group columns: k smallest of
+    the union — the same sketch the concatenated inputs would have
+    produced. FULL outer on the group cols: a group seen by only one
+    partial computation keeps its registers unchanged (an inner join
+    would silently drop it)."""
     _check_kmv(k)
     group_cols = [c for c in a.columns if c != "hashes"]
-    merged = a.join(
-        b.withColumnRenamed("hashes", "_hashes_b"), group_cols, "inner"
+    merged = a.withColumnRenamed("hashes", "_hashes_a").join(
+        b.withColumnRenamed("hashes", "_hashes_b"), group_cols, "full"
     )
+    empty = F.array().cast("array<long>")
     return merged.select(
         *group_cols,
         F.slice(
-            F.array_sort(F.array_union("hashes", "_hashes_b")), 1, k
+            F.array_sort(
+                F.array_union(
+                    F.coalesce("_hashes_a", empty),
+                    F.coalesce("_hashes_b", empty),
+                )
+            ),
+            1,
+            k,
         ).alias("hashes"),
     )
 

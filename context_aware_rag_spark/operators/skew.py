@@ -230,6 +230,12 @@ def salted_join(
     rows take the plain join. Row-identical to the unsalted join
     (tested), supports inner and left joins.
 
+    Side discipline: put the SKEWED many-rows-per-key side on the
+    LEFT (it gets spread by the salt) and the few-rows-per-key side
+    on the RIGHT (it pays the n_salt replication). Reversed, each hot
+    (key, salt) reducer still receives every hot right row — 8x the
+    shuffle volume and zero skew relief.
+
     100 TB shape: replication cost = |hot right rows| * n_salt —
     bounded because hot_keys are FEW by construction (they came from a
     top-k report); everything else is the join you already paid for.

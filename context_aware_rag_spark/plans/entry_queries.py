@@ -4066,10 +4066,10 @@ def _zorder_twin_sql(bits: int = 8) -> str:
     ),
     cells AS (
       SELECT l_orderkey, l_partkey, l_linenumber,
-             CAST(floor((l_orderkey - b.lo0) * {2 ** bits}
-                  / (b.hi0 - b.lo0 + 1)) AS BIGINT) AS c0,
-             CAST(floor((l_partkey - b.lo1) * {2 ** bits}
-                  / (b.hi1 - b.lo1 + 1)) AS BIGINT) AS c1
+             CAST((l_orderkey - b.lo0) * {2 ** bits}
+                  // (b.hi0 - b.lo0 + 1) AS BIGINT) AS c0,
+             CAST((l_partkey - b.lo1) * {2 ** bits}
+                  // (b.hi1 - b.lo1 + 1) AS BIGINT) AS c1
       FROM lineitem CROSS JOIN b
     )
     SELECT l_orderkey, l_partkey, l_linenumber,
@@ -4439,7 +4439,11 @@ def salted_join_revenue_q(spark, sf_dir):
         .limit(3)
         .collect()
     ]
-    joined = salted_join(supp, li, "s_suppkey", "l_suppkey", hot, n_salt=8)
+    # LEFT = the skewed many-row fact (its hot rows fan across salts);
+    # RIGHT = the one-row-per-key dim (replicated once per salt).
+    # Reversed, every hot fact row would be replicated 8x while each
+    # (key, salt) reducer still held ALL hot rows — no skew relief.
+    joined = salted_join(li, supp, "l_suppkey", "s_suppkey", hot, n_salt=8)
     return joined.groupBy("s_suppkey").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(

@@ -41,9 +41,9 @@ _COMMIT = "_commit"
 
 
 def _fs(spark: SparkSession, path: str):
-    sc = spark.sparkContext
-    p = sc._jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(sc._jsc.hadoopConfiguration()), p
+    from ..fsutil import fs_and_path
+
+    return fs_and_path(spark, path)
 
 
 def _list_ids(spark: SparkSession, base: str, prefix: str) -> "list[int]":
@@ -91,12 +91,29 @@ def commit_upsert(
 def commit_delete(
     spark: SparkSession, base: str, keys: DataFrame, key_cols: "list[str]"
 ) -> int:
-    """Append a delete commit for the given key rows. Non-key columns
-    are nulled (the schema must stay commit-compatible)."""
-    current = read_state(spark, base, key_cols)
-    tombstones = keys.select(*key_cols).dropDuplicates().join(
-        current, key_cols, "left"
-    ).select(*current.columns)
+    """Append a delete commit for the given key rows; non-key columns
+    are typed NULLs from the latest commit's schema (a metadata-only
+    read — resolution never looks at a tombstone's value columns, so
+    running a full read_state here would pay a whole log-window
+    shuffle for nothing)."""
+    deltas = _list_ids(spark, base, "delta")
+    if not deltas:
+        raise FileNotFoundError(f"no commits in {base}")
+    schema = spark.read.parquet(
+        os.path.join(base, f"delta={deltas[-1]:08d}")
+    ).schema
+    missing = [k for k in key_cols if k not in schema.names]
+    if missing:
+        raise ValueError(f"key cols not in store schema: {missing}")
+    tombstones = keys.select(*key_cols).dropDuplicates().select(
+        *[
+            F.col(f.name)
+            if f.name in key_cols
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name != _OP
+        ]
+    )
     return _write_delta(
         tombstones.withColumn(_OP, F.lit("delete")),
         base,
@@ -182,15 +199,14 @@ def vacuum(spark: SparkSession, base: str) -> "list[int]":
     if not ckpts:
         return []
     cut = ckpts[-1]
+    from ..fsutil import hadoop_path
+
     fs, _ = _fs(spark, base)
     removed = []
     for d in _list_ids(spark, base, "delta"):
         if d < cut:
             fs.delete(
-                spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(base, f"delta={d:08d}")
-                ),
-                True,
+                hadoop_path(spark, os.path.join(base, f"delta={d:08d}")), True
             )
             removed.append(d)
     return removed

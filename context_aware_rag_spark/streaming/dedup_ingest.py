@@ -36,10 +36,9 @@ def _epoch_ids(spark: SparkSession, base: str) -> list[int] | None:
     a driver-side ``os.listdir`` would silently return nothing for a
     non-local ``out_dir`` and disable cross-epoch dedup. Returns ``None``
     when the base dir does not exist (vs ``[]`` for exists-but-empty)."""
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    path = jvm.org.apache.hadoop.fs.Path(base)
-    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    from ..fsutil import fs_and_path
+
+    fs, path = fs_and_path(spark, base)
     if not fs.exists(path):
         return None
     return [

@@ -163,3 +163,24 @@ class TestCompaction:
     def test_missing_path_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             layout.file_stats(spark, str(tmp_path / "nope"))
+
+
+class TestZorderPrecisionEdge:
+    def test_integer_division_at_double_edge(self, spark):
+        # lo=0, hi=2^54, bits=8 is inside the documented contract
+        # ((hi-lo+1)*2^bits < 2^63) but past double precision: a float
+        # quotient for x=hi rounds up to exactly 2^bits and leaks a
+        # bit outside the interleave width
+        hi = 1 << 54
+        df = spark.createDataFrame(
+            [(0, 0), (hi, 1)], "a: long, b: long"
+        )
+        got = {
+            r.a: r.zkey
+            for r in layout.add_zorder_key(df, ["a", "b"], bits=8).collect()
+        }
+        los, his = (0, 0), (hi, 1)
+        for a, b in ((0, 0), (hi, 1)):
+            assert got[a] == _py_zkey((a, b), los, his, 8)
+        # the max-value row's cell stays below 2^bits: zkey < 2^(2*bits)
+        assert all(0 <= z < 1 << 16 for z in got.values())

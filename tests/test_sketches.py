@@ -502,3 +502,36 @@ class TestStreamingCms:
         cms_microbatch(batch, out_dir, 0, "k")  # replay
         twice = merged_query(spark, out_dir, keys, "k").collect()[0].est
         assert once == twice == 9
+
+
+class TestReviewRegressions:
+    def test_kmv_union_keeps_one_sided_groups(self, spark):
+        # a group seen by only one partial computation must survive the
+        # merge with its registers unchanged (inner join dropped it)
+        a = spark.createDataFrame(
+            [("g1", "x"), ("g2", "y")], "g: string, v: string"
+        )
+        b = spark.createDataFrame([("g1", "z")], "g: string, v: string")
+        ra = sketches.kmv_registers(a, ["g"], "v", k=8)
+        rb = sketches.kmv_registers(b, ["g"], "v", k=8)
+        merged = {
+            r.g: list(r.hashes)
+            for r in sketches.kmv_union_registers(ra, rb, k=8).collect()
+        }
+        full = {
+            r.g: list(r.hashes)
+            for r in sketches.kmv_registers(
+                a.unionAll(b), ["g"], "v", k=8
+            ).collect()
+        }
+        assert merged == full
+        assert "g2" in merged
+
+    def test_cms_query_excludes_null_probe_keys(self, spark):
+        df = spark.createDataFrame([("x",)] * 3, "k: string")
+        cms = sketches.cms_build(df, "k", depth=2, width=64)
+        probes = spark.createDataFrame([("x",), (None,)], "k: string")
+        got = sketches.cms_query(cms, probes, "k", depth=2, width=64).collect()
+        # NULL was never counted in the sketch; it must not get a
+        # fabricated estimate row
+        assert {r.k: r.est for r in got} == {"x": 3}
