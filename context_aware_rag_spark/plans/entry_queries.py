@@ -3808,22 +3808,22 @@ def hll_user_distinct_q(spark, sf_dir):
 @xq(
     "cms_heavy_hitters",
     """
-    WITH cells AS (
-      SELECT r.rw,
-             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
-                  chr(31), CAST(e.user_id AS VARCHAR))), 1, 8))
-                  AS BIGINT) % 1024 AS bucket,
-             count(*) AS cnt
-      FROM events e CROSS JOIN range(4) r(rw)
-      WHERE e.user_id IS NOT NULL
+    WITH hashed AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h1,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                  AS BIGINT) * 2 + 1 AS h2
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (
+      SELECT r.rw, (h.h1 + r.rw * h.h2) % 1024 AS bucket, count(*) AS cnt
+      FROM hashed h CROSS JOIN range(4) r(rw)
       GROUP BY 1, 2
     ),
-    keys AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    keys AS (SELECT DISTINCT user_id, h1, h2 FROM hashed),
     probe AS (
-      SELECT k.user_id, r.rw,
-             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
-                  chr(31), CAST(k.user_id AS VARCHAR))), 1, 8))
-                  AS BIGINT) % 1024 AS bucket
+      SELECT k.user_id, r.rw, (k.h1 + r.rw * k.h2) % 1024 AS bucket
       FROM keys k CROSS JOIN range(4) r(rw)
     ),
     est AS (
@@ -4350,9 +4350,11 @@ def kg_graph_hyperball_q(spark, sf_dir):
     """
     WITH ca AS (
       SELECT r.rw,
-             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
-                  chr(31), CAST(o_orderkey AS VARCHAR))), 1, 8))
-                  AS BIGINT) % 2048 AS bucket,
+             (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+                   1, 8)) AS BIGINT)
+              + r.rw * (CAST(concat('0x', substr(md5(CAST(o_orderkey
+                   AS VARCHAR)), 9, 8)) AS BIGINT) * 2 + 1)) % 2048
+               AS bucket,
              count(*) AS cnt
       FROM orders CROSS JOIN range(4) r(rw)
       WHERE o_orderkey IS NOT NULL
@@ -4360,9 +4362,11 @@ def kg_graph_hyperball_q(spark, sf_dir):
     ),
     cb AS (
       SELECT r.rw,
-             CAST(concat('0x', substr(md5(concat(CAST(r.rw AS VARCHAR),
-                  chr(31), CAST(l_orderkey AS VARCHAR))), 1, 8))
-                  AS BIGINT) % 2048 AS bucket,
+             (CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)),
+                   1, 8)) AS BIGINT)
+              + r.rw * (CAST(concat('0x', substr(md5(CAST(l_orderkey
+                   AS VARCHAR)), 9, 8)) AS BIGINT) * 2 + 1)) % 2048
+               AS bucket,
              count(*) AS cnt
       FROM lineitem CROSS JOIN range(4) r(rw)
       WHERE l_orderkey IS NOT NULL
@@ -4805,3 +4809,60 @@ def expectations_lineitem_q(spark, sf_dir):
             "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
         },
     )
+
+
+# =========================================================================
+# Per-group histogram quantiles
+# =========================================================================
+
+@xq(
+    "histogram_quantiles_by_flag",
+    """
+    WITH vals AS (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    bounds AS (
+      SELECT g, min(x) AS lo, max(x) AS hi, count(*) AS n
+      FROM vals GROUP BY 1
+    ),
+    binned AS (
+      SELECT v.g, CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least(499, CAST(floor((v.x - b.lo) / (b.hi - b.lo)
+                       * 500) AS BIGINT)) END AS bin
+      FROM vals v JOIN bounds b ON v.g = b.g
+    ),
+    cum AS (
+      SELECT g, bin, count(*) AS cnt,
+             sum(count(*)) OVER (PARTITION BY g ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_count
+      FROM binned GROUP BY g, bin
+    ),
+    qs AS (SELECT unnest([50, 95]) AS q),
+    hit AS (
+      SELECT cum.g, qs.q, min(cum.bin) AS bin
+      FROM qs CROSS JOIN cum JOIN bounds b ON cum.g = b.g
+      WHERE cum.cum_count >= (qs.q * b.n + 99) // 100
+      GROUP BY 1, 2
+    )
+    SELECT hit.g AS l_returnflag, hit.q, hit.bin,
+           round(b.lo + (hit.bin + 1) * (b.hi - b.lo) / 500, 6) AS upper_edge,
+           CAST(cum.cum_count AS BIGINT) AS cum_count,
+           b.n AS n_total
+    FROM hit
+    JOIN cum ON cum.g = hit.g AND cum.bin = hit.bin
+    JOIN bounds b ON b.g = hit.g
+    """,
+)
+def histogram_quantiles_by_flag_q(spark, sf_dir):
+    """p50/p95 of extended price PER RETURN FLAG from per-group
+    500-bin one-pass histograms — the grouped variant of the mergeable
+    quantile summary (per-group bounds join + per-group cum-sum
+    window; bin counts still SUM-merge)."""
+    from ..operators import sketches
+
+    out = sketches.histogram_quantiles_grouped(
+        load(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        "l_extendedprice", n_bins=500, quantiles=(50, 95),
+    )
+    return out.withColumnRenamed("l_returnflag", "l_returnflag")

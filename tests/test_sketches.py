@@ -188,8 +188,11 @@ class TestStreamingHll:
 
 
 def _py_cms_bucket(row: int, key: str, width: int = 1024) -> int:
-    h = hashlib.md5(f"{row}\x1f{key}".encode()).hexdigest()
-    return int(h[:8], 16) % width
+    # Kirsch-Mitzenmacher off one md5: bucket_i = (h1 + i*h2') mod m
+    h = hashlib.md5(key.encode()).hexdigest()
+    h1 = int(h[:8], 16)
+    h2 = int(h[8:16], 16) * 2 + 1
+    return (h1 + row * h2) % width
 
 
 class TestCountMin:
@@ -535,3 +538,35 @@ class TestReviewRegressions:
         # NULL was never counted in the sketch; it must not get a
         # fabricated estimate row
         assert {r.k: r.est for r in got} == {"x": 3}
+
+
+class TestHistogramQuantilesGrouped:
+    def test_matches_global_per_group(self, spark):
+        import random
+
+        rnd = random.Random(3)
+        rows = [("g1", rnd.uniform(0, 100)) for _ in range(500)] + [
+            ("g2", rnd.uniform(50, 900)) for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g: string, x: double")
+        grouped = {
+            (r.g, r.q): (r.bin, r.upper_edge, r.cum_count, r.n_total)
+            for r in sketches.histogram_quantiles_grouped(
+                df, ["g"], "x", n_bins=100, quantiles=(50, 90)
+            ).collect()
+        }
+        for g in ("g1", "g2"):
+            solo = {
+                r.q: (r.bin, r.upper_edge, r.cum_count, r.n_total)
+                for r in sketches.histogram_quantiles(
+                    df.filter(F.col("g") == g), "x",
+                    n_bins=100, quantiles=(50, 90),
+                ).collect()
+            }
+            for q in (50, 90):
+                assert grouped[(g, q)] == solo[q], (g, q)
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([("g", 1.0)], "g: string, x: double")
+        with pytest.raises(ValueError, match="quantiles"):
+            sketches.histogram_quantiles_grouped(df, ["g"], "x", quantiles=())
