@@ -535,3 +535,51 @@ def tfidf_keywords(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )
+
+
+def compression_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style compressibility quality signal: zlib level-6
+    compressed size per document. Highly repetitive machine text
+    compresses far below natural language (ratio ~0.2-0.3 vs ~0.45+),
+    so low ratio_ppm is a cheap boilerplate/spam detector that needs
+    no trained model.
+
+    Returns (id_col, raw_bytes, compressed_bytes, ratio_ppm) with
+    ratio_ppm = compressed * 1e6 div raw (integer; NULL-safe: null
+    text rows are dropped). raw_bytes is the UTF-8 OCTET length
+    (octet_length, not character length). The zlib call runs in an
+    Arrow-batched pandas UDF; the oracle (oracle/precompute.py) calls
+    the same CPython zlib at the same level, so results are bit-equal
+    by construction.
+
+    100 TB shape: embarrassingly parallel scan — one pandas UDF
+    projection, no shuffle.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    out = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("raw_bytes"),
+        _zlen(F.col(text_col)).alias("compressed_bytes"),
+    )
+    return out.select(
+        id_col,
+        "raw_bytes",
+        "compressed_bytes",
+        F.when(
+            F.col("raw_bytes") > 0,
+            F.expr("compressed_bytes * 1000000 div raw_bytes"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ratio_ppm"),
+    )

@@ -1309,3 +1309,22 @@ def mmr_topk_py(
                     max_sim[i] = s
         out.extend(picked)
     return out
+
+
+def compression_ratio_py(docs: "list[tuple]") -> "list[tuple]":
+    """Pure-Python twin of textmetrics.compression_signals: zlib
+    level-6 compressed size per document — same CPython zlib as the
+    Spark-side pandas UDF, so parity is bit-exact by construction
+    (pinned to level 6; a zlib version change would shift both sides
+    together inside one container)."""
+    import zlib
+
+    out = []
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        ratio = (comp * 1_000_000) // len(raw) if raw else 0
+        out.append((doc_id, len(raw), comp, ratio))
+    return out

@@ -4866,3 +4866,28 @@ def histogram_quantiles_by_flag_q(spark, sf_dir):
         "l_extendedprice", n_bins=500, quantiles=(50, 95),
     )
     return out.withColumnRenamed("l_returnflag", "l_returnflag")
+
+
+# =========================================================================
+# Compression-ratio quality signal (zlib compressibility)
+# =========================================================================
+
+@xq(
+    "compression_ratio",
+    f"""
+    SELECT doc_id, raw_bytes, compressed_bytes, ratio_ppm
+    FROM read_parquet('{_pq("compression_ratio")}')
+    """,
+)
+def compression_ratio_q(spark, sf_dir):
+    """zlib level-6 compressibility per document (Gopher-style
+    boilerplate/spam signal: repetitive machine text compresses far
+    below natural language). Arrow-batched pandas UDF on the Spark
+    side; the precomputed oracle calls the same CPython zlib at the
+    same level, so the comparison is bit-exact — integer byte counts
+    and ppm ratios only."""
+    from ..operators import textmetrics
+
+    return textmetrics.compression_signals(
+        load(spark, sf_dir, "documents")
+    )

@@ -115,6 +115,10 @@ SCHEMAS = {
         [("node_id", pa.int64()), ("label", pa.int64()),
          ("n_iter", pa.int64())]
     ),
+    "compression_ratio": pa.schema(
+        [("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
+         ("compressed_bytes", pa.int64()), ("ratio_ppm", pa.int64())]
+    ),
     "quality_classifier": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("dot_micro", pa.int64()), ("logit", pa.float64()),
@@ -206,6 +210,8 @@ def main(sf_dirs: list[str]) -> None:
               precompute.dsir_select_py(docs, target_texts, k=50))
         write(out_dir, "quality_classifier",
               precompute.quality_classifier_py(docs))
+        write(out_dir, "compression_ratio",
+              precompute.compression_ratio_py(docs))
         write(out_dir, "tokenize_and_pack",
               precompute.tokenize_and_pack_py(docs, max_tokens=512))
         write(out_dir, "training_data_pipeline",
