@@ -16,7 +16,7 @@ on the driver — never a full sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # hex-string thresholds: md5 is uniform over [0, 16^32), so a
@@ -134,4 +134,53 @@ def mix_corpus(
             "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx")
         )
         .drop("_n")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    pre_salts: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample: per stratum, the ``k`` rows
+    with the smallest (md5(id), id) — the per-group version of
+    :func:`hash_sample`, with the same properties (reproducible across
+    runs/engines, stable under growth: a new row only enters a
+    stratum's sample by displacing the current k-boundary, never by
+    reshuffling survivors... strictly, rows below the boundary are
+    unaffected).
+
+    Scale shape: a per-stratum top-k is a window rank — ONE shuffle on
+    the stratum key, but a hot stratum lands on one task and must sort
+    its whole stratum. ``pre_salts > 0`` turns on the two-phase form:
+    phase 1 ranks within (stratum, xxhash64(id) % pre_salts) and keeps
+    k per salt — the hot stratum's sort spreads over ``pre_salts``
+    tasks — phase 2 re-ranks the surviving <= k * pre_salts rows per
+    stratum. Identical output (the global top-k is contained in the
+    union of per-salt top-k's); pick pre_salts ~ executor count when a
+    stratum can exceed one task's memory.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for taken in ("_h", "_rk", "_salt"):
+        if taken in docs.columns:
+            raise ValueError(f"input already has a '{taken}' column")
+    out = docs.withColumn("_h", _hash_col(id_col))
+    if pre_salts > 0:
+        w1 = Window.partitionBy(strata_col, "_salt").orderBy("_h", id_col)
+        out = (
+            out.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(pre_salts))
+            )
+            .withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk", "_salt")
+        )
+    w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_h", "_rk")
     )

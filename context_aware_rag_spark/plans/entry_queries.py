@@ -1324,6 +1324,32 @@ def hash_sample_q(spark, sf_dir):
     )
 
 
+@xq(
+    "stratified_sample",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """Per-source deterministic sample (20 smallest md5(doc_id) per
+    stratum), run through the two-phase salted path (pre_salts=4) — the
+    twin is the single-phase window rank, so the hash-match doubles as
+    the two-phase == one-phase equality proof on real data."""
+    return sampling.stratified_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        k=20,
+        strata_col="source",
+        pre_salts=4,
+    )
+
+
 # domain-mix weights exercised by the query: a 2x up-sample, a
 # fractional 1.5x, a 0.5x down-sample, a dropped source, and the
 # implicit 1.0 default for every other source; thresholds are derived

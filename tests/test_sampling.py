@@ -141,3 +141,94 @@ def test_hash_sample_boundary_tie_is_deterministic(spark):
     a = sorted(r["doc_id"] for r in hash_sample(df, k=10).collect())
     b = sorted(r["doc_id"] for r in hash_sample(df.repartition(3), k=10).collect())
     assert a == b
+
+
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def strata(self, spark):
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(600)]
+        return spark.createDataFrame(
+            rows, ["doc_id", "source"]
+        ).localCheckpoint()
+
+    def test_matches_independent_recomputation(self, spark, strata):
+        from context_aware_rag_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        got = sorted(
+            (r["source"], r["doc_id"])
+            for r in stratified_sample(strata, k=7).collect()
+        )
+        by_src = {}
+        for i in range(600):
+            by_src.setdefault(["a", "b", "c"][i % 3], []).append(i)
+        want = sorted(
+            (s, i)
+            for s, ids in by_src.items()
+            for i in sorted(ids, key=lambda x: (_py_md5(x), x))[:7]
+        )
+        assert got == want
+
+    def test_two_phase_equals_single_phase(self, spark, strata):
+        from context_aware_rag_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        one = sorted(
+            map(tuple, stratified_sample(strata, k=11).collect())
+        )
+        for salts in (2, 8):
+            two = sorted(
+                map(
+                    tuple,
+                    stratified_sample(
+                        strata, k=11, pre_salts=salts
+                    ).collect(),
+                )
+            )
+            assert two == one
+
+    def test_growth_never_displaces_below_boundary(self, spark, strata):
+        from context_aware_rag_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        small = strata.filter(F.col("doc_id") < 300)
+        k = 5
+        before = {
+            s: sorted(i for ss, i in rows)
+            for s, rows in _group(
+                stratified_sample(small, k=k).collect()
+            ).items()
+        }
+        after = {
+            s: sorted(i for ss, i in rows)
+            for s, rows in _group(
+                stratified_sample(strata, k=k).collect()
+            ).items()
+        }
+        # every survivor of the grown corpus that already existed in the
+        # small corpus was sampled there too (new rows can only displace
+        # from the boundary, never promote unseen old rows)
+        for s in after:
+            for i in after[s]:
+                if i < 300:
+                    assert i in before[s]
+
+    def test_validation(self, spark, strata):
+        from context_aware_rag_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        with pytest.raises(ValueError, match="k must be"):
+            stratified_sample(strata, k=0)
+        with pytest.raises(ValueError, match="_h"):
+            stratified_sample(strata.withColumn("_h", F.lit(1)), k=1)
+
+
+def _group(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["source"], []).append((r["source"], r["doc_id"]))
+    return out
