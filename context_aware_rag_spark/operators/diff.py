@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,65 @@ def snapshot_diff(
         + [F.col(f"new_{v}") for v in value_cols]
     )
     return joined.filter(keep).select(*out_cols)
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Compress an append-only change log into SCD type-2 validity
+    intervals: one row per (key, state episode) with ``valid_from`` /
+    ``valid_to`` — ``valid_to`` NULL marks the current state. An
+    episode starts where the value tuple differs (null-safely) from
+    the key's previous log row and ends where the next episode starts,
+    so consecutive identical updates collapse into one interval.
+
+    Requires unique (key, ts) rows — same documented-not-enforced
+    precondition as :func:`snapshot_diff` (two states at one instant
+    have no defined order; dedupe upstream, e.g. asof.dedup_right_latest
+    with a tie-break column). NULL timestamps are dropped.
+
+    100 TB shape: both windows (the lag that finds episode starts, the
+    lead that closes them) share the key partitioning and ts ordering,
+    so Catalyst plans ONE Exchange — a single shuffle over the log,
+    the floor for any per-key ordered pass. Output size = number of
+    state changes, not log size. The result joins point-in-time
+    queries either directly (ts BETWEEN valid_from AND valid_to via
+    intervals.range_join_points) or through asof.asof_join on
+    valid_from.
+    """
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    if not value_cols:
+        raise ValueError("need at least one value column")
+    missing = [
+        c for c in [*key_cols, ts_col, *value_cols]
+        if c not in changes.columns
+    ]
+    if missing:
+        raise ValueError(f"columns not in changelog: {missing}")
+    for taken in ("_prev", "_first", "valid_from", "valid_to"):
+        if taken in changes.columns:
+            raise ValueError(f"input already has a '{taken}' column")
+
+    key_order = Window.partitionBy(*key_cols).orderBy(ts_col)
+    val = F.struct(*[F.col(c) for c in value_cols])
+    starts = (
+        changes.filter(F.col(ts_col).isNotNull())
+        .withColumn("_prev", F.lag(val).over(key_order))
+        # first row per key has NULL _prev: eqNullSafe would make an
+        # all-NULL value tuple look unchanged there — carry the
+        # explicit first-row flag (windows are not allowed in WHERE,
+        # so both land as columns before the filter)
+        .withColumn("_first", F.lag(F.col(ts_col)).over(key_order).isNull())
+        .filter(F.col("_first") | ~val.eqNullSafe(F.col("_prev")))
+        .drop("_prev", "_first")
+    )
+    return starts.select(
+        *key_cols,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(key_order).alias("valid_to"),
+    )

@@ -3693,6 +3693,43 @@ def kg_snapshot_diff_q(spark, sf_dir):
     )
 
 
+@xq(
+    "scd2_user_status",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER w AS prev,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    episodes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM marked
+      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from
+           ) AS valid_to
+    FROM episodes
+    """,
+)
+def scd2_user_status_q(spark, sf_dir):
+    """SCD type-2 intervals over the event log: each user's event_type
+    history compressed to state episodes with valid_from/valid_to
+    (NULL = current). Consecutive identical events collapse; both
+    windows share one user-keyed Exchange."""
+    from ..operators.diff import scd2_from_changelog
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    return scd2_from_changelog(
+        events, ["user_id"], "ts", ["event_type"]
+    )
+
+
 # =========================================================================
 # Label-propagation communities over the supplier co-occurrence graph
 # =========================================================================

@@ -348,3 +348,123 @@ class TestHyperball:
         df = spark.createDataFrame([(0, 1)], "src: long, dst: long")
         with pytest.raises(ValueError, match="n_iter"):
             graph.hyperball_states(df, n_iter=0)
+
+
+class TestScd2FromChangelog:
+    def _log(self, spark, rows):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [(k, datetime(2024, 1, d), v) for k, d, v in rows],
+            ["key", "ts", "state"],
+        )
+
+    def test_episodes_collapse_and_close(self, spark):
+        from context_aware_rag_spark.operators.diff import (
+            scd2_from_changelog,
+        )
+        from datetime import datetime
+
+        log = self._log(
+            spark,
+            [
+                ("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "b"),
+                ("u1", 4, "b"), ("u1", 5, "a"),
+                ("u2", 2, "x"),
+            ],
+        )
+        got = sorted(
+            map(tuple, scd2_from_changelog(
+                log, ["key"], "ts", ["state"]).collect())
+        )
+        d = lambda n: datetime(2024, 1, n)
+        assert got == sorted([
+            ("u1", "a", d(1), d(3)),
+            ("u1", "b", d(3), d(5)),
+            ("u1", "a", d(5), None),
+            ("u2", "x", d(2), None),
+        ])
+
+    def test_null_values_null_safe(self, spark):
+        from context_aware_rag_spark.operators.diff import (
+            scd2_from_changelog,
+        )
+        from datetime import datetime
+
+        log = self._log(
+            spark,
+            [("u1", 1, None), ("u1", 2, None), ("u1", 3, "a"),
+             ("u1", 4, None)],
+        )
+        got = sorted(
+            map(tuple, scd2_from_changelog(
+                log, ["key"], "ts", ["state"]).collect()),
+            key=lambda t: t[2],
+        )
+        d = lambda n: datetime(2024, 1, n)
+        # the leading all-NULL state is a real first episode; the
+        # repeated NULL collapses into it; NULL after 'a' reopens
+        assert got == [
+            ("u1", None, d(1), d(3)),
+            ("u1", "a", d(3), d(4)),
+            ("u1", None, d(4), None),
+        ]
+
+    def test_multi_value_columns_and_null_ts_dropped(self, spark):
+        from context_aware_rag_spark.operators.diff import (
+            scd2_from_changelog,
+        )
+        from datetime import datetime
+
+        log = spark.createDataFrame(
+            [
+                ("u1", datetime(2024, 1, 1), "a", 1),
+                ("u1", datetime(2024, 1, 2), "a", 2),   # second col changes
+                ("u1", datetime(2024, 1, 3), "a", 2),   # unchanged
+                ("u1", None, "z", 9),                    # dropped
+            ],
+            ["key", "ts", "s1", "s2"],
+        )
+        got = sorted(
+            map(tuple, scd2_from_changelog(
+                log, ["key"], "ts", ["s1", "s2"]).collect()),
+            key=lambda t: t[3],
+        )
+        d = lambda n: datetime(2024, 1, n)
+        assert got == [
+            ("u1", "a", 1, d(1), d(2)),
+            ("u1", "a", 2, d(2), None),
+        ]
+
+    def test_single_exchange_plan(self, spark):
+        from context_aware_rag_spark.operators.diff import (
+            scd2_from_changelog,
+        )
+
+        log = self._log(spark, [("u1", 1, "a"), ("u1", 2, "b")])
+        df = scd2_from_changelog(log, ["key"], "ts", ["state"])
+        jvm = spark.sparkContext._jvm
+        formatted = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # both windows (lag episode-start mark, lead episode close)
+        # must share ONE shuffle on the key
+        assert formatted.count(") Exchange") == 1
+
+    def test_validation(self, spark):
+        from context_aware_rag_spark.operators.diff import (
+            scd2_from_changelog,
+        )
+
+        log = self._log(spark, [("u1", 1, "a")])
+        with pytest.raises(ValueError, match="key column"):
+            scd2_from_changelog(log, [], "ts", ["state"])
+        with pytest.raises(ValueError, match="not in changelog"):
+            scd2_from_changelog(log, ["key"], "ts", ["nope"])
+        with pytest.raises(ValueError, match="valid_from"):
+            scd2_from_changelog(
+                log.withColumn("valid_from", F.lit(1)),
+                ["key"], "ts", ["state"],
+            )
