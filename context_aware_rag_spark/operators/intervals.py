@@ -123,3 +123,85 @@ def coverage_counts(
         point_col,
         F.coalesce("n_covering", F.lit(0)).cast("long").alias("n_covering"),
     )
+
+
+def range_join_intervals(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    keys: "list[tuple[str, str]] | None" = None,
+) -> DataFrame:
+    """Inner join of every ``left`` interval to every ``right``
+    interval it overlaps (inclusive: l_start <= r_end AND r_start <=
+    l_end), optionally under equi-keys ``[(left_key, right_key), ...]``.
+    Bounds must be integer-valued; rows with NULL or inverted bounds
+    match nothing.
+
+    Exactly-once ownership: two overlapping intervals both contain
+    max(l_start, r_start), so both bucket lists contain its bucket —
+    the pair is emitted only from that owner bucket
+    (``bucket == floor(greatest(l_start, r_start) / w)``), never from
+    the other shared buckets, so no post-join dedup (and no dedup
+    losing legitimately duplicate input rows).
+
+    100 TB shape: both sides explode by len/w + 1 and meet in ONE
+    equi shuffle on (bucket, keys) that AQE can skew-split — versus
+    the BroadcastNestedLoopJoin a raw overlap predicate plans. Pick
+    ``bucket_width`` near the p95 interval length of the LONGER side;
+    fan-out is linear in interval length, never quadratic in row
+    count.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"need bucket_width >= 1, got {bucket_width}")
+    keys = keys or []
+    for lk, rk in keys:
+        if lk not in left.columns or rk not in right.columns:
+            raise ValueError(f"key pair ({lk}, {rk}) not present")
+    overlap_cols = [
+        c for c in right.columns
+        if c in left.columns and c not in [rk for _, rk in keys]
+    ]
+    if overlap_cols:
+        raise ValueError(
+            f"column collision between left and right: {overlap_cols}"
+        )
+
+    def _explode(df, s, e):
+        return df.filter(
+            F.col(s).isNotNull()
+            & F.col(e).isNotNull()
+            & (F.col(e) >= F.col(s))
+        ).withColumn(
+            "_rj_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s).cast("long") / bucket_width),
+                    F.floor(F.col(e).cast("long") / bucket_width),
+                )
+            ),
+        )
+
+    lf = _explode(left, l_start, l_end)
+    rf = _explode(right, r_start, r_end)
+    cond = [lf["_rj_bucket"] == rf["_rj_bucket"]]
+    for lk, rk in keys:
+        cond.append(lf[lk] == rf[rk])
+    owner = F.floor(
+        F.greatest(
+            lf[l_start].cast("long"), rf[r_start].cast("long")
+        ) / bucket_width
+    )
+    joined = lf.join(rf, cond, "inner").filter(
+        (lf[l_start] <= rf[r_end])
+        & (rf[r_start] <= lf[l_end])
+        & (lf["_rj_bucket"] == owner)
+    )
+    dropped = {rk for _, rk in keys}
+    out_cols = [lf[c] for c in left.columns] + [
+        rf[c] for c in right.columns if c not in dropped
+    ]
+    return joined.select(*out_cols)

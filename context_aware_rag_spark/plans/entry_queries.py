@@ -4109,6 +4109,65 @@ def range_join_coverage_q(spark, sf_dir):
     )
 
 
+@xq(
+    "range_join_overlaps",
+    """
+    WITH l AS (
+      SELECT event_id AS l_event_id, user_id,
+             epoch_us(ts) AS l_start, epoch_us(ts) + 3600000000 AS l_end
+      FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+      SELECT event_id AS r_event_id, user_id AS r_user,
+             epoch_us(ts) AS r_start, epoch_us(ts) + 1800000000 AS r_end
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT l.user_id, l.l_event_id, r.r_event_id,
+           least(l.l_end, r.r_end)
+             - greatest(l.l_start, r.r_start) AS overlap_us
+    FROM l JOIN r
+      ON l.user_id = r.r_user
+     AND l.l_start <= r.r_end AND r.r_start <= l.l_end
+    """,
+)
+def range_join_overlaps_q(spark, sf_dir):
+    """Interval x interval overlap join: even-event 1-hour windows vs
+    odd-event 30-minute windows of the same user, all integer
+    microseconds. The bucketed rewrite emits each pair exactly once
+    from the bucket owning max(start, start); the twin is DuckDB's
+    native inequality join — an independent algorithm — including the
+    overlap length arithmetic."""
+    from ..operators import intervals
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("l_event_id"),
+        "user_id",
+        us.alias("l_start"),
+        (us + 3600_000_000).alias("l_end"),
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user"),
+        us.alias("r_start"),
+        (us + 1800_000_000).alias("r_end"),
+    )
+    pairs = intervals.range_join_intervals(
+        left, right, "l_start", "l_end", "r_start", "r_end",
+        bucket_width=3600_000_000,
+        keys=[("user_id", "r_user")],
+    )
+    return pairs.select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        (
+            F.least("l_end", "r_end") - F.greatest("l_start", "r_start")
+        ).alias("overlap_us"),
+    )
+
+
 # =========================================================================
 # Z-order clustering key (lakehouse layout for multi-column data skipping)
 # =========================================================================

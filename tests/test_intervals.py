@@ -106,3 +106,84 @@ def test_validates(spark):
     bad = spark.createDataFrame([(1, 1, 2)], "pid: long, s: long, e: long")
     with pytest.raises(ValueError, match="collision"):
         intervals.range_join_points(pdf, bad, "p", "s", "e", 4)
+
+
+# ---------------------------------------------------------------- overlap
+
+
+def _random_intervals(seed, n, span, max_len, key_mod):
+    rnd = random.Random(seed)
+    out = []
+    for i in range(n):
+        s = rnd.randrange(span)
+        out.append((i, s, s + rnd.randrange(0, max_len), rnd.randrange(key_mod)))
+    return out
+
+
+def _naive_overlap(ls, rs, keyed):
+    out = []
+    for lid, a, b, lk in ls:
+        for rid, c, d, rk in rs:
+            if a <= d and c <= b and (not keyed or lk == rk):
+                out.append((lid, rid))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed,keyed,width", [
+    (11, False, 37), (12, True, 37), (13, False, 7), (14, True, 113),
+])
+def test_interval_overlap_matches_naive(spark, seed, keyed, width):
+    ls = _random_intervals(seed, 90, 400, 50, 3)
+    rs = _random_intervals(seed + 100, 70, 400, 80, 3)
+    ldf = spark.createDataFrame(ls, "lid: long, ls: long, le: long, lk: long")
+    rdf = spark.createDataFrame(rs, "rid: long, rs: long, re: long, rk: long")
+    got = intervals.range_join_intervals(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_width=width,
+        keys=[("lk", "rk")] if keyed else None,
+    )
+    assert sorted((r.lid, r.rid) for r in got.collect()) == _naive_overlap(
+        ls, rs, keyed
+    )
+
+
+def test_interval_overlap_exactly_once_on_long_overlaps(spark):
+    # both intervals span MANY shared buckets; the owner-bucket gate
+    # must emit the pair once, and duplicate input rows must fan out
+    # (not collapse through a dedup)
+    ldf = spark.createDataFrame(
+        [(1, 0, 1000), (1, 0, 1000)], "lid: long, ls: long, le: long"
+    )
+    rdf = spark.createDataFrame([(2, 500, 2000)], "rid: long, rs: long, re: long")
+    rows = intervals.range_join_intervals(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_width=10
+    ).collect()
+    assert sorted((r.lid, r.rid) for r in rows) == [(1, 2), (1, 2)]
+
+
+def test_interval_overlap_inclusive_touching_and_inverted(spark):
+    ldf = spark.createDataFrame(
+        [(1, 0, 10), (2, 50, 40), (3, None, 5)],
+        "lid: long, ls: long, le: long",
+    )
+    rdf = spark.createDataFrame(
+        [(7, 10, 20), (8, 21, 30)], "rid: long, rs: long, re: long"
+    )
+    rows = intervals.range_join_intervals(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_width=8
+    ).collect()
+    # touching endpoints match (inclusive); inverted + NULL rows don't
+    assert sorted((r.lid, r.rid) for r in rows) == [(1, 7)]
+
+
+def test_interval_overlap_validates(spark):
+    ldf = spark.createDataFrame([(1, 0, 10)], "lid: long, s: long, e: long")
+    rdf = spark.createDataFrame([(2, 0, 10)], "rid: long, s: long, e: long")
+    with pytest.raises(ValueError, match="bucket_width"):
+        intervals.range_join_intervals(ldf, rdf, "s", "e", "s", "e", 0)
+    with pytest.raises(ValueError, match="collision"):
+        intervals.range_join_intervals(ldf, rdf, "s", "e", "s", "e", 10)
+    with pytest.raises(ValueError, match="key pair"):
+        intervals.range_join_intervals(
+            ldf, rdf.withColumnRenamed("s", "rs").withColumnRenamed("e", "re"),
+            "s", "e", "rs", "re", 10, keys=[("nope", "rid")],
+        )
