@@ -654,6 +654,54 @@ def token_count_bpe(spark, sf_dir):
 
 
 @xq(
+    "bpe_pair_counts",
+    r"""
+    WITH pieces AS (
+      SELECT piece, count(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all(
+                 text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS piece
+        FROM documents) GROUP BY piece
+    ),
+    ap AS (
+      SELECT piece, freq FROM pieces
+      WHERE regexp_matches(piece, '^[ -~]+$') AND length(piece) >= 2
+    ),
+    pairs AS (
+      SELECT substring(piece, i, 1) AS a,
+             substring(piece, i + 1, 1) AS b, freq
+      FROM (SELECT piece, freq,
+                   unnest(range(1, length(piece))) AS i FROM ap)
+    )
+    SELECT a, b, sum(freq)::BIGINT AS n
+    FROM pairs GROUP BY a, b
+    ORDER BY n DESC, a DESC, b DESC LIMIT 30
+    """,
+)
+def bpe_pair_counts_q(spark, sf_dir):
+    """The distributed BPE trainer's first-iteration pair-count
+    aggregation (operators/bpe_train.py) over the documents corpus:
+    top-30 adjacent byte pairs by weighted frequency, the exact
+    statistic the first merge election reads. ASCII pieces only so the
+    char-level DuckDB twin equals byte-level counting; tie-break
+    mirrors the trainer's (count DESC, pair bytes DESC)."""
+    from ..operators import bpe_train
+
+    words = bpe_train.word_frequencies(
+        load(spark, sf_dir, "documents")
+    ).filter(F.col("piece").rlike("^[ -~]+$"))
+    counts = bpe_train.pair_counts(bpe_train.initial_symbols(words))
+    return (
+        counts.select(
+            F.decode("a", "UTF-8").alias("a"),
+            F.decode("b", "UTF-8").alias("b"),
+            "n",
+        )
+        .orderBy(F.desc("n"), F.desc("a"), F.desc("b"))
+        .limit(30)
+    )
+
+
+@xq(
     "pack_sequences_bins",
     r"""
     WITH t AS (
