@@ -1,0 +1,145 @@
+"""Cross-table record linkage (fuzzy entity matching).
+
+The reference links mentions to existing graph entities by similarity
+ranking inside one corpus (vss_ctx_rag graph extraction; our
+canonicalize.py covers that). Record LINKAGE is the two-table version
+a lakehouse needs constantly — match a dirty feed against a master
+dimension (vendor names, product titles, user handles) — and the
+naive spelling is a cross join with a similarity UDF: O(|L| x |R|),
+dead at scale.
+
+Spark-first shape:
+
+1. tokenize both sides once (lower, split on non-alphanumeric,
+   distinct per record) — narrow maps;
+2. blocking via the shared-token inverted index, with a document-
+   frequency cap (df computed over BOTH sides) that drops
+   stopword-grade tokens from index AND scoring — the same df_cap
+   discipline as ngram_jaccard_pairs: a token in more than ``df_cap``
+   records contributes candidate pairs quadratically while carrying
+   ~no discriminative weight;
+3. score = integer-ppm Jaccard of the capped token sets, computed
+   entirely from the same inverted-index join (shared-token count per
+   candidate pair + per-record set sizes) — no second pass over raw
+   text;
+4. optional mutual-best filter: keep (l, r) only when r is l's best
+   match AND l is r's best (score DESC, id ASC tie-break) — the
+   deterministic 1:1 assignment that greedy matching gives when both
+   directions agree, without an iterative auction.
+
+100 TB shape: candidate volume is sum over kept tokens of
+df_l(t) x df_r(t) — bounded by df_cap, never |L| x |R|; everything
+else is equi-joins and two windows over the candidate set. All
+arithmetic integer (ppm), so the DuckDB twin re-derives every score
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(rec_id, token) — distinct normalized word set per record."""
+    words = F.split(F.lower(F.col(text_col)), _SPLIT_RE)
+    return (
+        df.select(
+            F.col(id_col).alias("rec_id"),
+            F.explode(
+                F.array_distinct(F.filter(words, lambda w: w != ""))
+            ).alias("token"),
+        )
+    )
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str,
+    l_text: str,
+    r_id: str,
+    r_text: str,
+    min_jaccard_ppm: int = 200_000,
+    df_cap: int = 1000,
+    mutual_best: bool = True,
+) -> DataFrame:
+    """Match ``left`` records to similar ``right`` records.
+
+    Returns (l_id, r_id, shared_tokens, l_size, r_size, jaccard_ppm)
+    with jaccard_ppm = floor(1e6 * |L ∩ R| / |L ∪ R|) over the capped
+    token sets. Records must have unique ids within their side (the
+    usual documented unique-id precondition — duplicate ids fan out).
+    Records whose token set is empty (or all-capped) match nothing.
+    """
+    if df_cap < 1:
+        raise ValueError(f"df_cap must be >= 1, got {df_cap}")
+    if l_id == r_id:
+        raise ValueError(
+            f"l_id and r_id must differ (output columns collide): {l_id!r}"
+        )
+    if not (0 <= min_jaccard_ppm <= 1_000_000):
+        raise ValueError(
+            f"min_jaccard_ppm must be in [0, 1e6], got {min_jaccard_ppm}"
+        )
+
+    lt = _tokens(left, l_id, l_text)
+    rt = _tokens(right, r_id, r_text)
+
+    # document frequency over BOTH sides; tokens above the cap leave
+    # the pipeline entirely (blocking and scoring) — stopword-grade
+    # evidence is worth ~0 but costs df_l x df_r pairs
+    df_tok = (
+        lt.select("token").unionAll(rt.select("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("token")
+    )
+    lt = lt.join(df_tok, "token").localCheckpoint()
+    rt = rt.join(df_tok, "token").localCheckpoint()
+
+    l_sizes = lt.groupBy("rec_id").agg(F.count(F.lit(1)).alias("l_size"))
+    r_sizes = rt.groupBy("rec_id").agg(F.count(F.lit(1)).alias("r_size"))
+
+    shared = (
+        lt.select(F.col("rec_id").alias("_l"), "token")
+        .join(rt.select(F.col("rec_id").alias("_r"), "token"), "token")
+        .groupBy("_l", "_r")
+        .agg(F.count(F.lit(1)).alias("shared_tokens"))
+    )
+    scored = (
+        shared.join(l_sizes.withColumnRenamed("rec_id", "_l"), "_l")
+        .join(r_sizes.withColumnRenamed("rec_id", "_r"), "_r")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "(shared_tokens * 1000000)"
+                " div (l_size + r_size - shared_tokens)"
+            ),
+        )
+        .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+    if mutual_best:
+        wl = Window.partitionBy("_l").orderBy(
+            F.desc("jaccard_ppm"), F.asc("_r")
+        )
+        wr = Window.partitionBy("_r").orderBy(
+            F.desc("jaccard_ppm"), F.asc("_l")
+        )
+        scored = (
+            scored.withColumn("_rl", F.row_number().over(wl))
+            .withColumn("_rr", F.row_number().over(wr))
+            .filter((F.col("_rl") == 1) & (F.col("_rr") == 1))
+            .drop("_rl", "_rr")
+        )
+    return scored.select(
+        F.col("_l").alias(l_id),
+        F.col("_r").alias(r_id),
+        "shared_tokens",
+        "l_size",
+        "r_size",
+        "jaccard_ppm",
+    )

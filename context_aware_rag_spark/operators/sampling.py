@@ -184,3 +184,51 @@ def stratified_sample(
         .filter(F.col("_rk") <= k)
         .drop("_h", "_rk")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws u from md5(id) — the first 13
+    hex digits as a dyadic rational in (0, 1], exactly representable
+    in double — and the k rows maximizing u^(1/w), i.e. ln(u)/w, win.
+    P[row in sample] rises with weight exactly as the weighted
+    reservoir scheme prescribes, but with NO RNG state: re-running on
+    any cluster size draws the same sample, and the twin re-derives
+    every key in SQL.
+
+    The sort key is rounded to integer micro-units (round(1e6 *
+    ln(u)/w)) with the id as tie-break — the same discipline as the
+    Adamic-Adar/PMI/BM25 families, so a last-ulp libm divergence
+    between engines cannot flip the order. Rows with NULL or
+    non-positive weights are excluded (zero weight = never sampled,
+    matching A-ES's limit).
+
+    Scale shape: one narrow map (hash + ln) and a TakeOrdered(k) —
+    per-partition top-k, k-row driver merge, never a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for taken in ("_u", "_key"):
+        if taken in docs.columns:
+            raise ValueError(f"input already has a '{taken}' column")
+    # (int(md5[:13], 16) + 1) / 2^52: 13 hex digits = 52 bits, +1 keeps
+    # u > 0 (ln defined) and u <= 1
+    u = (
+        F.conv(F.substring(_hash_col(id_col), 1, 13), 16, 10)
+        .cast("long") + 1
+    ) / F.lit(float(2**52))
+    key = F.round(F.log(u) / F.col(weight_col) * 1e6).cast("long")
+    return (
+        docs.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("_key", key)
+        .orderBy(F.desc("_key"), F.col(id_col))
+        .limit(k)
+        .drop("_key")
+    )

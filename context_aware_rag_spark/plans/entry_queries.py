@@ -1373,6 +1373,49 @@ def hash_sample_q(spark, sf_dir):
 
 
 @xq(
+    "weighted_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substring(md5(doc_id::VARCHAR), 1, 13) AS hx
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    v AS (
+      SELECT doc_id, n_chars,
+             sum((strpos('0123456789abcdef',
+                         substring(hx, i, 1)) - 1)::BIGINT
+                 << (4 * (13 - i))) AS vv
+      FROM (SELECT doc_id, n_chars, hx,
+                   unnest(range(1, 14)) AS i FROM h)
+      GROUP BY doc_id, n_chars
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(round(ln((vv + 1) / 4503599627370496.0)
+                        / n_chars * 1000000.0) AS BIGINT) AS k
+      FROM v
+    )
+    SELECT doc_id, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 40
+    """,
+)
+def weighted_sample_q(spark, sf_dir):
+    """A-ES weighted sample (Efraimidis-Spirakis): 40 documents drawn
+    proportionally to n_chars with md5-derived randomness — no RNG
+    state, same sample on any cluster size. The twin re-derives u from
+    the same 13 hex digits (bit-shift fold), the ln(u)/w key in the
+    same IEEE operation order, and the micro rounding; ordering
+    divergence would need a last-ulp libm split landing exactly on a
+    .5 micro boundary."""
+    from ..operators.sampling import weighted_sample
+
+    return weighted_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        k=40,
+        weight_col="n_chars",
+    )
+
+
+@xq(
     "stratified_sample",
     """
     SELECT doc_id, source FROM (
@@ -3775,6 +3818,89 @@ def scd2_user_status_q(spark, sf_dir):
     )
     return scd2_from_changelog(
         events, ["user_id"], "ts", ["event_type"]
+    )
+
+
+@xq(
+    "record_linkage",
+    """
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w != '') AS ws
+      FROM documents
+    ),
+    base AS (SELECT * FROM ws WHERE len(ws) >= 8),
+    recs AS (
+      SELECT doc_id AS rec, 'l' AS side,
+             array_to_string(ws[1:6], ' ') AS name FROM base
+      UNION ALL
+      SELECT doc_id AS rec, 'r' AS side,
+             array_to_string(ws[3:8], ' ') AS name FROM base
+      WHERE doc_id % 2 = 0
+    ),
+    tok AS (
+      SELECT side, rec,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(name), '[^a-z0-9]+'),
+               w -> w != ''))) AS token
+      FROM recs
+    ),
+    kept AS (SELECT token FROM tok GROUP BY token HAVING count(*) <= 200),
+    ltok AS (SELECT rec, token FROM tok JOIN kept USING (token)
+             WHERE side = 'l'),
+    rtok AS (SELECT rec, token FROM tok JOIN kept USING (token)
+             WHERE side = 'r'),
+    lsz AS (SELECT rec, count(*) AS l_size FROM ltok GROUP BY rec),
+    rsz AS (SELECT rec, count(*) AS r_size FROM rtok GROUP BY rec),
+    sh AS (
+      SELECT l.rec AS l_key, r.rec AS r_key, count(*) AS shared_tokens
+      FROM ltok l JOIN rtok r USING (token) GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT l_key, r_key, shared_tokens, l_size, r_size,
+             (shared_tokens * 1000000)
+               // (l_size + r_size - shared_tokens) AS jaccard_ppm
+      FROM sh JOIN lsz ON sh.l_key = lsz.rec
+              JOIN rsz ON sh.r_key = rsz.rec
+    )
+    SELECT l_key, r_key, shared_tokens, l_size, r_size, jaccard_ppm
+    FROM sc WHERE jaccard_ppm >= 150000
+    QUALIFY row_number() OVER (
+              PARTITION BY l_key ORDER BY jaccard_ppm DESC, r_key) = 1
+        AND row_number() OVER (
+              PARTITION BY r_key ORDER BY jaccard_ppm DESC, l_key) = 1
+    """,
+)
+def record_linkage_q(spark, sf_dir):
+    """Two-table fuzzy record linkage on a deterministically corrupted
+    feed: left = each document's first 6 words, right = words 3-8 of
+    even documents (a shifted-window corruption sharing 4 of 6 words
+    when words are distinct). df_cap=200 drops stopword-grade tokens
+    from blocking AND scoring; mutual-best keeps agreed 1:1 matches.
+    The twin replicates tokenize/cap/score/mutual-best in SQL."""
+    from ..operators.linkage import link_records
+
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda w: w != "",
+    )
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 8)
+    )
+    left = base.select(
+        F.col("doc_id").alias("l_key"),
+        F.concat_ws(" ", F.slice("ws", 1, 6)).alias("l_name"),
+    )
+    right = base.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("r_key"),
+        F.concat_ws(" ", F.slice("ws", 3, 6)).alias("r_name"),
+    )
+    return link_records(
+        left, right, "l_key", "l_name", "r_key", "r_name",
+        min_jaccard_ppm=150_000, df_cap=200, mutual_best=True,
     )
 
 

@@ -232,3 +232,81 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["source"], []).append((r["source"], r["doc_id"]))
     return out
+
+
+class TestWeightedSample:
+    @pytest.fixture(scope="class")
+    def weighted(self, spark):
+        # weights 1..5 cycling, plus a zero-weight and a NULL-weight row
+        rows = [(i, float(i % 5 + 1)) for i in range(1000)]
+        rows += [(5000, 0.0), (5001, None)]
+        return spark.createDataFrame(
+            rows, "doc_id: long, w: double"
+        ).localCheckpoint()
+
+    @staticmethod
+    def _py_key(i: int, w: float) -> int:
+        import math
+
+        u = (int(_py_md5(i)[:13], 16) + 1) / 2**52
+        return round(math.log(u) / w * 1e6)
+
+    def test_matches_independent_recomputation(self, spark, weighted):
+        from context_aware_rag_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        want = [
+            i
+            for i, _ in sorted(
+                ((i, float(i % 5 + 1)) for i in range(1000)),
+                key=lambda t: (-self._py_key(t[0], t[1]), t[0]),
+            )[:30]
+        ]
+        got = [
+            r["doc_id"]
+            for r in weighted_sample(weighted, k=30, weight_col="w")
+            .collect()
+        ]
+        assert sorted(got) == sorted(want)
+
+    def test_zero_and_null_weights_excluded(self, spark, weighted):
+        from context_aware_rag_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(
+                weighted, k=2000, weight_col="w"
+            ).collect()
+        }
+        assert 5000 not in got and 5001 not in got
+        assert len(got) == 1000
+
+    def test_weight_bias_direction(self, spark, weighted):
+        from context_aware_rag_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        rows = weighted_sample(weighted, k=300, weight_col="w").collect()
+        mean_w = sum(r["w"] for r in rows) / len(rows)
+        # uniform mean is 3.0; A-ES must pull the sampled mean up
+        assert mean_w > 3.2
+
+    def test_plans_take_ordered_and_validates(self, spark, weighted):
+        from context_aware_rag_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        plan = (
+            weighted_sample(weighted, k=10, weight_col="w")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        with pytest.raises(ValueError, match="k must be"):
+            weighted_sample(weighted, k=0, weight_col="w")
+        with pytest.raises(ValueError, match="_key"):
+            weighted_sample(
+                weighted.withColumn("_key", F.lit(1)), k=1, weight_col="w"
+            )
