@@ -623,6 +623,68 @@ def ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+@xq(
+    "ngram_containment",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(words[5:20], ' ') AS text
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents)
+      WHERE doc_id % 7 = 0 AND len(words) >= 24
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM corpus)
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT a, b,
+           CASE WHEN sa.sz <= sb.sz THEN a ELSE b END AS contained,
+           (inter * 1000000) // least(sa.sz, sb.sz) AS containment_ppm
+    FROM inter
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = a
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = b
+    WHERE (inter * 1000000) // least(sa.sz, sb.sz) >= 900000
+    """,
+)
+def ngram_containment_q(spark, sf_dir):
+    """Asymmetric containment near-dup (Broder 1997): a quote wholly
+    embedded in a longer host scores 1.0 here while its symmetric
+    Jaccard tends to 0. Contained snippets are PLANTED (every 7th
+    sufficiently long doc contributes a 16-word verbatim excerpt as a
+    new 'quote' doc), so the pair set provably includes rows the
+    Jaccard operator would miss; the DuckDB twin replicates the
+    planting and the exact integer-ppm score. Relies on the default
+    df_cap (cannot bind: df <= n_docs < DEFAULT_DF_CAP at correctness
+    scales, the ngram_jaccard_pairs argument)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(dedup.normalized_text(F.col("text")), " ")
+    quotes = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", words.alias("words"))
+        .filter((F.col("doc_id") % 7 == 0) & (F.size("words") >= 24))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice("words", 5, 16)).alias("text"),
+        )
+    )
+    return dedup.ngram_containment_pairs(
+        docs.unionByName(quotes), threshold=0.9, n=3
+    )
+
+
 @q(
     "token_count",
     """

@@ -873,3 +873,92 @@ class TestDecontaminateBloom:
             dedup.decontaminate_bloom(docs, bench, m_bits=1)
         with _pytest.raises(ValueError):
             dedup.decontaminate_bloom(docs, bench, k=0)
+
+
+class TestContainment:
+    """ngram_containment_pairs: asymmetric containment C = inter/min(sz)
+    in exact integer ppm — validated against a pure-Python set
+    replication and hand-computed fixtures."""
+
+    @staticmethod
+    def _shingles_py(text: str, n: int = 3) -> set:
+        from context_aware_rag_spark.oracle.precompute import normalize_py
+
+        words = normalize_py(text).split(" ")
+        if len(words) < n:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+    def _python_pairs(self, rows, threshold_ppm, n=3):
+        sets = {i: self._shingles_py(t, n) for i, t in rows}
+        out = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                if not inter:
+                    continue
+                ppm = inter * 1_000_000 // min(len(sets[a]), len(sets[b]))
+                if ppm >= threshold_ppm:
+                    contained = a if len(sets[a]) <= len(sets[b]) else b
+                    out[(a, b)] = (contained, ppm)
+        return out
+
+    def test_quote_scores_full_containment_jaccard_misses(self, spark):
+        host_words = [f"h{i}" for i in range(60)]
+        quote = " ".join(host_words[10:26])  # 16 words inside the host
+        df = spark.createDataFrame(
+            [(1, " ".join(host_words)), (2, quote)], ["doc_id", "text"]
+        )
+        got = {
+            (r["a"], r["b"]): (r["contained"], r["containment_ppm"])
+            for r in dedup.ngram_containment_pairs(df, threshold=0.9).collect()
+        }
+        assert got == {(1, 2): (2, 1_000_000)}
+        # the same pair is invisible to symmetric Jaccard at any
+        # ordinary threshold: J = 14/58 < 0.25
+        jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert jac == []
+
+    def test_exact_ppm_arithmetic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d x")], ["doc_id", "text"]
+        )
+        rows = dedup.ngram_containment_pairs(df, threshold=0.6).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # shingle sets {abc,bcd,cde} vs {abc,bcd,cdx}: inter=2, min sz=3
+        assert (r["a"], r["b"], r["containment_ppm"]) == (1, 2, 666_666)
+        # equal sizes -> contained ties to a
+        assert r["contained"] == 1
+
+    def test_matches_python_replication_uncapped(self, spark):
+        df, _ = _make_corpus(spark, n_base=8, words_per_doc=40, seed=11)
+        rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+        import pytest as _pytest
+
+        with _pytest.warns(UserWarning):
+            got = {
+                (r["a"], r["b"]): (r["contained"], r["containment_ppm"])
+                for r in dedup.ngram_containment_pairs(
+                    df, threshold=0.3, df_cap=None
+                ).collect()
+            }
+        assert got == self._python_pairs(rows, 300_000)
+
+    def test_df_cap_reduces_universe(self, spark):
+        # one shingle shared by 3 docs is dropped at df_cap=2, removing
+        # the only overlap
+        df = spark.createDataFrame(
+            [
+                (1, "x y z p q r"),
+                (2, "x y z a b c"),
+                (3, "x y z d e f"),
+            ],
+            ["doc_id", "text"],
+        )
+        full = dedup.ngram_containment_pairs(df, threshold=0.2, df_cap=1000)
+        assert full.count() == 3  # each pair shares the "x y z" shingle
+        capped = dedup.ngram_containment_pairs(df, threshold=0.2, df_cap=2)
+        assert capped.count() == 0
