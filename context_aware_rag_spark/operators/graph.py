@@ -472,6 +472,78 @@ def k_core(
     raise RuntimeError(f"k_core failed to converge in {max_iter} rounds")
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: list,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Exact multi-source shortest-path (hop) distances: (node_id, dist).
+
+    The per-query companion to :func:`neighborhood_function` (HyperBall
+    estimates the corpus-wide distance census; this computes EXACT
+    distances from one query's seed set — "how far is every KG node
+    from the entities this question mentions", the hop-expansion
+    radius signal for graph retrieval).
+
+    Frontier expansion: dist(seed) = 0; round t joins the CURRENT
+    frontier against the adjacency (one equi-join on the node key —
+    AQE covers hub skew) and anti-joins the visited set, so each round
+    touches only edges incident to the frontier and the first time a
+    node is reached IS its shortest distance (BFS invariant). One
+    driver action per round (the frontier count for termination — the
+    k_core discipline), ``localCheckpoint`` keeps lineage flat. Work
+    across all rounds is O(|E| + |V|) total for connected reach:
+    every edge is expanded from its source's frontier round exactly
+    once, because frontiers are disjoint.
+
+    ``seeds`` is a small driver-side list (a query's entity mentions —
+    bounded by construction; broadcast as a one-column frame). Nodes
+    farther than ``max_depth`` (or unreachable) are absent from the
+    output — the bound is the contract, not a convergence guess, so
+    hitting it is not an error.
+    """
+    if not seeds:
+        raise ValueError("need at least one seed")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("duplicate seeds")
+    if max_depth < 0:
+        raise ValueError(f"need max_depth >= 0, got {max_depth}")
+    spark = edges.sparkSession
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        adj = adj.unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    # multi-edges fan the frontier join out before the distinct
+    # collapses it — dedupe once up front so every round's join is
+    # bounded by the simple-graph degree
+    adj = adj.filter(F.col("u") != F.col("v")).dropDuplicates(
+        ["u", "v"]
+    ).localCheckpoint()
+    frontier = spark.createDataFrame(
+        [(s,) for s in seeds], ["node_id"]
+    ).localCheckpoint()
+    visited = frontier.withColumn("dist", F.lit(0)).localCheckpoint()
+    for t in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, frontier.node_id == adj.u)
+            .select(F.col("v").alias("node_id"))
+            .dropDuplicates(["node_id"])
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("dist", F.lit(t))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -3431,6 +3431,78 @@ def graph_kcore_q(spark, sf_dir):
     )
 
 
+@xq(
+    "kg_graph_bfs",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY x.l_suppkey, y.l_suppkey
+      HAVING count(DISTINCT x.l_orderkey) >= 28
+    ),
+    adj AS (
+      SELECT src AS u, dst AS v FROM pairs
+      UNION
+      SELECT dst AS u, src AS v FROM pairs
+    ),
+    seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM adj)
+      ORDER BY node LIMIT 2
+    ),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT a.v, w.dist + 1
+      FROM walk w JOIN adj a ON a.u = w.node
+      WHERE w.dist < 6
+    )
+    SELECT CAST(node AS BIGINT) AS node_id,
+           CAST(min(dist) AS INT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def kg_graph_bfs_q(spark, sf_dir):
+    """Exact multi-source BFS hop distances over the supplier
+    co-occurrence graph, seeded at its two smallest node ids (a query's
+    entity-mention set in the KG use). The DuckDB twin is a bounded
+    RECURSIVE CTE taking min(dist) per node — an INDEPENDENT algorithm
+    (enumerate-all-walks-then-min vs frontier-anti-join), so agreement
+    checks the BFS invariant itself. Seed collect is 2 rows (the
+    bounded query-vector pattern)."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 28)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    nodes = pairs.select(F.col("src").alias("n")).unionAll(
+        pairs.select(F.col("dst").alias("n"))
+    )
+    seeds = [
+        r["n"] for r in nodes.distinct().orderBy("n").limit(2).collect()
+    ]
+    return graph.bfs_distances(
+        pairs, seeds, max_depth=6, directed=False
+    ).select(
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 # =========================================================================
 # Negative sampling for KG-embedding training
 # =========================================================================

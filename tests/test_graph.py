@@ -318,3 +318,96 @@ def test_single_iteration_and_validation(spark):
         graph.pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         graph.pagerank(df, damping_pct=100)
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances
+# ---------------------------------------------------------------------------
+
+def _bfs_py(pairs, seeds, max_depth, directed=True):
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for t in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        if not nxt:
+            break
+        for v in nxt:
+            dist[v] = t
+        frontier = nxt
+    return dist
+
+
+def _bfs_map(spark, pairs, seeds, **kw):
+    df = spark.createDataFrame(pairs, "src: string, dst: string")
+    return {
+        r.node_id: r.dist
+        for r in graph.bfs_distances(df, seeds, **kw).collect()
+    }
+
+
+def test_bfs_directed_path(spark):
+    pairs = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")]
+    assert _bfs_map(spark, pairs, ["1"], max_depth=10) == {
+        "1": 0, "2": 1, "3": 2, "4": 3, "5": 4
+    }
+    # depth bound truncates, does not raise
+    assert _bfs_map(spark, pairs, ["1"], max_depth=2) == {
+        "1": 0, "2": 1, "3": 2
+    }
+    # directed: nothing upstream of the seed is reached
+    assert _bfs_map(spark, pairs, ["3"], max_depth=10) == {
+        "3": 0, "4": 1, "5": 2
+    }
+
+
+def test_bfs_undirected_and_multi_source(spark):
+    pairs = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")]
+    assert _bfs_map(spark, pairs, ["3"], max_depth=10, directed=False) == {
+        "1": 2, "2": 1, "3": 0, "4": 1, "5": 2
+    }
+    # multi-source: first frontier to reach wins (min over seeds)
+    assert _bfs_map(spark, pairs, ["1", "5"], max_depth=10, directed=False) == {
+        "1": 0, "2": 1, "3": 2, "4": 1, "5": 0
+    }
+
+
+def test_bfs_unreachable_absent_and_cycles_terminate(spark):
+    pairs = [("a", "b"), ("b", "a"), ("c", "d"), ("x", "x")]
+    got = _bfs_map(spark, pairs, ["a"], max_depth=50)
+    assert got == {"a": 0, "b": 1}  # c,d,x absent; the a<->b cycle stops
+
+
+def test_bfs_matches_python_random_graph(spark):
+    import random
+
+    rng = random.Random(13)
+    nodes = [str(i) for i in range(40)]
+    pairs = list({
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    })
+    for directed in (True, False):
+        got = _bfs_map(
+            spark, pairs, ["0", "1"], max_depth=8, directed=directed
+        )
+        assert got == _bfs_py(pairs, ["0", "1"], 8, directed=directed)
+
+
+def test_bfs_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    with pytest.raises(ValueError):
+        graph.bfs_distances(df, [])
+    with pytest.raises(ValueError):
+        graph.bfs_distances(df, ["a", "a"])
+    with pytest.raises(ValueError):
+        graph.bfs_distances(df, ["a"], max_depth=-1)
