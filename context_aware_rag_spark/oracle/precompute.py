@@ -1328,3 +1328,65 @@ def compression_ratio_py(docs: "list[tuple]") -> "list[tuple]":
         ratio = (comp * 1_000_000) // len(raw) if raw else 0
         out.append((doc_id, len(raw), comp, ratio))
     return out
+
+
+def pca_project_py(
+    vectors: Sequence[Tuple[int, Sequence[float]]],
+    dim: int = 64,
+    k: int = 8,
+) -> List[Tuple[int, int, int]]:
+    """Independent replication of operators/pca.py fit+project:
+    (vec_id, pc, value_micro) rows.
+
+    The distributed parts — micro-truncated mean sums, per-row
+    micro-truncated Gram products, the sequential projection fold —
+    are re-derived here as plain Python loops over plain floats (no
+    numpy vectorization), matching the Spark side bit-for-bit because
+    every float op is the same IEEE-754 double op in the same order
+    and every truncation is toward zero on both sides. The one shared
+    dependency is ``numpy.linalg.eigh``: eigendecomposition is a
+    deterministic driver-local function of the (independently
+    verified) integer Gram matrix on BOTH sides, so sharing it does
+    not launder any distributed-arithmetic bug.
+    """
+    micro = 1_000_000
+    n = len(vectors)
+    if n == 0:
+        raise ValueError("empty input")
+    msum = [0] * dim
+    for _, v in vectors:
+        for i in range(dim):
+            msum[i] += int(float(v[i]) * micro)
+    mean = [float(msum[i]) / float(n * micro) for i in range(dim)]
+
+    tri = [[0] * dim for _ in range(dim)]
+    for _, v in vectors:
+        c = [float(v[i]) - mean[i] for i in range(dim)]
+        for a in range(dim):
+            ca = c[a]
+            row = tri[a]
+            for b in range(a, dim):
+                row[b] += int((ca * c[b]) * micro)
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for a in range(dim):
+        for b in range(a, dim):
+            g[a, b] = g[b, a] = float(tri[a][b])
+
+    eigvals, eigvecs = np.linalg.eigh(g)
+    comps = []
+    for j in range(dim - 1, dim - 1 - k, -1):
+        col = [float(eigvecs[i, j]) for i in range(dim)]
+        pivot = max(range(dim), key=lambda i: (abs(col[i]), -i))
+        if col[pivot] < 0:
+            col = [-x for x in col]
+        comps.append(col)
+
+    out: List[Tuple[int, int, int]] = []
+    for vec_id, v in vectors:
+        c = [float(v[i]) - mean[i] for i in range(dim)]
+        for j, comp in enumerate(comps):
+            acc = 0.0
+            for i in range(dim):
+                acc = acc + c[i] * comp[i]
+            out.append((vec_id, j, int(acc * micro)))
+    return out

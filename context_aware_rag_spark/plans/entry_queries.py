@@ -3010,6 +3010,28 @@ def semantic_dedup_q(spark, sf_dir):
     )
 
 
+@xq(
+    "embedding_pca",
+    f"""
+    SELECT vec_id, pc, value_micro
+    FROM read_parquet('{_pq("embedding_pca")}')
+    """,
+)
+def embedding_pca_q(spark, sf_dir):
+    """Distributed PCA fit + projection to the top-8 components
+    (the reduce-before-SemDeDup/ANN curation step). Fit = one
+    posexplode mean agg + ONE mapInPandas Gram scan whose per-row
+    products are micro-truncated BEFORE the int64 sums (exact,
+    partitioning-independent); projection = pure-JVM sequential fold.
+    Twin = precomputed pure-Python loop replication (same IEEE op
+    order), eigh shared deliberately — see pca_project_py docstring."""
+    from ..operators import pca
+
+    return pca.pca_fit_project(
+        load(spark, sf_dir, "embeddings"), dim=64, k=8
+    )
+
+
 # =========================================================================
 # Bloom-filter decontamination (bounded-memory scale path)
 # =========================================================================

@@ -138,6 +138,10 @@ SCHEMAS = {
          ("rel", pa.float64()), ("mmr_micro", pa.int64()),
          ("sel_rank", pa.int32())]
     ),
+    "embedding_pca": pa.schema(
+        [("vec_id", pa.int64()), ("pc", pa.int32()),
+         ("value_micro", pa.int64())]
+    ),
 }
 
 
@@ -191,6 +195,8 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "semantic_dedup",
               precompute.semantic_dedup_py(vecs, threshold=0.4))
         write(out_dir, "ann_mmr_topk", precompute.mmr_topk_py(vecs))
+        write(out_dir, "embedding_pca",
+              precompute.pca_project_py(vecs, dim=64, k=8))
 
         # benchmark planted exactly like the decontaminate query: words
         # 5-12 (1-based) of every 10th doc with >= 12 normalized words
