@@ -2115,6 +2115,61 @@ def f4_subtitle_time_filter(spark, sf_dir):
     ).select("seq", "start_s", "end_s", "text")
 
 
+@xq(
+    "s8_jsonl_source",
+    """
+    SELECT 'c' || (i % 4)::VARCHAR AS conv_id,
+           (i // 4)::INT AS turn_idx,
+           CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           'jsonl turn ' || i::VARCHAR || ' payload' AS text,
+           CASE WHEN i % 5 = 0 THEN 'search' ELSE NULL END AS tool,
+           epoch(TIMESTAMP '2026-01-01 00:00:00'
+                 + to_minutes(i))::BIGINT AS ts_epoch
+    FROM range(0, 40) t(i)
+    """,
+)
+def s8_jsonl_source_q(spark, sf_dir):
+    """JSON-lines transcript source under the explicit schema: the
+    fixture is synthesized deterministically WITH two planted corrupt
+    lines, so the twin (recomputing the good rows arithmetically)
+    passes only if the reader parses every valid line AND quarantines
+    exactly the bad ones. Timestamps surface as epoch seconds (integer
+    compare, no tz-canon ambiguity); parse fidelity itself is covered
+    in tests/test_sources_formats.py."""
+    import os
+    import tempfile
+
+    from ..sources.transcripts import read_transcripts_jsonl, split_corrupt
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_jsonl_v1")
+    path = os.path.join(d, "feed.jsonl")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        lines = []
+        for i in range(40):
+            tool = '"search"' if i % 5 == 0 else "null"
+            role = "user" if i % 2 == 0 else "assistant"
+            lines.append(
+                f'{{"conv_id":"c{i % 4}","turn_idx":{i // 4},'
+                f'"role":"{role}","text":"jsonl turn {i} payload",'
+                f'"tool":{tool},'
+                f'"ts":"2026-01-01T00:{i:02d}:00Z"}}'
+            )
+            if i % 17 == 0:
+                lines.append(f"{{corrupt line {i}")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    good, _bad = split_corrupt(read_transcripts_jsonl(spark, path))
+    return good.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 @q(
     "a11_merged_count",
     f"""

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.extractor import ENTITY_GROUPS, RELATION_KEYWORDS
@@ -198,3 +199,89 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
                     f"({msg[:200]}) nor as a registered table"
                 ) from table_exc
     return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path_or_table)
+
+
+def _schema_with_corrupt(corrupt_col: str) -> T.StructType:
+    fields = [
+        # nullable: a PERMISSIVE reader nulls fields on malformed rows
+        T.StructField(f.name, f.dataType, True)
+        for f in TRANSCRIPT_SCHEMA.fields
+    ]
+    return T.StructType(fields + [T.StructField(corrupt_col, T.StringType(), True)])
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines transcript feed (the common chat/agent-log export
+    format) under the EXPLICIT transcript schema — never inference: an
+    inference pass is a second full read at 100 TB and silently
+    type-drifts between drops (one feed where every `turn_idx` happens
+    to be quoted would flip the column to string corpus-wide).
+
+    ``mode="PERMISSIVE"`` (default) quarantines malformed lines into
+    ``corrupt_col`` instead of dropping them — split with
+    :func:`split_corrupt` and route the bad side to a quarantine sink
+    (silently-dropped input is the unrecoverable failure mode of a
+    10^12-turn ingest). ``mode="FAILFAST"`` is the ingest-gate variant.
+    Timestamps parse as ISO-8601 (Spark's JSON default).
+    """
+    return (
+        spark.read.schema(_schema_with_corrupt(corrupt_col))
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_transcripts_csv(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    sep: str = ",",
+) -> DataFrame:
+    """CSV transcript feed under the explicit schema — same
+    no-inference / quarantine contract as :func:`read_transcripts_jsonl`.
+    Quoted multi-line text fields are handled (``multiLine``), headers
+    are required and validated against the schema by position."""
+    return (
+        spark.read.schema(_schema_with_corrupt(corrupt_col))
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .option("sep", sep)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
+        .csv(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> Tuple[DataFrame, DataFrame]:
+    """(good, quarantine) split of a PERMISSIVE read. ``good`` carries
+    exactly the transcript schema columns; ``quarantine`` carries the
+    raw offending line for replay after a parser fix.
+
+    The parsed frame is pinned (``localCheckpoint``) before splitting:
+    Spark refuses plans that read ONLY the internal corrupt-record
+    column from a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    and its documented remedy is to persist the parsed result — which
+    also guarantees both branches see the same parse. At ingest scale
+    the same contract holds macroscopically: write the parsed batch to
+    a staging table and split from that scan, never from two
+    independent re-reads of the raw feed.
+    """
+    df = df.localCheckpoint()
+    good = df.filter(F.col(corrupt_col).isNull()).select(
+        *[f.name for f in TRANSCRIPT_SCHEMA.fields]
+    )
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad
