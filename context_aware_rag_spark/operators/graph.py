@@ -929,3 +929,123 @@ def neighborhood_function(
         directed=directed,
     )
     return hll_estimate(states, ["t", "node"], p=p)
+
+
+def sssp_distances(
+    edges: DataFrame,
+    seeds: list,
+    weight: str = "weight",
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Weighted single/multi-source shortest distances: (node_id, dist).
+
+    The weighted companion to :func:`bfs_distances` (hop counts):
+    edge weights are COSTS (integer, >= 0 — for float costs pre-scale
+    to integer micro, the repo-wide ln-micro discipline, so min() is
+    exact and partitioning-independent), and the result is the minimum
+    total cost from the seed set over paths of at most ``max_hops``
+    edges. In the KG use the weight is a dissimilarity (e.g. inverse
+    co-occurrence strength), turning hop expansion into
+    relevance-bounded expansion.
+
+    Delta-stepping-flavored Bellman-Ford: each round relaxes only
+    edges out of nodes whose distance IMPROVED last round (the
+    frontier), via one equi-join frontier x adjacency + one
+    map-side-combined min-agg + one left-outer compare against the
+    settled state. With non-negative weights, after t rounds the
+    state holds the exact minimum over <= t-hop paths, so
+    ``max_hops`` is the contract (the bfs_distances bound semantics),
+    and early convergence (empty frontier) yields the true unbounded
+    shortest distances. One driver action per round (frontier count,
+    doubling as the termination test — the k_core discipline);
+    ``localCheckpoint`` keeps lineage flat.
+
+    100 TB shape: per-round work is bounded by edges incident to the
+    improving frontier (AQE covers hub skew in the join); the state
+    table shuffles once per round on node_id. Nodes unreachable
+    within ``max_hops`` are absent. Parallel edges collapse to their
+    min weight up front, so round cost is bounded by the simple
+    graph's degree.
+    """
+    if not seeds:
+        raise ValueError("need at least one seed")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("duplicate seeds")
+    if max_hops < 0:
+        raise ValueError(f"need max_hops >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    adj = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if not directed:
+        adj = adj.unionAll(
+            edges.select(
+                F.col(dst).alias("u"),
+                F.col(src).alias("v"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+    # negative weights break the <=t-hop invariant — guard in-plan
+    # (lazy per-row assert_true, no extra driver action; the dedup.py
+    # pattern), surfacing at the first action on adj
+    adj = (
+        adj.filter(F.col("u") != F.col("v"))
+        .withColumn(
+            "w",
+            F.when(
+                F.assert_true(
+                    F.col("w").isNotNull() & (F.col("w") >= 0),
+                    F.lit("sssp_distances: weights must be non-null and >= 0"),
+                ).isNull(),
+                F.col("w"),
+            ),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    frontier = (
+        spark.createDataFrame([(s,) for s in seeds], ["node_id"])
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    state = frontier
+    for _ in range(max_hops):
+        relaxed = (
+            frontier.join(adj, frontier.node_id == adj.u)
+            .select(
+                F.col("v").alias("node_id"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("node_id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        # full-outer merge instead of anti-join+union: one shuffle on
+        # node_id updates settled rows and admits new ones together
+        # (the CC-fixpoint state-update shape)
+        merged = state.join(relaxed, "node_id", "full_outer").select(
+            "node_id",
+            F.col("dist"),
+            F.col("cand"),
+            (
+                F.col("cand").isNotNull()
+                & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            ).alias("_improved"),
+        ).localCheckpoint()
+        frontier = merged.filter(F.col("_improved")).select(
+            "node_id", F.col("cand").alias("dist")
+        )
+        state = merged.select(
+            "node_id",
+            F.when(F.col("_improved"), F.col("cand"))
+            .otherwise(F.col("dist"))
+            .alias("dist"),
+        )
+        if merged.filter(F.col("_improved")).count() == 0:
+            break
+    return state

@@ -5398,3 +5398,81 @@ def compression_ratio_q(spark, sf_dir):
     return textmetrics.compression_signals(
         load(spark, sf_dir, "documents")
     )
+
+
+@xq(
+    "kg_graph_sssp",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT x.l_suppkey AS src, y.l_suppkey AS dst,
+             count(DISTINCT x.l_orderkey) AS n
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 32
+    ),
+    adj AS (
+      SELECT src AS u, dst AS v, 43 - n AS w FROM pairs
+      UNION
+      SELECT dst AS u, src AS v, 43 - n AS w FROM pairs
+    ),
+    seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM adj)
+      ORDER BY node LIMIT 2
+    ),
+    walk(node, dist, hops) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+      UNION
+      SELECT a.v, w.dist + a.w, w.hops + 1
+      FROM walk w JOIN adj a ON a.u = w.node
+      WHERE w.hops < 8
+    )
+    SELECT CAST(node AS BIGINT) AS node_id,
+           CAST(min(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def kg_graph_sssp_q(spark, sf_dir):
+    """Weighted shortest distances over the supplier co-occurrence
+    graph (weight = inverse co-occurrence strength, 43 - n_orders in
+    [1,11]), seeded at the two smallest node ids — the
+    relevance-bounded hop expansion a graph retriever runs from a
+    query's entity mentions. The DuckDB twin is an INDEPENDENT
+    algorithm (bounded enumerate-all-weighted-walks then min) against
+    the operator's frontier-restricted Bellman-Ford, so agreement
+    checks the <=t-hop relaxation invariant itself, including paths
+    where more hops cost less total weight (which a BFS twin could
+    not distinguish). Seed collect is 2 rows (the bounded
+    query-vector pattern)."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 32)
+        .select(
+            "src", "dst", (F.lit(43) - F.col("n_orders")).alias("weight")
+        )
+        .localCheckpoint()
+    )
+    nodes = pairs.select(F.col("src").alias("n")).unionAll(
+        pairs.select(F.col("dst").alias("n"))
+    )
+    seeds = [
+        r["n"] for r in nodes.distinct().orderBy("n").limit(2).collect()
+    ]
+    return graph.sssp_distances(
+        pairs, seeds, max_hops=8, directed=False
+    ).select(
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("dist").cast("long").alias("dist"),
+    )
