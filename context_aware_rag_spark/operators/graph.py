@@ -1049,3 +1049,169 @@ def sssp_distances(
         if merged.filter(F.col("_improved")).count() == 0:
             break
     return state
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """(node_id, scc_id) for every node of the DIRECTED graph, where
+    scc_id is the minimum node id of the node's strongly connected
+    component — the directed companion to
+    canonicalize.connected_components (KG use: cyclic predicate
+    clusters / mutually-reachable entity knots, which an undirected CC
+    conflates with mere weak connectivity).
+
+    Coloring algorithm (Orzan's MapReduce/Pregel SCC decomposition):
+    per outer round on the remaining subgraph —
+
+    1. TRIM: peel nodes with no in-edge or no out-edge (they can sit
+       in no cycle → singleton SCCs), repeating while the peel
+       cascades (the k_core discipline, one driver action per peel).
+    2. COLOR: propagate the maximum node id FORWARD to fixpoint —
+       color(v) = max id that reaches v; one edge-sized equi-join +
+       map-side-combined max-agg per step, rounds = color-partition
+       diameter.
+    3. HARVEST: every color root r (color(r) == r) anchors one SCC =
+       nodes that reach r BACKWARD through their own color class;
+       backward frontier expansion restricted to same-color edges.
+    4. Label the harvested SCCs (scc_id = min member id), remove
+       them, repeat.
+
+    Every remaining node after a harvest had its color root removed,
+    so each outer round retires >= 1 SCC per surviving color class;
+    ``max_rounds`` defaults to the node count (the true bound) and
+    the loop RAISES rather than returning a partial labeling.
+    Adversarial chains (a pure path) cost O(n) trim rounds — the
+    documented k_core peel-depth caveat — while the engine's real
+    shapes (dense mutual knots + DAG tails) settle in a handful:
+    trim eats the tails, one color+harvest eats each knot.
+
+    100 TB shape: every step is an equi-join of the state vector with
+    the edge list (AQE covers hub skew) + one agg; state is one row
+    per live node; ``localCheckpoint`` per step keeps lineage flat;
+    driver actions are one count per fixpoint step, never data.
+    """
+    spark = edges.sparkSession
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    node_type = cur.schema["u"].dataType.simpleString()
+    labeled = spark.createDataFrame(
+        [], f"node_id {node_type}, scc_id {node_type}"
+    )
+    n_nodes = (
+        cur.select(F.col("u").alias("node_id"))
+        .unionAll(cur.select(F.col("v").alias("node_id")))
+        .distinct()
+        .count()
+    )
+    if max_rounds is None:
+        max_rounds = max(1, n_nodes)
+    for _ in range(max_rounds):
+        nodes = (
+            cur.select(F.col("u").alias("node_id"))
+            .unionAll(cur.select(F.col("v").alias("node_id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if nodes.count() == 0:
+            return labeled
+        # --- 1) trim cascade: no-in or no-out nodes are singleton SCCs
+        trimmed_any = True
+        while trimmed_any:
+            has_out = cur.select(F.col("u").alias("node_id")).distinct()
+            has_in = cur.select(F.col("v").alias("node_id")).distinct()
+            live = has_out.join(has_in, "node_id").localCheckpoint()
+            trivial = nodes.join(live, "node_id", "left_anti").localCheckpoint()
+            if trivial.count() == 0:
+                trimmed_any = False
+            else:
+                labeled = labeled.unionByName(
+                    trivial.select(
+                        "node_id", F.col("node_id").alias("scc_id")
+                    )
+                ).localCheckpoint()
+                cur = (
+                    cur.join(
+                        trivial.select(F.col("node_id").alias("u")), "u",
+                        "left_anti",
+                    )
+                    .join(
+                        trivial.select(F.col("node_id").alias("v")), "v",
+                        "left_anti",
+                    )
+                    .localCheckpoint()
+                )
+                nodes = nodes.join(trivial, "node_id", "left_anti").localCheckpoint()
+        if nodes.count() == 0:
+            return labeled
+        # --- 2) forward max-color fixpoint
+        colors = nodes.select(
+            "node_id", F.col("node_id").alias("color")
+        ).localCheckpoint()
+        changed = 1
+        while changed > 0:
+            incoming = (
+                cur.join(colors, cur.u == colors.node_id)
+                .groupBy(F.col("v").alias("node_id"))
+                .agg(F.max("color").alias("in_color"))
+            )
+            nxt = (
+                colors.join(incoming, "node_id", "left_outer")
+                .select(
+                    "node_id",
+                    F.greatest(
+                        F.col("color"),
+                        F.coalesce(F.col("in_color"), F.col("color")),
+                    ).alias("color"),
+                    (
+                        F.coalesce(F.col("in_color"), F.col("color"))
+                        > F.col("color")
+                    ).alias("_chg"),
+                )
+                .localCheckpoint()
+            )
+            changed = nxt.filter(F.col("_chg")).count()
+            colors = nxt.select("node_id", "color")
+        # --- 3) backward reach from color roots within the color class
+        member = colors.filter(F.col("node_id") == F.col("color")).select(
+            "node_id", F.col("color").alias("root")
+        ).localCheckpoint()
+        frontier = member
+        while True:
+            new = (
+                cur.join(frontier, cur.v == frontier.node_id)
+                .select(F.col("u").alias("node_id"), "root")
+                .dropDuplicates(["node_id"])
+                .join(colors, "node_id")
+                .filter(F.col("color") == F.col("root"))
+                .select("node_id", "root")
+                .join(member.select("node_id"), "node_id", "left_anti")
+                .localCheckpoint()
+            )
+            if new.count() == 0:
+                break
+            member = member.unionByName(new).localCheckpoint()
+            frontier = new
+        # --- 4) label (scc_id = min member id), peel, repeat
+        scc_ids = member.groupBy("root").agg(F.min("node_id").alias("scc_id"))
+        labeled = labeled.unionByName(
+            member.join(scc_ids, "root").select("node_id", "scc_id")
+        ).localCheckpoint()
+        done = member.select("node_id")
+        cur = (
+            cur.join(done.select(F.col("node_id").alias("u")), "u", "left_anti")
+            .join(done.select(F.col("node_id").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+    if cur.count() == 0:
+        return labeled
+    raise RuntimeError(
+        f"strongly_connected_components failed to settle in {max_rounds} rounds"
+    )

@@ -5476,3 +5476,78 @@ def kg_graph_sssp_q(spark, sf_dir):
         F.col("node_id").cast("long").alias("node_id"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+@xq(
+    "kg_graph_scc",
+    """
+    WITH RECURSIVE succ AS (
+      SELECT l_suppkey,
+             lead(l_suppkey) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+             ) AS nxt
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT l_suppkey AS src, nxt AS dst FROM succ
+      WHERE nxt IS NOT NULL AND nxt <> l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    reach(u, v) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.u, e.dst FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    mutual AS (
+      SELECT r1.u AS a, r1.v AS b
+      FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+    )
+    SELECT CAST(node AS BIGINT) AS node_id,
+           CAST(min(m) AS BIGINT) AS scc_id
+    FROM (
+      SELECT node, node AS m FROM nodes
+      UNION ALL
+      SELECT a AS node, b AS m FROM mutual
+    ) GROUP BY node
+    """,
+)
+def kg_graph_scc_q(spark, sf_dir):
+    """Strongly connected components of the DIRECTED supplier
+    succession graph (edge u->v when supplier v follows supplier u on
+    the next linenumber of the same order, kept at frequency >= 10 —
+    at sf0.01 that yields a 64-node mutual knot, a handful of small
+    SCCs and DAG singletons, exercising trim, color and harvest). The
+    DuckDB twin is an INDEPENDENT algorithm — full recursive
+    transitive closure, then mutual-reachability pairs, then min per
+    node — against the operator's trim/color/harvest decomposition,
+    so agreement checks the SCC partition itself."""
+    from pyspark.sql import Window as W
+
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    # l_linenumber alone is NOT unique per order in the testdata —
+    # extend to the unique (linenumber, partkey, suppkey) total order
+    # so lead() is deterministic on both engines
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    edges = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.lead("l_suppkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("src", "dst")
+    )
+    return graph.strongly_connected_components(edges).select(
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+    )
