@@ -1284,3 +1284,110 @@ def dedup_against_index(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "text_hash")
     )
+
+
+def allpairs_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering — the AllPairs
+    candidate generation of Bayardo, Ma & Srikant, "Scaling Up All
+    Pairs Similarity Search" (WWW 2007), with the size filter of
+    Arasu et al.; same output contract as
+    :func:`ngram_jaccard_pairs` with ``df_cap=None`` (bit-identical
+    pair set and scores), but sub-quadratic candidate generation that
+    needs NO universe truncation.
+
+    Why it scales where the plain inverted index stops: order every
+    doc's shingles by ASCENDING global document frequency (rarest
+    first; shingle string breaks ties, so the order is total and
+    deterministic). A pair with J >= t must share at least
+    ceil(t*|A|) shingles with either side, so each side must expose
+    at least one of its first |A| - ceil(t*|A|) + 1 ordered shingles
+    — the PREFIX. Indexing only prefixes (a) shrinks the index to
+    ~(1-t) of the token stream and (b) structurally avoids hot
+    buckets: a Zipf-hot shingle sits at the END of every doc's
+    frequency order and almost never enters a prefix, so the
+    equi-join's skew guard is the ordering itself, not a df_cap that
+    changes the measured universe. Candidates then pass the size
+    filter (J >= t forces t*max(|A|,|B|) <= min) before ONE exact
+    re-scoring join on the full shingle sets (array_intersect,
+    JVM-side) — precision comes from exact verification, recall from
+    the prefix theorem, so the result is exact at any corpus shape.
+
+    The prefix length uses integer-ppm floor arithmetic (alpha =
+    (t_ppm * sz) div 1e6, one shingle longer than the ceil-tight
+    prefix in the non-integral case) — conservatively MORE candidates,
+    never fewer, and no float partition-order hazard.
+
+    100 TB shape: one shingle scan for df, one shingle-keyed shuffle
+    to rank, one prefix-index equi-join (buckets bounded by prefix df,
+    i.e. rare tokens), one candidate-keyed verification join. The
+    PPJoin positional filter would cut candidates further; it prunes
+    constants, not the asymptotics, and is left out for plan clarity.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
+    t_ppm = int(round(threshold * 1_000_000))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sh = with_shingles(
+        docs.repartition(parallelism, id_col), n=n, id_col=id_col,
+        text_col=text_col,
+    ).localCheckpoint()  # stage boundary: see minhash_dedup docstring
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first total order per doc, then cut the prefix
+    prefix_idx = (
+        inv.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_ord")
+        )
+        .select(
+            F.col(id_col),
+            F.size("_ord").alias("sz"),
+            F.expr(
+                f"slice(transform(_ord, x -> x.shingle), 1, "
+                f"cast(size(_ord) - (size(_ord) * {t_ppm}) div 1000000 + 1 "
+                f"as int))"
+            ).alias("_prefix"),
+        )
+        .select(F.col(id_col), "sz", F.explode("_prefix").alias("token"))
+        .localCheckpoint()
+    )
+    l, r = prefix_idx.alias("l"), prefix_idx.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.token") == F.col("r.token"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                # size filter: J >= t forces t * max <= min (integer ppm)
+                F.least(F.col("l.sz"), F.col("r.sz")) * 1_000_000
+                >= F.greatest(F.col("l.sz"), F.col("r.sz")) * t_ppm,
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    sets_a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("_sa"))
+    sets_b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("_sb"))
+    scored = (
+        cand.join(sets_a, "a")
+        .join(sets_b, "b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("_sa") + F.size("_sb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.select("a", "b", F.round("jaccard", 6).alias("jaccard"))

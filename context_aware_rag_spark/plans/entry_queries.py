@@ -5551,3 +5551,40 @@ def kg_graph_scc_q(spark, sf_dir):
         F.col("node_id").cast("long").alias("node_id"),
         F.col("scc_id").cast("long").alias("scc_id"),
     )
+
+
+@xq(
+    "allpairs_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT a, b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = a
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+    """,
+)
+def allpairs_jaccard_q(spark, sf_dir):
+    """AllPairs prefix-filtered EXACT Jaccard pairs (Bayardo et al.
+    2007). The twin is the NAIVE full inverted-index join — no prefix
+    logic at all — so the hash match is itself the completeness proof
+    of the prefix theorem on real data: any candidate the prefix index
+    misses would show up as a missing oracle row."""
+    return dedup.allpairs_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.4, n=3
+    )
