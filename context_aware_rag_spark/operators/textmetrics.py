@@ -441,34 +441,15 @@ def quality_classifier(
     feature space regardless of corpus vocabulary.
     """
     from ..functions import quality_clf_weights as qw
-    from .dsir import hashed_ngram_counts
+    from .clf_train import apply_quality_weights
 
-    spark = docs.sparkSession
-    weights = spark.createDataFrame(
-        list(enumerate(qw.W_MICRO)), "bucket: long, w_micro: long"
-    )
-    counts = hashed_ngram_counts(
-        docs, id_col, text_col, n=qw.NS, n_buckets=qw.B_BUCKETS
-    )
-    logit = (
-        F.lit(qw.BIAS_MICRO) / F.lit(1000000.0)
-        + (F.col("dot_micro") / F.col("n_grams")) / F.lit(1000000.0)
-    )
-    return (
-        counts.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("cnt").cast("long").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("w_micro")).cast("long").alias("dot_micro"),
-        )
-        .select(
-            F.col(id_col),
-            "n_grams",
-            "dot_micro",
-            F.round(logit, 6).alias("logit"),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
-            (logit >= 0).alias("keep"),
-        )
+    return apply_quality_weights(
+        docs,
+        qw.W_MICRO,
+        qw.BIAS_MICRO,
+        ns=qw.NS,
+        id_col=id_col,
+        text_col=text_col,
     )
 
 

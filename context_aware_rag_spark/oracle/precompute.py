@@ -1390,3 +1390,56 @@ def pca_project_py(
                 acc = acc + c[i] * comp[i]
             out.append((vec_id, j, int(acc * micro)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# distributed quality-classifier TRAINING — pure-Python replication of
+# operators/clf_train.train_quality_classifier (same integer-micro
+# state, same floor-truncated gradient terms, same float op order)
+# ---------------------------------------------------------------------------
+
+def train_quality_clf_py(
+    labeled_docs: Sequence[Tuple[int, str, float]],
+    n_buckets: int = 1024,
+    ns: Sequence[int] = (1, 2),
+    epochs: int = 20,
+    lr_ppm: int = 2_000_000,
+) -> List[Tuple[int, int]]:
+    """(doc_id, text, label) -> [(bucket, w_micro)] with bucket -1 =
+    bias. Gram-less docs are excluded, exactly like the Spark trainer."""
+    import math
+
+    from .xxh64 import spark_xxhash64_str
+
+    feats: List[Tuple[dict, int, float]] = []  # (bucket->cnt, n_grams, y)
+    for _doc_id, text, y in labeled_docs:
+        grams = _word_grams_py(text, list(ns))
+        if not grams:
+            continue
+        cnts: dict = {}
+        for g in grams:
+            bkt = spark_xxhash64_str(g) % n_buckets
+            cnts[bkt] = cnts.get(bkt, 0) + 1
+        feats.append((cnts, len(grams), float(y)))
+    if not feats:
+        raise ValueError("no trainable documents")
+    n_docs = len(feats)
+    w = [0] * n_buckets
+    b = 0
+    denom = 1_000_000 * n_docs
+    for _ in range(epochs):
+        gsum = [0] * n_buckets
+        gbias = 0
+        for cnts, n_grams, y in feats:
+            dot = sum(c * w[k] for k, c in cnts.items())
+            logit = b / 1000000.0 + (dot / n_grams) / 1000000.0
+            g = 1.0 / (1.0 + math.exp(-logit)) - y
+            for k, c in cnts.items():
+                gsum[k] += math.floor(g * c / n_grams * 1000000.0)
+            gbias += math.floor(g * 1000000.0)
+        for k in range(n_buckets):
+            w[k] -= (lr_ppm * gsum[k]) // denom
+        b -= (lr_ppm * gbias) // denom
+    out = [(k, int(x)) for k, x in enumerate(w)]
+    out.append((-1, int(b)))
+    return out

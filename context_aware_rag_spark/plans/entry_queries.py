@@ -5588,3 +5588,33 @@ def allpairs_jaccard_q(spark, sf_dir):
     return dedup.allpairs_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.4, n=3
     )
+
+
+@xq(
+    "clf_train_weights",
+    f"""
+    SELECT bucket, w_micro
+    FROM read_parquet('{_pq("clf_train_weights")}')
+    """,
+)
+def clf_train_weights_q(spark, sf_dir):
+    """DISTRIBUTED quality-classifier training parity: the full
+    integer-micro logistic-regression recurrence (6 epochs, 256 hashed
+    buckets, parity labels doc_id % 2) run on the cluster must emit the
+    bit-identical weight vector the pure-Python oracle trains
+    (oracle/precompute.train_quality_clf_py — Spark-free, snapshotted
+    by tools/gen_oracle_data.py). Bucket -1 carries the bias. Every
+    epoch's gradient crosses the driver as exactly 257 integer rows, so
+    the hash match proves the whole training trajectory, not just the
+    final inference."""
+    from ..operators import clf_train
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("double").alias("label")
+    )
+    model = clf_train.train_quality_classifier(
+        docs, n_buckets=256, epochs=6
+    )
+    rows = [(k, int(w)) for k, w in enumerate(model["w_micro"])]
+    rows.append((-1, int(model["bias_micro"])))
+    return spark.createDataFrame(rows, "bucket: long, w_micro: long")

@@ -124,6 +124,9 @@ SCHEMAS = {
          ("dot_micro", pa.int64()), ("logit", pa.float64()),
          ("prob", pa.float64()), ("keep", pa.bool_())]
     ),
+    "clf_train_weights": pa.schema(
+        [("bucket", pa.int64()), ("w_micro", pa.int64())]
+    ),
     "dsir_select": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("logw_micro", pa.int64()), ("gumbel_micro", pa.int64()),
@@ -216,6 +219,14 @@ def main(sf_dirs: list[str]) -> None:
               precompute.dsir_select_py(docs, target_texts, k=50))
         write(out_dir, "quality_classifier",
               precompute.quality_classifier_py(docs))
+        # distributed trainer parity fixture: parity labels (doc_id % 2)
+        # exercise the full integer-micro training recurrence without
+        # needing a semantic negative corpus in SQL
+        write(out_dir, "clf_train_weights",
+              precompute.train_quality_clf_py(
+                  [(doc_id, text, float(doc_id % 2))
+                   for doc_id, text in docs],
+                  n_buckets=256, epochs=6))
         write(out_dir, "compression_ratio",
               precompute.compression_ratio_py(docs))
         write(out_dir, "tokenize_and_pack",
