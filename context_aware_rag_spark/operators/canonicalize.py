@@ -528,3 +528,64 @@ def rewrite_triples(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
     )
 
 
+
+
+def canonicalize_predicates(
+    triples: DataFrame,
+    threshold: float = 0.5,
+    pred_col: str = "pred",
+    subj_col: str = "subj_name",
+    obj_col: str = "obj_name",
+) -> DataFrame:
+    """Predicate (relation) canonicalization by DISTRIBUTIONAL
+    similarity — the relation-side twin of entity canonicalization:
+    two surface predicates ("married_to" / "spouse_of") that connect
+    largely the same (subject, object) pairs are aliases of one
+    relation (the Harris distributional hypothesis applied to KG
+    schema cleaning; OpenIE canonicalization a la CESI/AMIE treats
+    predicates exactly as their argument-pair distributions).
+
+    Each predicate's profile is its DISTINCT (subj, obj) pair set
+    (pairs fingerprinted as single tokens); profiles with exact
+    Jaccard >= ``threshold`` become alias pairs
+    (:func:`dedup.allpairs_jaccard_pairs_sets` — the prefix-filtered
+    exact join, so hot pairs like (user, tool) never quadratic-blow
+    the index), and alias pairs close transitively via
+    :func:`connected_components`. Returns one row per DISTINCT
+    predicate: (pred, canon_pred, n_pairs) with canon_pred = the
+    lexicographically smallest predicate of the alias group (identity
+    for unmerged predicates) and n_pairs = the profile size.
+
+    100 TB shape: one triple scan -> per-predicate pair-set agg
+    (map-side combined; state bounded by DISTINCT pairs per
+    predicate); the similarity join runs over #distinct-predicates
+    rows — schema-sized, not corpus-sized; CC runs on the alias pairs
+    only.
+    """
+    from .dedup import allpairs_jaccard_pairs_sets
+
+    profiles = (
+        triples.select(
+            F.col(pred_col).alias("pred"),
+            F.concat_ws("\x01", F.col(subj_col), F.col(obj_col)).alias(
+                "_pair"
+            ),
+        )
+        .groupBy("pred")
+        .agg(F.array_distinct(F.collect_list("_pair")).alias("tokens"))
+        .localCheckpoint()
+    )
+    alias_pairs = allpairs_jaccard_pairs_sets(
+        profiles, threshold=threshold, id_col="pred", tokens_col="tokens"
+    ).select(F.col("a"), F.col("b"))
+    canon = connected_components(alias_pairs)
+    return (
+        profiles.join(
+            canon.withColumnRenamed("node_id", "pred"), "pred", "left"
+        )
+        .select(
+            "pred",
+            F.coalesce(F.col("canon_id"), F.col("pred")).alias("canon_pred"),
+            F.size("tokens").cast("long").alias("n_pairs"),
+        )
+    )

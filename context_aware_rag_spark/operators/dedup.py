@@ -1301,29 +1301,55 @@ def allpairs_jaccard_pairs(
     pair set and scores), but sub-quadratic candidate generation that
     needs NO universe truncation.
 
+    Tokenization wrapper: shingles the text (word n-grams) and
+    delegates to :func:`allpairs_jaccard_pairs_sets` — see there for
+    the algorithm and the 100 TB shape.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sh = with_shingles(
+        docs.repartition(parallelism, id_col), n=n, id_col=id_col,
+        text_col=text_col,
+    ).localCheckpoint()  # stage boundary: see minhash_dedup docstring
+    return allpairs_jaccard_pairs_sets(
+        sh, threshold=threshold, id_col=id_col, tokens_col="shingles"
+    )
+
+
+def allpairs_jaccard_pairs_sets(
+    sets: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """EXACT Jaccard pairs (a, b, jaccard >= threshold) over arbitrary
+    TOKEN SETS (``tokens_col``: array<string>, treated as distinct) —
+    the set-similarity core behind :func:`allpairs_jaccard_pairs`, also
+    driving predicate canonicalization (distributional similarity over
+    (subj, obj) pair sets).
+
     Why it scales where the plain inverted index stops: order every
-    doc's shingles by ASCENDING global document frequency (rarest
-    first; shingle string breaks ties, so the order is total and
+    set's tokens by ASCENDING global document frequency (rarest first;
+    token string breaks ties, so the order is total and
     deterministic). A pair with J >= t must share at least
-    ceil(t*|A|) shingles with either side, so each side must expose
-    at least one of its first |A| - ceil(t*|A|) + 1 ordered shingles
+    ceil(t*|A|) tokens with either side, so each side must expose
+    at least one of its first |A| - ceil(t*|A|) + 1 ordered tokens
     — the PREFIX. Indexing only prefixes (a) shrinks the index to
     ~(1-t) of the token stream and (b) structurally avoids hot
-    buckets: a Zipf-hot shingle sits at the END of every doc's
+    buckets: a Zipf-hot token sits at the END of every set's
     frequency order and almost never enters a prefix, so the
     equi-join's skew guard is the ordering itself, not a df_cap that
     changes the measured universe. Candidates then pass the size
     filter (J >= t forces t*max(|A|,|B|) <= min) before ONE exact
-    re-scoring join on the full shingle sets (array_intersect,
+    re-scoring join on the full token sets (array_intersect,
     JVM-side) — precision comes from exact verification, recall from
     the prefix theorem, so the result is exact at any corpus shape.
 
     The prefix length uses integer-ppm floor arithmetic (alpha =
-    (t_ppm * sz) div 1e6, one shingle longer than the ceil-tight
+    (t_ppm * sz) div 1e6, one token longer than the ceil-tight
     prefix in the non-integral case) — conservatively MORE candidates,
     never fewer, and no float partition-order hazard.
 
-    100 TB shape: one shingle scan for df, one shingle-keyed shuffle
+    100 TB shape: one token scan for df, one token-keyed shuffle
     to rank, one prefix-index equi-join (buckets bounded by prefix df,
     i.e. rare tokens), one candidate-keyed verification join. The
     PPJoin positional filter would cut candidates further; it prunes
@@ -1332,27 +1358,25 @@ def allpairs_jaccard_pairs(
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
     t_ppm = int(round(threshold * 1_000_000))
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    sh = with_shingles(
-        docs.repartition(parallelism, id_col), n=n, id_col=id_col,
-        text_col=text_col,
-    ).localCheckpoint()  # stage boundary: see minhash_dedup docstring
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    # rarest-first total order per doc, then cut the prefix
+    sh = sets.select(
+        F.col(id_col), F.array_distinct(F.col(tokens_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    inv = sh.select(F.col(id_col), F.explode("_toks").alias("token"))
+    dfreq = inv.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first total order per set, then cut the prefix
     prefix_idx = (
-        inv.join(dfreq, "shingle")
+        inv.join(dfreq, "token")
         .groupBy(id_col)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+                F.collect_list(F.struct(F.col("_df"), F.col("token")))
             ).alias("_ord")
         )
         .select(
             F.col(id_col),
             F.size("_ord").alias("sz"),
             F.expr(
-                f"slice(transform(_ord, x -> x.shingle), 1, "
+                f"slice(transform(_ord, x -> x.token), 1, "
                 f"cast(size(_ord) - (size(_ord) * {t_ppm}) div 1000000 + 1 "
                 f"as int))"
             ).alias("_prefix"),
@@ -1377,8 +1401,8 @@ def allpairs_jaccard_pairs(
         )
         .dropDuplicates(["a", "b"])
     )
-    sets_a = sh.select(F.col(id_col).alias("a"), F.col("shingles").alias("_sa"))
-    sets_b = sh.select(F.col(id_col).alias("b"), F.col("shingles").alias("_sb"))
+    sets_a = sh.select(F.col(id_col).alias("a"), F.col("_toks").alias("_sa"))
+    sets_b = sh.select(F.col(id_col).alias("b"), F.col("_toks").alias("_sb"))
     scored = (
         cand.join(sets_a, "a")
         .join(sets_b, "b")

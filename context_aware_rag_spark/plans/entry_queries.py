@@ -5618,3 +5618,63 @@ def clf_train_weights_q(spark, sf_dir):
     rows = [(k, int(w)) for k, w in enumerate(model["w_micro"])]
     rows.append((-1, int(model["bias_micro"])))
     return spark.createDataFrame(rows, "bucket: long, w_micro: long")
+
+
+@xq(
+    "kg_pred_canonical",
+    """
+    WITH RECURSIVE prof AS (
+      SELECT 'p' || CAST(o_orderkey % 4 AS VARCHAR) AS pred,
+             CAST((o_orderkey % 4) // 2 AS VARCHAR) || chr(1) ||
+             CAST(o_custkey AS VARCHAR) AS pair
+      FROM orders GROUP BY 1, 2
+    ),
+    sz AS (SELECT pred, count(*) AS n_pairs FROM prof GROUP BY pred),
+    inter AS (
+      SELECT l.pred AS a, r.pred AS b, count(*) AS shared
+      FROM prof l JOIN prof r ON l.pair = r.pair AND l.pred < r.pred
+      GROUP BY 1, 2
+    ),
+    alias_pairs AS (
+      SELECT a, b FROM inter
+      JOIN sz sa ON sa.pred = inter.a
+      JOIN sz sb ON sb.pred = inter.b
+      WHERE shared / (sa.n_pairs + sb.n_pairs - shared) >= 0.5
+    ),
+    edges AS (
+      SELECT a AS u, b AS v FROM alias_pairs
+      UNION SELECT b AS u, a AS v FROM alias_pairs
+    ),
+    walk(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN edges e ON e.u = w.v
+    )
+    SELECT s.pred AS pred,
+           least(s.pred, coalesce(min(w.v), s.pred)) AS canon_pred,
+           CAST(s.n_pairs AS BIGINT) AS n_pairs
+    FROM sz s LEFT JOIN walk w ON w.u = s.pred
+    GROUP BY s.pred, s.n_pairs
+    """,
+)
+def kg_pred_canonical_q(spark, sf_dir):
+    """Predicate canonicalization by distributional (subj, obj)
+    profile similarity: four synthetic predicates over orders, where
+    p0/p1 draw pairs from one argument universe and p2/p3 from a
+    disjoint one (planted by integer arithmetic), so the alias
+    structure is {p0,p1} and {p2,p3} at partial (~0.7, NOT 1.0)
+    Jaccard. The twin replicates the profile sets, the exact Jaccard
+    gate, AND the transitive closure (recursive min-label CTE) —
+    independent of the prefix-filtered join + distributed CC the
+    operator composes."""
+    from ..operators import canonicalize
+
+    orders = load(spark, sf_dir, "orders")
+    triples = orders.select(
+        F.expr("cast((o_orderkey % 4) div 2 as string)").alias("subj_name"),
+        F.concat(
+            F.lit("p"), F.expr("cast(o_orderkey % 4 as string)")
+        ).alias("pred"),
+        F.col("o_custkey").cast("string").alias("obj_name"),
+    )
+    return canonicalize.canonicalize_predicates(triples, threshold=0.5)
