@@ -1443,3 +1443,128 @@ def train_quality_clf_py(
     out = [(k, int(x)) for k, x in enumerate(w)]
     out.append((-1, int(b)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# distributed TransE training — pure-Python replication of
+# operators/kge.train_transe (same md5 init + corruption, same integer
+# gradients, same trunc-toward-zero divisions, same isqrt normalize)
+# ---------------------------------------------------------------------------
+
+def _md5_u32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Trunc-toward-zero integer division (Spark SQL `div`), b > 0."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def transe_py(
+    triples: "Sequence[Tuple[str, str, str]]",
+    dim: int = 16,
+    epochs: int = 5,
+    lr_ppm: int = 100_000,
+    margin_micro2: int = 1_000_000_000_000,
+    init: int = 1_000_000,
+    sides: "Sequence[str]" = ("src", "dst"),
+) -> "List[Tuple[str, str, int, int]]":
+    """(src, rel, dst) strings -> [(kind, node_id, d, v_micro)]."""
+    import math
+
+    SEP = "\x1f"
+    tri = sorted(set(triples))
+    n_triples = len(tri)
+    ents = sorted({h for h, _r, _t in tri} | {t for _h, _r, t in tri})
+    rels = sorted({r for _h, r, _t in tri})
+    n_ents = len(ents)
+    true_set = set(tri)
+
+    # per-epoch negative slices (negative_samples with k=epochs)
+    neg_terms: "List[List[Tuple[str, str, str, str, str]]]" = [
+        [] for _ in range(epochs)
+    ]
+    for h, r, t in tri:
+        for side in sides:
+            for j in range(epochs):
+                key = SEP.join([side, h, r, t, str(j)])
+                neg = ents[_md5_u32_py(key) % n_ents]  # idx+1, 1-based
+                if side == "src":
+                    if neg == h or (neg, r, t) in true_set:
+                        continue
+                else:
+                    if neg == t or (h, r, neg) in true_set:
+                        continue
+                neg_terms[j].append((h, r, t, side, neg))
+
+    emb: "dict" = {}
+    for e in ents:
+        emb[("e", e)] = [
+            _md5_u32_py(SEP.join(["e", e, str(i)])) % (2 * init + 1) - init
+            for i in range(dim)
+        ]
+    for r in rels:
+        emb[("r", r)] = [
+            _md5_u32_py(SEP.join(["r", r, str(i)])) % (2 * init + 1) - init
+            for i in range(dim)
+        ]
+
+    def normalize_entities() -> None:
+        for e in ents:
+            v = emb[("e", e)]
+            ss = sum(x * x for x in v)
+            norm = max(1, math.floor(math.sqrt(float(ss))))
+            emb[("e", e)] = [_tdiv(x * 1_000_000, norm) for x in v]
+
+    denom = 1_000_000 * n_triples
+    for epoch in range(epochs):
+        normalize_entities()
+        gsum: "dict" = {}
+        for h, r, t, side, neg in neg_terms[epoch]:
+            eh, er, et = emb[("e", h)], emb[("r", r)], emb[("e", t)]
+            en = emb[("e", neg)]
+            dp = [eh[i] + er[i] - et[i] for i in range(dim)]
+            if side == "src":
+                dn = [en[i] + er[i] - et[i] for i in range(dim)]
+            else:
+                dn = [eh[i] + er[i] - en[i] for i in range(dim)]
+            hinge = (
+                margin_micro2
+                + sum(x * x for x in dp)
+                - sum(x * x for x in dn)
+            )
+            if hinge <= 0:
+                continue
+
+            def add(kind: str, node: str, g: "List[int]") -> None:
+                acc = gsum.setdefault((kind, node), [0] * dim)
+                for i in range(dim):
+                    acc[i] += g[i]
+
+            if side == "dst":
+                add("e", h, [2 * dp[i] - 2 * dn[i] for i in range(dim)])
+            else:
+                add("e", h, [2 * dp[i] for i in range(dim)])
+            add("r", r, [2 * dp[i] - 2 * dn[i] for i in range(dim)])
+            if side == "src":
+                add("e", t, [2 * dn[i] - 2 * dp[i] for i in range(dim)])
+            else:
+                add("e", t, [-2 * dp[i] for i in range(dim)])
+            if side == "src":
+                add("e", neg, [-2 * dn[i] for i in range(dim)])
+            else:
+                add("e", neg, [2 * dn[i] for i in range(dim)])
+        for key, g in gsum.items():
+            v = emb[key]
+            emb[key] = [
+                v[i] - _tdiv(g[i] * lr_ppm, denom) for i in range(dim)
+            ]
+    normalize_entities()
+    out: "List[Tuple[str, str, int, int]]" = []
+    for (kind, node), v in sorted(emb.items()):
+        for i, x in enumerate(v):
+            out.append((kind, node, i, int(x)))
+    return out

@@ -5678,3 +5678,79 @@ def kg_pred_canonical_q(spark, sf_dir):
         F.col("o_custkey").cast("string").alias("obj_name"),
     )
     return canonicalize.canonicalize_predicates(triples, threshold=0.5)
+
+
+@xq(
+    "kg_transe_embeddings",
+    f"""
+    SELECT kind, node_id, d, v_micro
+    FROM read_parquet('{_pq("kg_transe_embeddings")}')
+    """,
+)
+def kg_transe_embeddings_q(spark, sf_dir):
+    """DISTRIBUTED TransE training parity: 3 epochs of full-batch
+    margin-loss embedding training (dim 8) over a two-relation
+    supplier KG (undirected 'cooccurs' at the >= 32 co-occurrence
+    gate, directed 'precedes' succession at >= 10) must emit the
+    bit-identical embedding table the pure-Python oracle trains
+    (oracle/precompute.transe_py — Spark-free, snapshotted). The loop
+    is float-free except the correctly-rounded isqrt normalize, so the
+    hash match pins init, md5 corruption sampling, hinge gating,
+    integer gradients and trunc-division updates across every epoch."""
+    from pyspark.sql import Window as W
+
+    from ..operators import kge
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n"))
+        .filter(F.col("n") >= 32)
+        .select("a", "b")
+    )
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    prec = (
+        li.select(
+            F.col("l_suppkey").alias("a"),
+            F.lead("l_suppkey").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull() & (F.col("b") != F.col("a")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("a", "b")
+    )
+    def rel(df, name):
+        return df.select(
+            F.col("a").cast("string").alias("src"),
+            F.lit(name).alias("rel"),
+            F.col("b").cast("string").alias("dst"),
+        )
+    triples = (
+        rel(co, "cooccurs")
+        .unionByName(
+            co.select(
+                F.col("b").cast("string").alias("src"),
+                F.lit("cooccurs").alias("rel"),
+                F.col("a").cast("string").alias("dst"),
+            )
+        )
+        .unionByName(rel(prec, "precedes"))
+    )
+    emb = kge.train_transe(triples, dim=8, epochs=3)
+    return emb.select(
+        "kind", "node_id", F.posexplode("emb").alias("d", "v_micro")
+    ).select(
+        "kind", "node_id", F.col("d").cast("int").alias("d"),
+        F.col("v_micro").cast("long").alias("v_micro"),
+    )

@@ -127,6 +127,10 @@ SCHEMAS = {
     "clf_train_weights": pa.schema(
         [("bucket", pa.int64()), ("w_micro", pa.int64())]
     ),
+    "kg_transe_embeddings": pa.schema(
+        [("kind", pa.string()), ("node_id", pa.string()),
+         ("d", pa.int32()), ("v_micro", pa.int64())]
+    ),
     "dsir_select": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("logw_micro", pa.int64()), ("gumbel_micro", pa.int64()),
@@ -265,6 +269,47 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_kcore", precompute.k_core_py(supp_pairs, k=12))
+
+        # TransE corpus: two relations over the supplier entity space —
+        # 'cooccurs' (undirected co-occurrence at the >= 32 gate, both
+        # directions emitted) and 'precedes' (the directed succession
+        # graph at the >= 10 gate; lead() ordered by the unique
+        # (linenumber, partkey, suppkey) triple)
+        transe_rows = con.execute(
+            f"""
+            WITH co AS (
+              SELECT x.l_suppkey AS a, y.l_suppkey AS b
+              FROM read_parquet('{sf_dir}/lineitem.parquet') x
+              JOIN read_parquet('{sf_dir}/lineitem.parquet') y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_suppkey < y.l_suppkey
+              GROUP BY 1, 2
+              HAVING count(DISTINCT x.l_orderkey) >= 32
+            ),
+            succ AS (
+              SELECT l_suppkey,
+                     lead(l_suppkey) OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey
+                     ) AS nxt
+              FROM read_parquet('{sf_dir}/lineitem.parquet')
+            ),
+            prec AS (
+              SELECT l_suppkey AS a, nxt AS b FROM succ
+              WHERE nxt IS NOT NULL AND nxt <> l_suppkey
+              GROUP BY 1, 2 HAVING count(*) >= 10
+            )
+            SELECT CAST(a AS VARCHAR) AS h, 'cooccurs' AS r,
+                   CAST(b AS VARCHAR) AS t FROM co
+            UNION ALL
+            SELECT CAST(b AS VARCHAR), 'cooccurs', CAST(a AS VARCHAR) FROM co
+            UNION ALL
+            SELECT CAST(a AS VARCHAR), 'precedes', CAST(b AS VARCHAR) FROM prec
+            """
+        ).fetchall()
+        write(out_dir, "kg_transe_embeddings",
+              precompute.transe_py(
+                  [tuple(r) for r in transe_rows], dim=8, epochs=3))
 
         # sparser >= 35 gate for LPA: 63 nodes / 56 edges splits into
         # 26 communities and exercises the max_iter bound (synchronous
