@@ -143,3 +143,122 @@ def link_records(
         "r_size",
         "jaccard_ppm",
     )
+
+
+def _norm_text(col):
+    """lower + non-alphanumeric runs to single spaces + trim — the
+    same normal form on both engines (DuckDB twin: lower +
+    regexp_replace(g) + trim)."""
+    return F.trim(F.regexp_replace(F.lower(col), _SPLIT_RE, " "))
+
+
+def link_records_edit(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str,
+    l_text: str,
+    r_id: str,
+    r_text: str,
+    min_sim_ppm: int = 700_000,
+    df_cap: int = 1000,
+    mutual_best: bool = True,
+) -> DataFrame:
+    """Record linkage scored by NORMALIZED EDIT DISTANCE — the
+    typo-level companion to :func:`link_records`: token Jaccard scores
+    "acme corp" vs "acme crop" at 1/3 (one shared token of three),
+    while character-level Levenshtein sees one transposition-ish edit.
+
+    Same shared-token blocking as link_records (inverted index with
+    the both-sides df_cap — candidate volume bounded by
+    df_l(t) x df_r(t) per kept token, never |L| x |R|); each candidate
+    pair is then scored ONCE on the normalized full strings:
+
+        sim_ppm = 1e6 - (levenshtein(l, r) * 1e6)
+                        div greatest(1, greatest(len(l), len(r)))
+
+    — integer ppm, exactly re-derivable in the DuckDB twin (both
+    engines implement classic unit-cost Levenshtein). Returns
+    (l_id, r_id, edit_dist, l_len, r_len, sim_ppm).
+
+    100 TB shape: blocking identical to link_records; scoring adds one
+    broadcast-sized join per side to fetch the normalized strings and
+    a JVM levenshtein per CANDIDATE (O(len^2) per pair — bounded by
+    the block sizes, and records sharing zero rare tokens are never
+    scored). A pair must share >= 1 sub-df_cap token to be considered:
+    that is the recall contract (pure-typo pairs with NO intact shared
+    token are out of scope — they need the n-gram LSH family instead).
+    """
+    if df_cap < 1:
+        raise ValueError(f"df_cap must be >= 1, got {df_cap}")
+    if l_id == r_id:
+        raise ValueError(
+            f"l_id and r_id must differ (output columns collide): {l_id!r}"
+        )
+    if not (0 <= min_sim_ppm <= 1_000_000):
+        raise ValueError(
+            f"min_sim_ppm must be in [0, 1e6], got {min_sim_ppm}"
+        )
+    lt = _tokens(left, l_id, l_text)
+    rt = _tokens(right, r_id, r_text)
+    df_tok = (
+        lt.select("token").unionAll(rt.select("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("token")
+    )
+    cand = (
+        lt.join(df_tok, "token")
+        .select(F.col("rec_id").alias("_l"), "token")
+        .join(
+            rt.join(df_tok, "token").select(
+                F.col("rec_id").alias("_r"), "token"
+            ),
+            "token",
+        )
+        .select("_l", "_r")
+        .dropDuplicates(["_l", "_r"])
+    )
+    l_norm = left.select(
+        F.col(l_id).alias("_l"), _norm_text(F.col(l_text)).alias("_lt")
+    )
+    r_norm = right.select(
+        F.col(r_id).alias("_r"), _norm_text(F.col(r_text)).alias("_rt")
+    )
+    scored = (
+        cand.join(l_norm, "_l")
+        .join(r_norm, "_r")
+        .select(
+            "_l",
+            "_r",
+            F.levenshtein("_lt", "_rt").alias("edit_dist"),
+            F.length("_lt").alias("l_len"),
+            F.length("_rt").alias("r_len"),
+        )
+        .withColumn(
+            "sim_ppm",
+            F.lit(1_000_000)
+            - F.expr(
+                "(edit_dist * 1000000)"
+                " div greatest(1, greatest(l_len, r_len))"
+            ),
+        )
+        .filter(F.col("sim_ppm") >= min_sim_ppm)
+    )
+    if mutual_best:
+        wl = Window.partitionBy("_l").orderBy(F.desc("sim_ppm"), F.asc("_r"))
+        wr = Window.partitionBy("_r").orderBy(F.desc("sim_ppm"), F.asc("_l"))
+        scored = (
+            scored.withColumn("_rl", F.row_number().over(wl))
+            .withColumn("_rr", F.row_number().over(wr))
+            .filter((F.col("_rl") == 1) & (F.col("_rr") == 1))
+            .drop("_rl", "_rr")
+        )
+    return scored.select(
+        F.col("_l").alias(l_id),
+        F.col("_r").alias(r_id),
+        "edit_dist",
+        "l_len",
+        "r_len",
+        "sim_ppm",
+    )

@@ -5754,3 +5754,101 @@ def kg_transe_embeddings_q(spark, sf_dir):
         "kind", "node_id", F.col("d").cast("int").alias("d"),
         F.col("v_micro").cast("long").alias("v_micro"),
     )
+
+
+@xq(
+    "record_linkage_edit",
+    """
+    WITH feed AS (
+      SELECT s_suppkey AS f_key,
+             substr(s_name, 1, CAST(s_suppkey % length(s_name) AS INT)) ||
+             substr(s_name, CAST(s_suppkey % length(s_name) AS INT) + 2)
+               AS f_name
+      FROM supplier
+    ),
+    master AS (SELECT s_suppkey AS r_key, s_name AS r_name FROM supplier),
+    ln AS (SELECT f_key,
+                  trim(regexp_replace(lower(f_name), '[^a-z0-9]+', ' ', 'g'))
+                    AS lt
+           FROM feed),
+    rn AS (SELECT r_key,
+                  trim(regexp_replace(lower(r_name), '[^a-z0-9]+', ' ', 'g'))
+                    AS rt
+           FROM master),
+    ltok AS (
+      SELECT f_key AS rec,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(f_name), '[^a-z0-9]+'),
+               w -> w != ''))) AS token
+      FROM feed
+    ),
+    rtok AS (
+      SELECT r_key AS rec,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(r_name), '[^a-z0-9]+'),
+               w -> w != ''))) AS token
+      FROM master
+    ),
+    kept AS (
+      SELECT token FROM (
+        SELECT token FROM ltok UNION ALL SELECT token FROM rtok
+      ) GROUP BY token HAVING count(*) <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT l.rec AS f_key, r.rec AS r_key
+      FROM (SELECT rec, token FROM ltok JOIN kept USING (token)) l
+      JOIN (SELECT rec, token FROM rtok JOIN kept USING (token)) r
+        USING (token)
+    ),
+    sc AS (
+      SELECT c.f_key, c.r_key,
+             levenshtein(ln.lt, rn.rt) AS edit_dist,
+             length(ln.lt) AS l_len, length(rn.rt) AS r_len,
+             1000000 - (levenshtein(ln.lt, rn.rt) * 1000000)
+               // greatest(1, greatest(length(ln.lt), length(rn.rt)))
+               AS sim_ppm
+      FROM cand c JOIN ln ON ln.f_key = c.f_key
+                  JOIN rn ON rn.r_key = c.r_key
+    )
+    SELECT f_key, r_key, edit_dist,
+           CAST(l_len AS INT) AS l_len, CAST(r_len AS INT) AS r_len,
+           sim_ppm
+    FROM sc WHERE sim_ppm >= 920000
+    QUALIFY row_number() OVER (
+              PARTITION BY f_key ORDER BY sim_ppm DESC, r_key) = 1
+        AND row_number() OVER (
+              PARTITION BY r_key ORDER BY sim_ppm DESC, f_key) = 1
+    """,
+)
+def record_linkage_edit_q(spark, sf_dir):
+    """Edit-distance record linkage on a deterministically TYPO'd feed:
+    each supplier name loses one character at position
+    s_suppkey % length + 1, then links back against the master table.
+    Neighboring supplier names are themselves 1-2 digit edits apart, so
+    scoring ties are real and mutual-best's deterministic (score DESC,
+    id ASC) break is exercised; the twin replicates blocking, DuckDB's
+    own levenshtein, the ppm arithmetic and QUALIFY mutual-best."""
+    from ..operators.linkage import link_records_edit
+
+    sup = load(spark, sf_dir, "supplier")
+    feed = sup.select(
+        F.col("s_suppkey").alias("f_key"),
+        F.concat(
+            F.expr("substring(s_name, 1, cast(s_suppkey % length(s_name) as int))"),
+            F.expr(
+                "substring(s_name, cast(s_suppkey % length(s_name) as int) + 2)"
+            ),
+        ).alias("f_name"),
+    )
+    master = sup.select(
+        F.col("s_suppkey").alias("r_key"), F.col("s_name").alias("r_name")
+    )
+    return link_records_edit(
+        feed, master, "f_key", "f_name", "r_key", "r_name",
+        min_sim_ppm=920_000,
+    ).select(
+        "f_key", "r_key", "edit_dist",
+        F.col("l_len").cast("int").alias("l_len"),
+        F.col("r_len").cast("int").alias("r_len"),
+        "sim_ppm",
+    )

@@ -115,3 +115,75 @@ def test_validation(spark):
     with pytest.raises(ValueError, match="must differ"):
         link_records(left, right.withColumnRenamed("rid", "lid"),
                      "lid", "lname", "lid", "rname")
+
+
+# ---------------------------------------------------------------------------
+# link_records_edit (edit-distance scoring over the same blocking)
+# ---------------------------------------------------------------------------
+
+class TestLinkRecordsEdit:
+    def _link(self, spark, lrows, rrows, **kw):
+        from context_aware_rag_spark.operators.linkage import link_records_edit
+
+        left = spark.createDataFrame(lrows, "lid: long, ltext: string")
+        right = spark.createDataFrame(rrows, "rid: long, rtext: string")
+        return {
+            (r.lid, r.rid): (r.edit_dist, r.sim_ppm)
+            for r in link_records_edit(
+                left, right, "lid", "ltext", "rid", "rtext", **kw
+            ).collect()
+        }
+
+    def test_typo_match_that_jaccard_misses(self, spark):
+        from context_aware_rag_spark.operators.linkage import link_records
+
+        lrows = [(1, "acme corp supply")]
+        rrows = [(10, "acme crop supply"), (11, "zenith metals inc")]
+        got = self._link(spark, lrows, rrows, min_sim_ppm=800_000)
+        # "corp" vs "crop" = 2 edits over 16 chars -> sim 875000
+        assert got == {(1, 10): (2, 875_000)}
+        # the token-jaccard linker scores the same pair at only 2/4
+        left = spark.createDataFrame(lrows, "lid: long, ltext: string")
+        right = spark.createDataFrame(rrows, "rid: long, rtext: string")
+        j = {
+            (r.lid, r.rid): r.jaccard_ppm
+            for r in link_records(
+                left, right, "lid", "ltext", "rid", "rtext",
+                min_jaccard_ppm=0,
+            ).collect()
+        }
+        assert j[(1, 10)] == 500_000
+
+    def test_blocking_contract_no_shared_token_no_pair(self, spark):
+        # 1-edit-apart strings with NO intact shared token are out of
+        # scope by the blocking contract
+        got = self._link(
+            spark, [(1, "abcdef")], [(10, "abcdeg")], min_sim_ppm=0
+        )
+        assert got == {}
+
+    def test_mutual_best_resolves_contention(self, spark):
+        lrows = [(1, "northern star trading"), (2, "northern star traders")]
+        rrows = [(10, "northern star trading")]
+        got = self._link(spark, lrows, rrows, min_sim_ppm=500_000)
+        # both left rows match r10, but 1 is the exact (0-edit) best
+        assert set(got) == {(1, 10)}
+        assert got[(1, 10)][0] == 0
+        both = self._link(
+            spark, lrows, rrows, min_sim_ppm=500_000, mutual_best=False
+        )
+        assert set(both) == {(1, 10), (2, 10)}
+
+    def test_normalization_and_validation(self, spark):
+        import pytest as _pytest
+
+        got = self._link(
+            spark, [(1, "ACME-Corp!!")], [(10, "acme corp")],
+            min_sim_ppm=900_000,
+        )
+        assert got == {(1, 10): (0, 1_000_000)}
+        from context_aware_rag_spark.operators.linkage import link_records_edit
+
+        left = spark.createDataFrame([(1, "x")], "a: long, t: string")
+        with _pytest.raises(ValueError):
+            link_records_edit(left, left, "a", "t", "a", "t")
