@@ -1,0 +1,157 @@
+"""Horn-rule mining and application over the triple store (AMIE-lite).
+
+AMIE (Galarraga et al., WWW 2013) mines closed Horn rules like
+``in_nation(x, n) AND nation_in_region(n, r) => in_region(x, r)`` from
+a KG and scores them by support and confidence; applying confident
+rules is the classic symbolic KG-completion step (the complement to
+the learned :mod:`kge` link predictor). The reference has no rule
+engine — its graph completion is LLM-prompted; here mining is three
+relational passes over the triple table, so it runs at corpus scale.
+
+Scope: length-2 closed path rules ``p1(x, m) AND p2(m, y) => p3(x, y)``
+— AMIE's most productive rule class and the one whose evaluation is
+pure equi-join algebra.
+
+    body(p1, p2)    = DISTINCT (x, y) pairs connected by the path
+    support(..p3)   = |body INTERSECT edges of p3|
+    confidence      = support / |body|      (standard CWA confidence)
+
+100 TB shape: the path enumeration is ONE self-join of the triple
+table on the mid entity — the quadratic hazard is a hub mid (fan-out
+in_deg(m) x out_deg(m)), guarded by ``max_mid_fanout`` exactly like
+pmi_edges' max_group_size / the dedup df_cap discipline: hub mids are
+dropped from ENUMERATION only, deterministically, and the cap is part
+of the operator's declared semantics. Everything downstream of the
+path join is map-side-combined aggs on (p1, p2[, p3]) — rule-schema
+sized, not corpus sized. Confidence is integer ppm (trunc div).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _clean(triples: DataFrame, src: str, rel: str, dst: str) -> DataFrame:
+    return (
+        triples.select(
+            F.col(src).cast("string").alias("h"),
+            F.col(rel).cast("string").alias("p"),
+            F.col(dst).cast("string").alias("t"),
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+
+
+def _paths(tri: DataFrame, max_mid_fanout: int) -> DataFrame:
+    """DISTINCT (p1, p2, x, y) with x != y, via mids whose
+    in_deg * out_deg <= max_mid_fanout."""
+    if max_mid_fanout < 1:
+        raise ValueError(f"need max_mid_fanout >= 1, got {max_mid_fanout}")
+    in_deg = tri.groupBy(F.col("t").alias("m")).agg(
+        F.count(F.lit(1)).alias("_in")
+    )
+    out_deg = tri.groupBy(F.col("h").alias("m")).agg(
+        F.count(F.lit(1)).alias("_out")
+    )
+    ok_mid = (
+        in_deg.join(out_deg, "m")
+        .filter(F.col("_in") * F.col("_out") <= max_mid_fanout)
+        .select("m")
+    )
+    left = tri.select(
+        F.col("h").alias("x"), F.col("p").alias("p1"), F.col("t").alias("m")
+    ).join(ok_mid, "m")
+    right = tri.select(
+        F.col("h").alias("m"), F.col("p").alias("p2"), F.col("t").alias("y")
+    )
+    return (
+        left.join(right, "m")
+        .filter(F.col("x") != F.col("y"))
+        .select("p1", "p2", "x", "y")
+        .dropDuplicates()
+    )
+
+
+def mine_path_rules(
+    triples: DataFrame,
+    min_support: int = 2,
+    min_conf_ppm: int = 100_000,
+    max_mid_fanout: int = 10_000,
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+) -> DataFrame:
+    """Mine ``p1 AND p2 => p3`` rules: returns (p1, p2, p3, support,
+    body_size, conf_ppm) with conf_ppm = (support * 1e6) div body_size,
+    filtered to support >= min_support and conf_ppm >= min_conf_ppm.
+    Trivially-true self-rules where p3 reproduces a body edge are NOT
+    excluded — filtering them is the caller's policy choice."""
+    if min_support < 1:
+        raise ValueError(f"need min_support >= 1, got {min_support}")
+    if not (0 <= min_conf_ppm <= 1_000_000):
+        raise ValueError(f"min_conf_ppm out of range: {min_conf_ppm}")
+    tri = _clean(triples, src, rel, dst)
+    body = _paths(tri, max_mid_fanout).localCheckpoint()
+    body_sz = body.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("body_size")
+    )
+    heads = tri.select(
+        F.col("h").alias("x"), F.col("p").alias("p3"), F.col("t").alias("y")
+    )
+    support = (
+        body.join(heads, ["x", "y"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        support.join(body_sz, ["p1", "p2"])
+        .withColumn(
+            "conf_ppm", F.expr("(support * 1000000) div body_size")
+        )
+        .filter(
+            (F.col("support") >= min_support)
+            & (F.col("conf_ppm") >= min_conf_ppm)
+        )
+        .select("p1", "p2", "p3", "support", "body_size", "conf_ppm")
+    )
+
+
+def infer_from_rules(
+    triples: DataFrame,
+    rules: DataFrame,
+    max_mid_fanout: int = 10_000,
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+) -> DataFrame:
+    """Apply mined rules: emit CANDIDATE triples (src, rel, dst,
+    conf_ppm) that the rule bodies derive but the KG does not yet
+    contain — the symbolic KG-completion feed (a candidate's conf_ppm
+    is the MAX confidence over rules deriving it; deterministic).
+
+    ``rules`` needs (p1, p2, p3, conf_ppm) —
+    :func:`mine_path_rules` output works as-is. Candidates are
+    anti-joined against the existing edges of p3, so re-applying rules
+    is idempotent: inferred-and-materialized triples stop being
+    candidates."""
+    tri = _clean(triples, src, rel, dst)
+    body = _paths(tri, max_mid_fanout)
+    cand = (
+        body.join(
+            F.broadcast(rules.select("p1", "p2", "p3", "conf_ppm")),
+            ["p1", "p2"],
+        )
+        .groupBy(
+            F.col("x").alias("src"),
+            F.col("p3").alias("rel"),
+            F.col("y").alias("dst"),
+        )
+        .agg(F.max("conf_ppm").alias("conf_ppm"))
+    )
+    existing = tri.select(
+        F.col("h").alias("src"), F.col("p").alias("rel"),
+        F.col("t").alias("dst"),
+    )
+    return cand.join(existing, ["src", "rel", "dst"], "left_anti")

@@ -5852,3 +5852,82 @@ def record_linkage_edit_q(spark, sf_dir):
         F.col("r_len").cast("int").alias("r_len"),
         "sim_ppm",
     )
+
+
+@xq(
+    "kg_rule_mining",
+    """
+    WITH tri AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS h,
+             'in_nation' AS p,
+             'n' || CAST(c_nationkey AS VARCHAR) AS t
+      FROM customer
+      UNION ALL
+      SELECT DISTINCT 'n' || CAST(n_nationkey AS VARCHAR),
+             'in_region',
+             'r' || CAST(n_regionkey AS VARCHAR)
+      FROM nation
+      UNION ALL
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR),
+             'cust_region',
+             'r' || CAST(n_regionkey AS VARCHAR)
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey % 4 != 0
+    ),
+    body AS (
+      SELECT DISTINCT l.p AS p1, r.p AS p2, l.h AS x, r.t AS y
+      FROM tri l JOIN tri r ON l.t = r.h AND l.h <> r.t
+    ),
+    bsz AS (SELECT p1, p2, count(*) AS body_size FROM body GROUP BY 1, 2),
+    sup AS (
+      SELECT b.p1, b.p2, e.p AS p3, count(*) AS support
+      FROM body b JOIN tri e ON e.h = b.x AND e.t = b.y
+      GROUP BY 1, 2, 3
+    )
+    SELECT sup.p1, sup.p2, p3, support, body_size,
+           (support * 1000000) // body_size AS conf_ppm
+    FROM sup JOIN bsz ON sup.p1 = bsz.p1 AND sup.p2 = bsz.p2
+    WHERE support >= 10
+      AND (support * 1000000) // body_size >= 100000
+    """,
+)
+def kg_rule_mining_q(spark, sf_dir):
+    """AMIE-lite Horn-rule mining over the real TPC-H hierarchy as a
+    KG: in_nation(c, n) AND in_region(n, r) => cust_region(c, r), with
+    the head relation PLANTED for only 3/4 of customers (custkey % 4),
+    so the mined confidence is a real 750000 ppm, not a tautological
+    1.0. The twin replicates path enumeration, body/support counting
+    and the ppm division; the operator's mid-fanout guard provably
+    cannot bind here (every mid is a nation: in_deg ~ 60 customers x
+    out_deg 1 << 10000), so the twin omits it — the guard's binding
+    semantics are pinned by unit test instead."""
+    from ..operators import rules
+
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    tri = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.lit("in_nation").alias("rel"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+                F.lit("in_region").alias("rel"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+            .filter(F.col("c_custkey") % 4 != 0)
+            .select(
+                F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("src"),
+                F.lit("cust_region").alias("rel"),
+                F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    return rules.mine_path_rules(
+        tri, min_support=10, min_conf_ppm=100_000
+    )

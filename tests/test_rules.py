@@ -1,0 +1,135 @@
+"""AMIE-lite path-rule mining / application (operators/rules.py) vs a
+pure-Python replication and hand geometries."""
+
+import random
+
+import pytest
+
+from context_aware_rag_spark.operators import rules
+
+
+def _df(spark, tri):
+    return spark.createDataFrame(tri, "src: string, rel: string, dst: string")
+
+
+def _mine_py(tri, min_support, min_conf_ppm, max_mid_fanout=10_000):
+    tri = sorted(set(tri))
+    in_deg, out_deg = {}, {}
+    for h, _p, t in tri:
+        out_deg[h] = out_deg.get(h, 0) + 1
+        in_deg[t] = in_deg.get(t, 0) + 1
+    ok = {
+        m
+        for m in set(in_deg) & set(out_deg)
+        if in_deg[m] * out_deg[m] <= max_mid_fanout
+    }
+    body = set()
+    for h1, p1, m in tri:
+        if m not in ok:
+            continue
+        for m2, p2, t2 in tri:
+            if m2 == m and h1 != t2:
+                body.add((p1, p2, h1, t2))
+    body_sz, support = {}, {}
+    edges = {(h, p, t) for h, p, t in tri}
+    by_pair = {}
+    for h, p, t in tri:
+        by_pair.setdefault((h, t), set()).add(p)
+    for p1, p2, x, y in body:
+        body_sz[(p1, p2)] = body_sz.get((p1, p2), 0) + 1
+        for p3 in by_pair.get((x, y), ()):
+            support[(p1, p2, p3)] = support.get((p1, p2, p3), 0) + 1
+    out = {}
+    for (p1, p2, p3), s in support.items():
+        bs = body_sz[(p1, p2)]
+        conf = (s * 1_000_000) // bs
+        if s >= min_support and conf >= min_conf_ppm:
+            out[(p1, p2, p3)] = (s, bs, conf)
+    return out
+
+
+def _planted():
+    tri = []
+    for c in range(8):
+        n = f"n{c % 2}"
+        tri.append((f"c{c}", "in_nation", n))
+    tri.append(("n0", "in_region", "r0"))
+    tri.append(("n1", "in_region", "r0"))
+    # in_region head edges for 6 of the 8 customers -> confidence 6/8
+    for c in range(6):
+        tri.append((f"c{c}", "cust_region", "r0"))
+    return tri
+
+
+def test_mine_finds_planted_rule_with_exact_confidence(spark):
+    tri = _planted()
+    got = {
+        (r.p1, r.p2, r.p3): (r.support, r.body_size, r.conf_ppm)
+        for r in rules.mine_path_rules(
+            _df(spark, tri), min_support=2, min_conf_ppm=500_000
+        ).collect()
+    }
+    assert got[("in_nation", "in_region", "cust_region")] == (6, 8, 750_000)
+
+
+def test_mine_matches_python_random_kg(spark):
+    rng = random.Random(61)
+    ents = [f"e{i}" for i in range(15)]
+    preds = ["pa", "pb", "pc"]
+    tri = list({
+        (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+        for _ in range(120)
+    })
+    got = {
+        (r.p1, r.p2, r.p3): (r.support, r.body_size, r.conf_ppm)
+        for r in rules.mine_path_rules(
+            _df(spark, tri), min_support=1, min_conf_ppm=0
+        ).collect()
+    }
+    assert got == _mine_py(tri, 1, 0)
+
+
+def test_mid_fanout_guard_drops_hub_paths(spark):
+    # hub m: 5 in x 5 out = fanout 25
+    tri = [(f"a{i}", "p", "hub") for i in range(5)]
+    tri += [("hub", "q", f"b{i}") for i in range(5)]
+    tri += [(f"a{i}", "r", f"b{i}") for i in range(5)]
+    full = rules.mine_path_rules(
+        _df(spark, tri), min_support=1, min_conf_ppm=0, max_mid_fanout=25
+    )
+    assert full.filter("p1 = 'p' AND p2 = 'q'").count() > 0
+    capped = rules.mine_path_rules(
+        _df(spark, tri), min_support=1, min_conf_ppm=0, max_mid_fanout=24
+    )
+    assert capped.filter("p1 = 'p' AND p2 = 'q'").count() == 0
+    assert _mine_py(tri, 1, 0, max_mid_fanout=24) == {
+        (r.p1, r.p2, r.p3): (r.support, r.body_size, r.conf_ppm)
+        for r in capped.collect()
+    }
+
+
+def test_infer_emits_missing_heads_only_and_is_idempotent(spark):
+    tri = _planted()
+    df = _df(spark, tri)
+    mined = rules.mine_path_rules(df, min_support=2, min_conf_ppm=700_000)
+    inferred = rules.infer_from_rules(df, mined)
+    got = {(r.src, r.rel, r.dst): r.conf_ppm for r in inferred.collect()}
+    # exactly the two customers missing their cust_region edge
+    assert got == {
+        ("c6", "cust_region", "r0"): 750_000,
+        ("c7", "cust_region", "r0"): 750_000,
+    }
+    # materialize and re-apply: nothing new
+    merged = df.unionByName(inferred.select("src", "rel", "dst"))
+    again = rules.infer_from_rules(merged, mined)
+    assert again.count() == 0
+
+
+def test_rules_validation(spark):
+    df = _df(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError):
+        rules.mine_path_rules(df, min_support=0)
+    with pytest.raises(ValueError):
+        rules.mine_path_rules(df, min_conf_ppm=2_000_000)
+    with pytest.raises(ValueError):
+        rules.mine_path_rules(df, max_mid_fanout=0)
