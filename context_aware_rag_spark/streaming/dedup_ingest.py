@@ -31,21 +31,11 @@ _HASH_SCHEMA = "doc_id long, text_hash string"
 
 
 def _epoch_ids(spark: SparkSession, base: str) -> list[int] | None:
-    """Epoch partition ids under ``base``, listed through the Hadoop
-    FileSystem API so remote stores (HDFS/S3) resolve like local paths —
-    a driver-side ``os.listdir`` would silently return nothing for a
-    non-local ``out_dir`` and disable cross-epoch dedup. Returns ``None``
-    when the base dir does not exist (vs ``[]`` for exists-but-empty)."""
-    from ..fsutil import fs_and_path
+    """Moved to streaming/epochs.py (shared with canonical_ingest);
+    kept as a thin alias for this module's established surface."""
+    from .epochs import epoch_ids
 
-    fs, path = fs_and_path(spark, base)
-    if not fs.exists(path):
-        return None
-    return [
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(path)
-        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
-    ]
+    return epoch_ids(spark, base)
 
 
 def _read_prior_index(
@@ -56,43 +46,10 @@ def _read_prior_index(
     schema: str,
     what: str,
 ) -> DataFrame:
-    """Index rows accumulated by epochs STRICTLY BEFORE ``before_epoch``
-    (a replayed epoch must not see its own partial output).
+    """Moved to streaming/epochs.py (shared with canonical_ingest)."""
+    from .epochs import read_prior_index
 
-    Fails loudly on the two silent-corruption modes: a missing index
-    dir when prior epochs should have written one (remote-store
-    misconfiguration would otherwise disable dedup and append
-    duplicates), and epoch dirs FROM THE FUTURE (> current epoch),
-    which mean the stream checkpoint was reset while the output dir was
-    kept — epoch ids restart at 0, and new docs would be deduped
-    against dead epochs' rows."""
-    base = os.path.join(out_dir, subdir)
-    ids = _epoch_ids(spark, base)
-    if ids is None:
-        if before_epoch > 0:
-            raise FileNotFoundError(
-                f"streaming {what} index missing at {base!r} but epoch "
-                f"{before_epoch} expects epochs 0..{before_epoch - 1} to have "
-                "written it — wrong out_dir or filesystem misconfiguration "
-                "(cross-epoch dedup would be silently disabled)"
-            )
-        return spark.createDataFrame([], schema)
-    stale = [e for e in ids if e > before_epoch]
-    if stale:
-        raise RuntimeError(
-            f"streaming {what} out_dir {out_dir!r} contains epoch dirs "
-            f"{sorted(stale)} beyond current epoch {before_epoch}: the "
-            "stream checkpoint was reset (epoch ids restart at 0) while the "
-            "output dir was kept — clear out_dir or restore the checkpoint"
-        )
-    prior = [e for e in ids if e < before_epoch]
-    if not prior:
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.option("basePath", base)
-        .parquet(*[os.path.join(base, f"epoch={e}") for e in prior])
-        .drop("epoch")
-    )
+    return read_prior_index(spark, out_dir, subdir, before_epoch, schema, what)
 
 
 def read_prior_hashes(
