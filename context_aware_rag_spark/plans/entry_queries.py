@@ -685,7 +685,7 @@ def ngram_containment_q(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "token_count",
     """
     SELECT doc_id,
@@ -2268,7 +2268,7 @@ def delete_orphan_cleanup(spark, sf_dir):
 # =========================================================================
 
 
-@q(
+@xq(
     "s6_batch_summaries",
     f"""
     SELECT conv_id, batch_id, summary, n_turns, n_turn_idxs
@@ -2760,7 +2760,7 @@ def media_features(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("dim"))
 
 
-@q(
+@xq(
     "media_frame_plan",
     """
     SELECT doc_id AS media_id, i::INT AS frame_idx, (i * 1000)::INT AS ts_ms
@@ -5478,7 +5478,7 @@ def kg_graph_sssp_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "kg_graph_scc",
     """
     WITH RECURSIVE succ AS (
@@ -5590,7 +5590,7 @@ def allpairs_jaccard_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "clf_train_weights",
     f"""
     SELECT bucket, w_micro
@@ -5680,7 +5680,7 @@ def kg_pred_canonical_q(spark, sf_dir):
     return canonicalize.canonicalize_predicates(triples, threshold=0.5)
 
 
-@xq(
+@q(
     "kg_transe_embeddings",
     f"""
     SELECT kind, node_id, d, v_micro
