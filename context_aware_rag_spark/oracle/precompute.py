@@ -1568,3 +1568,47 @@ def transe_py(
         for i, x in enumerate(v):
             out.append((kind, node, i, int(x)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# gazetteer mention detection — independent naive matcher (try every
+# entry at every position; the operator walks a token trie)
+# ---------------------------------------------------------------------------
+
+def gazetteer_tag_py(
+    docs: Sequence[Tuple[int, str]],
+) -> List[Tuple[int, int, int, str, str]]:
+    """Dictionary = the first two normalized words of every 10th doc
+    with >= 2 words (entity_id = 'g<doc_id>'); tags ALL docs with the
+    leftmost-longest policy. Returns (doc_id, start_tok, end_tok,
+    surface, entity_id) sorted."""
+    entries: List[Tuple[str, List[str]]] = []
+    for doc_id, text in docs:
+        if doc_id % 10 == 0:
+            toks = normalize_py(text).split(" ")
+            if len(toks) >= 2 and toks[0]:
+                entries.append((f"g{doc_id}", toks[:2]))
+    out: List[Tuple[int, int, int, str, str]] = []
+    for doc_id, text in docs:
+        toks = normalize_py(text).split(" ")
+        if toks == [""]:
+            toks = []
+        i = 0
+        while i < len(toks):
+            best_len = 0
+            best_ids: List[str] = []
+            for eid, etoks in entries:
+                if toks[i : i + len(etoks)] == etoks:
+                    if len(etoks) > best_len:
+                        best_len, best_ids = len(etoks), [eid]
+                    elif len(etoks) == best_len:
+                        best_ids.append(eid)
+            if best_len:
+                surface = " ".join(toks[i : i + best_len])
+                for eid in sorted(set(best_ids)):
+                    out.append((doc_id, i, i + best_len, surface, eid))
+                i += best_len
+            else:
+                i += 1
+    out.sort()
+    return out

@@ -5931,3 +5931,50 @@ def kg_rule_mining_q(spark, sf_dir):
     return rules.mine_path_rules(
         tri, min_support=10, min_conf_ppm=100_000
     )
+
+
+@xq(
+    "gazetteer_mentions",
+    f"""
+    SELECT doc_id, start_tok, end_tok, surface, entity_id
+    FROM read_parquet('{_pq("gazetteer_mentions")}')
+    """,
+)
+def gazetteer_mentions_q(spark, sf_dir):
+    """Gazetteer mention detection: dictionary = the first two
+    normalized words of every 10th document (entity_id = 'g<doc_id>'),
+    tagged over ALL documents with the leftmost-longest policy. The
+    snapshot oracle (precompute.gazetteer_tag_py) is an INDEPENDENT
+    matcher — try-every-entry-at-every-position vs the operator's
+    broadcast token trie — so the hash match pins the match policy,
+    normalization and span arithmetic."""
+    from ..operators import dedup, gazetteer
+
+    docs = load(spark, sf_dir, "documents")
+    gaz = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.concat(F.lit("g"), F.col("doc_id").cast("string")).alias(
+                "entity_id"
+            ),
+            F.col("text"),
+        )
+        .select(
+            "entity_id",
+            F.split(dedup.normalized_text(F.col("text")), " ").alias("_t"),
+        )
+        .filter((F.size("_t") >= 2) & (F.element_at("_t", 1) != ""))
+        .select(
+            "entity_id",
+            F.concat_ws(
+                " ", F.element_at("_t", 1), F.element_at("_t", 2)
+            ).alias("name"),
+        )
+    )
+    return gazetteer.tag_mentions(docs, gaz).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("end_tok").cast("int").alias("end_tok"),
+        "surface",
+        "entity_id",
+    )

@@ -127,6 +127,11 @@ SCHEMAS = {
     "clf_train_weights": pa.schema(
         [("bucket", pa.int64()), ("w_micro", pa.int64())]
     ),
+    "gazetteer_mentions": pa.schema(
+        [("doc_id", pa.int64()), ("start_tok", pa.int32()),
+         ("end_tok", pa.int32()), ("surface", pa.string()),
+         ("entity_id", pa.string())]
+    ),
     "kg_transe_embeddings": pa.schema(
         [("kind", pa.string()), ("node_id", pa.string()),
          ("d", pa.int32()), ("v_micro", pa.int64())]
@@ -231,6 +236,8 @@ def main(sf_dirs: list[str]) -> None:
                   [(doc_id, text, float(doc_id % 2))
                    for doc_id, text in docs],
                   n_buckets=256, epochs=6))
+        write(out_dir, "gazetteer_mentions",
+              precompute.gazetteer_tag_py(docs))
         write(out_dir, "compression_ratio",
               precompute.compression_ratio_py(docs))
         write(out_dir, "tokenize_and_pack",
