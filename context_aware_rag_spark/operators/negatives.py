@@ -27,7 +27,7 @@ nothing driver-side, no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .skew import global_index
@@ -126,3 +126,55 @@ def negative_samples(
     return corrupt_key.join(
         true_keys, ["_cs", "rel", "_cd"], "left_anti"
     ).select("src", "rel", "dst", "side", "sample_idx", "neg_entity")
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    gold: DataFrame,
+    k_neg: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 hard negatives for contrastive retrieval training (the DPR
+    recipe, Karpukhin et al. 2020 §4.2: the strongest lexical matches
+    that are NOT labeled positives are the negatives that teach a dense
+    retriever the most): per query, rank the corpus by BM25, anti-join
+    the query's GOLD positives, keep the ``k_neg`` hardest.
+
+    ``gold`` is (query_id_col, id_col) labeled-positive pairs. Returns
+    (query_id, doc_id, neg_rank, score_micro) with neg_rank 1..k_neg
+    over the NON-gold ranking (deterministic: score DESC, id ASC).
+
+    100 TB shape: inherits bm25_scores' one-tokenize-scan /
+    broadcast-query-side plan; the gold anti-join and the per-query
+    top-k window key on query_id — bounded by the (small by
+    construction) query set, exactly like bm25_topk.
+    """
+    from .bm25 import bm25_scores
+
+    if k_neg < 1:
+        raise ValueError(f"need k_neg >= 1, got {k_neg}")
+    scored = bm25_scores(
+        docs, queries, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+    )
+    non_gold = scored.join(
+        gold.select(
+            F.col(query_id_col).alias("query_id"), F.col(id_col)
+        ).dropDuplicates(),
+        ["query_id", id_col],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        non_gold.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select("query_id", id_col, "neg_rank", "score_micro")
+    )

@@ -5978,3 +5978,56 @@ def gazetteer_mentions_q(spark, sf_dir):
         "surface",
         "entity_id",
     )
+
+
+@xq(
+    "hard_negatives_bm25",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(len(words))::BIGINT AS sum_dl FROM w),
+    tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, unnest(words) AS term,
+                         len(words)::BIGINT AS dl FROM w)
+            GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+    qt AS (SELECT doc_id AS query_id,
+                  unnest(list_distinct(words[1:5])) AS term
+           FROM w WHERE doc_id IN (0, 7, 42)),
+    con AS (SELECT qt.query_id, tfc.doc_id,
+                   CAST(round(ln(1.0 + (st.n_docs - dfc.df + 0.5)
+                                       / (dfc.df + 0.5))
+                        * (tfc.tf * 2.2)
+                        / (tfc.tf + 1.2 * (0.25 + 0.75
+                             * (tfc.dl * st.n_docs) / st.sum_dl))
+                        * 1000000) AS BIGINT) AS c
+            FROM qt JOIN tfc USING (term) JOIN dfc USING (term) CROSS JOIN st),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
+           FROM con GROUP BY 1, 2)
+    SELECT query_id, doc_id, neg_rank, score_micro FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id)::INT
+               AS neg_rank,
+             score_micro
+      FROM sc WHERE doc_id <> query_id) WHERE neg_rank <= 5
+    """,
+)
+def hard_negatives_bm25_q(spark, sf_dir):
+    """BM25 hard-negative mining (the DPR contrastive-training recipe):
+    queries are exemplar docs 0/7/42, each query's GOLD positive is its
+    own source doc, negatives = the 5 hardest non-gold lexical matches
+    with ranks renumbered over the non-gold ordering. The twin extends
+    the bm25_topk replication with the gold anti-filter before the
+    window."""
+    from ..operators import bm25
+    from ..operators.negatives import mine_hard_negatives
+
+    docs = load(spark, sf_dir, "documents")
+    qs = bm25.sample_doc_queries(docs, [0, 7, 42], n_words=5)
+    gold = qs.select(
+        F.col("query_id"), F.col("query_id").alias("doc_id")
+    )
+    return mine_hard_negatives(docs, qs, gold, k_neg=5)

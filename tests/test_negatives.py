@@ -87,3 +87,60 @@ def test_validation(spark):
         negatives.negative_samples(df, sides=("head",))
     with pytest.raises(ValueError):
         negatives.negative_samples(df, sides=())
+
+
+# ---------------------------------------------------------------------------
+# mine_hard_negatives (BM25 hard negatives, DPR recipe)
+# ---------------------------------------------------------------------------
+
+class TestMineHardNegatives:
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "apple banana cherry"),
+             (1, "apple banana date"),
+             (2, "apple banana cherry date"),
+             (3, "unrelated words here"),
+             (4, "banana cherry")],
+            "doc_id: long, text: string",
+        )
+        queries = spark.createDataFrame(
+            [(0, "apple banana cherry")], "query_id: long, query_text: string"
+        )
+        return docs, queries
+
+    def test_gold_excluded_and_ranks_renumber(self, spark):
+        from context_aware_rag_spark.operators.bm25 import bm25_topk
+        from context_aware_rag_spark.operators.negatives import (
+            mine_hard_negatives,
+        )
+
+        docs, queries = self._fixture(spark)
+        gold = spark.createDataFrame([(0, 0)], "query_id: long, doc_id: long")
+        negs = mine_hard_negatives(docs, queries, gold, k_neg=3).collect()
+        got = [(r.doc_id, r.neg_rank) for r in sorted(negs, key=lambda r: r.neg_rank)]
+        # equivalently: the full BM25 ranking with doc 0 removed,
+        # ranks renumbered from 1
+        full = bm25_topk(docs, queries, k=10).collect()
+        expect = [r.doc_id for r in sorted(full, key=lambda r: r.rank)
+                  if r.doc_id != 0][:3]
+        assert [d for d, _ in got] == expect
+        assert [rk for _, rk in got] == [1, 2, 3]
+        # the gold doc never appears even though it scores highest
+        assert 0 not in {d for d, _ in got}
+
+    def test_multiple_gold_and_validation(self, spark):
+        import pytest as _pytest
+
+        from context_aware_rag_spark.operators.negatives import (
+            mine_hard_negatives,
+        )
+
+        docs, queries = self._fixture(spark)
+        gold = spark.createDataFrame(
+            [(0, 0), (0, 2), (0, 2)], "query_id: long, doc_id: long"
+        )
+        negs = {r.doc_id for r in
+                mine_hard_negatives(docs, queries, gold, k_neg=10).collect()}
+        assert negs and not ({0, 2} & negs)
+        with _pytest.raises(ValueError):
+            mine_hard_negatives(docs, queries, gold, k_neg=0)
