@@ -333,3 +333,157 @@ def transe_energy(
             ).alias("energy"),
         )
     )
+
+
+def rank_metrics(
+    embeddings: DataFrame,
+    test_triples: DataFrame,
+    known_triples: DataFrame,
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+    sides: tuple = ("src", "dst"),
+) -> DataFrame:
+    """Filtered link-prediction ranking (the standard KGE evaluation
+    protocol, Bordes et al. 2013 §4): for each test triple and each
+    corrupted side, rank the TRUE entity among all trained entities by
+    ascending energy, excluding corruptions that are themselves known
+    true triples (the "filtered" setting — a model must not be
+    penalized for ranking another true fact above the probe).
+
+    Output: one row per (side, test triple) —
+    ``(side, src, rel, dst, true_energy, rank_pos, rr_ppm)`` with
+    ``rank_pos`` = 1 + #candidates strictly better (energy <, or
+    energy == with a deterministic ``cand < true_id`` string
+    tie-break) and ``rr_ppm = 1_000_000 div rank_pos``. Everything is
+    exact int64 arithmetic (energies are micro^2 polynomials), so the
+    frame hash-matches the Spark-free oracle
+    (oracle/precompute.rank_metrics_py) bit-for-bit.
+
+    100 TB shape: evaluation cost is |test| x |entities| BY DESIGN
+    (every published protocol scores the full entity universe) — the
+    test side is the bounded one, so it is broadcast against ONE scan
+    of the entity-embedding table (no shuffle of the big side); the
+    filtered-protocol exclusion is a single equi-join of the candidate
+    frame against the known-triple table on the corrupted key. Sample
+    the test set upstream; never pass the full training set as test.
+    """
+    test = test_triples.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(rel).cast("string").alias("rel"),
+        F.col(dst).cast("string").alias("dst"),
+    ).dropDuplicates(["src", "rel", "dst"])
+    known = known_triples.select(
+        F.col(src).cast("string").alias("k_src"),
+        F.col(rel).cast("string").alias("k_rel"),
+        F.col(dst).cast("string").alias("k_dst"),
+    ).dropDuplicates(["k_src", "k_rel", "k_dst"])
+
+    def emb_of(alias):
+        return embeddings.select(
+            F.col("kind").alias(f"_k_{alias}"),
+            F.col("node_id").alias(f"_i_{alias}"),
+            F.col("emb").alias(alias),
+        )
+
+    with_embs = (
+        test.join(
+            emb_of("eh"),
+            (F.col("_k_eh") == "e") & (F.col("_i_eh") == F.col("src")),
+        )
+        .join(
+            emb_of("er"),
+            (F.col("_k_er") == "r") & (F.col("_i_er") == F.col("rel")),
+        )
+        .join(
+            emb_of("et"),
+            (F.col("_k_et") == "e") & (F.col("_i_et") == F.col("dst")),
+        )
+    )
+    probes = None
+    for side in sides:
+        if side == "dst":
+            # energy(c) = |eh + er - ec|^2 = |q - ec|^2, q = eh + er
+            q = F.expr("zip_with(eh, er, (a, b) -> a + b)")
+            true_id = F.col("dst")
+        elif side == "src":
+            # energy(c) = |ec + er - et|^2 = |q - ec|^2, q = et - er
+            q = F.expr("zip_with(et, er, (a, b) -> a - b)")
+            true_id = F.col("src")
+        else:
+            raise ValueError(f"unknown corruption side: {side!r}")
+        p = with_embs.select(
+            F.lit(side).alias("side"), "src", "rel", "dst",
+            q.alias("q"), true_id.alias("true_id"),
+            F.expr(
+                "aggregate(zip_with("
+                + ("zip_with(eh, er, (a, b) -> a + b)" if side == "dst"
+                   else "zip_with(et, er, (a, b) -> a - b)")
+                + ", "
+                + ("et" if side == "dst" else "eh")
+                + ", (a, b) -> a - b), 0L, (acc, x) -> acc + x * x)"
+            ).alias("true_energy"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+
+    ents = embeddings.filter(F.col("kind") == "e").select(
+        F.col("node_id").alias("cand"), F.col("emb").alias("ec")
+    )
+    cand = ents.crossJoin(F.broadcast(probes)).withColumn(
+        "cand_energy",
+        F.expr(
+            "aggregate(zip_with(q, ec, (a, b) -> a - b), 0L, "
+            "(acc, x) -> acc + x * x)"
+        ),
+    ).select(
+        "side", "src", "rel", "dst", "true_id", "true_energy",
+        "cand", "cand_energy",
+        F.when(F.col("side") == "dst", F.col("src"))
+        .otherwise(F.col("cand")).alias("c_src"),
+        F.when(F.col("side") == "dst", F.col("cand"))
+        .otherwise(F.col("dst")).alias("c_dst"),
+    )
+    flagged = cand.join(
+        known.withColumn("_known", F.lit(True)),
+        (F.col("c_src") == F.col("k_src"))
+        & (F.col("rel") == F.col("k_rel"))
+        & (F.col("c_dst") == F.col("k_dst")),
+        "left",
+    )
+    beats = (
+        (F.col("cand") != F.col("true_id"))
+        & F.col("_known").isNull()  # filtered protocol
+        & (
+            (F.col("cand_energy") < F.col("true_energy"))
+            | (
+                (F.col("cand_energy") == F.col("true_energy"))
+                & (F.col("cand") < F.col("true_id"))
+            )
+        )
+    )
+    return (
+        flagged.groupBy("side", "src", "rel", "dst", "true_energy")
+        .agg(
+            (F.lit(1) + F.sum(beats.cast("long"))).cast("int")
+            .alias("rank_pos")
+        )
+        .withColumn("rr_ppm", F.expr("1000000L div rank_pos"))
+    )
+
+
+def rank_summary(ranks: DataFrame, ks: tuple = (1, 3, 10)) -> DataFrame:
+    """Aggregate rank_metrics output into the published headline
+    numbers: one row — n probes, MRR (ppm, trunc), hits@k (ppm) for
+    each k. Integer-only so it stays engine-portable."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(rr_ppm) div count(1)").alias("mrr_ppm"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.expr(
+                f"(1000000L * sum(case when rank_pos <= {int(k)} then 1 "
+                f"else 0 end)) div count(1)"
+            ).alias(f"hits{int(k)}_ppm")
+        )
+    return ranks.agg(*aggs)

@@ -1612,3 +1612,52 @@ def gazetteer_tag_py(
                 i += 1
     out.sort()
     return out
+
+
+# ---------------------------------------------------------------------------
+# operators/kge.rank_metrics (filtered link-prediction ranking; same
+# integer energies and cand < true_id tie-break)
+# ---------------------------------------------------------------------------
+
+def rank_metrics_py(
+    emb_rows: "List[Tuple[str, str, int, int]]",
+    test_triples: "Sequence[Tuple[str, str, str]]",
+    known_triples: "Sequence[Tuple[str, str, str]]",
+    sides: "Sequence[str]" = ("src", "dst"),
+) -> "List[Tuple[str, str, str, str, int, int, int]]":
+    """(kind, node_id, d, v_micro) rows + test/known triples ->
+    [(side, src, rel, dst, true_energy, rank_pos, rr_ppm)] sorted."""
+    emb: "dict" = {}
+    for kind, node, d, v in emb_rows:
+        emb.setdefault((kind, node), {})[d] = v
+    vecs = {
+        k: [ds[i] for i in range(len(ds))] for k, ds in emb.items()
+    }
+    ents = sorted(n for (k, n) in vecs if k == "e")
+    known = set(tuple(t) for t in known_triples)
+    out = []
+    for h, r, t in sorted(set(test_triples)):
+        eh, er, et = vecs[("e", h)], vecs[("r", r)], vecs[("e", t)]
+        dim = len(eh)
+        for side in sides:
+            if side == "dst":
+                q = [eh[i] + er[i] for i in range(dim)]
+                true_id, true_vec = t, et
+            else:
+                q = [et[i] - er[i] for i in range(dim)]
+                true_id, true_vec = h, eh
+            te = sum((q[i] - true_vec[i]) ** 2 for i in range(dim))
+            rank = 1
+            for c in ents:
+                if c == true_id:
+                    continue
+                corrupt = (h, r, c) if side == "dst" else (c, r, t)
+                if corrupt in known:
+                    continue
+                ec = vecs[("e", c)]
+                ce = sum((q[i] - ec[i]) ** 2 for i in range(dim))
+                if ce < te or (ce == te and c < true_id):
+                    rank += 1
+            out.append((side, h, r, t, te, rank, 1_000_000 // rank))
+    out.sort()
+    return out

@@ -5680,26 +5680,12 @@ def kg_pred_canonical_q(spark, sf_dir):
     return canonicalize.canonicalize_predicates(triples, threshold=0.5)
 
 
-@q(
-    "kg_transe_embeddings",
-    f"""
-    SELECT kind, node_id, d, v_micro
-    FROM read_parquet('{_pq("kg_transe_embeddings")}')
-    """,
-)
-def kg_transe_embeddings_q(spark, sf_dir):
-    """DISTRIBUTED TransE training parity: 3 epochs of full-batch
-    margin-loss embedding training (dim 8) over a two-relation
-    supplier KG (undirected 'cooccurs' at the >= 32 co-occurrence
-    gate, directed 'precedes' succession at >= 10) must emit the
-    bit-identical embedding table the pure-Python oracle trains
-    (oracle/precompute.transe_py — Spark-free, snapshotted). The loop
-    is float-free except the correctly-rounded isqrt normalize, so the
-    hash match pins init, md5 corruption sampling, hinge gating,
-    integer gradients and trunc-division updates across every epoch."""
+def _transe_supplier_triples(spark, sf_dir):
+    """The two-relation supplier KG both TransE queries train on:
+    undirected 'cooccurs' (>= 32 shared orders, both directions) +
+    directed 'precedes' succession (>= 10); identical to the corpus
+    tools/gen_oracle_data.py feeds precompute.transe_py."""
     from pyspark.sql import Window as W
-
-    from ..operators import kge
 
     li = load(spark, sf_dir, "lineitem")
     x, y = li.alias("x"), li.alias("y")
@@ -5730,13 +5716,15 @@ def kg_transe_embeddings_q(spark, sf_dir):
         .filter(F.col("n") >= 10)
         .select("a", "b")
     )
+
     def rel(df, name):
         return df.select(
             F.col("a").cast("string").alias("src"),
             F.lit(name).alias("rel"),
             F.col("b").cast("string").alias("dst"),
         )
-    triples = (
+
+    return (
         rel(co, "cooccurs")
         .unionByName(
             co.select(
@@ -5747,6 +5735,28 @@ def kg_transe_embeddings_q(spark, sf_dir):
         )
         .unionByName(rel(prec, "precedes"))
     )
+
+
+@q(
+    "kg_transe_embeddings",
+    f"""
+    SELECT kind, node_id, d, v_micro
+    FROM read_parquet('{_pq("kg_transe_embeddings")}')
+    """,
+)
+def kg_transe_embeddings_q(spark, sf_dir):
+    """DISTRIBUTED TransE training parity: 3 epochs of full-batch
+    margin-loss embedding training (dim 8) over a two-relation
+    supplier KG (undirected 'cooccurs' at the >= 32 co-occurrence
+    gate, directed 'precedes' succession at >= 10) must emit the
+    bit-identical embedding table the pure-Python oracle trains
+    (oracle/precompute.transe_py — Spark-free, snapshotted). The loop
+    is float-free except the correctly-rounded isqrt normalize, so the
+    hash match pins init, md5 corruption sampling, hinge gating,
+    integer gradients and trunc-division updates across every epoch."""
+    from ..operators import kge
+
+    triples = _transe_supplier_triples(spark, sf_dir)
     emb = kge.train_transe(triples, dim=8, epochs=3)
     return emb.select(
         "kind", "node_id", F.posexplode("emb").alias("d", "v_micro")
@@ -6031,3 +6041,36 @@ def hard_negatives_bm25_q(spark, sf_dir):
         F.col("query_id"), F.col("query_id").alias("doc_id")
     )
     return mine_hard_negatives(docs, qs, gold, k_neg=5)
+
+
+@xq(
+    "kg_transe_ranks",
+    f"""
+    SELECT side, src, rel, dst, true_energy, rank_pos, rr_ppm
+    FROM read_parquet('{_pq("kg_transe_ranks")}')
+    """,
+)
+def kg_transe_ranks_q(spark, sf_dir):
+    """Filtered link-prediction evaluation of the trained TransE table
+    (the standard KGE protocol: rank the true entity among ALL trained
+    entities by ascending energy, skipping corruptions that are
+    themselves known triples). Test probes = the deterministic
+    md5 % 5 == 0 slice of the training triples; ranks, integer-micro^2
+    energies and trunc-division reciprocal ranks must match the
+    Spark-free oracle (precompute.rank_metrics_py) bit-for-bit — the
+    hash pins energy arithmetic, the filtered exclusion join and the
+    cand < true_id tie-break on both corruption sides."""
+    from ..operators import kge
+    from ..operators.negatives import SEP, _md5_u32
+
+    triples = _transe_supplier_triples(spark, sf_dir)
+    emb = kge.train_transe(triples, dim=8, epochs=3)
+    test = triples.filter(
+        _md5_u32(F.concat_ws(SEP, "src", "rel", "dst")) % 5 == 0
+    )
+    return kge.rank_metrics(emb, test, triples).select(
+        "side", "src", "rel", "dst",
+        F.col("true_energy").cast("long").alias("true_energy"),
+        F.col("rank_pos").cast("int").alias("rank_pos"),
+        F.col("rr_ppm").cast("long").alias("rr_ppm"),
+    )

@@ -111,3 +111,84 @@ def test_transe_validation(spark):
     empty = spark.createDataFrame([], "src: string, rel: string, dst: string")
     with pytest.raises(ValueError, match="no triples"):
         kge.train_transe(empty)
+
+
+# ---------------------------------------------------------------------------
+# filtered link-prediction ranking (rank_metrics / rank_summary)
+# ---------------------------------------------------------------------------
+
+
+def _rank_spark(spark, tri, test, **kw):
+    df = spark.createDataFrame(tri, "src: string, rel: string, dst: string")
+    tdf = spark.createDataFrame(test, "src: string, rel: string, dst: string")
+    emb = kge.train_transe(df, dim=8, epochs=3)
+    out = kge.rank_metrics(emb, tdf, df, **kw)
+    return emb, out
+
+
+def test_rank_metrics_matches_python_oracle_bitexact(spark):
+    tri = _graph()
+    test = sorted(set(tri))[::3]
+    emb, out = _rank_spark(spark, tri, test)
+    got = sorted(
+        (r.side, r.src, r.rel, r.dst, r.true_energy, r.rank_pos, r.rr_ppm)
+        for r in out.collect()
+    )
+    emb_rows = [
+        (r.kind, r.node_id, d, v)
+        for r in emb.collect()
+        for d, v in enumerate(r.emb)
+    ]
+    want = precompute.rank_metrics_py(emb_rows, test, tri)
+    assert got == want
+    assert len(got) == 2 * len(test)
+
+
+def test_rank_metrics_filtered_excludes_known_true(spark):
+    # planted geometry: entity "dup" sits exactly where "t" sits (same
+    # md5 init key is impossible, so force via known-triple exclusion
+    # semantics instead: a competitor that IS a known true triple must
+    # not count against the probe's rank, an unknown one must).
+    tri = _graph()
+    test = [tri[0]]
+    _, filtered = _rank_spark(spark, tri, test)
+    df = spark.createDataFrame(tri, "src: string, rel: string, dst: string")
+    tdf = spark.createDataFrame(test, "src: string, rel: string, dst: string")
+    emb = kge.train_transe(df, dim=8, epochs=3)
+    # raw protocol = empty known set: rank can only get worse (>=)
+    empty = df.limit(0)
+    raw = kge.rank_metrics(emb, tdf, empty)
+    f = {(r.side, r.src): r.rank_pos for r in filtered.collect()}
+    r = {(r.side, r.src): r.rank_pos for r in raw.collect()}
+    assert set(f) == set(r)
+    assert all(r[k] >= f[k] for k in f)
+    # the probe's own subjects share 'in_cluster' tails with 5 known
+    # siblings — at least one side must actually differ on this graph
+    assert any(r[k] > f[k] for k in f)
+
+
+def test_rank_summary_integer_metrics(spark):
+    tri = _graph()
+    test = sorted(set(tri))[::4]
+    _, out = _rank_spark(spark, tri, test)
+    row = kge.rank_summary(out, ks=(1, 3, 10)).collect()[0]
+    ranks = [r.rank_pos for r in out.collect()]
+    n = len(ranks)
+    assert row.n == n == 2 * len(test)
+    assert row.mrr_ppm == sum(1_000_000 // x for x in ranks) // n
+    for k in (1, 3, 10):
+        want = 1_000_000 * sum(1 for x in ranks if x <= k) // n
+        assert row[f"hits{k}_ppm"] == want
+    assert 0 < row.mrr_ppm <= 1_000_000
+
+
+def test_rank_metrics_side_subset_and_validation(spark):
+    tri = _graph()
+    test = [tri[0]]
+    df = spark.createDataFrame(tri, "src: string, rel: string, dst: string")
+    tdf = spark.createDataFrame(test, "src: string, rel: string, dst: string")
+    emb = kge.train_transe(df, dim=4, epochs=1)
+    only_dst = kge.rank_metrics(emb, tdf, df, sides=("dst",)).collect()
+    assert len(only_dst) == 1 and only_dst[0].side == "dst"
+    with pytest.raises(ValueError, match="corruption side"):
+        kge.rank_metrics(emb, tdf, df, sides=("both",)).collect()

@@ -136,6 +136,12 @@ SCHEMAS = {
         [("kind", pa.string()), ("node_id", pa.string()),
          ("d", pa.int32()), ("v_micro", pa.int64())]
     ),
+    "kg_transe_ranks": pa.schema(
+        [("side", pa.string()), ("src", pa.string()),
+         ("rel", pa.string()), ("dst", pa.string()),
+         ("true_energy", pa.int64()), ("rank_pos", pa.int32()),
+         ("rr_ppm", pa.int64())]
+    ),
     "dsir_select": pa.schema(
         [("doc_id", pa.int64()), ("n_grams", pa.int64()),
          ("logw_micro", pa.int64()), ("gumbel_micro", pa.int64()),
@@ -314,9 +320,21 @@ def main(sf_dirs: list[str]) -> None:
             SELECT CAST(a AS VARCHAR), 'precedes', CAST(b AS VARCHAR) FROM prec
             """
         ).fetchall()
-        write(out_dir, "kg_transe_embeddings",
-              precompute.transe_py(
-                  [tuple(r) for r in transe_rows], dim=8, epochs=3))
+        transe_triples = [tuple(r) for r in transe_rows]
+        transe_emb = precompute.transe_py(transe_triples, dim=8, epochs=3)
+        write(out_dir, "kg_transe_embeddings", transe_emb)
+
+        # filtered link-prediction ranking over the trained table: test
+        # probes = the deterministic md5 % 5 == 0 slice of the training
+        # triples (the Spark query replicates the selection with the
+        # same first-32-bits-of-md5 over the \x1f-joined key)
+        transe_test = [
+            t for t in sorted(set(transe_triples))
+            if precompute._md5_u32_py("\x1f".join(t)) % 5 == 0
+        ]
+        write(out_dir, "kg_transe_ranks",
+              precompute.rank_metrics_py(
+                  transe_emb, transe_test, transe_triples))
 
         # sparser >= 35 gate for LPA: 63 nodes / 56 edges splits into
         # 26 communities and exercises the max_iter bound (synchronous
