@@ -1215,3 +1215,234 @@ def strongly_connected_components(
     raise RuntimeError(
         f"strongly_connected_components failed to settle in {max_rounds} rounds"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node_id",
+    label: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment, one row per
+    community: (label, n_nodes, intra_edges, deg_sum, coverage_ppm,
+    expected_ppm, q_ppm). Total modularity Q = sum(q_ppm)/1e6 by
+    contract — the quality score for any partition the engine
+    produces (label_propagation communities, dedup families,
+    canonicalization groups).
+
+    Newman & Girvan 2004: Q = sum_c [ m_c/m - (d_c/2m)^2 ] over an
+    undirected simple graph with m edges, m_c intra-community edges
+    and d_c the community's degree sum. Exactness discipline: every
+    term is integer — coverage_ppm = (m_c*1e6) div m and
+    expected_ppm = (d_c^2 * 1e6) div (4*m^2) computed in
+    decimal(38,0) (d_c <= 2m overflows int64 already at m ~ 3e9;
+    decimal(38,0) carries ~1e38, good past m = 1e12), both
+    non-negative so Spark's `div` and DuckDB's HUGEINT `//` agree
+    bit-for-bit, and q_ppm is the DIFFERENCE of the two truncations —
+    never a signed division, whose floor/trunc mismatch across
+    engines would leak.
+
+    Graph semantics: direction ignored (edges canonicalized to
+    (least, greatest)), duplicate pairs collapse, self-loops dropped.
+    Every endpoint must carry a label — enforced lazily in-plan
+    (per-row assert_true, the sssp_distances pattern), surfacing at
+    the first action rather than silently shrinking m.
+
+    100 TB shape: one dedup shuffle over the canonical pair set, two
+    node-keyed equi-joins against the (node-sized) assignment, then
+    everything aggregates map-side-combined to label-sized frames;
+    the edge total joins back as a 1-row broadcast crossJoin (the
+    tfidf N pattern). No driver action, no collect.
+    """
+    pairs = (
+        edges.select(
+            F.col(src).cast("string").alias("a"),
+            F.col(dst).cast("string").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .dropDuplicates()
+    )
+    amap = assignment.select(
+        F.col(node).cast("string").alias("_n"),
+        F.col(label).cast("string").alias("_lab"),
+    ).dropDuplicates(["_n"])
+    guard = lambda c: F.when(  # noqa: E731
+        F.assert_true(
+            F.col(c).isNotNull(),
+            F.lit("modularity: every graph endpoint needs a label"),
+        ).isNull(),
+        F.col(c),
+    )
+    labeled = (
+        pairs.join(amap.withColumnRenamed("_n", "lo"), "lo", "left")
+        .withColumnRenamed("_lab", "lab_lo")
+        .join(
+            amap.withColumnRenamed("_n", "hi").withColumnRenamed(
+                "_lab", "lab_hi"
+            ),
+            "hi",
+            "left",
+        )
+        .select(
+            "lo", "hi", guard("lab_lo").alias("lab_lo"),
+            guard("lab_hi").alias("lab_hi"),
+        )
+        .localCheckpoint()  # consumed 3x (m, intra, degrees)
+    )
+    m_row = labeled.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_m"))
+    intra = (
+        labeled.filter(F.col("lab_lo") == F.col("lab_hi"))
+        .groupBy(F.col("lab_lo").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    ends = labeled.select(
+        F.col("lo").alias("node"), F.col("lab_lo").alias("label")
+    ).unionAll(
+        labeled.select(F.col("hi").alias("node"), F.col("lab_hi").alias("label"))
+    )
+    per_label = ends.groupBy("label").agg(
+        F.count(F.lit(1)).alias("deg_sum"),
+        F.countDistinct("node").alias("n_nodes"),
+    )
+    return (
+        per_label.join(intra, "label", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("intra_edges").cast("long").alias("intra_edges"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.expr(
+                "CAST(intra_edges AS decimal(38,0)) * 1000000 div _m"
+            ).alias("coverage_ppm"),
+            F.expr(
+                "CAST(deg_sum AS decimal(38,0)) * CAST(deg_sum AS decimal(38,0))"
+                " * 1000000 div (4 * _m * _m)"
+            ).alias("expected_ppm"),
+        )
+        .withColumn("q_ppm", F.col("coverage_ppm") - F.col("expected_ppm"))
+    )
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Minimum spanning forest (Boruvka 1926) of the undirected graph:
+    the cheapest edge set connecting every component — the KG-backbone
+    extraction (keep the strongest-association skeleton of a dense
+    co-occurrence graph) and the clustering primitive single-linkage
+    builds on.
+
+    Edge order is made STRICTLY total by the (w, lo, hi) lexicographic
+    key (weights long, endpoints canonicalized strings), so the MSF is
+    unique and Boruvka here provably equals Kruskal under the same
+    key — the pure-Python oracle (oracle/precompute.msf_py) IS
+    Kruskal, making the hash check an algorithm-independent proof.
+    Duplicate pairs collapse to their min weight, direction and
+    self-loops are dropped; NULL weights raise in-plan (the
+    sssp_distances guard pattern).
+
+    100 TB shape: per round one comp-map equi-join pair over the live
+    edge set + ONE map-side-combined min-struct agg per component
+    side, then contraction labels come from
+    :func:`canonicalize.connected_components` ("lss": O(log n) star
+    rounds, skew-friendly) over the COMPONENT-sized chosen-edge graph
+    — never the full edge list. Component count at least halves per
+    round, so rounds <= log2(V) (max_rounds=30 covers 1e9 nodes);
+    one driver action (the live-edge count) per round, localCheckpoint
+    keeps lineage flat. Hub endpoints are the skew case in the
+    comp-map joins — AQE skew-join territory, same as pagerank's rank
+    join.
+    """
+    from .canonicalize import connected_components
+
+    spark = edges.sparkSession
+    canon = (
+        edges.select(
+            F.col(src).cast("string").alias("a"),
+            F.col(dst).cast("string").alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"),
+            F.greatest("a", "b").alias("hi"),
+            F.when(
+                F.assert_true(
+                    F.col("w").isNotNull(),
+                    F.lit("minimum_spanning_forest: weights must be non-null"),
+                ).isNull(),
+                F.col("w"),
+            ).alias("w"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    comp = (
+        canon.select(F.col("lo").alias("node"))
+        .union(canon.select(F.col("hi").alias("node")))
+        .distinct()
+        .withColumn("c", F.col("node"))
+        .localCheckpoint()
+    )
+    forest = spark.createDataFrame([], "lo string, hi string, w long")
+    for _ in range(max_rounds):
+        live = (
+            canon.join(
+                comp.select(F.col("node").alias("lo"), F.col("c").alias("c_lo")),
+                "lo",
+            )
+            .join(
+                comp.select(F.col("node").alias("hi"), F.col("c").alias("c_hi")),
+                "hi",
+            )
+            .filter(F.col("c_lo") != F.col("c_hi"))
+            .localCheckpoint()
+        )
+        if live.count() == 0:
+            return forest.select(
+                F.col("lo").alias("src"), F.col("hi").alias("dst"),
+                F.col("w").alias("weight"),
+            )
+        # (w, lo, hi) is unique per live edge, so trailing comp ids in
+        # the struct never influence which edge min() elects
+        e = F.struct("w", "lo", "hi", "c_lo", "c_hi").alias("e")
+        chosen = (
+            live.select(F.col("c_lo").alias("c"), e)
+            .unionAll(live.select(F.col("c_hi").alias("c"), e))
+            .groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.*")
+            .dropDuplicates(["lo", "hi"])
+            .localCheckpoint()
+        )
+        forest = forest.unionByName(
+            chosen.select("lo", "hi", "w")
+        ).localCheckpoint()
+        relabel = connected_components(
+            chosen.select(F.col("c_lo").alias("a"), F.col("c_hi").alias("b")),
+            algorithm="lss",
+        )
+        comp = (
+            comp.join(
+                relabel.withColumnRenamed("node_id", "c"), "c", "left"
+            )
+            .select(
+                "node", F.coalesce("canon_id", F.col("c")).alias("c")
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"minimum_spanning_forest failed to settle in {max_rounds} rounds"
+    )

@@ -1661,3 +1661,46 @@ def rank_metrics_py(
             out.append((side, h, r, t, te, rank, 1_000_000 // rank))
     out.sort()
     return out
+
+
+def msf_py(
+    edges: "Sequence[tuple]",
+) -> "List[Tuple[str, str, int]]":
+    """Kruskal minimum spanning forest under the (w, lo, hi) strict
+    total order — the algorithm-independent twin of
+    operators/graph.minimum_spanning_forest (which is Boruvka; both
+    compute the UNIQUE forest once the edge order is total).
+
+    ``edges``: (a, b, w) triples, any direction, dups/self-loops
+    allowed; endpoints are canonicalized as strings (lo = min, hi =
+    max, string order — matching the Spark operator's least/greatest
+    on string-cast columns), duplicate pairs keep their min weight.
+    Returns sorted (src, dst, weight) rows.
+    """
+    best: Dict[Tuple[str, str], int] = {}
+    for a, b, w in edges:
+        sa, sb = str(a), str(b)
+        if sa == sb:
+            continue
+        lo, hi = (sa, sb) if sa < sb else (sb, sa)
+        w = int(w)
+        if (lo, hi) not in best or w < best[(lo, hi)]:
+            best[(lo, hi)] = w
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    out: List[Tuple[str, str, int]] = []
+    for (lo, hi), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((lo, hi, w))
+    out.sort()
+    return out

@@ -6074,3 +6074,144 @@ def kg_transe_ranks_q(spark, sf_dir):
         F.col("rank_pos").cast("int").alias("rank_pos"),
         F.col("rr_ppm").cast("long").alias("rr_ppm"),
     )
+
+
+# =========================================================================
+# Modularity: partition-quality scoring for any community assignment
+# =========================================================================
+
+@xq(
+    "kg_graph_modularity",
+    """
+    WITH pairs AS (
+      SELECT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT x.l_orderkey) >= 25
+    ),
+    canon AS (
+      SELECT DISTINCT
+        least(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+        greatest(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+      FROM pairs
+    ),
+    lab AS (
+      SELECT CAST(s_suppkey AS VARCHAR) AS n,
+             CAST(s_nationkey AS VARCHAR) AS lab
+      FROM supplier
+    ),
+    edges AS (
+      SELECT c.lo, c.hi, ll.lab AS lab_lo, lh.lab AS lab_hi
+      FROM canon c
+      JOIN lab ll ON ll.n = c.lo
+      JOIN lab lh ON lh.n = c.hi
+    ),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS m_edges FROM edges),
+    intra AS (
+      SELECT lab_lo AS label, count(*) AS intra_edges
+      FROM edges WHERE lab_lo = lab_hi GROUP BY 1
+    ),
+    ends AS (
+      SELECT lo AS node, lab_lo AS label FROM edges
+      UNION ALL
+      SELECT hi AS node, lab_hi AS label FROM edges
+    ),
+    per AS (
+      SELECT label, count(*) AS deg_sum, count(DISTINCT node) AS n_nodes
+      FROM ends GROUP BY 1
+    )
+    SELECT p.label,
+           CAST(p.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           CAST(p.deg_sum AS BIGINT) AS deg_sum,
+           CAST((CAST(coalesce(i.intra_edges, 0) AS HUGEINT) * 1000000)
+                // m.m_edges AS BIGINT) AS coverage_ppm,
+           CAST((CAST(p.deg_sum AS HUGEINT) * CAST(p.deg_sum AS HUGEINT)
+                 * 1000000) // (4 * m.m_edges * m.m_edges) AS BIGINT)
+             AS expected_ppm,
+           CAST((CAST(coalesce(i.intra_edges, 0) AS HUGEINT) * 1000000)
+                // m.m_edges AS BIGINT)
+           - CAST((CAST(p.deg_sum AS HUGEINT) * CAST(p.deg_sum AS HUGEINT)
+                   * 1000000) // (4 * m.m_edges * m.m_edges) AS BIGINT)
+             AS q_ppm
+    FROM per p
+    LEFT JOIN intra i USING (label)
+    CROSS JOIN m
+    """,
+)
+def kg_graph_modularity_q(spark, sf_dir):
+    """Newman modularity (Newman & Girvan 2004) of the
+    nation-of-supplier partition over the >= 25-gated supplier
+    co-occurrence graph — the partition-quality score for any
+    community structure the engine emits (LPA communities, dedup
+    families, canonical entity groups). All arithmetic integer:
+    coverage/expected in trunc-ppm via decimal(38,0) `div` on the
+    Spark side and HUGEINT `//` in the twin (both truncate toward
+    zero; q_ppm is a difference of the two truncations, never a
+    signed division). Twin replicates canonicalization, labeling,
+    degree sums and the ppm arithmetic in full."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 25)
+        .select("src", "dst")
+    )
+    labels = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node_id"),
+        F.col("s_nationkey").cast("string").alias("label"),
+    )
+    return graph.modularity(pairs, labels)
+
+
+# =========================================================================
+# Minimum spanning forest: weighted co-occurrence backbone
+# =========================================================================
+
+@xq(
+    "kg_graph_msf",
+    f"""
+    SELECT src, dst, weight FROM read_parquet('{_pq("graph_msf")}')
+    """,
+)
+def kg_graph_msf_q(spark, sf_dir):
+    """Boruvka minimum spanning forest (graph.minimum_spanning_forest)
+    of the >= 15-gated supplier co-occurrence graph under
+    inverse-strength integer costs (1000000 div n_orders — stronger
+    co-occurrence = cheaper edge): the association backbone of a dense
+    KG neighborhood. Twin = precomputed pure-Python KRUSKAL
+    (precompute.msf_py) over the identical edge list — an
+    algorithm-independent equality, valid because the (w, lo, hi) key
+    is a strict total order making the forest unique."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+        .select("src", "dst", F.expr("1000000 div n_orders").alias("weight"))
+    )
+    return graph.minimum_spanning_forest(pairs)

@@ -468,3 +468,149 @@ class TestScd2FromChangelog:
                 log.withColumn("valid_from", F.lit(1)),
                 ["key"], "ts", ["state"],
             )
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+class TestModularity:
+    def _run(self, spark, edges, labels):
+        e = spark.createDataFrame(edges, "src: string, dst: string")
+        a = spark.createDataFrame(labels, "node_id: string, label: string")
+        return {
+            r.label: r for r in graph.modularity(e, a).collect()
+        }
+
+    def test_two_cliques_perfect_split(self, spark):
+        # two disjoint triangles, each its own community: the textbook
+        # Q = 1/2 case (coverage 1/2 each, expected 1/4 each)
+        tri = lambda p: [  # noqa: E731
+            (f"{p}1", f"{p}2"), (f"{p}2", f"{p}3"), (f"{p}1", f"{p}3")
+        ]
+        rows = self._run(
+            spark,
+            tri("a") + tri("b"),
+            [(f"{p}{i}", p) for p in "ab" for i in (1, 2, 3)],
+        )
+        for lab in "ab":
+            r = rows[lab]
+            assert r.n_nodes == 3 and r.intra_edges == 3 and r.deg_sum == 6
+            assert r.coverage_ppm == 500_000
+            assert r.expected_ppm == 250_000
+            assert r.q_ppm == 250_000
+        assert sum(r.q_ppm for r in rows.values()) == 500_000
+
+    def test_single_community_is_zero(self, spark):
+        # everything in one community: Q = 0 exactly (coverage 1,
+        # expected (2m)^2/4m^2 = 1)
+        rows = self._run(
+            spark,
+            [("1", "2"), ("2", "3"), ("3", "4")],
+            [(str(i), "all") for i in range(1, 5)],
+        )
+        assert rows["all"].q_ppm == 0
+
+    def test_hand_computed_cross_edge(self, spark):
+        # triangle {a} + single edge {b}, one cross edge: m = 5,
+        # intra_a = 3, deg_a = 7, intra_b = 1, deg_b = 3
+        rows = self._run(
+            spark,
+            [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("a1", "b1")],
+            [("a1", "A"), ("a2", "A"), ("a3", "A"),
+             ("b1", "B"), ("b2", "B")],
+        )
+        a, b = rows["A"], rows["B"]
+        assert (a.intra_edges, a.deg_sum, a.n_nodes) == (3, 7, 3)
+        assert (b.intra_edges, b.deg_sum, b.n_nodes) == (1, 3, 2)
+        assert a.coverage_ppm == 3 * 1_000_000 // 5
+        assert a.expected_ppm == 49 * 1_000_000 // 100
+        assert a.q_ppm == 600_000 - 490_000
+        assert b.q_ppm == 200_000 - 90_000
+
+    def test_direction_dup_selfloop_invariance(self, spark):
+        base = [("1", "2"), ("2", "3")]
+        noisy = base + [("2", "1"), ("1", "2"), ("3", "3")]
+        labels = [("1", "x"), ("2", "x"), ("3", "y")]
+        clean = self._run(spark, base, labels)
+        dirty = self._run(spark, noisy, labels)
+        for lab in ("x", "y"):
+            assert clean[lab] == dirty[lab]
+
+    def test_missing_label_raises(self, spark):
+        e = spark.createDataFrame([("1", "2")], "src: string, dst: string")
+        a = spark.createDataFrame([("1", "x")], "node_id: string, label: string")
+        with pytest.raises(Exception, match="needs a label"):
+            graph.modularity(e, a).collect()
+
+
+# ---------------------------------------------------------------------------
+# minimum spanning forest (Boruvka vs pure-Python Kruskal)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import msf_py  # noqa: E402
+
+
+def _msf_rows(spark, triples, **kw):
+    e = spark.createDataFrame(triples, "src: string, dst: string, weight: long")
+    out = graph.minimum_spanning_forest(e, **kw)
+    return sorted((r.src, r.dst, r.weight) for r in out.collect())
+
+
+class TestMinimumSpanningForest:
+    def test_hand_computed_square(self, spark):
+        # square with one heavy side: MST drops the 9
+        edges = [("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("a", "d", 9)]
+        assert _msf_rows(spark, edges) == [
+            ("a", "b", 1), ("b", "c", 2), ("c", "d", 3)
+        ]
+
+    def test_forest_two_components(self, spark):
+        edges = [("a", "b", 5), ("x", "y", 1), ("y", "z", 2), ("x", "z", 3)]
+        assert _msf_rows(spark, edges) == [
+            ("a", "b", 5), ("x", "y", 1), ("y", "z", 2)
+        ]
+
+    def test_tie_break_is_lexicographic(self, spark):
+        # all weights equal on a triangle: keep the two (w, lo, hi)-
+        # smallest edges
+        edges = [("a", "b", 7), ("b", "c", 7), ("a", "c", 7)]
+        assert _msf_rows(spark, edges) == [("a", "b", 7), ("a", "c", 7)]
+
+    def test_dup_direction_selfloop_minweight(self, spark):
+        edges = [
+            ("b", "a", 4), ("a", "b", 2),  # dup pair keeps min
+            ("c", "c", 0),                 # self-loop dropped
+            ("b", "c", 3),
+        ]
+        assert _msf_rows(spark, edges) == [("a", "b", 2), ("b", "c", 3)]
+
+    def test_equals_kruskal_on_random_graphs(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        for n, p_mod, tag in ((12, 3, "g1"), (18, 2, "g2"), (25, 4, "g3")):
+            edges = []
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if h(f"{tag}:{i}:{j}") % p_mod == 0:
+                        # small weight range forces heavy ties
+                        edges.append((f"n{i:02d}", f"n{j:02d}",
+                                      h(f"w:{tag}:{i}:{j}") % 5))
+            assert _msf_rows(spark, edges) == msf_py(edges), tag
+
+    def test_long_path_contracts_within_rounds(self, spark):
+        # a 40-node increasing path: round-1 merge graph IS the whole
+        # path — exercises the lss contraction inside one round
+        edges = [(f"p{i:02d}", f"p{i+1:02d}", i) for i in range(40)]
+        assert _msf_rows(spark, edges) == msf_py(edges)
+
+    def test_null_weight_raises(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b", None)], "src: string, dst: string, weight: long"
+        )
+        with pytest.raises(Exception, match="non-null"):
+            graph.minimum_spanning_forest(e).collect()

@@ -111,6 +111,9 @@ SCHEMAS = {
     "graph_kcore": pa.schema(
         [("node_id", pa.int64()), ("core_degree", pa.int64())]
     ),
+    "graph_msf": pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
+    ),
     "graph_lpa": pa.schema(
         [("node_id", pa.int64()), ("label", pa.int64()),
          ("n_iter", pa.int64())]
@@ -282,6 +285,25 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_kcore", precompute.k_core_py(supp_pairs, k=12))
+
+        # weighted co-occurrence backbone: the >= 15-gated supplier
+        # graph with inverse-strength costs (stronger co-occurrence =
+        # cheaper edge), spanned by pure-Python Kruskal — the
+        # algorithm-independent twin of the Boruvka operator
+        msf_edges = con.execute(
+            f"""
+            SELECT a, b, 1000000 // n_orders AS w FROM (
+              SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+                     count(DISTINCT x.l_orderkey) AS n_orders
+              FROM read_parquet('{sf_dir}/lineitem.parquet') x
+              JOIN read_parquet('{sf_dir}/lineitem.parquet') y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_suppkey < y.l_suppkey
+              GROUP BY 1, 2
+            ) WHERE n_orders >= 15
+            """
+        ).fetchall()
+        write(out_dir, "graph_msf", precompute.msf_py(msf_edges))
 
         # TransE corpus: two relations over the supplier entity space —
         # 'cooccurs' (undirected co-occurrence at the >= 32 gate, both
