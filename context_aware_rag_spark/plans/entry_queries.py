@@ -6215,3 +6215,77 @@ def kg_graph_msf_q(spark, sf_dir):
         .select("src", "dst", F.expr("1000000 div n_orders").alias("weight"))
     )
     return graph.minimum_spanning_forest(pairs)
+
+
+# =========================================================================
+# Sequential-pattern mining over event streams
+# =========================================================================
+
+@xq(
+    "event_sequence_ngrams",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(event_type AS VARCHAR) AS t0,
+             lead(CAST(event_type AS VARCHAR), 1) OVER w AS t1,
+             lead(CAST(event_type AS VARCHAR), 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat_ws(chr(31), t0, t1, t2) AS gram,
+           count(DISTINCT user_id) AS n_groups,
+           count(*) AS n_occurrences
+    FROM seq
+    WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY 1
+    HAVING count(DISTINCT user_id) >= 5
+    """,
+)
+def event_sequence_ngrams_q(spark, sf_dir):
+    """Frequent contiguous event-type trigrams across per-user event
+    sequences (the GSP/PrefixSpan support semantics restricted to
+    contiguous windows — what tool-call chains actually are):
+    support = distinct users containing the chain, cut at >= 5. Order
+    pinned by (ts, event_id) so lead() is deterministic under ties.
+    Twin replicates the window + filter + support in DuckDB."""
+    from ..operators import seqmine
+
+    return seqmine.sequence_ngrams(
+        load(spark, sf_dir, "events"), n=3, min_groups=5
+    )
+
+
+@xq(
+    "event_markov_transitions",
+    """
+    WITH pairs AS (
+      SELECT CAST(event_type AS VARCHAR) AS from_token,
+             lead(CAST(event_type AS VARCHAR), 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_token
+      FROM events
+    ),
+    obs AS (
+      SELECT from_token, to_token, count(*) AS n_obs
+      FROM pairs WHERE to_token IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_token, sum(n_obs) AS from_total FROM obs GROUP BY 1
+    )
+    SELECT o.from_token, o.to_token, o.n_obs,
+           CAST(t.from_total AS BIGINT) AS from_total,
+           CAST((o.n_obs * 1000000) // t.from_total AS BIGINT) AS p_ppm
+    FROM obs o JOIN tot t USING (from_token)
+    """,
+)
+def event_markov_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix of event types within
+    per-user sequences — the behavioural-KG edge weights of "what
+    follows what". p_ppm = n_obs * 1e6 div from_total (trunc, both
+    engines); terminal events feed no transition, so from_total is
+    out-transition mass, not raw frequency. Twin replicates window,
+    counts and ppm arithmetic."""
+    from ..operators import seqmine
+
+    return seqmine.markov_transitions(load(spark, sf_dir, "events"))
