@@ -1704,3 +1704,62 @@ def msf_py(
             out.append((lo, hi, w))
     out.sort()
     return out
+
+
+def node2vec_py(
+    edges: "Sequence[tuple]",
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    ret_w: int = 1,
+    in_w: int = 1,
+    out_w: int = 1,
+) -> "List[Tuple[str, int, int, str]]":
+    """Pure-Python replication of operators/walks.node2vec_walks:
+    md5-drawn second-order biased walks over the distinct directed
+    edge set. Returns sorted (start, walk_id, pos, node) rows."""
+    adj: Dict[str, List[str]] = {}
+    nodes = set()
+    eset = set()
+    for a, b in {(str(a), str(b)) for a, b, *_ in edges}:
+        adj.setdefault(a, []).append(b)
+        eset.add((a, b))
+        nodes.add(a)
+        nodes.add(b)
+    for k in adj:
+        adj[k].sort()
+    out: List[Tuple[str, int, int, str]] = []
+    for start in sorted(nodes):
+        for wid in range(walks_per_node):
+            node, prev = start, None
+            out.append((start, wid, 0, node))
+            for t in range(walk_length - 1):
+                cands = adj.get(node)
+                if not cands:
+                    break
+                draw = _md5_u32_py(
+                    "\x1f".join((start, str(wid), str(t)))
+                )
+                if prev is None:
+                    nxt = cands[draw % len(cands)]
+                else:
+                    ws = [
+                        ret_w if d == prev
+                        else in_w if (prev, d) in eset
+                        else out_w
+                        for d in cands
+                    ]
+                    total = sum(ws)
+                    if total == 0:
+                        break
+                    pick = draw % total
+                    cum = 0
+                    nxt = None
+                    for d, w in zip(cands, ws):
+                        cum += w
+                        if pick < cum:
+                            nxt = d
+                            break
+                prev, node = node, nxt
+                out.append((start, wid, t + 1, node))
+    out.sort()
+    return out

@@ -6289,3 +6289,50 @@ def event_markov_transitions_q(spark, sf_dir):
     from ..operators import seqmine
 
     return seqmine.markov_transitions(load(spark, sf_dir, "events"))
+
+
+# =========================================================================
+# node2vec: second-order biased walk corpus
+# =========================================================================
+
+@xq(
+    "kg_node2vec_walks",
+    f"""
+    SELECT start, walk_id, pos, node
+    FROM read_parquet('{_pq("graph_node2vec")}')
+    """,
+)
+def kg_node2vec_walks_q(spark, sf_dir):
+    """node2vec (Grover & Leskovec 2016) second-order biased walks
+    over the heterogeneous customer->order->supplier->nation KG — the
+    kg_random_walks edge list with integer bias weights ret 2 / in 5
+    / out 1 (BFS-leaning). Twin = precomputed pure-Python replication
+    (precompute.node2vec_py) of the identical md5 cumulative-mass
+    draws, so the whole 2,464-row corpus matches row-for-row
+    including every second-order weighting decision."""
+    from ..operators import walks
+
+    orders_e = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+        )
+    )
+    li_e = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    supp_e = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    edges = orders_e.unionAll(li_e).unionAll(supp_e)
+    return walks.node2vec_walks(
+        edges, walk_length=4, walks_per_node=2, ret_w=2, in_w=5, out_w=1
+    )

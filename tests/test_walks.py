@@ -110,3 +110,94 @@ def test_validation(spark):
         walks.random_walks(df, walk_length=0)
     with pytest.raises(ValueError):
         walks.random_walks(df, walks_per_node=0)
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased walks
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import node2vec_py  # noqa: E402
+
+
+def _got_n2v(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "src: string, dst: string")
+    return sorted(
+        (r.start, r.walk_id, r.pos, r.node)
+        for r in walks.node2vec_walks(df, **kw).collect()
+    )
+
+
+def _rand_graph(tag, n, mod):
+    out = []
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                h = int(
+                    hashlib.md5(f"{tag}:{i}:{j}".encode()).hexdigest()[:8], 16
+                )
+                if h % mod == 0:
+                    out.append((f"v{i:02d}", f"v{j:02d}"))
+    return out
+
+
+class TestNode2vecWalks:
+    def test_unit_weights_equal_uniform_walks(self, spark):
+        # ret = in = out = 1 degenerates to the first-order draw:
+        # pick % out_deg lands in the slot-ordered interval exactly
+        # like random_walks' hop % out_deg
+        df = _df(spark)
+        uni = _got(spark, df, walk_length=4, walks_per_node=2)
+        n2v = _got_n2v(
+            spark, EDGES, walk_length=4, walks_per_node=2,
+            ret_w=1, in_w=1, out_w=1,
+        )
+        assert sorted(uni) == n2v
+
+    @pytest.mark.parametrize(
+        "ret_w,in_w,out_w",
+        [(5, 1, 1), (0, 1, 3), (1, 10, 0), (7, 0, 2)],
+    )
+    def test_matches_python_on_random_graphs(self, spark, ret_w, in_w, out_w):
+        rows = _rand_graph("n2v", 10, 3)
+        assert _got_n2v(
+            spark, rows, walk_length=5, walks_per_node=2,
+            ret_w=ret_w, in_w=in_w, out_w=out_w,
+        ) == node2vec_py(
+            rows, walk_length=5, walks_per_node=2,
+            ret_w=ret_w, in_w=in_w, out_w=out_w,
+        )
+
+    def test_zero_total_mass_ends_walk(self, spark):
+        # line graph x -> y -> z with out_w=0 and ret_w=0: at y the
+        # only candidate z is an "explore" (z is not x and not an
+        # out-neighbor of x) with weight 0 -> the walk ends at y
+        rows = [("x", "y"), ("y", "z"), ("z", "z2")]
+        got = _got_n2v(
+            spark, rows, walk_length=4, ret_w=0, in_w=1, out_w=0
+        )
+        x_walk = [r for r in got if r[0] == "x"]
+        assert x_walk == [("x", 0, 0, "x"), ("x", 0, 1, "y")]
+
+    def test_return_weight_forces_backtracking(self, spark):
+        # triangle with overwhelming return weight: from pos 2 onward
+        # every hop goes back where it came from
+        rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")]
+        got = _got_n2v(
+            spark, rows, walk_length=6, ret_w=1_000_000, in_w=1, out_w=1
+        )
+        by_walk = {}
+        for start, wid, pos, node in got:
+            by_walk.setdefault((start, wid), []).append(node)
+        for key, seq in by_walk.items():
+            # md5 draws % total land < 1e6 overwhelmingly -> return
+            for i in range(2, len(seq)):
+                assert seq[i] == seq[i - 2], (key, seq)
+
+    def test_validation(self, spark):
+        df = _df(spark)
+        with pytest.raises(ValueError, match="walk_length"):
+            walks.node2vec_walks(df, walk_length=0)
+        with pytest.raises(ValueError, match="integer ret_w"):
+            walks.node2vec_walks(df, ret_w=-1)
+        with pytest.raises(ValueError, match="positive weight"):
+            walks.node2vec_walks(df, ret_w=0, in_w=0, out_w=0)

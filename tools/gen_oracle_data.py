@@ -114,6 +114,10 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "graph_node2vec": pa.schema(
+        [("start", pa.string()), ("walk_id", pa.int32()),
+         ("pos", pa.int32()), ("node", pa.string())]
+    ),
     "graph_lpa": pa.schema(
         [("node_id", pa.int64()), ("label", pa.int64()),
          ("n_iter", pa.int64())]
@@ -304,6 +308,28 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_msf", precompute.msf_py(msf_edges))
+
+        # node2vec corpus over the heterogeneous c->o->s->n KG (the
+        # kg_random_walks edge list), biased toward in-neighborhood
+        # (BFS-ish): ret 2 / in 5 / out 1
+        n2v_edges = con.execute(
+            f"""
+            SELECT 'c:' || o_custkey, 'o:' || o_orderkey
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            WHERE o_orderkey % 100 = 0
+            UNION ALL
+            SELECT 'o:' || l_orderkey, 's:' || l_suppkey
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            WHERE l_orderkey % 100 = 0
+            UNION ALL
+            SELECT 's:' || s_suppkey, 'n:' || s_nationkey
+            FROM read_parquet('{sf_dir}/supplier.parquet')
+            """
+        ).fetchall()
+        write(out_dir, "graph_node2vec",
+              precompute.node2vec_py(
+                  n2v_edges, walk_length=4, walks_per_node=2,
+                  ret_w=2, in_w=5, out_w=1))
 
         # TransE corpus: two relations over the supplier entity space —
         # 'cooccurs' (undirected co-occurrence at the >= 32 gate, both
