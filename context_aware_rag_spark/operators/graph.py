@@ -1446,3 +1446,101 @@ def minimum_spanning_forest(
     raise RuntimeError(
         f"minimum_spanning_forest failed to settle in {max_rounds} rounds"
     )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Maximal independent set (Luby 1986, deterministic variant):
+    (node_id, mis_round) for every MIS member — no two members are
+    adjacent, and every non-member has a member neighbor (maximality).
+    The anchor-selection primitive: pick a set of mutually
+    non-adjacent "representative" nodes (e.g. one anchor per dense
+    KG neighborhood) in O(log n) rounds.
+
+    Priorities are md5-derived (pri = md5_u32(node), total order via
+    the (pri, node) pair so hash collisions cannot stall a round) —
+    deterministic on any cluster size / replay, and distributionally
+    random, which is what gives Luby its O(log n) expected rounds. A
+    node enters the MIS when its key is a strict local minimum among
+    LIVE neighbors (isolated live nodes enter trivially); its
+    neighbors are knocked out; the graph shrinks and repeats.
+
+    100 TB shape: per round one edge⋈key equi-join + one
+    map-side-combined min agg (the local-minimum test), then two
+    semi/anti-joins to peel winners + losers from the live edge set.
+    One driver action (live count) per round; localCheckpoint per
+    round keeps lineage flat. Direction ignored, self-loops dropped
+    (a self-loop would make its node its own neighbor and
+    independence vacuous).
+    """
+    sym = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        sym.unionAll(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    key = lambda c: F.struct(  # noqa: E731
+        F.conv(F.substring(F.md5(F.col(c)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("pri"),
+        F.col(c).alias("n"),
+    )
+    live = (
+        sym.select(F.col("u").alias("node_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ecur = sym
+    spark = edges.sparkSession
+    mis = spark.createDataFrame([], "node_id string, mis_round int")
+    for r in range(max_rounds):
+        if live.count() == 0:
+            return mis
+        # min neighbor key per live node (nodes absent from ecur have
+        # no live neighbors -> trivially local-minimal)
+        nbr_min = (
+            ecur.select(F.col("u").alias("node_id"), key("v").alias("k"))
+            .groupBy("node_id")
+            .agg(F.min("k").alias("nbr_min"))
+        )
+        winners = (
+            live.join(nbr_min, "node_id", "left")
+            .filter(
+                F.col("nbr_min").isNull()
+                | (key("node_id") < F.col("nbr_min"))
+            )
+            .select("node_id")
+            .localCheckpoint()
+        )
+        mis = mis.unionByName(
+            winners.withColumn("mis_round", F.lit(r))
+        ).localCheckpoint()
+        knocked = (
+            ecur.join(
+                winners.withColumnRenamed("node_id", "u"), "u", "left_semi"
+            )
+            .select(F.col("v").alias("node_id"))
+            .distinct()
+        )
+        dead = winners.unionByName(knocked).localCheckpoint()
+        live = live.join(dead, "node_id", "left_anti").localCheckpoint()
+        ecur = (
+            ecur.join(
+                dead.withColumnRenamed("node_id", "u"), "u", "left_anti"
+            )
+            .join(dead.withColumnRenamed("node_id", "v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"maximal_independent_set failed to settle in {max_rounds} rounds"
+    )

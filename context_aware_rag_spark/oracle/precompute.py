@@ -1763,3 +1763,36 @@ def node2vec_py(
                 out.append((start, wid, t + 1, node))
     out.sort()
     return out
+
+
+def mis_py(edges: "Sequence[tuple]") -> "List[Tuple[str, int]]":
+    """Pure-Python replication of
+    operators/graph.maximal_independent_set: deterministic Luby with
+    (md5_u32(node), node) priorities. Returns sorted
+    (node_id, mis_round) rows."""
+    adj: Dict[str, set] = {}
+    for a, b in {(str(a), str(b)) for a, b in edges}:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    key = {n: (_md5_u32_py(n), n) for n in adj}
+    live = set(adj)
+    out: List[Tuple[str, int]] = []
+    r = 0
+    while live:
+        winners = {
+            n
+            for n in live
+            if all(
+                key[n] < key[m] for m in adj[n] if m in live
+            )
+        }
+        out.extend((n, r) for n in winners)
+        dead = set(winners)
+        for n in winners:
+            dead |= adj[n] & live
+        live -= dead
+        r += 1
+    out.sort()
+    return out

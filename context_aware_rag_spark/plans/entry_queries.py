@@ -6336,3 +6336,56 @@ def kg_node2vec_walks_q(spark, sf_dir):
     return walks.node2vec_walks(
         edges, walk_length=4, walks_per_node=2, ret_w=2, in_w=5, out_w=1
     )
+
+
+def _walk_kg_edges(spark, sf_dir):
+    """The heterogeneous customer->order->supplier->nation edge list
+    shared by kg_random_walks / kg_node2vec_walks / kg_graph_mis."""
+    orders_e = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+        )
+    )
+    li_e = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    supp_e = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    return orders_e.unionAll(li_e).unionAll(supp_e)
+
+
+# =========================================================================
+# Maximal independent set: non-adjacent anchor election
+# =========================================================================
+
+@xq(
+    "kg_graph_mis",
+    f"""
+    SELECT node_id, mis_round FROM read_parquet('{_pq("graph_mis")}')
+    """,
+)
+def kg_graph_mis_q(spark, sf_dir):
+    """Deterministic Luby maximal independent set over the
+    heterogeneous customer->order->supplier->nation KG (the
+    kg_random_walks edge list — sparse and layered, so the MIS is
+    large and the sweep runs several real rounds): mutually
+    non-adjacent anchor entities, one per neighborhood, with the
+    round each settled in. Priorities are (md5_u32(node), node) —
+    random enough for Luby's O(log n) rounds, deterministic on any
+    cluster size. Twin = precomputed pure-Python replication
+    (precompute.mis_py) of the identical simultaneous
+    local-minimum sweep."""
+    from ..operators import graph
+
+    edges = _walk_kg_edges(spark, sf_dir)
+    return graph.maximal_independent_set(edges)

@@ -614,3 +614,61 @@ class TestMinimumSpanningForest:
         )
         with pytest.raises(Exception, match="non-null"):
             graph.minimum_spanning_forest(e).collect()
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (deterministic Luby)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import mis_py  # noqa: E402
+
+
+def _mis_rows(spark, pairs):
+    e = spark.createDataFrame(pairs, "src: string, dst: string")
+    return sorted(
+        (r.node_id, r.mis_round)
+        for r in graph.maximal_independent_set(e).collect()
+    )
+
+
+class TestMaximalIndependentSet:
+    def test_matches_python_and_is_valid(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        for tag, n, mod in (("m1", 14, 3), ("m2", 20, 4), ("m3", 9, 2)):
+            pairs = [
+                (f"x{i:02d}", f"x{j:02d}")
+                for i in range(n)
+                for j in range(i + 1, n)
+                if h(f"{tag}:{i}:{j}") % mod == 0
+            ]
+            got = _mis_rows(spark, pairs)
+            assert got == mis_py(pairs), tag
+            # structural validity: independent AND maximal
+            mis = {n_ for n_, _ in got}
+            adj = {}
+            for a, b in pairs:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            for v in mis:
+                assert not (adj[v] & mis), (tag, v)
+            for v in set(adj) - mis:
+                assert adj[v] & mis, (tag, v)
+
+    def test_star_center_or_leaves(self, spark):
+        # star: either the hub alone, or all leaves — never a mix
+        pairs = [("hub", f"leaf{i}") for i in range(6)]
+        mis = {n for n, _ in _mis_rows(spark, pairs)}
+        assert mis == {"hub"} or mis == {f"leaf{i}" for i in range(6)}
+
+    def test_triangle_single_winner_round_zero(self, spark):
+        got = _mis_rows(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        assert len(got) == 1 and got[0][1] == 0
+
+    def test_direction_dup_selfloop_invariance(self, spark):
+        base = [("1", "2"), ("2", "3")]
+        noisy = base + [("2", "1"), ("1", "2"), ("3", "3")]
+        assert _mis_rows(spark, base) == _mis_rows(spark, noisy)

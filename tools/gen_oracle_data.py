@@ -114,6 +114,9 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "graph_mis": pa.schema(
+        [("node_id", pa.string()), ("mis_round", pa.int32())]
+    ),
     "graph_node2vec": pa.schema(
         [("start", pa.string()), ("walk_id", pa.int32()),
          ("pos", pa.int32()), ("node", pa.string())]
@@ -330,6 +333,13 @@ def main(sf_dirs: list[str]) -> None:
               precompute.node2vec_py(
                   n2v_edges, walk_length=4, walks_per_node=2,
                   ret_w=2, in_w=5, out_w=1))
+
+        # Luby MIS anchors over the same heterogeneous layered KG —
+        # sparse and multi-typed, so the MIS is large and the
+        # simultaneous sweep needs several real rounds (the dense
+        # co-occurrence graph collapses to ~2 anchors in 1 round,
+        # structurally boring)
+        write(out_dir, "graph_mis", precompute.mis_py(n2v_edges))
 
         # TransE corpus: two relations over the supplier entity space —
         # 'cooccurs' (undirected co-occurrence at the >= 32 gate, both
