@@ -1544,3 +1544,123 @@ def maximal_independent_set(
     raise RuntimeError(
         f"maximal_independent_set failed to settle in {max_rounds} rounds"
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+    max_hops: int = 20,
+    strict: bool = True,
+    start_micro: int = None,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability (Wu et al.,
+    "Path Problems in Temporal Graphs", VLDB 2014): from the seed
+    set, a temporal path may only continue along an edge whose
+    timestamp is later than the current arrival (``strict=True``;
+    ``>=`` otherwise) — the information-flow semantics of a
+    transcript-derived KG ("who could have learned X, and by when"),
+    which static reachability over-approximates badly.
+
+    Returns (node_id, arrival_micro); seeds carry ``start_micro``
+    (default: long-min/4, i.e. "always known"). Timestamp columns
+    are normalized to integer epoch-micros (unix_micros for
+    timestamp-typed columns — pin the session to UTC, the repo-wide
+    rule), so min() is exact and partitioning-independent.
+
+    Greedy earliest-arrival is EXACT here: a smaller arrival at u
+    permits a superset of outgoing edges, so relaxing from per-node
+    minima loses nothing — the fixpoint equals the true minimum over
+    all temporal paths, and the DuckDB twin can independently
+    ENUMERATE temporal walks and take min(arrival) (an
+    algorithm-independent equality, valid once both sides converge).
+
+    100 TB shape: identical to :func:`sssp_distances` — per round one
+    frontier⋈adjacency equi-join (filtered by the time gate) + one
+    map-side-combined min-agg + one full-outer state merge on
+    node_id; one driver action per round; arrivals only decrease so
+    ``max_hops`` bounds rounds and an empty frontier certifies the
+    TRUE unbounded fixpoint.
+    """
+    if not seeds:
+        raise ValueError("need at least one seed")
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("duplicate seeds")
+    if max_hops < 0:
+        raise ValueError(f"need max_hops >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    if start_micro is None:
+        start_micro = -(1 << 61)
+    tcol = F.col(ts)
+    if dict(edges.dtypes).get(ts, "").startswith("timestamp"):
+        tcol = F.unix_micros(tcol.cast("timestamp"))
+    else:
+        tcol = tcol.cast("long")
+    adj = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+            F.when(
+                F.assert_true(
+                    tcol.isNotNull(),
+                    F.lit("temporal_reachability: timestamps must be non-null"),
+                ).isNull(),
+                tcol,
+            ).alias("t"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        # parallel temporal edges all matter in general, but for
+        # EARLIEST arrival only the soonest-usable one does per
+        # (u, v): keep them all — the time gate needs every t
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    frontier = (
+        spark.createDataFrame([(str(s),) for s in seeds], ["node_id"])
+        .withColumn("arrival_micro", F.lit(start_micro).cast("long"))
+        .localCheckpoint()
+    )
+    state = frontier
+    gate = (
+        (F.col("t") > F.col("arrival_micro"))
+        if strict
+        else (F.col("t") >= F.col("arrival_micro"))
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            frontier.join(adj, frontier.node_id == adj.u)
+            .filter(gate)
+            .select(F.col("v").alias("node_id"), F.col("t").alias("cand"))
+            .groupBy("node_id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        merged = (
+            state.join(relaxed, "node_id", "full_outer")
+            .select(
+                "node_id",
+                F.col("arrival_micro"),
+                F.col("cand"),
+                (
+                    F.col("cand").isNotNull()
+                    & (
+                        F.col("arrival_micro").isNull()
+                        | (F.col("cand") < F.col("arrival_micro"))
+                    )
+                ).alias("_improved"),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.filter(F.col("_improved")).select(
+            "node_id", F.col("cand").alias("arrival_micro")
+        )
+        state = merged.select(
+            "node_id",
+            F.when(F.col("_improved"), F.col("cand"))
+            .otherwise(F.col("arrival_micro"))
+            .alias("arrival_micro"),
+        )
+        if merged.filter(F.col("_improved")).count() == 0:
+            break
+    return state

@@ -6389,3 +6389,66 @@ def kg_graph_mis_q(spark, sf_dir):
 
     edges = _walk_kg_edges(spark, sf_dir)
     return graph.maximal_independent_set(edges)
+
+
+# =========================================================================
+# Temporal reachability: earliest-arrival information flow
+# =========================================================================
+
+@xq(
+    "kg_temporal_reachability",
+    """
+    WITH RECURSIVE
+    tedges AS (
+      SELECT 'c:' || o.o_custkey AS u, 's:' || l.l_suppkey AS v,
+             epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS t
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 50 = 0
+      UNION
+      SELECT 's:' || l.l_suppkey, 'c:' || o.o_custkey,
+             epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 50 = 0
+    ),
+    reach(node, arr) AS (
+      SELECT 'c:0', CAST(-2305843009213693952 AS BIGINT)
+      UNION
+      SELECT e.v, e.t
+      FROM reach r JOIN tedges e ON e.u = r.node AND e.t > r.arr
+    )
+    SELECT node AS node_id, min(arr) AS arrival_micro
+    FROM reach GROUP BY 1
+    """,
+)
+def kg_temporal_reachability_q(spark, sf_dir):
+    """Earliest-arrival time-respecting reachability (Wu et al. 2014)
+    from customer c:0 over the bipartite order/shipment timeline
+    (customer -(orderdate)-> supplier, supplier -(shipdate)->
+    customer; o_orderkey % 50 slice): who could the information have
+    reached, and by when — strict time gate, so every hop moves
+    forward in time. Twin = a DuckDB RECURSIVE enumeration of ALL
+    temporal-walk states with min(arrival) per node — an
+    algorithm-independent equality against the greedy min-arrival
+    fixpoint (exact because an earlier arrival enables a superset of
+    continuations), valid because the run converges (empty frontier)
+    inside max_hops."""
+    from ..operators import graph
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    placed = j.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    shipped = j.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("dst"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    return graph.temporal_reachability(
+        placed.unionAll(shipped), ["c:0"], max_hops=30
+    )

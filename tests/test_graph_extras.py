@@ -672,3 +672,86 @@ class TestMaximalIndependentSet:
         base = [("1", "2"), ("2", "3")]
         noisy = base + [("2", "1"), ("1", "2"), ("3", "3")]
         assert _mis_rows(spark, base) == _mis_rows(spark, noisy)
+
+
+# ---------------------------------------------------------------------------
+# temporal reachability (earliest arrival)
+# ---------------------------------------------------------------------------
+
+class TestTemporalReachability:
+    def _run(self, spark, edges, seeds, **kw):
+        e = spark.createDataFrame(edges, "src: string, dst: string, ts: long")
+        out = graph.temporal_reachability(e, seeds, **kw)
+        return {r.node_id: r.arrival_micro for r in out.collect()}
+
+    def test_time_gate_blocks_backward_path(self, spark):
+        # a->b at t=10, b->c at t=5: c is NOT reachable (strict gate);
+        # b->d at t=20 is
+        got = self._run(
+            spark,
+            [("a", "b", 10), ("b", "c", 5), ("b", "d", 20)],
+            ["a"],
+        )
+        assert set(got) == {"a", "b", "d"}
+        assert got["b"] == 10 and got["d"] == 20
+
+    def test_earliest_arrival_wins(self, spark):
+        # two routes to c: via b arriving 30, direct at 50 -> 30
+        got = self._run(
+            spark,
+            [("a", "b", 10), ("b", "c", 30), ("a", "c", 50)],
+            ["a"],
+        )
+        assert got["c"] == 30
+
+    def test_later_but_enabling_path(self, spark):
+        # the classic temporal trap: the cheapest static path a->b->z
+        # (b's edge to z fires BEFORE a->b) is time-infeasible; the
+        # longer a->x->z works
+        got = self._run(
+            spark,
+            [("a", "b", 10), ("b", "z", 5),
+             ("a", "x", 1), ("x", "z", 7)],
+            ["a"],
+        )
+        assert got["z"] == 7
+
+    def test_non_strict_gate(self, spark):
+        got = self._run(
+            spark,
+            [("a", "b", 10), ("b", "c", 10)],
+            ["a"],
+            strict=False,
+        )
+        assert got.get("c") == 10
+        got_strict = self._run(
+            spark, [("a", "b", 10), ("b", "c", 10)], ["a"], strict=True
+        )
+        assert "c" not in got_strict
+
+    def test_multi_source_min(self, spark):
+        got = self._run(
+            spark,
+            [("s1", "m", 100), ("s2", "m", 40)],
+            ["s1", "s2"],
+        )
+        assert got["m"] == 40
+
+    def test_max_hops_bounds_depth(self, spark):
+        chain = [(f"n{i}", f"n{i+1}", i + 1) for i in range(6)]
+        got = self._run(spark, chain, ["n0"], max_hops=2)
+        assert set(got) == {"n0", "n1", "n2"}
+
+    def test_validation(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b", 1)], "src: string, dst: string, ts: long"
+        )
+        with pytest.raises(ValueError, match="seed"):
+            graph.temporal_reachability(e, [])
+        with pytest.raises(ValueError, match="duplicate"):
+            graph.temporal_reachability(e, ["a", "a"])
+        en = spark.createDataFrame(
+            [("a", "b", None)], "src: string, dst: string, ts: long"
+        )
+        with pytest.raises(Exception, match="non-null"):
+            graph.temporal_reachability(en, ["a"]).collect()
