@@ -262,3 +262,88 @@ def link_records_edit(
         "r_len",
         "sim_ppm",
     )
+
+
+def clustering_pair_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "node_id",
+    pred_col: str = "pred_label",
+    gold_col: str = "gold_label",
+) -> DataFrame:
+    """Pairwise clustering evaluation (the standard entity-resolution
+    metric, e.g. Menestrina et al., "Evaluating Entity Resolution
+    Results", VLDB 2010): treat every same-cluster item pair as a
+    prediction and score it against the gold partition. ONE row out:
+
+      (n_items, tp_pairs, pred_pairs, gold_pairs, fp_pairs, fn_pairs,
+       precision_ppm, recall_ppm, f1_ppm)
+
+    with TP = sum over (pred, gold) cells of C(n_pg, 2), pred/gold
+    pair totals from their marginals, P = TP/pred_pairs,
+    R = TP/gold_pairs, F1 = 2TP/(pred_pairs + gold_pairs) — all in
+    trunc-ppm (NULL when the denominator is 0: an all-singletons
+    prediction has undefined precision, not a fake 100%).
+
+    Only items present in BOTH assignments are scored (inner join on
+    ``id_col``; duplicate ids collapse to their first label via
+    dropDuplicates — the caller's uniqueness contract, documented not
+    checked). C(n,2) is computed in decimal(38,0): a 1e10-item
+    cluster's pair count already overflows int64.
+
+    100 TB shape: one id-keyed equi-join + three map-side-combined
+    aggs (cells, pred marginals, gold marginals) + a 3-way 1-row
+    combine. Nothing touches pairs materially — the quadratic pair
+    SPACE is scored through the closed-form cell counts.
+    """
+    joined = (
+        pred.select(
+            F.col(id_col).alias("_id"), F.col(pred_col).alias("_p")
+        )
+        .dropDuplicates(["_id"])
+        .join(
+            gold.select(
+                F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")
+            ).dropDuplicates(["_id"]),
+            "_id",
+        )
+        .localCheckpoint()  # consumed by 3 aggregations
+    )
+    c2 = "CAST(n AS decimal(38,0)) * (CAST(n AS decimal(38,0)) - 1) / 2"
+    cells = (
+        joined.groupBy("_p", "_g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr(c2)).cast("decimal(38,0)").alias("tp"))
+    )
+    pred_m = (
+        joined.groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.expr(c2)).cast("decimal(38,0)").alias("pp"),
+            F.sum("n").alias("n_items"),
+        )
+    )
+    gold_m = (
+        joined.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr(c2)).cast("decimal(38,0)").alias("gp"))
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.expr(den) > 0,
+        F.expr(f"CAST(({num}) * 1000000 div ({den}) AS LONG)"),
+    )
+    return (
+        cells.crossJoin(pred_m)
+        .crossJoin(gold_m)
+        .select(
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("tp").cast("long").alias("tp_pairs"),
+            F.col("pp").cast("long").alias("pred_pairs"),
+            F.col("gp").cast("long").alias("gold_pairs"),
+            (F.col("pp") - F.col("tp")).cast("long").alias("fp_pairs"),
+            (F.col("gp") - F.col("tp")).cast("long").alias("fn_pairs"),
+            ppm("tp", "pp").alias("precision_ppm"),
+            ppm("tp", "gp").alias("recall_ppm"),
+            ppm("2 * tp", "pp + gp").alias("f1_ppm"),
+        )
+    )

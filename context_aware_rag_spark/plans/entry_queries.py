@@ -6452,3 +6452,66 @@ def kg_temporal_reachability_q(spark, sf_dir):
     return graph.temporal_reachability(
         placed.unionAll(shipped), ["c:0"], max_hops=30
     )
+
+
+# =========================================================================
+# ER evaluation: pairwise clustering precision/recall
+# =========================================================================
+
+@xq(
+    "er_pair_metrics",
+    """
+    WITH joined AS (
+      SELECT s_suppkey AS id,
+             CAST(s_suppkey % 10 AS VARCHAR) AS p,
+             CAST(s_nationkey AS VARCHAR) AS g
+      FROM supplier
+    ),
+    cells AS (
+      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS HUGEINT) AS tp
+      FROM (SELECT count(*) AS n FROM joined GROUP BY p, g)
+    ),
+    pm AS (
+      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS HUGEINT) AS pp,
+             CAST(sum(n) AS BIGINT) AS n_items
+      FROM (SELECT count(*) AS n FROM joined GROUP BY p)
+    ),
+    gm AS (
+      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS HUGEINT) AS gp
+      FROM (SELECT count(*) AS n FROM joined GROUP BY g)
+    )
+    SELECT n_items,
+           CAST(tp AS BIGINT) AS tp_pairs,
+           CAST(pp AS BIGINT) AS pred_pairs,
+           CAST(gp AS BIGINT) AS gold_pairs,
+           CAST(pp - tp AS BIGINT) AS fp_pairs,
+           CAST(gp - tp AS BIGINT) AS fn_pairs,
+           CASE WHEN pp > 0
+                THEN CAST((tp * 1000000) // pp AS BIGINT) END AS precision_ppm,
+           CASE WHEN gp > 0
+                THEN CAST((tp * 1000000) // gp AS BIGINT) END AS recall_ppm,
+           CASE WHEN pp + gp > 0
+                THEN CAST((2 * tp * 1000000) // (pp + gp) AS BIGINT)
+           END AS f1_ppm
+    FROM cells, pm, gm
+    """,
+)
+def er_pair_metrics_q(spark, sf_dir):
+    """Pairwise entity-resolution evaluation (Menestrina et al., VLDB
+    2010) of a hash-block clustering (s_suppkey % 10) against the
+    nation gold partition over suppliers: TP/FP/FN pair counts from
+    closed-form C(n,2) cell sums — the quadratic pair space is scored
+    without materializing a single pair — plus trunc-ppm P/R/F1.
+    Twin replicates cells, marginals and the HUGEINT arithmetic."""
+    from ..operators.linkage import clustering_pair_metrics
+
+    supp = load(spark, sf_dir, "supplier")
+    pred = supp.select(
+        F.col("s_suppkey").alias("node_id"),
+        (F.col("s_suppkey") % 10).cast("string").alias("pred_label"),
+    )
+    gold = supp.select(
+        F.col("s_suppkey").alias("node_id"),
+        F.col("s_nationkey").cast("string").alias("gold_label"),
+    )
+    return clustering_pair_metrics(pred, gold)

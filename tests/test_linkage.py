@@ -187,3 +187,67 @@ class TestLinkRecordsEdit:
         left = spark.createDataFrame([(1, "x")], "a: long, t: string")
         with _pytest.raises(ValueError):
             link_records_edit(left, left, "a", "t", "a", "t")
+
+
+# ---------------------------------------------------------------------------
+# pairwise clustering metrics (ER evaluation)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.operators.linkage import clustering_pair_metrics
+
+
+def _assign(spark, col, pairs):
+    return spark.createDataFrame(
+        pairs, f"node_id: long, {col}: string"
+    )
+
+
+class TestClusteringPairMetrics:
+    def test_hand_computed(self, spark):
+        pred = _assign(
+            spark, "pred_label",
+            [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")],
+        )
+        gold = _assign(
+            spark, "gold_label",
+            [(1, "X"), (2, "X"), (3, "Y"), (4, "Y"), (5, "Y")],
+        )
+        r = clustering_pair_metrics(pred, gold).collect()[0]
+        # cells: (A,X)=2, (A,Y)=1, (B,Y)=2 -> TP = 1 + 0 + 1 = 2
+        assert (r.n_items, r.tp_pairs, r.pred_pairs, r.gold_pairs) == (5, 2, 4, 4)
+        assert (r.fp_pairs, r.fn_pairs) == (2, 2)
+        assert r.precision_ppm == r.recall_ppm == r.f1_ppm == 500_000
+
+    def test_perfect_match(self, spark):
+        pred = _assign(spark, "pred_label", [(i, "c" + str(i // 3)) for i in range(9)])
+        gold = _assign(spark, "gold_label", [(i, "z" + str(i // 3)) for i in range(9)])
+        r = clustering_pair_metrics(pred, gold).collect()[0]
+        assert r.fp_pairs == r.fn_pairs == 0
+        assert r.precision_ppm == r.recall_ppm == r.f1_ppm == 1_000_000
+
+    def test_all_singletons_precision_null(self, spark):
+        pred = _assign(spark, "pred_label", [(i, str(i)) for i in range(4)])
+        gold = _assign(spark, "gold_label", [(i, "one") for i in range(4)])
+        r = clustering_pair_metrics(pred, gold).collect()[0]
+        assert r.precision_ppm is None
+        assert r.tp_pairs == 0 and r.recall_ppm == 0
+        assert r.f1_ppm == 0  # denominator 6 > 0
+
+    def test_inner_join_scopes_to_shared_ids(self, spark):
+        pred = _assign(spark, "pred_label", [(1, "A"), (2, "A"), (99, "A")])
+        gold = _assign(spark, "gold_label", [(1, "X"), (2, "X"), (42, "X")])
+        r = clustering_pair_metrics(pred, gold).collect()[0]
+        assert r.n_items == 2 and r.tp_pairs == 1
+        assert r.precision_ppm == 1_000_000
+
+    def test_one_sided_merge_recall_vs_precision(self, spark):
+        # pred merges everything: recall 1, precision = gold_pairs/all
+        pred = _assign(spark, "pred_label", [(i, "all") for i in range(4)])
+        gold = _assign(
+            spark, "gold_label",
+            [(0, "X"), (1, "X"), (2, "Y"), (3, "Y")],
+        )
+        r = clustering_pair_metrics(pred, gold).collect()[0]
+        assert r.recall_ppm == 1_000_000
+        assert r.pred_pairs == 6 and r.tp_pairs == 2
+        assert r.precision_ppm == 2_000_000 // 6
