@@ -1796,3 +1796,27 @@ def mis_py(edges: "Sequence[tuple]") -> "List[Tuple[str, int]]":
         r += 1
     out.sort()
     return out
+
+
+def k_truss_py(
+    edges: "Sequence[tuple]", k: int
+) -> "List[Tuple[str, str, int]]":
+    """Pure-Python replication of operators/graph.k_truss: iterative
+    support peeling on the canonical undirected simple graph. Returns
+    sorted (src, dst, support) survivors."""
+    cur = set()
+    for a, b in {(str(a), str(b)) for a, b in edges}:
+        if a != b:
+            cur.add((min(a, b), max(a, b)))
+    while True:
+        adj: Dict[str, set] = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        support = {
+            (a, b): len(adj[a] & adj[b]) for a, b in cur
+        }
+        dropped = {e for e, s in support.items() if s < k - 2}
+        if not dropped:
+            return sorted((a, b, s) for (a, b), s in support.items())
+        cur -= dropped

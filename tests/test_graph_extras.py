@@ -755,3 +755,66 @@ class TestTemporalReachability:
         )
         with pytest.raises(Exception, match="non-null"):
             graph.temporal_reachability(en, ["a"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# k-truss
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import k_truss_py  # noqa: E402
+
+
+def _truss_rows(spark, pairs, k):
+    e = spark.createDataFrame(pairs, "src: string, dst: string")
+    return sorted(
+        (r.src, r.dst, r.support)
+        for r in graph.k_truss(e, k).collect()
+    )
+
+
+class TestKTruss:
+    def test_clique_survives_its_truss(self, spark):
+        # K4: every edge closes 2 triangles -> survives k=4, dies k=5
+        k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+        got4 = _truss_rows(spark, k4, 4)
+        assert len(got4) == 6 and all(s == 2 for _, _, s in got4)
+        assert _truss_rows(spark, k4, 5) == []
+
+    def test_pendant_triangle_cascade(self, spark):
+        # K4 with a pendant triangle hanging off one vertex: k=4 peels
+        # the triangle (support 1), then nothing else — a real cascade
+        pend = [("a", "p"), ("b", "p"), ("a", "b")]
+        k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+        got = _truss_rows(spark, k4 + pend, 4)
+        assert {(a, b) for a, b, _ in got} == {
+            (min(x, y), max(x, y)) for x, y in k4
+        }
+
+    def test_matches_python_on_random_graphs(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        for tag, n, mod, k in (("t1", 12, 2, 3), ("t2", 16, 3, 4), ("t3", 10, 2, 4)):
+            pairs = [
+                (f"v{i:02d}", f"v{j:02d}")
+                for i in range(n)
+                for j in range(i + 1, n)
+                if h(f"{tag}:{i}:{j}") % mod == 0
+            ]
+            assert _truss_rows(spark, pairs, k) == k_truss_py(pairs, k), tag
+
+    def test_triangle_free_graph_empty_at_k3(self, spark):
+        path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+        assert _truss_rows(spark, path, 3) == []
+
+    def test_k2_keeps_everything(self, spark):
+        pairs = [("a", "b"), ("b", "c")]
+        got = _truss_rows(spark, pairs, 2)
+        assert [(a, b) for a, b, _ in got] == [("a", "b"), ("b", "c")]
+
+    def test_validation(self, spark):
+        e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+        with pytest.raises(ValueError, match="k >= 2"):
+            graph.k_truss(e, 1)

@@ -114,6 +114,10 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "graph_ktruss": pa.schema(
+        [("src", pa.string()), ("dst", pa.string()),
+         ("support", pa.int64())]
+    ),
     "graph_mis": pa.schema(
         [("node_id", pa.string()), ("mis_round", pa.int32())]
     ),
@@ -340,6 +344,24 @@ def main(sf_dirs: list[str]) -> None:
         # co-occurrence graph collapses to ~2 anchors in 1 round,
         # structurally boring)
         write(out_dir, "graph_mis", precompute.mis_py(n2v_edges))
+
+        # 10-truss of the >= 25-gated co-occurrence graph: 1271 of
+        # 1782 edges survive a real peeling cascade
+        ktruss_pairs = con.execute(
+            f"""
+            SELECT a, b FROM (
+              SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+                     count(DISTINCT x.l_orderkey) AS n_orders
+              FROM read_parquet('{sf_dir}/lineitem.parquet') x
+              JOIN read_parquet('{sf_dir}/lineitem.parquet') y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_suppkey < y.l_suppkey
+              GROUP BY 1, 2
+            ) WHERE n_orders >= 25
+            """
+        ).fetchall()
+        write(out_dir, "graph_ktruss",
+              precompute.k_truss_py(ktruss_pairs, k=10))
 
         # TransE corpus: two relations over the supplier entity space —
         # 'cooccurs' (undirected co-occurrence at the >= 32 gate, both
