@@ -75,3 +75,69 @@ def session_stats(
         F.max(ts_col).alias("end_ts"),
         (F.max(us) - F.min(us)).alias("duration_us"),
     )
+
+
+def episode_spans(
+    events: DataFrame,
+    key_cols: "list[str]",
+    gap_seconds: int = 86400,
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Gap-split validity EPISODES over a composite key — the temporal
+    counterpart of :func:`sessionize` for facts instead of users: a
+    timestamped stream of observations of the same key (a (subj,
+    pred, obj) triple's mentions, a (user, event_type) habit) splits
+    into maximal runs whose internal gaps are <= ``gap_seconds``
+    (strictly greater starts a new episode — sessionize's
+    convention). One row per episode:
+
+      (*key_cols, episode_idx, start_ts, end_ts, duration_us, n_obs)
+
+    with episode_idx 1-based per key in time order. This is how a KG
+    gets triple VALIDITY intervals out of raw mention timestamps —
+    "employed_by held from March to November, then again from
+    January" — the kg-temporal layer SCD2 can't produce (SCD2 needs a
+    changelog; mentions are observations).
+
+    Determinism: order within a key is (ts, tie_col) — pass a unique
+    tie-breaker, the sessionize contract. 100 TB shape: ONE key-keyed
+    window (lag + running sum share the single Exchange — the
+    sessionize plan shape) + ONE map-side-combined agg on
+    (key, episode_idx). Hot keys make wide single-task windows — the
+    documented window caveat; keys here are facts, naturally much
+    finer than users.
+    """
+    if not key_cols:
+        raise ValueError("episode_spans: need at least one key column")
+    if gap_seconds < 0:
+        raise ValueError(f"need gap_seconds >= 0, got {gap_seconds}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = events.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(tie_col),
+        us.alias("_us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > gap_seconds * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    ).select(
+        *key_cols,
+        F.col(ts_col),
+        "_us",
+        F.sum("_new").over(wrun).cast("int").alias("episode_idx"),
+    )
+    return flagged.groupBy(*key_cols, "episode_idx").agg(
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

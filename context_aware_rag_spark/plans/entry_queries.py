@@ -6555,3 +6555,51 @@ def kg_graph_ktruss_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.k_truss(pairs, k=10)
+
+
+# =========================================================================
+# Episode spans: gap-split fact-validity intervals
+# =========================================================================
+
+@xq(
+    "fact_episode_spans",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > CAST(86400 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_type, ts, us,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, us
+               ROWS UNBOUNDED PRECEDING
+             ) AS INTEGER) AS episode_idx
+      FROM flagged
+    )
+    SELECT user_id, event_type, episode_idx,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           max(us) - min(us) AS duration_us,
+           count(*) AS n_obs
+    FROM numbered
+    GROUP BY 1, 2, 3
+    """,
+)
+def fact_episode_spans_q(spark, sf_dir):
+    """Gap-split validity episodes (episode_spans) of the composite
+    fact key (user_id, event_type) at a 24h gap: maximal observation
+    runs with start/end/duration — the operator that turns raw
+    mention timestamps into triple-validity intervals for a temporal
+    KG. Twin replicates the lag-flag + running-sum + rollup pipeline
+    in DuckDB (ordering tie pinned by event_id)."""
+    from ..operators import sessions
+
+    return sessions.episode_spans(
+        load(spark, sf_dir, "events"),
+        key_cols=["user_id", "event_type"],
+        gap_seconds=86400,
+    )

@@ -82,3 +82,64 @@ class TestSessionize:
         # both the lag and the running sum ride ONE user-keyed exchange
         assert plan.count(") Exchange") == 1
         assert "hashpartitioning(user_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# episode spans (composite-key gap islands)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.operators.sessions import episode_spans
+
+
+def _obs(spark, rows):
+    # (subj, pred, second, event_id)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (s, p, base + dt.timedelta(seconds=sec), i)
+            for i, (s, p, sec) in enumerate(rows)
+        ],
+        "subj: string, pred: string, ts: timestamp, event_id: long",
+    )
+
+
+class TestEpisodeSpans:
+    def test_gap_splits_episodes(self, spark):
+        ev = _obs(
+            spark,
+            [("a", "knows", 0), ("a", "knows", 50), ("a", "knows", 200),
+             ("a", "knows", 240)],
+        )
+        out = sorted(
+            (r.episode_idx, r.n_obs, r.duration_us)
+            for r in episode_spans(
+                ev, ["subj", "pred"], gap_seconds=100
+            ).collect()
+        )
+        assert out == [(1, 2, 50_000_000), (2, 2, 40_000_000)]
+
+    def test_strictly_greater_starts_new(self, spark):
+        # gap EXACTLY equal to the threshold stays in the episode
+        ev = _obs(spark, [("a", "p", 0), ("a", "p", 100)])
+        out = episode_spans(ev, ["subj", "pred"], gap_seconds=100).collect()
+        assert len(out) == 1 and out[0].n_obs == 2
+
+    def test_keys_do_not_mix(self, spark):
+        ev = _obs(
+            spark,
+            [("a", "p", 0), ("a", "q", 10), ("b", "p", 20)],
+        )
+        out = episode_spans(ev, ["subj", "pred"], gap_seconds=5).collect()
+        assert len(out) == 3
+        assert all(r.episode_idx == 1 and r.n_obs == 1 for r in out)
+
+    def test_validation(self, spark):
+        ev = _obs(spark, [("a", "p", 0)])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="key column"):
+            episode_spans(ev, [])
+        with _pytest.raises(ValueError, match="gap_seconds"):
+            episode_spans(ev, ["subj"], gap_seconds=-1)
