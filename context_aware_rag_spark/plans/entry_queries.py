@@ -6603,3 +6603,94 @@ def fact_episode_spans_q(spark, sf_dir):
         key_cols=["user_id", "event_type"],
         gap_seconds=86400,
     )
+
+
+# =========================================================================
+# ROUGE-N: generation-quality overlap scoring
+# =========================================================================
+
+@xq(
+    "rouge2_excerpt_eval",
+    f"""
+    WITH pairs AS (
+      SELECT doc_id,
+             array_to_string(words[5:20], ' ') || ' ' ||
+             array_to_string(words[5:20], ' ') AS cand_text,
+             text AS ref_text
+      FROM (SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents)
+      WHERE doc_id % 7 = 0 AND len(words) >= 24
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(cand_text),
+               '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')
+               AS cw,
+             string_split(trim(regexp_replace(regexp_replace(lower(ref_text),
+               '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')
+               AS rw
+      FROM pairs
+    ),
+    gr AS (
+      SELECT doc_id,
+             CASE WHEN len(cw) >= 2
+               THEN list_transform(range(1, len(cw)),
+                    i -> array_to_string(cw[i:i+1], ' '))
+               ELSE [] END AS cg,
+             CASE WHEN len(rw) >= 2
+               THEN list_transform(range(1, len(rw)),
+                    i -> array_to_string(rw[i:i+1], ' '))
+               ELSE [] END AS rg
+      FROM toks
+    ),
+    counted AS (
+      SELECT doc_id, gram, sum(c) AS c, sum(r) AS r FROM (
+        SELECT doc_id, unnest(cg) AS gram, 1 AS c, 0 AS r FROM gr
+        UNION ALL
+        SELECT doc_id, unnest(rg) AS gram, 0 AS c, 1 AS r FROM gr
+      ) GROUP BY 1, 2
+    ),
+    clip AS (
+      SELECT doc_id, sum(least(c, r)) AS clipped FROM counted GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(len(g.cg) AS BIGINT) AS cand_grams,
+           CAST(len(g.rg) AS BIGINT) AS ref_grams,
+           CAST(coalesce(c.clipped, 0) AS BIGINT) AS clipped_overlap,
+           CASE WHEN len(g.cg) > 0 THEN
+             CAST((coalesce(c.clipped, 0) * 1000000) // len(g.cg) AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN len(g.rg) > 0 THEN
+             CAST((coalesce(c.clipped, 0) * 1000000) // len(g.rg) AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN len(g.cg) + len(g.rg) > 0 THEN
+             CAST((2 * coalesce(c.clipped, 0) * 1000000)
+                  // (len(g.cg) + len(g.rg)) AS BIGINT)
+           END AS f_ppm
+    FROM gr g LEFT JOIN clip c USING (doc_id)
+    """,
+)
+def rouge2_excerpt_eval_q(spark, sf_dir):
+    """ROUGE-2 (Lin 2004) of a DOUBLED 16-word excerpt (every 7th
+    sufficiently long doc, words[5:20] repeated twice — so candidate
+    bigram counts exceed reference counts and the CLIPPING in
+    clipped = sum min(count_cand, count_ref) is load-bearing, not
+    vacuous) against the full document: exact integer clipped
+    overlap + trunc-ppm P/R/F. Twin replicates normalization, bigram
+    multisets, clipping and the ppm arithmetic in DuckDB."""
+    from ..operators import dedup as dd
+    from ..operators.texteval import rouge_n_scores
+
+    words = F.split(dd.normalized_text(F.col("text")), " ")
+    excerpt = F.concat_ws(" ", F.slice("words", 5, 16))
+    prs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text"), words.alias("words"))
+        .filter((F.col("doc_id") % 7 == 0) & (F.size("words") >= 24))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", excerpt, excerpt).alias("cand_text"),
+            F.col("text").alias("ref_text"),
+        )
+    )
+    return rouge_n_scores(prs, id_cols=("doc_id",), n=2)

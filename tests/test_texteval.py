@@ -1,0 +1,76 @@
+"""Unit tests: rouge_n_scores (the SQL twin lives in entry_queries
+and is swept by test_entry_contract)."""
+
+import pytest
+
+from context_aware_rag_spark.operators.texteval import rouge_n_scores
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "pair_id: long, cand_text: string, ref_text: string"
+    )
+
+
+def _one(spark, cand, ref, n=2):
+    out = rouge_n_scores(_pairs(spark, [(1, cand, ref)]), n=n).collect()
+    assert len(out) == 1
+    return out[0]
+
+
+class TestRougeN:
+    def test_identical_texts_score_one(self, spark):
+        r = _one(spark, "the cat sat on the mat", "the cat sat on the mat")
+        assert r.cand_grams == r.ref_grams == r.clipped_overlap == 5
+        assert r.precision_ppm == r.recall_ppm == r.f_ppm == 1_000_000
+
+    def test_hand_computed_partial_overlap(self, spark):
+        # cand bigrams: {a b, b c}; ref bigrams: {a b, b d}
+        r = _one(spark, "a b c", "a b d")
+        assert (r.cand_grams, r.ref_grams, r.clipped_overlap) == (2, 2, 1)
+        assert r.precision_ppm == r.recall_ppm == r.f_ppm == 500_000
+
+    def test_clipping_caps_repeats(self, spark):
+        # cand repeats "a b" 3x (grams: a b, b a, a b, b a, a b);
+        # ref has ONE "a b" -> clipped counts: min(3,1) + min(2,0) = 1
+        r = _one(spark, "a b a b a b", "a b")
+        assert r.cand_grams == 5 and r.ref_grams == 1
+        assert r.clipped_overlap == 1
+        assert r.precision_ppm == 1_000_000 // 5
+        assert r.recall_ppm == 1_000_000
+
+    def test_normalization_matches(self, spark):
+        # punctuation/case fold away before gramming
+        r = _one(spark, "The CAT, sat!", "the cat sat")
+        assert r.f_ppm == 1_000_000
+
+    def test_short_text_empty_grams(self, spark):
+        r = _one(spark, "single", "the ref text here")
+        assert r.cand_grams == 0 and r.clipped_overlap == 0
+        assert r.precision_ppm is None
+        assert r.recall_ppm == 0
+
+    def test_rouge1_unigrams(self, spark):
+        r = _one(spark, "a b c", "a x c", n=1)
+        assert (r.cand_grams, r.clipped_overlap) == (3, 2)
+        assert r.f_ppm == 4_000_000 // 6
+
+    def test_multiple_pairs_stay_separate(self, spark):
+        out = {
+            r.pair_id: r
+            for r in rouge_n_scores(
+                _pairs(
+                    spark,
+                    [(1, "a b c", "a b c"), (2, "x y", "p q")],
+                )
+            ).collect()
+        }
+        assert out[1].f_ppm == 1_000_000
+        assert out[2].clipped_overlap == 0 and out[2].f_ppm == 0
+
+    def test_validation(self, spark):
+        df = _pairs(spark, [(1, "a", "b")])
+        with pytest.raises(ValueError, match="n >= 1"):
+            rouge_n_scores(df, n=0)
+        with pytest.raises(ValueError, match="id column"):
+            rouge_n_scores(df, id_cols=())
