@@ -1820,3 +1820,55 @@ def k_truss_py(
         if not dropped:
             return sorted((a, b, s) for (a, b), s in support.items())
         cur -= dropped
+
+
+def conv_metrics_table(n_convs: int) -> "List[tuple]":
+    """Pure-Python replication of operators/convstats.conv_turn_metrics
+    over the generate_rows(n_convs) corpus: per-conversation role mix,
+    tool usage, span/cadence and user->assistant response latency in
+    integer epoch-micros (trunc div)."""
+    from ..sources.transcripts import generate_rows
+
+    by_conv: Dict[str, list] = {}
+    for conv_id, turn_idx, role, _text, tool, ts in generate_rows(n_convs):
+        by_conv.setdefault(conv_id, []).append((turn_idx, role, tool, ts))
+    out = []
+    for conv_id in sorted(by_conv):
+        rows = sorted(by_conv[conv_id])
+        # naive-minus-naive subtraction: TZ-independent epoch micros
+        # (ts.timestamp() would reinterpret the naive datetime in the
+        # host's local zone; Spark's side is pinned to UTC sessions)
+        from datetime import datetime, timedelta, timezone
+
+        naive_epoch = datetime(1970, 1, 1)
+        aware_epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        us = [
+            (ts - (aware_epoch if ts.tzinfo is not None else naive_epoch))
+            // timedelta(microseconds=1)
+            for (_, _, _, ts) in rows
+        ]
+        roles = [r for (_, r, _, _) in rows]
+        tools = [t for (_, _, t, _) in rows if t is not None]
+        gaps = [us[i] - us[i - 1] for i in range(1, len(us))]
+        resp = [
+            us[i] - us[i - 1]
+            for i in range(1, len(rows))
+            if roles[i] == "assistant" and roles[i - 1] == "user"
+        ]
+        out.append(
+            (
+                conv_id,
+                len(rows),
+                sum(1 for r in roles if r == "user"),
+                sum(1 for r in roles if r == "assistant"),
+                sum(1 for r in roles if r == "tool"),
+                sum(1 for r in roles if r == "system"),
+                len(tools),
+                len(set(tools)),
+                max(us) - min(us),
+                max(gaps) if gaps else None,
+                len(resp),
+                _tdiv(sum(resp), len(resp)) if resp else None,
+            )
+        )
+    return out

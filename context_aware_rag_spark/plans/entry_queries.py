@@ -6694,3 +6694,31 @@ def rouge2_excerpt_eval_q(spark, sf_dir):
         )
     )
     return rouge_n_scores(prs, id_cols=("doc_id",), n=2)
+
+
+# =========================================================================
+# Conversation shape metrics over the transcript payload
+# =========================================================================
+
+@xq(
+    "conv_turn_metrics",
+    f"""
+    SELECT conv_id, n_turns, n_user, n_assistant, n_tool_role,
+           n_system, n_tool_calls, n_distinct_tools, span_us,
+           max_gap_us, n_responses, mean_response_us
+    FROM read_parquet('{_pq("conv_metrics")}')
+    """,
+)
+def conv_turn_metrics_q(spark, sf_dir):
+    """Per-conversation shape report over the raw transcript payload
+    (the BASELINE input_hint table): role mix, tool usage, temporal
+    span/cadence and user->assistant response latency — the
+    conversation-grain metrics an ingestion job logs alongside its
+    per-partition lineage. One conv-keyed window + one agg; trunc-div
+    integer micros; the corpus' planted 50x-long conversations are
+    the skew probes these metrics surface. Twin = precomputed
+    pure-Python replication over the identical generate_rows
+    corpus."""
+    from ..operators.convstats import conv_turn_metrics
+
+    return conv_turn_metrics(transcripts_for(spark, sf_dir))

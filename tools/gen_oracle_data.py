@@ -114,6 +114,14 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "conv_metrics": pa.schema(
+        [("conv_id", pa.string()), ("n_turns", pa.int64()),
+         ("n_user", pa.int64()), ("n_assistant", pa.int64()),
+         ("n_tool_role", pa.int64()), ("n_system", pa.int64()),
+         ("n_tool_calls", pa.int64()), ("n_distinct_tools", pa.int32()),
+         ("span_us", pa.int64()), ("max_gap_us", pa.int64()),
+         ("n_responses", pa.int64()), ("mean_response_us", pa.int64())]
+    ),
     "graph_ktruss": pa.schema(
         [("src", pa.string()), ("dst", pa.string()),
          ("support", pa.int64())]
@@ -434,6 +442,9 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_lpa", precompute.lpa_py(lpa_pairs, max_iter=10))
+
+        write(out_dir, "conv_metrics",
+              precompute.conv_metrics_table(n_convs_for(sf_dir)))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
