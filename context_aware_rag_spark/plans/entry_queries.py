@@ -6722,3 +6722,59 @@ def conv_turn_metrics_q(spark, sf_dir):
     from ..operators.convstats import conv_turn_metrics
 
     return conv_turn_metrics(transcripts_for(spark, sf_dir))
+
+
+# =========================================================================
+# Multi-touch attribution
+# =========================================================================
+
+@xq(
+    "attribution_linear",
+    """
+    WITH conv AS (
+      SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+             epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+             ts AS touch_ts, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    eligible AS (
+      SELECT c.user_id, c.conversion_id, c.conversion_ts,
+             t.touch_id, t.touch_type, t.touch_ts,
+             row_number() OVER (PARTITION BY c.conversion_id
+                                ORDER BY t.tus DESC, t.touch_id DESC)
+               AS rk_last,
+             count(*) OVER (PARTITION BY c.conversion_id) AS n_touches
+      FROM conv c
+      JOIN touch t ON t.user_id = c.user_id
+       AND t.tus < c.cus
+       AND c.cus - t.tus <= CAST(604800 AS BIGINT) * 1000000
+    )
+    SELECT user_id, conversion_id, conversion_ts, touch_id, touch_type,
+           touch_ts, CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN rk_last = 1
+                THEN 1000000 - (1000000 // n_touches) * (n_touches - 1)
+                ELSE 1000000 // n_touches END AS BIGINT) AS credit_ppm
+    FROM eligible
+    """,
+)
+def attribution_linear_q(spark, sf_dir):
+    """Linear multi-touch attribution of purchases to the user's
+    click/view touches within a 7-day lookback: equal trunc-ppm split
+    with the remainder pinned to the LAST touch so every conversion's
+    credits sum to exactly 1e6 (a float split can't make that
+    contract). Strictly-before eligibility, (ts, id)-deterministic
+    ranking. Twin replicates the bounded per-user join, ranking and
+    remainder arithmetic."""
+    from ..operators.funnel import attribution
+
+    return attribution(
+        load(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_seconds=604800,
+        model="linear",
+    )

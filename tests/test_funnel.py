@@ -84,3 +84,90 @@ class TestCohortRetention:
     def test_validates(self, spark):
         with pytest.raises(ValueError, match="period"):
             funnel.cohort_retention(_ev(spark, [(1, 0, "x")]), period_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+import pytest as _pytest
+
+from context_aware_rag_spark.operators.funnel import attribution
+
+
+def _attr_ev(spark, rows):
+    base = _dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, u, t, base + _dt.timedelta(seconds=sec))
+            for i, (u, t, sec) in enumerate(rows)
+        ],
+        "event_id: long, user_id: long, event_type: string, ts: timestamp",
+    )
+
+
+class TestAttribution:
+    ROWS = [
+        (1, "click", 0),      # id 0
+        (1, "view", 100),     # id 1
+        (1, "click", 200),    # id 2
+        (1, "purchase", 300), # id 3
+        (2, "purchase", 50),  # id 4: no touches -> organic, no rows
+    ]
+
+    def test_linear_split_sums_to_one_million(self, spark):
+        out = attribution(
+            _attr_ev(spark, self.ROWS), "purchase", ["click", "view"],
+            lookback_seconds=3600, model="linear",
+        ).collect()
+        assert {r.conversion_id for r in out} == {3}
+        assert sorted(r.touch_id for r in out) == [0, 1, 2]
+        by_touch = {r.touch_id: r.credit_ppm for r in out}
+        # 1e6 div 3 = 333333; the LAST touch (id 2) takes the remainder
+        assert by_touch[0] == by_touch[1] == 333_333
+        assert by_touch[2] == 1_000_000 - 2 * 333_333
+        assert sum(by_touch.values()) == 1_000_000
+
+    def test_last_and_first_touch(self, spark):
+        ev = _attr_ev(spark, self.ROWS)
+        last = attribution(
+            ev, "purchase", ["click", "view"], 3600, model="last_touch"
+        ).collect()
+        assert [(r.touch_id, r.credit_ppm) for r in last] == [(2, 1_000_000)]
+        first = attribution(
+            ev, "purchase", ["click", "view"], 3600, model="first_touch"
+        ).collect()
+        assert [(r.touch_id, r.credit_ppm) for r in first] == [(0, 1_000_000)]
+
+    def test_lookback_excludes_old_and_same_instant(self, spark):
+        rows = [
+            (1, "click", 0),       # too old for 100s lookback
+            (1, "click", 250),     # in window
+            (1, "view", 300),      # same instant as conversion: excluded
+            (1, "purchase", 300),
+        ]
+        out = attribution(
+            _attr_ev(spark, rows), "purchase", ["click", "view"],
+            lookback_seconds=100, model="linear",
+        ).collect()
+        assert [(r.touch_id, r.credit_ppm) for r in out] == [(1, 1_000_000)]
+
+    def test_users_do_not_cross(self, spark):
+        rows = [
+            (1, "click", 0),
+            (2, "purchase", 10),
+        ]
+        assert attribution(
+            _attr_ev(spark, rows), "purchase", ["click"], 3600
+        ).collect() == []
+
+    def test_validation(self, spark):
+        ev = _attr_ev(spark, self.ROWS)
+        with _pytest.raises(ValueError, match="model"):
+            attribution(ev, "purchase", ["click"], model="u_shaped")
+        with _pytest.raises(ValueError, match="lookback"):
+            attribution(ev, "purchase", ["click"], lookback_seconds=0)
+        with _pytest.raises(ValueError, match="touch type"):
+            attribution(ev, "purchase", [])
