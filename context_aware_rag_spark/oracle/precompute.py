@@ -1872,3 +1872,83 @@ def conv_metrics_table(n_convs: int) -> "List[tuple]":
             )
         )
     return out
+
+
+def sgns_py(
+    pairs: "Sequence[tuple]",
+    dim: int = 8,
+    epochs: int = 3,
+    k_neg: int = 2,
+    lr_ppm: int = 500_000,
+    init: int = 100_000,
+) -> "List[Tuple[str, str, tuple]]":
+    """Pure-Python bit-for-bit replication of
+    operators/sgns.train_sgns. ``pairs``: (center, context) with
+    multiplicity. Returns sorted (kind, node_id, emb-tuple)."""
+    import math
+
+    cnt: Dict[Tuple[str, str], int] = {}
+    for c, x in pairs:
+        cnt[(str(c), str(x))] = cnt.get((str(c), str(x)), 0) + 1
+    ctxs = sorted({x for (_, x) in cnt})
+    nodes = sorted({c for (c, _) in cnt} | set(ctxs))
+    n_ctx = len(ctxs)
+
+    def init_vec(kind: str, node: str):
+        return [
+            _md5_u32_py("\x1f".join([kind, node, str(i)])) % (2 * init + 1)
+            - init
+            for i in range(dim)
+        ]
+
+    emb = {("in", n): init_vec("in", n) for n in nodes}
+    emb.update({("out", n): init_vec("out", n) for n in nodes})
+    # negatives: j in [0, epochs*k_neg), epoch = j % epochs
+    negs: Dict[int, list] = {e: [] for e in range(epochs)}
+    for (c, x), w in sorted(cnt.items()):
+        for j in range(epochs * k_neg):
+            v = ctxs[_md5_u32_py("\x1f".join([c, x, str(j)])) % n_ctx]
+            if v != x:
+                negs[j % epochs].append((c, v, w))
+    for epoch in range(epochs):
+        terms = [(c, x, w, 1) for (c, x), w in sorted(cnt.items())]
+        terms += [(c, v, w, 0) for (c, v, w) in negs[epoch]]
+        n_terms = sum(w for (_, _, w, _) in terms)
+        grads: Dict[Tuple[str, str, int], int] = {}
+        for c, x, w, y in terms:
+            ein, eout = emb[("in", c)], emb[("out", x)]
+            dot = sum(a * b for a, b in zip(ein, eout))
+            g = 1.0 / (1.0 + math.exp(-(float(dot) / 1e12))) - float(y)
+            for d in range(dim):
+                grads[("in", c, d)] = grads.get(("in", c, d), 0) + int(
+                    math.floor(g * eout[d])
+                ) * w
+                grads[("out", x, d)] = grads.get(("out", x, d), 0) + int(
+                    math.floor(g * ein[d])
+                ) * w
+        denom = 1_000_000 * n_terms
+        for (kind, node, d), gsum in grads.items():
+            emb[(kind, node)][d] -= _tdiv(gsum * lr_ppm, denom)
+    return sorted(
+        (kind, node, tuple(v)) for (kind, node), v in emb.items()
+    )
+
+
+def skipgram_pairs_py(
+    walk_rows: "Sequence[tuple]", window: int = 2
+) -> "List[Tuple[str, str]]":
+    """(center, context) multiset from walk rows (start, walk_id, pos,
+    node) — the pure-Python twin of operators/walks.skipgram_pairs
+    (multiplicity preserved; order irrelevant to SGNS's weighted
+    collapse)."""
+    seqs: Dict[Tuple[str, int], list] = {}
+    for start, wid, pos, node in walk_rows:
+        seqs.setdefault((start, wid), []).append((pos, node))
+    out: List[Tuple[str, str]] = []
+    for key in sorted(seqs):
+        seq = [n for _, n in sorted(seqs[key])]
+        for i, c in enumerate(seq):
+            for j in range(max(0, i - window), min(len(seq), i + window + 1)):
+                if j != i:
+                    out.append((c, seq[j]))
+    return out

@@ -6778,3 +6778,39 @@ def attribution_linear_q(spark, sf_dir):
         lookback_seconds=604800,
         model="linear",
     )
+
+
+# =========================================================================
+# DeepWalk: walks -> skip-grams -> distributed SGNS embeddings
+# =========================================================================
+
+@xq(
+    "kg_deepwalk_embeddings",
+    f"""
+    SELECT kind, node_id, d, v_micro
+    FROM read_parquet('{_pq("kg_sgns_embeddings")}')
+    """,
+)
+def kg_deepwalk_embeddings_q(spark, sf_dir):
+    """DeepWalk (Perozzi et al. 2014) END TO END inside the engine:
+    md5-deterministic uniform walks over the heterogeneous
+    c->o->s->n KG -> skip-gram pairs (window 2) -> distributed SGNS
+    training (operators/sgns.py — the third distributed trainer:
+    integer-micro model state, floats only in the fixed-order
+    per-term logistic, floor-truncated gradient terms before the
+    weighted int64 sums). Twin = the Spark-free pure-Python
+    replication (precompute.node2vec_py unit weights ->
+    skipgram_pairs_py -> sgns_py), hash-pinning all 6,672 embedding
+    coordinates after 2 full epochs — the training recurrence itself
+    is what the hash gates."""
+    from ..operators import walks
+    from ..operators.sgns import train_sgns
+
+    corpus = walks.random_walks(
+        _walk_kg_edges(spark, sf_dir), walk_length=4, walks_per_node=2
+    )
+    prs = walks.skipgram_pairs(corpus, window=2)
+    emb = train_sgns(prs, dim=8, epochs=2, k_neg=2)
+    return emb.select(
+        "kind", "node_id", F.posexplode("emb").alias("d", "v_micro")
+    )

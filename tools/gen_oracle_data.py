@@ -114,6 +114,10 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "kg_sgns_embeddings": pa.schema(
+        [("kind", pa.string()), ("node_id", pa.string()),
+         ("d", pa.int32()), ("v_micro", pa.int64())]
+    ),
     "conv_metrics": pa.schema(
         [("conv_id", pa.string()), ("n_turns", pa.int64()),
          ("n_user", pa.int64()), ("n_assistant", pa.int64()),
@@ -345,6 +349,21 @@ def main(sf_dirs: list[str]) -> None:
               precompute.node2vec_py(
                   n2v_edges, walk_length=4, walks_per_node=2,
                   ret_w=2, in_w=5, out_w=1))
+
+        # DeepWalk end-to-end: uniform walks (node2vec_py with unit
+        # weights IS random_walks — equality pytest-proven) ->
+        # skip-gram pairs -> SGNS training, flattened to
+        # (kind, node_id, d, v_micro) rows
+        dw_corpus = precompute.node2vec_py(
+            n2v_edges, walk_length=4, walks_per_node=2,
+            ret_w=1, in_w=1, out_w=1)
+        dw_pairs = precompute.skipgram_pairs_py(dw_corpus, window=2)
+        sgns_emb = precompute.sgns_py(
+            dw_pairs, dim=8, epochs=2, k_neg=2)
+        write(out_dir, "kg_sgns_embeddings",
+              [(kind, node, d, v)
+               for (kind, node, vec) in sgns_emb
+               for d, v in enumerate(vec)])
 
         # Luby MIS anchors over the same heterogeneous layered KG —
         # sparse and multi-typed, so the MIS is large and the
