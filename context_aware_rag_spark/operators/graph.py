@@ -1774,3 +1774,78 @@ def k_truss(
             )
         cur = kept.select("a", "b").localCheckpoint()
     raise RuntimeError(f"k_truss failed to settle in {max_rounds} rounds")
+
+
+def wl_labels(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weisfeiler-Lehman iterative relabeling (the 1-WL color
+    refinement; Shervashidze et al., JMLR 2011) over the undirected
+    simple graph: every node's label is repeatedly rehashed with the
+    SORTED multiset of its neighbors' labels, so after r rounds equal
+    labels certify equal r-hop structural neighborhoods — the
+    structural-role signature (two entities "shaped alike" in the KG
+    get the same label) and the standard graph-isomorphism screen.
+
+    Returns (node_id, round, label) for rounds 0..``rounds`` with
+    round-0 labels = the node's degree (pure structure, no ids leak
+    into the hash). Labels are 16-hex-char md5 prefixes — engine-
+    portable (DuckDB md5 agrees), deterministic on any partitioning.
+
+    100 TB shape: per round ONE edge⋈label equi-join + ONE
+    map-side-combinable groupBy(node) with an in-agg sort of the
+    neighbor-label list (task cost O(d log d) per node — hubs sort
+    within one task, the random_walks adjacency caveat) + one hash
+    map. localCheckpoint per round; no driver actions at all —
+    ``rounds`` is data-independent by definition of WL.
+    """
+    if rounds < 0:
+        raise ValueError(f"need rounds >= 0, got {rounds}")
+    sym = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        sym.unionAll(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.groupBy(F.col("u").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("node_id", F.col("deg").cast("string").alias("label"))
+        .localCheckpoint()
+    )
+    out = labels.withColumn("round", F.lit(0))
+    for r in range(1, rounds + 1):
+        nbr = sym.join(
+            labels.withColumnRenamed("node_id", "v"), "v"
+        ).select(F.col("u").alias("node_id"), F.col("label").alias("nl"))
+        labels = (
+            labels.join(
+                nbr.groupBy("node_id").agg(
+                    F.sort_array(F.collect_list("nl")).alias("nls")
+                ),
+                "node_id",
+            )
+            .select(
+                "node_id",
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.col("label"), F.concat_ws(",", "nls")
+                        )
+                    ),
+                    1, 16,
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(labels.withColumn("round", F.lit(r)))
+    return out.select("node_id", "round", "label")

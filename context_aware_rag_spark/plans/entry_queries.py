@@ -6814,3 +6814,83 @@ def kg_deepwalk_embeddings_q(spark, sf_dir):
     return emb.select(
         "kind", "node_id", F.posexplode("emb").alias("d", "v_micro")
     )
+
+
+# =========================================================================
+# Weisfeiler-Lehman structural labels
+# =========================================================================
+
+@xq(
+    "kg_wl_labels",
+    """
+    WITH pairs AS (
+      SELECT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT x.l_orderkey) >= 25
+    ),
+    sym AS (
+      SELECT CAST(a AS VARCHAR) AS u, CAST(b AS VARCHAR) AS v FROM pairs
+      UNION
+      SELECT CAST(b AS VARCHAR), CAST(a AS VARCHAR) FROM pairs
+    ),
+    l0 AS (
+      SELECT u AS node_id, CAST(count(*) AS VARCHAR) AS label
+      FROM sym GROUP BY 1
+    ),
+    l1 AS (
+      SELECT s.u AS node_id,
+             substr(md5(concat(l.label, chr(31),
+               array_to_string(list(n.label ORDER BY n.label), ','))),
+               1, 16) AS label
+      FROM sym s
+      JOIN l0 l ON l.node_id = s.u
+      JOIN l0 n ON n.node_id = s.v
+      GROUP BY s.u, l.label
+    ),
+    l2 AS (
+      SELECT s.u AS node_id,
+             substr(md5(concat(l.label, chr(31),
+               array_to_string(list(n.label ORDER BY n.label), ','))),
+               1, 16) AS label
+      FROM sym s
+      JOIN l1 l ON l.node_id = s.u
+      JOIN l1 n ON n.node_id = s.v
+      GROUP BY s.u, l.label
+    )
+    SELECT node_id, 0 AS round, label FROM l0
+    UNION ALL
+    SELECT node_id, 1, label FROM l1
+    UNION ALL
+    SELECT node_id, 2, label FROM l2
+    """,
+)
+def kg_wl_labels_q(spark, sf_dir):
+    """1-WL color refinement (Shervashidze et al. 2011) over the
+    >= 25-gated supplier co-occurrence graph, rounds 0-2: equal labels
+    at round r certify equal r-hop structural neighborhoods (the
+    structural-role signature / isomorphism screen). Labels are
+    16-hex md5 prefixes of (own label, sorted neighbor multiset) —
+    engine-portable, so the DuckDB twin replays the refinement
+    exactly with unrolled CTE rounds."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 25)
+        .select("src", "dst")
+    )
+    return graph.wl_labels(pairs, rounds=2)

@@ -818,3 +818,80 @@ class TestKTruss:
         e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
         with pytest.raises(ValueError, match="k >= 2"):
             graph.k_truss(e, 1)
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman labels
+# ---------------------------------------------------------------------------
+
+def _wl_py(pairs, rounds):
+    import hashlib
+
+    adj = {}
+    for a, b in {(str(a), str(b)) for a, b in pairs}:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: str(len(adj[n])) for n in adj}
+    out = [(n, 0, l) for n, l in lab.items()]
+    for r in range(1, rounds + 1):
+        lab = {
+            n: hashlib.md5(
+                (lab[n] + "\x1f" + ",".join(sorted(lab[m] for m in adj[n])))
+                .encode()
+            ).hexdigest()[:16]
+            for n in adj
+        }
+        out.extend((n, r, l) for n, l in lab.items())
+    return sorted(out)
+
+
+class TestWlLabels:
+    def _run(self, spark, pairs, rounds=2):
+        e = spark.createDataFrame(pairs, "src: string, dst: string")
+        return sorted(
+            (r.node_id, r.round, r.label)
+            for r in graph.wl_labels(e, rounds=rounds).collect()
+        )
+
+    def test_matches_python(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        pairs = [
+            (f"w{i:02d}", f"w{j:02d}")
+            for i in range(12)
+            for j in range(i + 1, 12)
+            if h(f"wl:{i}:{j}") % 3 == 0
+        ]
+        assert self._run(spark, pairs, 3) == _wl_py(pairs, 3)
+
+    def test_isomorphic_positions_share_labels(self, spark):
+        # path a-b-c-d-e: symmetric positions (a,e) and (b,d) must
+        # carry identical labels at EVERY round; c stays unique
+        path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        rows = self._run(spark, path, 3)
+        lab = {(n, r): l for n, r, l in rows}
+        for r in range(4):
+            assert lab[("a", r)] == lab[("e", r)]
+            assert lab[("b", r)] == lab[("d", r)]
+            assert lab[("b", r)] != lab[("a", r)]
+
+    def test_refinement_splits_degree_twins(self, spark):
+        # x and y both have degree 2 (same round-0 label) but one sits
+        # on a triangle and one on a path: round 2 separates them
+        tri_plus_path = [
+            ("x", "p"), ("x", "q"), ("p", "q"),   # triangle corner x
+            ("y", "s"), ("y", "t"),               # path middle y
+        ]
+        rows = self._run(spark, tri_plus_path, 2)
+        lab = {(n, r): l for n, r, l in rows}
+        assert lab[("x", 0)] == lab[("y", 0)] == "2"
+        assert lab[("x", 2)] != lab[("y", 2)]
+
+    def test_round_zero_only(self, spark):
+        rows = self._run(spark, [("a", "b")], rounds=0)
+        assert rows == [("a", 0, "1"), ("b", 0, "1")]
