@@ -1849,3 +1849,101 @@ def wl_labels(
         )
         out = out.unionByName(labels.withColumn("round", F.lit(r)))
     return out.select("node_id", "round", "label")
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    simple graph: authority(v) accumulates hub mass over in-edges,
+    hub(u) accumulates authority mass over out-edges — the
+    two-sided salience signal PageRank's single score conflates
+    (in a KG: prolific SOURCES of facts vs entities facts point AT).
+
+    Integer discipline (the pagerank pattern): scores live in micro
+    units; after every half-step the vector renormalizes by its MAX
+    via trunc division (L-inf norm — power iteration converges to the
+    same principal direction under any norm, and max-normalization
+    needs no sqrt), computed as a 1-row broadcast crossJoin, so the
+    whole loop has NO driver actions and the pure-Python oracle
+    (oracle/precompute.hits_py) reproduces every score bit-for-bit.
+    Self-loops are dropped; duplicate edges collapse.
+
+    Returns (node_id, hub_micro, auth_micro) after ``iterations``
+    full (authority, hub) rounds; nodes with no in-edges hold
+    authority 0, no out-edges hub 0 — sinks/sources stay in the
+    output.
+
+    100 TB shape: per half-step one edge⋈score equi-join (hot nodes =
+    AQE skew-join) + one map-side-combined sum + the 1-row max
+    broadcast; localCheckpoint per round keeps lineage flat. int64
+    headroom: scores <= 1e6 and degree sums stay exact past 1e12
+    in-edges per node.
+    """
+    if iterations < 1:
+        raise ValueError(f"need iterations >= 1, got {iterations}")
+    pairs = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("node_id"))
+        .union(pairs.select(F.col("v").alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = nodes.select(
+        "node_id",
+        F.lit(MICRO).cast("long").alias("h"),
+        F.lit(MICRO).cast("long").alias("a"),
+    ).localCheckpoint()
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(
+            F.greatest(F.lit(1).cast("long"), F.max(col)).alias("_mx")
+        )
+        return df.crossJoin(F.broadcast(mx)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"({col} * 1000000) div _mx").alias(col),
+        )
+
+    for _ in range(iterations):
+        a_new = (
+            pairs.join(
+                state.select(F.col("node_id").alias("u"), "h"), "u"
+            )
+            .groupBy(F.col("v").alias("node_id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        state = _norm(
+            state.drop("a").join(a_new, "node_id", "left").select(
+                "node_id", "h", F.coalesce("a", F.lit(0)).alias("a")
+            ),
+            "a",
+        ).localCheckpoint()
+        h_new = (
+            pairs.join(
+                state.select(F.col("node_id").alias("v"), "a"), "v"
+            )
+            .groupBy(F.col("u").alias("node_id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        state = _norm(
+            state.drop("h").join(h_new, "node_id", "left").select(
+                "node_id", "a", F.coalesce("h", F.lit(0)).alias("h")
+            ),
+            "h",
+        ).localCheckpoint()
+    return state.select(
+        "node_id",
+        F.col("h").cast("long").alias("hub_micro"),
+        F.col("a").cast("long").alias("auth_micro"),
+    )

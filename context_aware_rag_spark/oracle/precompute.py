@@ -1952,3 +1952,31 @@ def skipgram_pairs_py(
                 if j != i:
                     out.append((c, seq[j]))
     return out
+
+
+def hits_py(
+    edges: "Sequence[tuple]", iterations: int = 5
+) -> "List[Tuple[str, int, int]]":
+    """Pure-Python replication of operators/graph.hits (integer-micro
+    max-normalized power iteration). Returns sorted
+    (node_id, hub_micro, auth_micro)."""
+    pairs = {
+        (str(a), str(b))
+        for a, b in edges
+        if str(a) != str(b)
+    }
+    nodes = sorted({n for e in pairs for n in e})
+    h = {n: 1_000_000 for n in nodes}
+    a = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        a_new = {n: 0 for n in nodes}
+        for u, v in pairs:
+            a_new[v] += h[u]
+        mx = max(1, max(a_new.values()))
+        a = {n: _tdiv(a_new[n] * 1_000_000, mx) for n in nodes}
+        h_new = {n: 0 for n in nodes}
+        for u, v in pairs:
+            h_new[u] += a[v]
+        mx = max(1, max(h_new.values()))
+        h = {n: _tdiv(h_new[n] * 1_000_000, mx) for n in nodes}
+    return sorted((n, h[n], a[n]) for n in nodes)

@@ -6894,3 +6894,44 @@ def kg_wl_labels_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.wl_labels(pairs, rounds=2)
+
+
+# =========================================================================
+# HITS hubs/authorities
+# =========================================================================
+
+@xq(
+    "kg_graph_hits",
+    f"""
+    SELECT node_id, hub_micro, auth_micro
+    FROM read_parquet('{_pq("graph_hits")}')
+    """,
+)
+def kg_graph_hits_q(spark, sf_dir):
+    """HITS (Kleinberg 1999) over the directed supplier succession
+    graph (the 'precedes' slice of the TransE corpus): hub score =
+    leads sequences, authority score = follows them — the two-sided
+    salience PageRank conflates. Integer-micro max-normalized power
+    iteration with NO driver actions (the norm is a 1-row broadcast
+    crossJoin); twin = precomputed pure-Python replication
+    (precompute.hits_py), bit-exact after 5 full rounds."""
+    from pyspark.sql import Window as W
+
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    prec = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.lead("l_suppkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("src", "dst")
+    )
+    return graph.hits(prec, iterations=5)

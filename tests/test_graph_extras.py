@@ -895,3 +895,58 @@ class TestWlLabels:
     def test_round_zero_only(self, spark):
         rows = self._run(spark, [("a", "b")], rounds=0)
         assert rows == [("a", 0, "1"), ("b", 0, "1")]
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import hits_py  # noqa: E402
+
+
+class TestHits:
+    def _run(self, spark, pairs, iterations=5):
+        e = spark.createDataFrame(pairs, "src: string, dst: string")
+        return sorted(
+            (r.node_id, r.hub_micro, r.auth_micro)
+            for r in graph.hits(e, iterations=iterations).collect()
+        )
+
+    def test_matches_python_on_random_digraphs(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        for tag, n, mod in (("h1", 10, 3), ("h2", 14, 4)):
+            pairs = [
+                (f"d{i:02d}", f"d{j:02d}")
+                for i in range(n)
+                for j in range(n)
+                if i != j and h(f"{tag}:{i}:{j}") % mod == 0
+            ]
+            assert self._run(spark, pairs) == hits_py(pairs), tag
+
+    def test_star_separates_hub_from_authority(self, spark):
+        # one broadcaster pointing at many: the center is THE hub
+        # (max-normalized to 1e6), leaves are the authorities
+        pairs = [("hub", f"x{i}") for i in range(5)]
+        rows = {n: (hm, am) for n, hm, am in self._run(spark, pairs)}
+        assert rows["hub"] == (1_000_000, 0)
+        for i in range(5):
+            assert rows[f"x{i}"] == (0, 1_000_000)
+
+    def test_direction_matters(self, spark):
+        fwd = self._run(spark, [("a", "b"), ("c", "b")])
+        rev = self._run(spark, [("b", "a"), ("b", "c")])
+        d_fwd = dict((n, (hm, am)) for n, hm, am in fwd)
+        d_rev = dict((n, (hm, am)) for n, hm, am in rev)
+        assert d_fwd["b"] == (0, 1_000_000)
+        assert d_rev["b"] == (1_000_000, 0)
+
+    def test_validation(self, spark):
+        e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="iterations"):
+            graph.hits(e, iterations=0)

@@ -114,6 +114,10 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "graph_hits": pa.schema(
+        [("node_id", pa.string()), ("hub_micro", pa.int64()),
+         ("auth_micro", pa.int64())]
+    ),
     "kg_sgns_embeddings": pa.schema(
         [("kind", pa.string()), ("node_id", pa.string()),
          ("d", pa.int32()), ("v_micro", pa.int64())]
@@ -430,6 +434,15 @@ def main(sf_dirs: list[str]) -> None:
         transe_triples = [tuple(r) for r in transe_rows]
         transe_emb = precompute.transe_py(transe_triples, dim=8, epochs=3)
         write(out_dir, "kg_transe_embeddings", transe_emb)
+
+        # HITS over the directed 'precedes' succession slice of the
+        # same KG (hubs = suppliers that lead sequences, authorities =
+        # suppliers that follow them)
+        hits_edges = [
+            (h, t) for (h, r, t) in transe_triples if r == "precedes"
+        ]
+        write(out_dir, "graph_hits",
+              precompute.hits_py(hits_edges, iterations=5))
 
         # filtered link-prediction ranking over the trained table: test
         # probes = the deterministic md5 % 5 == 0 slice of the training
