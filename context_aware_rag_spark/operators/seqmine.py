@@ -124,3 +124,61 @@ def markov_transitions(
         "from_total",
         F.expr("n_obs * 1000000 div from_total").alias("p_ppm"),
     )
+
+
+def eventually_follows(
+    events: DataFrame,
+    group: str = "user_id",
+    order_by: Sequence[str] = ("ts", "event_id"),
+    token: str = "event_type",
+    max_distance: int = 10,
+    min_groups: int = 1,
+) -> DataFrame:
+    """Eventually-follows matrix (the process-mining EF relation, van
+    der Aalst 2016 §6): (from_token, to_token, n_groups) where
+    n_groups counts sequences containing ``from`` at SOME position
+    strictly before ``to`` within ``max_distance`` steps — the
+    transitive behavioural signal :func:`markov_transitions`'
+    directly-follows counts miss (A -> X -> B never shows an A->B
+    direct transition).
+
+    Each sequence contributes AT MOST ONE count per (from, to) pair
+    (the standard per-case support), so hot chains cannot inflate the
+    relation. ``max_distance`` bounds the per-sequence pair fan-out
+    at L * d (None would be the quadratic L^2 — allowed but the
+    caller owns it, documented not defaulted).
+
+    100 TB shape: one group-keyed window assigns positions, one
+    position-banded self-join per group (fan-out <= max_distance per
+    row), one distinct + one map-side-combined count.
+    """
+    if max_distance is not None and max_distance < 1:
+        raise ValueError(f"need max_distance >= 1, got {max_distance}")
+    if min_groups < 1:
+        raise ValueError(f"need min_groups >= 1, got {min_groups}")
+    w = _seq_window(group, order_by)
+    pos = events.select(
+        F.col(group).alias("_g"),
+        F.col(token).cast("string").alias("tok"),
+        F.row_number().over(w).alias("pos"),
+    ).localCheckpoint()  # self-joined
+    a, b = pos.alias("a"), pos.alias("b")
+    cond = (F.col("a._g") == F.col("b._g")) & (
+        F.col("a.pos") < F.col("b.pos")
+    )
+    if max_distance is not None:
+        cond = cond & (
+            F.col("b.pos") - F.col("a.pos") <= max_distance
+        )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._g").alias("_g"),
+            F.col("a.tok").alias("from_token"),
+            F.col("b.tok").alias("to_token"),
+        )
+        .dropDuplicates()
+        .groupBy("from_token", "to_token")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .filter(F.col("n_groups") >= min_groups)
+    )

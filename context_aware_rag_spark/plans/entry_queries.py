@@ -6935,3 +6935,35 @@ def kg_graph_hits_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.hits(prec, iterations=5)
+
+
+@xq(
+    "event_eventually_follows",
+    """
+    WITH pos AS (
+      SELECT user_id AS g, CAST(event_type AS VARCHAR) AS tok,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    pairs AS (
+      SELECT DISTINCT a.g, a.tok AS from_token, b.tok AS to_token
+      FROM pos a
+      JOIN pos b ON a.g = b.g AND a.pos < b.pos AND b.pos - a.pos <= 10
+    )
+    SELECT from_token, to_token, count(*) AS n_groups
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def event_eventually_follows_q(spark, sf_dir):
+    """Eventually-follows relation over per-user event sequences
+    (distance <= 10, per-case support >= 5): the transitive
+    behavioural matrix that directly-follows (event_markov_transitions)
+    structurally misses. Twin replicates positions, the banded
+    self-join, the per-case dedup and the support cut."""
+    from ..operators import seqmine
+
+    return seqmine.eventually_follows(
+        load(spark, sf_dir, "events"), max_distance=10, min_groups=5
+    )

@@ -118,3 +118,43 @@ class TestMarkovTransitions:
             by_from.setdefault(r.from_token, []).append(r.p_ppm)
         for tok, ppms in by_from.items():
             assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, tok
+
+
+class TestEventuallyFollows:
+    def _run(self, spark, rows, **kw):
+        ev = _events(spark, rows)
+        return {
+            (r.from_token, r.to_token): r.n_groups
+            for r in seqmine.eventually_follows(
+                ev, token="tok", **kw
+            ).collect()
+        }
+
+    def test_transitive_pair_counted(self, spark):
+        # a > x > b: EF sees (a,b); directly-follows would not
+        got = self._run(spark, [(1, 0, "a"), (1, 1, "x"), (1, 2, "b")])
+        assert got[("a", "b")] == 1
+        assert got[("a", "x")] == 1 and got[("x", "b")] == 1
+
+    def test_per_case_support_not_inflated(self, spark):
+        # a before b three times in ONE sequence -> still support 1
+        rows = [(1, i, t) for i, t in enumerate("ababab")]
+        got = self._run(spark, rows)
+        assert got[("a", "b")] == 1
+
+    def test_max_distance_bounds(self, spark):
+        rows = [(1, i, t) for i, t in enumerate("axxxb")]
+        assert ("a", "b") in self._run(spark, rows, max_distance=4)
+        assert ("a", "b") not in self._run(spark, rows, max_distance=3)
+
+    def test_support_across_sequences(self, spark):
+        rows = [(u, 0, "a") for u in (1, 2, 3)] + [
+            (u, 1, "b") for u in (1, 2)
+        ]
+        got = self._run(spark, rows, min_groups=2)
+        assert got == {("a", "b"): 2}
+
+    def test_validation(self, spark):
+        ev = _events(spark, [(1, 0, "a")])
+        with pytest.raises(ValueError, match="max_distance"):
+            seqmine.eventually_follows(ev, token="tok", max_distance=0)
