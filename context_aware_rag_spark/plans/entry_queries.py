@@ -447,7 +447,7 @@ def a4_entity_frequency(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "a7_last_event_per_user",
     """
     SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
@@ -471,7 +471,7 @@ def a7_last_event_per_user(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "a9_distinct_users_per_type",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -483,7 +483,7 @@ def a9_distinct_users_per_type(spark, sf_dir):
     return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
 
 
-@q(
+@xq(
     "o2_order_limit",
     """
     SELECT event_id, value FROM events
@@ -6181,7 +6181,7 @@ def kg_graph_modularity_q(spark, sf_dir):
 # Minimum spanning forest: weighted co-occurrence backbone
 # =========================================================================
 
-@xq(
+@q(
     "kg_graph_msf",
     f"""
     SELECT src, dst, weight FROM read_parquet('{_pq("graph_msf")}')
@@ -6395,7 +6395,7 @@ def kg_graph_mis_q(spark, sf_dir):
 # Temporal reachability: earliest-arrival information flow
 # =========================================================================
 
-@xq(
+@q(
     "kg_temporal_reachability",
     """
     WITH RECURSIVE
@@ -6784,7 +6784,7 @@ def attribution_linear_q(spark, sf_dir):
 # DeepWalk: walks -> skip-grams -> distributed SGNS embeddings
 # =========================================================================
 
-@xq(
+@q(
     "kg_deepwalk_embeddings",
     f"""
     SELECT kind, node_id, d, v_micro
