@@ -1980,3 +1980,38 @@ def hits_py(
         mx = max(1, max(h_new.values()))
         h = {n: _tdiv(h_new[n] * 1_000_000, mx) for n in nodes}
     return sorted((n, h[n], a[n]) for n in nodes)
+
+
+def densest_py(
+    edges: "Sequence[tuple]", eps_ppm: int = 100_000
+) -> "List[Tuple[str, int, int, int, int]]":
+    """Pure-Python replication of operators/graph.densest_subgraph
+    (Bahmani et al. 2012 greedy peeling). Returns sorted
+    (node_id, density_ppm, n_nodes, n_edges, found_round)."""
+    cur = set()
+    for a, b in {(str(a), str(b)) for a, b in edges}:
+        if a != b:
+            cur.add((min(a, b), max(a, b)))
+    live = {n for e in cur for n in e}
+    best = None
+    r = 0
+    while live:
+        n_s, e_s = len(live), len(cur)
+        density = (e_s * 1_000_000) // n_s
+        if best is None or density > best[0]:
+            best = (density, sorted(live), n_s, e_s, r)
+        if e_s == 0:
+            break
+        deg: Dict[str, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        thresh = 2 * e_s * (1_000_000 + eps_ppm)
+        live = {
+            n for n in live
+            if deg.get(n, 0) * n_s * 1_000_000 > thresh
+        }
+        cur = {(a, b) for a, b in cur if a in live and b in live}
+        r += 1
+    density, nodes, n_s, e_s, r = best
+    return sorted((n, density, n_s, e_s, r) for n in nodes)

@@ -6967,3 +6967,29 @@ def event_eventually_follows_q(spark, sf_dir):
     return seqmine.eventually_follows(
         load(spark, sf_dir, "events"), max_distance=10, min_groups=5
     )
+
+
+# =========================================================================
+# Densest subgraph: community-core extraction
+# =========================================================================
+
+@xq(
+    "kg_graph_densest",
+    f"""
+    SELECT node_id, density_ppm, n_nodes, n_edges, found_round
+    FROM read_parquet('{_pq("graph_densest")}')
+    """,
+)
+def kg_graph_densest_q(spark, sf_dir):
+    """Greedy densest subgraph (Bahmani et al., VLDB 2012) over the
+    heterogeneous c->o->s->n KG (sparse and layered, so the peel
+    actually RUNS — the near-complete supplier co-occurrence graph is
+    its own densest core at round 0, structurally boring): peel
+    deg <= 2(1+eps)rho per round, keep the best-density snapshot —
+    the 2(1+eps)-approx community core, found here at round 1.
+    Integer peel test in decimal(38,0); twin = precomputed
+    pure-Python peeling replication (precompute.densest_py), pinning
+    the node set, the ppm density and the round it was found."""
+    from ..operators import graph
+
+    return graph.densest_subgraph(_walk_kg_edges(spark, sf_dir))

@@ -950,3 +950,60 @@ class TestHits:
 
         with _pytest.raises(ValueError, match="iterations"):
             graph.hits(e, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# densest subgraph (Bahmani greedy peeling)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import densest_py  # noqa: E402
+
+
+class TestDensestSubgraph:
+    def _run(self, spark, pairs, eps_ppm=100_000):
+        e = spark.createDataFrame(pairs, "src: string, dst: string")
+        return sorted(
+            (r.node_id, r.density_ppm, r.n_nodes, r.n_edges, r.found_round)
+            for r in graph.densest_subgraph(e, eps_ppm=eps_ppm).collect()
+        )
+
+    def test_clique_with_tail_finds_the_clique(self, spark):
+        # K5 (density 2.0) plus a long path (density ~1): the clique
+        # must survive as the densest core
+        k5 = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+        tail = [(f"p{i}", f"p{i+1}") for i in range(8)] + [("k0", "p0")]
+        rows = self._run(spark, k5 + tail)
+        nodes = {n for n, *_ in rows}
+        assert nodes == {f"k{i}" for i in range(5)}
+        assert rows[0][1] == 2_000_000  # 10 edges / 5 nodes
+
+    def test_matches_python_on_random_graphs(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        for tag, n, mod in (("d1", 14, 3), ("d2", 20, 5)):
+            pairs = [
+                (f"v{i:02d}", f"v{j:02d}")
+                for i in range(n)
+                for j in range(i + 1, n)
+                if h(f"{tag}:{i}:{j}") % mod == 0
+            ]
+            assert self._run(spark, pairs) == densest_py(pairs), tag
+
+    def test_single_edge(self, spark):
+        rows = self._run(spark, [("a", "b")])
+        assert [(n, d) for n, d, *_ in rows] == [
+            ("a", 500_000), ("b", 500_000)
+        ]
+
+    def test_validation(self, spark):
+        e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="eps_ppm"):
+            graph.densest_subgraph(e, eps_ppm=-1)
+        empty = spark.createDataFrame([("a", "a")], "src: string, dst: string")
+        with _pytest.raises(ValueError, match="empty graph"):
+            graph.densest_subgraph(empty)

@@ -114,6 +114,11 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "graph_densest": pa.schema(
+        [("node_id", pa.string()), ("density_ppm", pa.int64()),
+         ("n_nodes", pa.int64()), ("n_edges", pa.int64()),
+         ("found_round", pa.int32())]
+    ),
     "graph_hits": pa.schema(
         [("node_id", pa.string()), ("hub_micro", pa.int64()),
          ("auth_micro", pa.int64())]
@@ -376,6 +381,10 @@ def main(sf_dirs: list[str]) -> None:
         # structurally boring)
         write(out_dir, "graph_mis", precompute.mis_py(n2v_edges))
 
+        # densest core of the same layered KG (real peeling: the
+        # best snapshot lands at round 1)
+        write(out_dir, "graph_densest", precompute.densest_py(n2v_edges))
+
         # 10-truss of the >= 25-gated co-occurrence graph: 1271 of
         # 1782 edges survive a real peeling cascade
         ktruss_pairs = con.execute(
@@ -393,6 +402,7 @@ def main(sf_dirs: list[str]) -> None:
         ).fetchall()
         write(out_dir, "graph_ktruss",
               precompute.k_truss_py(ktruss_pairs, k=10))
+
 
         # TransE corpus: two relations over the supplier entity space —
         # 'cooccurs' (undirected co-occurrence at the >= 32 gate, both
