@@ -2015,3 +2015,56 @@ def densest_py(
         r += 1
     density, nodes, n_s, e_s, r = best
     return sorted((n, density, n_s, e_s, r) for n in nodes)
+
+
+def textrank_py(
+    docs: "Sequence[tuple]",
+    top_k: int = 3,
+    threshold_ppm: int = 200_000,
+    iterations: int = 10,
+    damping_pct: int = 85,
+) -> "List[Tuple[str, int, str, int, int]]":
+    """Pure-Python replication of operators/textrank.textrank_summary.
+    ``docs``: (doc_id, text). Returns sorted
+    (doc_id, sent_idx, sentence, rank_micro_or_None, rk)."""
+    import re
+
+    sents = []  # (doc_id, idx, sentence, wordset)
+    for doc_id, text in docs:
+        for idx, s in enumerate(re.split(r"(?<=[.!?])\s+", text or "")):
+            if s.strip():
+                words = frozenset(
+                    w for w in normalize_py(s).split(" ") if w
+                )
+                sents.append((str(doc_id), idx, s, words))
+    pairs = []
+    by_doc: Dict[str, list] = {}
+    for row in sents:
+        by_doc.setdefault(row[0], []).append(row)
+    for doc_id, rows in by_doc.items():
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (_, ia, _, wa), (_, ib, _, wb) = rows[i], rows[j]
+                uni = len(wa | wb)
+                if uni == 0:
+                    continue
+                jac = (len(wa & wb) * 1_000_000) // uni
+                if jac >= threshold_ppm:
+                    a = f"{doc_id}\x1f{ia}"
+                    b = f"{doc_id}\x1f{ib}"
+                    pairs.append((a, b))
+                    pairs.append((b, a))
+    ranks = pagerank_py(pairs, iterations=iterations,
+                        damping_pct=damping_pct)
+    out = []
+    for doc_id, rows in by_doc.items():
+        keyed = [
+            (ranks.get(f"{doc_id}\x1f{idx}"), idx, s)
+            for (_, idx, s, _) in rows
+        ]
+        # rank desc NULLS LAST, idx asc
+        keyed.sort(key=lambda t: (t[0] is None, -(t[0] or 0), t[1]))
+        for rk, (r, idx, s) in enumerate(keyed[:top_k], start=1):
+            out.append((doc_id, idx, s, r, rk))
+    out.sort(key=lambda t: (t[0], t[4]))
+    return out

@@ -6993,3 +6993,31 @@ def kg_graph_densest_q(spark, sf_dir):
     from ..operators import graph
 
     return graph.densest_subgraph(_walk_kg_edges(spark, sf_dir))
+
+
+# =========================================================================
+# TextRank extractive summarization
+# =========================================================================
+
+@xq(
+    "doc_textrank_summary",
+    f"""
+    SELECT doc_id, sent_idx, sentence, rank_micro, rk
+    FROM read_parquet('{_pq("doc_textrank")}')
+    """,
+)
+def doc_textrank_summary_q(spark, sf_dir):
+    """TextRank extractive summarization (Mihalcea & Tarau 2004):
+    top-3 sentences per document by integer PageRank over the
+    per-document sentence-similarity graph (Jaccard-ppm >= 0.15 on
+    distinct normalized words) — the deterministic baseline
+    summarizer the generative path is graded against via
+    rouge2_excerpt_eval's machinery. Symmetric edges mean zero
+    dangling mass, so one corpus-wide power iteration ranks every
+    document independently. Twin = precomputed pure-Python
+    replication (precompute.textrank_py), bit-exact ranks included."""
+    from ..operators.textrank import textrank_summary
+
+    return textrank_summary(
+        load(spark, sf_dir, "documents"), top_k=3, threshold_ppm=150_000
+    )

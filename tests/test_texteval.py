@@ -74,3 +74,69 @@ class TestRougeN:
             rouge_n_scores(df, n=0)
         with pytest.raises(ValueError, match="id column"):
             rouge_n_scores(df, id_cols=())
+
+
+# ---------------------------------------------------------------------------
+# TextRank extractive summarization
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.operators.textrank import textrank_summary
+from context_aware_rag_spark.oracle.precompute import textrank_py
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: string, text: string")
+
+
+class TestTextrankSummary:
+    def test_matches_python(self, spark):
+        rows = [
+            ("d1", "The cat sat on the mat. The cat sat near the mat! "
+                   "A dog barked loudly? Nothing shared here at all. "
+                   "The mat was sat on by the cat."),
+            ("d2", "Alpha beta gamma. Delta epsilon zeta. Alpha beta delta."),
+            ("d3", "One sentence only"),
+        ]
+        got = sorted(
+            (r.doc_id, r.sent_idx, r.sentence, r.rank_micro, r.rk)
+            for r in textrank_summary(
+                _docs(spark, rows), top_k=2, threshold_ppm=150_000
+            ).collect()
+        )
+        exp = sorted(textrank_py(rows, top_k=2, threshold_ppm=150_000))
+        assert got == exp
+
+    def test_central_sentence_wins(self, spark):
+        # s0 overlaps both s1 and s2; s1 and s2 share nothing: the
+        # hub sentence s0 must rank first
+        rows = [("d", "apple banana cherry. apple banana mango. "
+                      "cherry plum kiwi.")]
+        out = textrank_summary(
+            _docs(spark, rows), top_k=1, threshold_ppm=100_000
+        ).collect()
+        assert len(out) == 1 and out[0].sent_idx == 0
+
+    def test_isolated_sentences_sort_last_but_survive(self, spark):
+        rows = [("d", "shared words here. shared words there. "
+                      "totally disjoint clause!")]
+        out = {
+            r.sent_idx: (r.rank_micro, r.rk)
+            for r in textrank_summary(
+                _docs(spark, rows), top_k=3, threshold_ppm=300_000
+            ).collect()
+        }
+        assert out[2][0] is None and out[2][1] == 3
+        assert out[0][1] in (1, 2) and out[1][1] in (1, 2)
+
+    def test_single_sentence_doc_survives(self, spark):
+        out = textrank_summary(
+            _docs(spark, [("d", "just one line")]), top_k=3
+        ).collect()
+        assert len(out) == 1 and out[0].rk == 1 and out[0].rank_micro is None
+
+    def test_validation(self, spark):
+        d = _docs(spark, [("d", "a. b.")])
+        with pytest.raises(ValueError, match="top_k"):
+            textrank_summary(d, top_k=0)
+        with pytest.raises(ValueError, match="threshold"):
+            textrank_summary(d, threshold_ppm=2_000_000)

@@ -114,6 +114,11 @@ SCHEMAS = {
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
+    "doc_textrank": pa.schema(
+        [("doc_id", pa.string()), ("sent_idx", pa.int32()),
+         ("sentence", pa.string()), ("rank_micro", pa.int64()),
+         ("rk", pa.int32())]
+    ),
     "graph_densest": pa.schema(
         [("node_id", pa.string()), ("density_ppm", pa.int64()),
          ("n_nodes", pa.int64()), ("n_edges", pa.int64()),
@@ -281,6 +286,9 @@ def main(sf_dirs: list[str]) -> None:
               precompute.gazetteer_tag_py(docs))
         write(out_dir, "compression_ratio",
               precompute.compression_ratio_py(docs))
+        write(out_dir, "doc_textrank",
+              precompute.textrank_py(docs, top_k=3,
+                                     threshold_ppm=150_000))
         write(out_dir, "tokenize_and_pack",
               precompute.tokenize_and_pack_py(docs, max_tokens=512))
         write(out_dir, "training_data_pipeline",
