@@ -2048,3 +2048,85 @@ def densest_subgraph(
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.lit(r).cast("int").alias("found_round"),
     )
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_colors: int = 64,
+) -> DataFrame:
+    """Conflict-free color classes via iterated MIS (the classic
+    Luby reduction: color c = a maximal independent set of the
+    residual graph): (node_id, color) with NO edge joining two
+    same-color nodes, colors 0-based and every class maximal in its
+    residual — the batch scheduler for conflicting updates (merge
+    canonical groups / apply edge rewrites in waves that cannot
+    race), bounded by max-degree + 1 classes.
+
+    Determinism is inherited wholesale from
+    :func:`maximal_independent_set`'s (md5, node) priorities, so the
+    pure-Python oracle (oracle/precompute.coloring_py) replays the
+    exact class assignment. RAISES if the graph is not exhausted
+    within ``max_colors`` classes (degree > max_colors territory —
+    the caller should know, not receive a partial coloring).
+
+    100 TB shape: each color class costs one MIS run on the residual
+    graph (the peel-family round shape); the residual shrinks by the
+    class plus nothing else, so total work is sum over classes of the
+    live edge set — worst case Delta passes, in practice few (random
+    priorities 3-color most sparse graphs).
+    """
+    if max_colors < 1:
+        raise ValueError(f"need max_colors >= 1, got {max_colors}")
+    sym = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        sym.unionAll(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "node_id string, color int")
+    live_edges = sym
+    live_nodes = sym.select(F.col("u").alias("node_id")).distinct().localCheckpoint()
+    for color in range(max_colors):
+        if live_nodes.count() == 0:
+            return out
+        # isolated residual nodes all join this class (MIS of an
+        # empty graph is everything)
+        mis = (
+            maximal_independent_set(
+                live_edges.select(
+                    F.col("u").alias("src"), F.col("v").alias("dst")
+                )
+            ).select("node_id")
+            if live_edges.count() > 0
+            else live_nodes
+        )
+        # nodes isolated in the residual are absent from live_edges
+        # but still colorable now: no live neighbor can conflict
+        in_edges = live_edges.select(F.col("u").alias("node_id")).distinct()
+        isolated = live_nodes.join(in_edges, "node_id", "left_anti")
+        cls = mis.unionByName(isolated).dropDuplicates().localCheckpoint()
+        out = out.unionByName(
+            cls.withColumn("color", F.lit(color))
+        ).localCheckpoint()
+        live_nodes = live_nodes.join(cls, "node_id", "left_anti").localCheckpoint()
+        live_edges = (
+            live_edges.join(
+                cls.withColumnRenamed("node_id", "u"), "u", "left_anti"
+            )
+            .join(cls.withColumnRenamed("node_id", "v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+    if live_nodes.count() == 0:
+        return out
+    raise RuntimeError(
+        f"greedy_coloring did not exhaust the graph in {max_colors} colors"
+    )

@@ -2068,3 +2068,33 @@ def textrank_py(
             out.append((doc_id, idx, s, r, rk))
     out.sort(key=lambda t: (t[0], t[4]))
     return out
+
+
+def coloring_py(edges: "Sequence[tuple]") -> "List[Tuple[str, int]]":
+    """Pure-Python replication of operators/graph.greedy_coloring:
+    iterated deterministic-Luby MIS classes. Returns sorted
+    (node_id, color)."""
+    adj: Dict[str, set] = {}
+    for a, b in {(str(a), str(b)) for a, b in edges}:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live = set(adj)
+    out: List[Tuple[str, int]] = []
+    color = 0
+    while live:
+        sub = [
+            (a, b) for a in live for b in adj[a] if b in live and a < b
+        ]
+        if sub:
+            cls = {n for n, _ in mis_py(sub)}
+        else:
+            cls = set()
+        # residual-isolated nodes join unconditionally
+        cls |= {n for n in live if not (adj[n] & live)}
+        out.extend((n, color) for n in cls)
+        live -= cls
+        color += 1
+    out.sort()
+    return out

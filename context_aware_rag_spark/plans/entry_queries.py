@@ -7021,3 +7021,41 @@ def doc_textrank_summary_q(spark, sf_dir):
     return textrank_summary(
         load(spark, sf_dir, "documents"), top_k=3, threshold_ppm=150_000
     )
+
+
+# =========================================================================
+# Greedy coloring: conflict-free update waves
+# =========================================================================
+
+@xq(
+    "kg_graph_coloring",
+    f"""
+    SELECT node_id, color FROM read_parquet('{_pq("graph_coloring")}')
+    """,
+)
+def kg_graph_coloring_q(spark, sf_dir):
+    """Iterated-MIS greedy coloring over the >= 25-gated supplier
+    co-occurrence graph (near-clique: 17 conflict-free classes over
+    100 nodes — a REAL multi-class cascade): the batch scheduler for
+    conflicting KG updates (merge waves that cannot race). Twin =
+    precomputed pure-Python replication (precompute.coloring_py) of
+    the identical MIS-class sequence."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 25)
+        .select("src", "dst")
+    )
+    return graph.greedy_coloring(pairs)

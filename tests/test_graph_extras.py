@@ -1007,3 +1007,53 @@ class TestDensestSubgraph:
         empty = spark.createDataFrame([("a", "a")], "src: string, dst: string")
         with _pytest.raises(ValueError, match="empty graph"):
             graph.densest_subgraph(empty)
+
+
+# ---------------------------------------------------------------------------
+# greedy coloring (iterated MIS)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import coloring_py  # noqa: E402
+
+
+class TestGreedyColoring:
+    def _run(self, spark, pairs, **kw):
+        e = spark.createDataFrame(pairs, "src: string, dst: string")
+        return sorted(
+            (r.node_id, r.color)
+            for r in graph.greedy_coloring(e, **kw).collect()
+        )
+
+    def test_matches_python_and_is_proper(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        pairs = [
+            (f"c{i:02d}", f"c{j:02d}")
+            for i in range(12)
+            for j in range(i + 1, 12)
+            if h(f"col:{i}:{j}") % 3 == 0
+        ]
+        got = self._run(spark, pairs)
+        assert got == coloring_py(pairs)
+        col = dict(got)
+        for a, b in pairs:
+            assert col[a] != col[b], (a, b)
+
+    def test_triangle_needs_three_colors(self, spark):
+        got = self._run(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        assert {c for _, c in got} == {0, 1, 2}
+
+    def test_star_is_two_colors(self, spark):
+        pairs = [("hub", f"x{i}") for i in range(5)]
+        col = dict(self._run(spark, pairs))
+        assert {col["hub"]} | {col[f"x{i}"] for i in range(5)} == {0, 1}
+
+    def test_max_colors_raises(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], "src: string, dst: string"
+        )
+        with pytest.raises(RuntimeError, match="exhaust"):
+            graph.greedy_coloring(e, max_colors=2)

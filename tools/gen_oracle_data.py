@@ -119,6 +119,9 @@ SCHEMAS = {
          ("sentence", pa.string()), ("rank_micro", pa.int64()),
          ("rk", pa.int32())]
     ),
+    "graph_coloring": pa.schema(
+        [("node_id", pa.string()), ("color", pa.int32())]
+    ),
     "graph_densest": pa.schema(
         [("node_id", pa.string()), ("density_ppm", pa.int64()),
          ("n_nodes", pa.int64()), ("n_edges", pa.int64()),
@@ -410,6 +413,12 @@ def main(sf_dirs: list[str]) -> None:
         ).fetchall()
         write(out_dir, "graph_ktruss",
               precompute.k_truss_py(ktruss_pairs, k=10))
+
+        # conflict-free update waves over the dense co-occurrence
+        # graph (>= 25 gate: a near-clique needs MANY classes — a
+        # real iterated-MIS exercise)
+        write(out_dir, "graph_coloring",
+              precompute.coloring_py(ktruss_pairs))
 
 
         # TransE corpus: two relations over the supplier entity space —
