@@ -7059,3 +7059,94 @@ def kg_graph_coloring_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.greedy_coloring(pairs)
+
+
+@xq(
+    "kg_graph_lpa_modularity",
+    f"""
+    WITH pairs AS (
+      SELECT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT x.l_orderkey) >= 35
+    ),
+    canon AS (
+      SELECT DISTINCT
+        least(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+        greatest(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+      FROM pairs
+    ),
+    lab AS (
+      SELECT CAST(node_id AS VARCHAR) AS n, CAST(label AS VARCHAR) AS lab
+      FROM read_parquet('{_pq("graph_lpa")}')
+    ),
+    edges AS (
+      SELECT c.lo, c.hi, ll.lab AS lab_lo, lh.lab AS lab_hi
+      FROM canon c
+      JOIN lab ll ON ll.n = c.lo
+      JOIN lab lh ON lh.n = c.hi
+    ),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS m_edges FROM edges),
+    intra AS (
+      SELECT lab_lo AS label, count(*) AS intra_edges
+      FROM edges WHERE lab_lo = lab_hi GROUP BY 1
+    ),
+    ends AS (
+      SELECT lo AS node, lab_lo AS label FROM edges
+      UNION ALL
+      SELECT hi AS node, lab_hi AS label FROM edges
+    ),
+    per AS (
+      SELECT label, count(*) AS deg_sum, count(DISTINCT node) AS n_nodes
+      FROM ends GROUP BY 1
+    )
+    SELECT p.label,
+           CAST(p.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           CAST(p.deg_sum AS BIGINT) AS deg_sum,
+           CAST((CAST(coalesce(i.intra_edges, 0) AS HUGEINT) * 1000000)
+                // m.m_edges AS BIGINT) AS coverage_ppm,
+           CAST((CAST(p.deg_sum AS HUGEINT) * CAST(p.deg_sum AS HUGEINT)
+                 * 1000000) // (4 * m.m_edges * m.m_edges) AS BIGINT)
+             AS expected_ppm,
+           CAST((CAST(coalesce(i.intra_edges, 0) AS HUGEINT) * 1000000)
+                // m.m_edges AS BIGINT)
+           - CAST((CAST(p.deg_sum AS HUGEINT) * CAST(p.deg_sum AS HUGEINT)
+                   * 1000000) // (4 * m.m_edges * m.m_edges) AS BIGINT)
+             AS q_ppm
+    FROM per p
+    LEFT JOIN intra i USING (label)
+    CROSS JOIN m
+    """,
+)
+def kg_graph_lpa_modularity_q(spark, sf_dir):
+    """COMPOSITION: the LPA communities (kg_graph_lpa's exact run)
+    scored by graph.modularity — partition quality of the engine's
+    own community output, per community. The twin takes the labels
+    from the INDEPENDENTLY verified pure-Python LPA snapshot and
+    replicates the HUGEINT modularity arithmetic in SQL, so the hash
+    gates the composition, not just each stage."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 35)
+        .select("src", "dst")
+    )
+    labels = graph.label_propagation(pairs, max_iter=10).select(
+        "node_id", F.col("label").cast("string").alias("label")
+    )
+    return graph.modularity(pairs, labels)
