@@ -108,6 +108,8 @@ def main() -> None:
         "hll_distinct_3m",
         "cms_build_3m",
         "range_join_2m",
+        "conv_metrics_100x",
+        "textrank_2k",
     ):
         samples[extra] = []
 
@@ -327,6 +329,32 @@ def main() -> None:
         ).count()
         samples["cms_build_3m"].append(round(time.monotonic() - t0, 3))
 
+        # conversation-shape metrics over the 100x transcript corpus
+        # (the payload surface: one conv-keyed window + one agg)
+        from context_aware_rag_spark.operators.convstats import (
+            conv_turn_metrics,
+        )
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_conv_metrics_100x"] = conv_turn_metrics(big100).count()
+        samples["conv_metrics_100x"].append(round(time.monotonic() - t0, 3))
+
+        # TextRank extractive summaries over a 2k-doc slice: sentence
+        # split + per-doc similarity self-join + ONE corpus-wide
+        # integer-PageRank power iteration over the sentence graph
+        from context_aware_rag_spark.operators.textrank import (
+            textrank_summary,
+        )
+
+        docs2k = docs50k.filter(F.col("doc_id") < 2000)
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_textrank_2k_rows"] = textrank_summary(
+            docs2k, top_k=3, threshold_ppm=150_000
+        ).count()
+        samples["textrank_2k"].append(round(time.monotonic() - t0, 3))
+
         # bucketed range join at scale: 2M points against 200k
         # intervals (avg length 300, bucket width 512 -> fan-out ~1.6)
         # — the point-in-interval shape that nested-loops without the
@@ -367,6 +395,8 @@ def main() -> None:
         "hll_distinct_3m",
         "cms_build_3m",
         "range_join_2m",
+        "conv_metrics_100x",
+        "textrank_2k",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in scale_entries), 3
@@ -425,6 +455,14 @@ def main() -> None:
             "range_join_matches": kg_counts["n_range_join_matches"],
             "range_join_points_per_sec": round(
                 2_000_000 / timings["range_join_2m"], 1
+            ),
+            "conv_metrics_100x_convs": kg_counts["n_conv_metrics_100x"],
+            "conv_metrics_100x_turns_per_sec": round(
+                n_big100_turns / timings["conv_metrics_100x"], 1
+            ),
+            "textrank_2k_rows": kg_counts["n_textrank_2k_rows"],
+            "textrank_2k_docs_per_sec": round(
+                2000 / timings["textrank_2k"], 1
             ),
         },
         "cpus": int(cpus),

@@ -2098,3 +2098,41 @@ def coloring_py(edges: "Sequence[tuple]") -> "List[Tuple[str, int]]":
         color += 1
     out.sort()
     return out
+
+
+def pagerank_weighted_py(
+    edges: "Sequence[tuple]",
+    iterations: int = 10,
+    damping_pct: int = 85,
+) -> "Dict[str, int]":
+    """Independent recomputation of operators/graph.pagerank_weighted
+    (per-edge trunc share; parallel edges sum)."""
+    from collections import defaultdict
+
+    w: Dict[Tuple[str, str], int] = defaultdict(int)
+    for a, b, ww in edges:
+        w[(str(a), str(b))] += int(ww)
+    w_out: Dict[str, int] = defaultdict(int)
+    nodes = set()
+    for (a, b), ww in w.items():
+        w_out[a] += ww
+        nodes.add(a)
+        nodes.add(b)
+    nodes = sorted(nodes)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    teleport = ((100 - damping_pct) * 1_000_000) // 100
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(iterations):
+        inbound: Dict[str, int] = defaultdict(int)
+        for (a, b), ww in w.items():
+            inbound[b] += _tdiv(r[a] * ww, w_out[a])
+        dang = sum(r[v] for v in nodes if v not in w_out)
+        ds = _tdiv(dang, n)
+        r = {
+            v: teleport
+            + _tdiv(damping_pct * (inbound.get(v, 0) + ds), 100)
+            for v in nodes
+        }
+    return r

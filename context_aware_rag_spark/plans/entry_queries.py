@@ -7150,3 +7150,49 @@ def kg_graph_lpa_modularity_q(spark, sf_dir):
         "node_id", F.col("label").cast("string").alias("label")
     )
     return graph.modularity(pairs, labels)
+
+
+@xq(
+    "kg_graph_pagerank_weighted",
+    f"""
+    SELECT node_id, rank_micro
+    FROM read_parquet('{_pq("graph_pagerank_weighted")}')
+    """,
+)
+def kg_graph_pagerank_weighted_q(spark, sf_dir):
+    """Weighted PageRank over the >= 15-gated supplier co-occurrence
+    graph (both directions), edge pull = the double-trunc
+    co-occurrence strength 1e6 div (1e6 div n_orders) — the
+    entity-salience signal where a 500-shared-order pairing moves
+    more rank than a 15-order one. Per-edge trunc share
+    (r*w div w_out), one edge-sized exchange per iteration; twin =
+    precomputed pure-Python replication
+    (precompute.pagerank_weighted_py), bit-exact after 10
+    iterations."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    base = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").cast("string").alias("src"),
+            F.col("y.l_suppkey").cast("string").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+        .select(
+            "src", "dst",
+            F.expr("1000000 div (1000000 div n_orders)").alias("weight"),
+        )
+    )
+    edges = base.unionAll(
+        base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return graph.pagerank_weighted(edges)

@@ -1057,3 +1057,54 @@ class TestGreedyColoring:
         )
         with pytest.raises(RuntimeError, match="exhaust"):
             graph.greedy_coloring(e, max_colors=2)
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import (  # noqa: E402
+    pagerank_py,
+    pagerank_weighted_py,
+)
+
+
+class TestPagerankWeighted:
+    def _run(self, spark, triples, **kw):
+        e = spark.createDataFrame(triples, "src: string, dst: string, weight: long")
+        return {
+            r.node_id: r.rank_micro
+            for r in graph.pagerank_weighted(e, **kw).collect()
+        }
+
+    def test_matches_python(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        triples = [
+            (f"p{i}", f"p{j}", 1 + h(f"pw:{i}:{j}") % 9)
+            for i in range(9)
+            for j in range(9)
+            if i != j and h(f"pe:{i}:{j}") % 3 == 0
+        ]
+        assert self._run(spark, triples) == pagerank_weighted_py(triples)
+
+    def test_heavier_edge_pulls_more_rank(self, spark):
+        # a splits 9:1 between b and c; dangling mass recycles evenly,
+        # so b must outrank c
+        got = self._run(spark, [("a", "b", 9), ("a", "c", 1)])
+        assert got["b"] > got["c"]
+
+    def test_parallel_edges_sum(self, spark):
+        one = self._run(spark, [("a", "b", 2), ("a", "c", 1)])
+        dup = self._run(spark, [("a", "b", 1), ("a", "b", 1), ("a", "c", 1)])
+        assert one == dup
+
+    def test_nonpositive_weight_raises(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b", 0)], "src: string, dst: string, weight: long"
+        )
+        with pytest.raises(Exception, match="positive"):
+            graph.pagerank_weighted(e).collect()

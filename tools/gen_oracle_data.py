@@ -119,6 +119,9 @@ SCHEMAS = {
          ("sentence", pa.string()), ("rank_micro", pa.int64()),
          ("rk", pa.int32())]
     ),
+    "graph_pagerank_weighted": pa.schema(
+        [("node_id", pa.string()), ("rank_micro", pa.int64())]
+    ),
     "graph_coloring": pa.schema(
         [("node_id", pa.string()), ("color", pa.int32())]
     ),
@@ -347,6 +350,16 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_msf", precompute.msf_py(msf_edges))
+
+        # weighted PageRank over the same graph with n_orders pull
+        # (weight = 1e6 div w of the MSF costs, i.e. the raw
+        # co-occurrence strength), both directions
+        wpr_edges = [
+            (str(a), str(b), 1_000_000 // w) for a, b, w in msf_edges
+        ]
+        wpr_edges += [(b, a, w) for a, b, w in wpr_edges]
+        wpr = precompute.pagerank_weighted_py(wpr_edges)
+        write(out_dir, "graph_pagerank_weighted", sorted(wpr.items()))
 
         # node2vec corpus over the heterogeneous c->o->s->n KG (the
         # kg_random_walks edge list), biased toward in-neighborhood
