@@ -2238,3 +2238,42 @@ def pagerank_weighted(
         )
     pairs.unpersist()
     return state.select("node_id", F.col("r").alias("rank_micro"))
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    min_shared: int = 2,
+    left: str = "src",
+    right: str = "dst",
+) -> DataFrame:
+    """One-mode projection of a bipartite relation: left entities
+    sharing >= ``min_shared`` distinct right neighbors become an edge
+    (a, b, n_shared) with a < b — THE co-occurrence-graph constructor
+    (suppliers sharing orders, entities sharing chunks, tools sharing
+    conversations) that a dozen engine queries spell inline.
+
+    100 TB shape: one self-equi-join on the RIGHT key (fan-out =
+    right-side degree squared — hot right keys are the skew hazard;
+    cap them upstream with a df_cap-style filter when the right side
+    is Zipfian) + one map-side-combined distinct count. The
+    min_shared gate prunes the long tail AFTER counting — the count
+    is exact, the gate is the graph-density knob every downstream
+    operator here takes.
+    """
+    if min_shared < 1:
+        raise ValueError(f"need min_shared >= 1, got {min_shared}")
+    base = edges.select(
+        F.col(left).alias("l"), F.col(right).alias("r")
+    ).dropDuplicates()
+    x, y = base.alias("x"), base.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.r") == F.col("y.r")) & (F.col("x.l") < F.col("y.l")),
+        )
+        .groupBy(
+            F.col("x.l").alias("a"), F.col("y.l").alias("b")
+        )
+        .agg(F.countDistinct("x.r").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

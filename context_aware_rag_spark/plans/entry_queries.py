@@ -7196,3 +7196,33 @@ def kg_graph_pagerank_weighted_q(spark, sf_dir):
         )
     )
     return graph.pagerank_weighted(edges)
+
+
+@xq(
+    "kg_bipartite_projection",
+    """
+    SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+           count(DISTINCT x.l_orderkey) AS n_shared
+    FROM lineitem x
+    JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT x.l_orderkey) >= 20
+    """,
+)
+def kg_bipartite_projection_q(spark, sf_dir):
+    """One-mode projection (graph.bipartite_projection) of the
+    supplier<-order bipartite relation at the >= 20 gate — the
+    co-occurrence constructor every graph query here builds on,
+    packaged as THE operator with the exact shared-count semantics
+    hash-gated."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    return graph.bipartite_projection(
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.col("l_orderkey").alias("dst"),
+        ),
+        min_shared=20,
+    )

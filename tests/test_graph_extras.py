@@ -1108,3 +1108,43 @@ class TestPagerankWeighted:
         )
         with pytest.raises(Exception, match="positive"):
             graph.pagerank_weighted(e).collect()
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection
+# ---------------------------------------------------------------------------
+
+class TestBipartiteProjection:
+    def test_hand_computed(self, spark):
+        # orders: o1 {s1,s2,s3}, o2 {s1,s2}, o3 {s2,s3}
+        rows = [
+            ("s1", "o1"), ("s2", "o1"), ("s3", "o1"),
+            ("s1", "o2"), ("s2", "o2"),
+            ("s2", "o3"), ("s3", "o3"),
+        ]
+        e = spark.createDataFrame(rows, "src: string, dst: string")
+        got = {
+            (r.a, r.b): r.n_shared
+            for r in graph.bipartite_projection(e, min_shared=1).collect()
+        }
+        assert got == {
+            ("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 2
+        }
+        gated = {
+            (r.a, r.b)
+            for r in graph.bipartite_projection(e, min_shared=2).collect()
+        }
+        assert gated == {("s1", "s2"), ("s2", "s3")}
+
+    def test_duplicate_rows_collapse(self, spark):
+        rows = [("a", "o"), ("a", "o"), ("b", "o")]
+        e = spark.createDataFrame(rows, "src: string, dst: string")
+        out = graph.bipartite_projection(e, min_shared=1).collect()
+        assert [(r.a, r.b, r.n_shared) for r in out] == [("a", "b", 1)]
+
+    def test_validation(self, spark):
+        e = spark.createDataFrame([("a", "o")], "src: string, dst: string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="min_shared"):
+            graph.bipartite_projection(e, min_shared=0)
