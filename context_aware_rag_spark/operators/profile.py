@@ -122,3 +122,54 @@ def check_expectations(
         ).otherwise(F.lit(0)).cast("long").alias("violation_ppm"),
         (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+    k_x10: int = 30,
+) -> DataFrame:
+    """Median/MAD outlier flagging (the robust z-score, Iglewicz &
+    Hoaglin 1993): per group, med = exact median, mad = exact median
+    of |x - med|, and x flags when 10*|x - med| > k_x10 * mad — the
+    k = k_x10/10 cutoff expressed WITHOUT a float division, so with
+    integer-valued inputs every comparison is IEEE-exact on any
+    engine (medians of int64 interpolate to exact halves; scale float
+    measures to integer units — cents, micros — before calling, the
+    repo-wide discipline). Unlike mean/stddev gating, a single wild
+    value cannot drag the threshold (50% breakdown point) — the
+    data-quality screen for ingest metrics.
+
+    Returns the input columns plus (med, abs_dev, mad, is_outlier).
+    A zero MAD (over half the group identical) flags ANY deviation —
+    the standard, documented degeneracy. NULL values pass through
+    un-flagged (is_outlier NULL).
+
+    100 TB shape: two group-keyed exact-percentile aggs + two
+    group-keyed joins. Exact percentile sorts per group IN the agg —
+    hot groups sort within one task; at extreme group sizes switch to
+    histogram_quantiles (the sketch family) and accept bounded error.
+    """
+    if k_x10 < 1:
+        raise ValueError(f"need k_x10 >= 1, got {k_x10}")
+    groups = list(group_cols or [])
+    gb = lambda d: d.groupBy(*groups) if groups else d.groupBy()  # noqa: E731
+    v = F.col(value_col)
+    med = gb(df).agg(F.expr(f"percentile({value_col}, 0.5)").alias("med"))
+    joined = (
+        df.join(med, groups) if groups else df.crossJoin(F.broadcast(med))
+    ).withColumn("abs_dev", F.abs(v - F.col("med")))
+    mad = gb(joined).agg(F.expr("percentile(abs_dev, 0.5)").alias("mad"))
+    scored = (
+        joined.join(mad, groups)
+        if groups
+        else joined.crossJoin(F.broadcast(mad))
+    )
+    return scored.withColumn(
+        "is_outlier",
+        F.when(
+            v.isNotNull(),
+            F.lit(10.0) * F.col("abs_dev") > F.lit(float(k_x10)) * F.col("mad"),
+        ),
+    )

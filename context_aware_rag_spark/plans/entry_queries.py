@@ -7226,3 +7226,50 @@ def kg_bipartite_projection_q(spark, sf_dir):
         ),
         min_shared=20,
     )
+
+
+# =========================================================================
+# Robust outlier flagging (median/MAD)
+# =========================================================================
+
+@xq(
+    "event_value_outliers",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM base GROUP BY 1
+    ),
+    dev AS (
+      SELECT b.event_id, b.event_type, b.cents, m.med,
+             abs(b.cents - m.med) AS abs_dev
+      FROM base b JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.cents, d.med, d.abs_dev, m.mad,
+           10.0 * d.abs_dev > 30 * m.mad AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def event_value_outliers_q(spark, sf_dir):
+    """Robust median/MAD outlier screen (Iglewicz & Hoaglin 1993,
+    k = 3.0) over event values per event type, values scaled to
+    integer cents FIRST so both engines' median interpolation is
+    IEEE-exact (halves of int64) and the no-division threshold
+    10*|dev| > 30*mad compares identically. Twin replicates medians,
+    deviations and the flag."""
+    from ..operators.profile import robust_outliers
+
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return robust_outliers(base, "cents", ["event_type"], k_x10=30)

@@ -85,3 +85,67 @@ class TestCheckExpectations:
 
         with _pytest.raises(ValueError, match="at least one"):
             check_expectations(df, {})
+
+
+# ---------------------------------------------------------------------------
+# robust outliers (median/MAD)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.operators.profile import robust_outliers
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "id: long, g: string, v: long")
+
+
+class TestRobustOutliers:
+    def test_hand_computed(self, spark):
+        # group a: values 1..7 plus a wild 1000 -> med 4.5, deviations
+        # {3.5,2.5,1.5,.5,.5,1.5,2.5,995.5} -> mad 2.0; k=3 threshold
+        # 10*dev > 60 -> only the wild point flags
+        rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 1000])]
+        out = {r.id: r for r in robust_outliers(_vals(spark, rows), "v", ["g"]).collect()}
+        assert out[7].is_outlier is True
+        assert all(out[i].is_outlier is False for i in range(7))
+        assert out[0].med == 4.5 and out[0].mad == 2.0
+
+    def test_breakdown_resistance_vs_mean(self, spark):
+        # the wild point barely moves the median: a mean/3-sigma gate
+        # would NOT flag 40 here (sigma blown up by 10000), MAD does
+        rows = [(i, "a", v) for i, v in enumerate([10, 11, 12, 13, 14, 40, 10000])]
+        out = {r.v: r.is_outlier for r in robust_outliers(_vals(spark, rows), "v", ["g"]).collect()}
+        assert out[10000] is True and out[40] is True
+        assert out[12] is False
+
+    def test_zero_mad_flags_any_deviation(self, spark):
+        rows = [(i, "a", 5) for i in range(5)] + [(9, "a", 6)]
+        out = {r.id: r.is_outlier for r in robust_outliers(_vals(spark, rows), "v", ["g"]).collect()}
+        assert out[9] is True and out[0] is False
+
+    def test_groups_isolated_and_global_mode(self, spark):
+        rows = [(1, "a", 1), (2, "a", 2), (3, "b", 1000), (4, "b", 1001)]
+        per_g = robust_outliers(_vals(spark, rows), "v", ["g"]).collect()
+        assert all(r.is_outlier is False for r in per_g)
+        glob = {
+            r.id: r.is_outlier
+            for r in robust_outliers(_vals(spark, rows), "v").collect()
+        }
+        assert glob == {1: False, 2: False, 3: False, 4: False} or True
+        # global med sits between the clusters; both clusters deviate
+        # symmetrically -> mad equals the deviation -> nothing flags
+        assert set(glob.values()) == {False}
+
+    def test_null_passes_unflagged(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 2), (3, "a", None)],
+            "id: long, g: string, v: long",
+        )
+        out = {r.id: r.is_outlier for r in robust_outliers(df, "v", ["g"]).collect()}
+        assert out[3] is None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        df = _vals(spark, [(1, "a", 1)])
+        with _pytest.raises(ValueError, match="k_x10"):
+            robust_outliers(df, "v", k_x10=0)
