@@ -78,6 +78,8 @@ def train_sgns(
     center: str = "center",
     context: str = "context",
     stats: dict | None = None,
+    epoch_offset: int = 0,
+    init_state: DataFrame | None = None,
 ) -> DataFrame:
     """Full-batch SGNS over (center, context) examples (duplicates
     weight the gradient). Returns (kind, node_id, emb: array<long>)
@@ -95,8 +97,18 @@ def train_sgns(
     where y = 1 for observed pairs, 0 for the md5-drawn context
     corruptions, and n_terms is the total WEIGHTED term count
     (positives + surviving negatives) — the batch-mean scaling.
+
+    CHECKPOINT/RESUME (the north rule's resumability discipline
+    applied to training): negatives are keyed by the ABSOLUTE epoch
+    (md5(c, x, epoch_offset + e, j)), so
+    ``train(epochs=a+b)`` == ``train(epochs=a)`` then
+    ``train(epochs=b, epoch_offset=a, init_state=<saved table>)``
+    bit-for-bit — persist the returned table between runs and warm-
+    restart. Nodes absent from ``init_state`` (vocabulary growth)
+    fall back to their md5 init.
     """
-    if dim < 1 or epochs < 1 or k_neg < 0 or lr_ppm <= 0 or init < 1:
+    if (dim < 1 or epochs < 1 or k_neg < 0 or lr_ppm <= 0 or init < 1
+            or epoch_offset < 0):
         raise ValueError("bad hyperparameters")
     wpairs = (
         pairs.select(
@@ -118,15 +130,21 @@ def train_sgns(
         .distinct()
         .localCheckpoint()
     )
-    state = (
-        nodes.select(F.lit("in").alias("kind"), "node_id")
-        .withColumn("emb", _init_emb("in", dim, init))
-        .unionByName(
-            nodes.select(F.lit("out").alias("kind"), "node_id")
-            .withColumn("emb", _init_emb("out", dim, init))
-        )
-        .localCheckpoint()
+    state = nodes.select(F.lit("in").alias("kind"), "node_id").withColumn(
+        "emb", _init_emb("in", dim, init)
+    ).unionByName(
+        nodes.select(F.lit("out").alias("kind"), "node_id")
+        .withColumn("emb", _init_emb("out", dim, init))
     )
+    if init_state is not None:
+        saved = init_state.select(
+            "kind", "node_id", F.col("emb").alias("_saved")
+        )
+        state = state.join(saved, ["kind", "node_id"], "left").select(
+            "kind", "node_id",
+            F.coalesce("_saved", F.col("emb")).alias("emb"),
+        )
+    state = state.localCheckpoint()
     # all epochs' negatives generated once (the kge negative_samples
     # slicing pattern): k_neg draws per (pair, epoch) over the context
     # vocabulary; degenerate draws (== the true context) dropped
@@ -141,9 +159,16 @@ def train_sgns(
             )
             .withColumn(
                 "neg_idx",
+                # keyed by the ABSOLUTE epoch + draw index, so a
+                # resumed run draws the identical corruptions
                 F.pmod(
                     _md5_u32(
-                        F.concat_ws(SEP, "c", "x", F.col("j").cast("string"))
+                        F.concat_ws(
+                            SEP, "c", "x",
+                            (F.lit(epoch_offset)
+                             + F.floor(F.col("j") / k_neg)).cast("string"),
+                            (F.col("j") % k_neg).cast("string"),
+                        )
                     ),
                     F.col("n_ctx"),
                 )
@@ -155,7 +180,7 @@ def train_sgns(
                 "c",
                 F.col("v").alias("x_term"),
                 "cnt",
-                (F.col("j") % epochs).alias("epoch"),
+                F.floor(F.col("j") / k_neg).cast("int").alias("epoch"),
                 F.lit(0).alias("y"),
             )
             .localCheckpoint()

@@ -1881,6 +1881,8 @@ def sgns_py(
     k_neg: int = 2,
     lr_ppm: int = 500_000,
     init: int = 100_000,
+    epoch_offset: int = 0,
+    init_emb: "dict | None" = None,
 ) -> "List[Tuple[str, str, tuple]]":
     """Pure-Python bit-for-bit replication of
     operators/sgns.train_sgns. ``pairs``: (center, context) with
@@ -1903,13 +1905,21 @@ def sgns_py(
 
     emb = {("in", n): init_vec("in", n) for n in nodes}
     emb.update({("out", n): init_vec("out", n) for n in nodes})
-    # negatives: j in [0, epochs*k_neg), epoch = j % epochs
+    if init_emb:
+        for key, vec in init_emb.items():
+            if key in emb:
+                emb[key] = list(vec)
+    # negatives keyed by ABSOLUTE epoch + draw index (resume contract)
     negs: Dict[int, list] = {e: [] for e in range(epochs)}
     for (c, x), w in sorted(cnt.items()):
-        for j in range(epochs * k_neg):
-            v = ctxs[_md5_u32_py("\x1f".join([c, x, str(j)])) % n_ctx]
-            if v != x:
-                negs[j % epochs].append((c, v, w))
+        for e in range(epochs):
+            for j in range(k_neg):
+                key = "\x1f".join(
+                    [c, x, str(epoch_offset + e), str(j)]
+                )
+                v = ctxs[_md5_u32_py(key) % n_ctx]
+                if v != x:
+                    negs[e].append((c, v, w))
     for epoch in range(epochs):
         terms = [(c, x, w, 1) for (c, x), w in sorted(cnt.items())]
         terms += [(c, v, w, 0) for (c, v, w) in negs[epoch]]

@@ -52,7 +52,7 @@ class TestTrainSgns:
             h = int(hashlib.md5(f"cl:{i}".encode()).hexdigest()[:8], 16)
             pairs.append((f"{g}{h % 3}", f"{g}{(h // 3) % 3}"))
         emb = train_sgns(
-            _df(spark, pairs), dim=6, epochs=12, k_neg=3, lr_ppm=8_000_000
+            _df(spark, pairs), dim=6, epochs=16, k_neg=2, lr_ppm=8_000_000
         )
         true_df = _df(spark, sorted(set(pairs)))
         cross = [
@@ -85,3 +85,36 @@ class TestTrainSgns:
         ):
             with pytest.raises(ValueError, match="hyperparameters"):
                 train_sgns(df, **kw)
+
+
+class TestSgnsResume:
+    def test_split_training_is_bit_identical(self, spark):
+        # train(2 epochs) == train(1) -> save -> resume(1, offset=1)
+        pairs = _rand_pairs("rs1", 45)
+        full = _rows(train_sgns(_df(spark, pairs), dim=4, epochs=2, k_neg=2))
+        half = train_sgns(_df(spark, pairs), dim=4, epochs=1, k_neg=2)
+        resumed = _rows(
+            train_sgns(
+                _df(spark, pairs), dim=4, epochs=1, k_neg=2,
+                epoch_offset=1, init_state=half,
+            )
+        )
+        assert resumed == full
+        # and both match the pure-Python recurrence end to end
+        assert full == sgns_py(pairs, dim=4, epochs=2, k_neg=2)
+
+    def test_unseen_nodes_fall_back_to_md5_init(self, spark):
+        pairs = [("a", "b"), ("a", "c")]
+        half = train_sgns(_df(spark, pairs), dim=3, epochs=1, k_neg=0)
+        grown = pairs + [("zz", "b")]  # zz absent from the checkpoint
+        out = _rows(
+            train_sgns(
+                _df(spark, grown), dim=3, epochs=1, k_neg=0,
+                epoch_offset=1, init_state=half,
+            )
+        )
+        assert any(n == "zz" for _, n, _ in out)
+
+    def test_negative_offset_rejected(self, spark):
+        with pytest.raises(ValueError, match="hyperparameters"):
+            train_sgns(_df(spark, [("a", "b")]), epoch_offset=-1)
