@@ -2277,3 +2277,79 @@ def bipartite_projection(
         .agg(F.countDistinct("x.r").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002) of the
+    undirected simple graph, ONE row: (n_edges, s1, s2, s3, r_ppm) —
+    the Pearson correlation of endpoint degrees across edges, the
+    one-number answer to "do hubs attach to hubs?" (social KGs:
+    positive; technological/co-occurrence: typically negative, hubs
+    surrounded by leaves — which decides whether hub-salting is a
+    head-of-distribution fix or a everywhere fix).
+
+    Exact integer form: with per-edge endpoint degrees j, k and
+    S1 = sum(j + k), S2 = sum(j^2 + k^2), S3 = sum(j*k) over the M
+    canonical edges, Newman's r multiplies out to
+
+        r = (4*M*S3 - S1^2) / (2*M*S2 - S1^2)
+
+    computed in decimal(38,0) (S2 <= M * n^2 overflows int64 early),
+    r_ppm = numerator * 1e6 div denominator — a SIGNED trunc division,
+    identical on Spark `div` and DuckDB HUGEINT `//` (both truncate
+    toward zero, verified). NULL r_ppm when the graph is
+    degree-regular (zero variance denominator).
+
+    100 TB shape: one dedup shuffle, one degree agg, two degree joins,
+    one 1-row agg. Nothing iterative.
+    """
+    canon = (
+        edges.select(
+            F.col(src).cast("string").alias("a"),
+            F.col(dst).cast("string").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select(F.col("lo").alias("n"))
+        .unionAll(canon.select(F.col("hi").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d"))
+    )
+    sums = (
+        canon.join(deg.withColumnRenamed("n", "lo"), "lo")
+        .withColumnRenamed("d", "dj")
+        .join(
+            deg.withColumnRenamed("n", "hi").withColumnRenamed("d", "dk"),
+            "hi",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum(F.col("dj") + F.col("dk")).cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+            F.sum(F.col("dj") * F.col("dk")).cast("decimal(38,0)").alias("s3"),
+        )
+    )
+    return sums.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("long").alias("s3"),
+        F.when(
+            (F.lit(2).cast("decimal(38,0)") * F.col("m") * F.col("s2")
+             - F.col("s1") * F.col("s1")) != 0,
+            F.expr(
+                "CAST((4 * m * s3 - s1 * s1) * 1000000 div "
+                "(2 * m * s2 - s1 * s1) AS LONG)"
+            ),
+        ).alias("r_ppm"),
+    )

@@ -347,3 +347,100 @@ def clustering_pair_metrics(
             ppm("2 * tp", "pp + gp").alias("f1_ppm"),
         )
     )
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    gold: DataFrame,
+    cand_a: str = "a",
+    cand_b: str = "b",
+    id_col: str = "node_id",
+    gold_col: str = "gold_label",
+) -> DataFrame:
+    """Blocking-quality evaluation (the standard ER blocker scorecard,
+    Christen 2012 §7): ONE row —
+
+      (n_candidates, n_true_pairs, n_candidate_true, n_total_pairs,
+       pair_completeness_ppm, reduction_ratio_ppm)
+
+    pair completeness = how many TRUE match pairs the blocker's
+    candidate set retains (recall of the candidate generator);
+    reduction ratio = how much of the quadratic N^2/2 comparison
+    space it prunes. Together they grade ANY candidate generator here
+    (minhash bands, shared-token blocks, SimHash pigeonholes, AllPairs
+    prefixes) before the expensive scoring pass runs.
+
+    Candidates are canonicalized ((least, greatest), dups collapse,
+    self-pairs dropped) and ALL counted — pairs naming ids outside the
+    gold universe still cost comparisons, they just can't be true.
+    True pairs come from the gold partition's C(n_g, 2) cells,
+    computed closed-form in decimal(38,0) (the clustering_pair_metrics
+    discipline); NULL ppm on zero denominators, never a fake score.
+
+    100 TB shape: one candidate dedup shuffle + two id-keyed label
+    joins + label-sized aggs; the quadratic spaces are scored through
+    closed forms, never materialized.
+    """
+    cand = (
+        candidates.select(
+            F.col(cand_a).cast("string").alias("x"),
+            F.col(cand_b).cast("string").alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
+        )
+        .dropDuplicates()
+        .localCheckpoint()  # counted + label-joined
+    )
+    g = gold.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(gold_col).cast("string").alias("_g"),
+    ).dropDuplicates(["_id"])
+    c2 = "CAST(n AS decimal(38,0)) * (CAST(n AS decimal(38,0)) - 1) / 2"
+    true_tot = (
+        g.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.expr(c2)).cast("decimal(38,0)").alias("tp"),
+            F.sum("n").alias("n_ids"),
+        )
+    )
+    cand_true = (
+        cand.join(g.withColumnRenamed("_id", "lo"), "lo")
+        .withColumnRenamed("_g", "g_lo")
+        .join(
+            g.withColumnRenamed("_id", "hi").withColumnRenamed("_g", "g_hi"),
+            "hi",
+        )
+        .filter(F.col("g_lo") == F.col("g_hi"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("nc"))
+    ppm = lambda num, den: F.when(  # noqa: E731
+        F.expr(den) > 0,
+        F.expr(f"CAST(({num}) * 1000000 div ({den}) AS LONG)"),
+    )
+    return (
+        n_cand.crossJoin(true_tot)
+        .crossJoin(cand_true)
+        .select(
+            F.col("nc").cast("long").alias("n_candidates"),
+            F.col("tp").cast("long").alias("n_true_pairs"),
+            F.col("ct").cast("long").alias("n_candidate_true"),
+            F.expr(
+                "CAST(CAST(n_ids AS decimal(38,0)) "
+                "* (CAST(n_ids AS decimal(38,0)) - 1) / 2 "
+                "AS decimal(38,0))"
+            ).cast("long").alias("n_total_pairs"),
+            ppm("ct", "tp").alias("pair_completeness_ppm"),
+            ppm(
+                "CAST(CAST(n_ids AS decimal(38,0)) "
+                "* (CAST(n_ids AS decimal(38,0)) - 1) / 2 "
+                "AS decimal(38,0)) - nc",
+                "CAST(CAST(n_ids AS decimal(38,0)) "
+                "* (CAST(n_ids AS decimal(38,0)) - 1) / 2 "
+                "AS decimal(38,0))",
+            ).alias("reduction_ratio_ppm"),
+        )
+    )

@@ -6468,16 +6468,16 @@ def kg_temporal_reachability_q(spark, sf_dir):
       FROM supplier
     ),
     cells AS (
-      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS HUGEINT) AS tp
+      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS tp
       FROM (SELECT count(*) AS n FROM joined GROUP BY p, g)
     ),
     pm AS (
-      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS HUGEINT) AS pp,
+      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS pp,
              CAST(sum(n) AS BIGINT) AS n_items
       FROM (SELECT count(*) AS n FROM joined GROUP BY p)
     ),
     gm AS (
-      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) / 2) AS HUGEINT) AS gp
+      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS gp
       FROM (SELECT count(*) AS n FROM joined GROUP BY g)
     )
     SELECT n_items,
@@ -7273,3 +7273,149 @@ def event_value_outliers_q(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return robust_outliers(base, "cents", ["event_type"], k_x10=30)
+
+
+# =========================================================================
+# ER blocking-quality metrics + degree assortativity
+# =========================================================================
+
+@xq(
+    "er_blocking_metrics",
+    """
+    WITH cand AS (
+      SELECT DISTINCT
+        least(CAST(a.s_suppkey AS VARCHAR), CAST(b.s_suppkey AS VARCHAR))
+          AS lo,
+        greatest(CAST(a.s_suppkey AS VARCHAR), CAST(b.s_suppkey AS VARCHAR))
+          AS hi
+      FROM supplier a
+      JOIN supplier b
+        ON a.s_suppkey % 10 = b.s_suppkey % 10
+       AND a.s_suppkey < b.s_suppkey
+    ),
+    g AS (
+      SELECT CAST(s_suppkey AS VARCHAR) AS id,
+             CAST(s_nationkey AS VARCHAR) AS lab
+      FROM supplier
+    ),
+    tt AS (
+      SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS tp,
+             CAST(sum(n) AS HUGEINT) AS n_ids
+      FROM (SELECT count(*) AS n FROM g GROUP BY lab)
+    ),
+    ct AS (
+      SELECT count(*) AS ct FROM cand c
+      JOIN g gl ON gl.id = c.lo
+      JOIN g gh ON gh.id = c.hi
+      WHERE gl.lab = gh.lab
+    ),
+    nc AS (SELECT CAST(count(*) AS HUGEINT) AS nc FROM cand)
+    SELECT CAST(nc AS BIGINT) AS n_candidates,
+           CAST(tp AS BIGINT) AS n_true_pairs,
+           CAST(ct AS BIGINT) AS n_candidate_true,
+           CAST(n_ids * (n_ids - 1) // 2 AS BIGINT) AS n_total_pairs,
+           CASE WHEN tp > 0
+                THEN CAST((CAST(ct AS HUGEINT) * 1000000) // tp AS BIGINT)
+           END AS pair_completeness_ppm,
+           CASE WHEN n_ids * (n_ids - 1) // 2 > 0
+                THEN CAST(((n_ids * (n_ids - 1) // 2 - nc) * 1000000)
+                          // (n_ids * (n_ids - 1) // 2) AS BIGINT)
+           END AS reduction_ratio_ppm
+    FROM nc, tt, ct
+    """,
+)
+def er_blocking_metrics_q(spark, sf_dir):
+    """Blocking scorecard (Christen 2012 §7) of the s_suppkey % 10
+    hash blocker against the nation gold partition: pair completeness
+    (candidate recall over C(n_g,2) true pairs) + reduction ratio
+    (pruned share of the quadratic space), both closed-form in
+    decimal(38,0)/HUGEINT — the metric pair that grades every
+    candidate generator here before its scoring pass. Twin replicates
+    canonicalization, cells and ppm arithmetic."""
+    from ..operators.linkage import blocking_metrics
+
+    supp = load(spark, sf_dir, "supplier")
+    a, b = supp.alias("a"), supp.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.s_suppkey") % 10 == F.col("b.s_suppkey") % 10)
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("a"), F.col("b.s_suppkey").alias("b")
+    )
+    gold = supp.select(
+        F.col("s_suppkey").alias("node_id"),
+        F.col("s_nationkey").cast("string").alias("gold_label"),
+    )
+    return blocking_metrics(cands, gold)
+
+
+@xq(
+    "kg_graph_assortativity",
+    """
+    WITH pairs AS (
+      SELECT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT x.l_orderkey) >= 25
+    ),
+    canon AS (
+      SELECT DISTINCT
+        least(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+        greatest(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+      FROM pairs
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS HUGEINT) AS d FROM (
+        SELECT lo AS n FROM canon UNION ALL SELECT hi FROM canon
+      ) GROUP BY 1
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             sum(dj.d + dk.d) AS s1,
+             sum(dj.d * dj.d + dk.d * dk.d) AS s2,
+             sum(dj.d * dk.d) AS s3
+      FROM canon c
+      JOIN deg dj ON dj.n = c.lo
+      JOIN deg dk ON dk.n = c.hi
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           CAST(s1 AS BIGINT) AS s1,
+           CAST(s2 AS BIGINT) AS s2,
+           CAST(s3 AS BIGINT) AS s3,
+           CASE WHEN 2 * m * s2 - s1 * s1 <> 0
+                THEN CAST(((4 * m * s3 - s1 * s1) * 1000000)
+                          // (2 * m * s2 - s1 * s1) AS BIGINT)
+           END AS r_ppm
+    FROM sums
+    """,
+)
+def kg_graph_assortativity_q(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the >= 25-gated supplier
+    co-occurrence graph: do hubs attach to hubs? Exact integer form
+    r = (4*M*S3 - S1^2) / (2*M*S2 - S1^2) in decimal(38,0)/HUGEINT
+    with SIGNED trunc division (both engines truncate toward zero,
+    verified) — the one-number skew-topology diagnostic that decides
+    whether hot-key salting is a head-only or everywhere fix. Twin
+    replicates degrees and the multiplied-out Pearson."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 25)
+        .select("src", "dst")
+    )
+    return graph.degree_assortativity(pairs)

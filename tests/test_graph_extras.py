@@ -1148,3 +1148,39 @@ class TestBipartiteProjection:
 
         with _pytest.raises(ValueError, match="min_shared"):
             graph.bipartite_projection(e, min_shared=0)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+
+class TestDegreeAssortativity:
+    def _run(self, spark, pairs):
+        e = spark.createDataFrame(pairs, "src: string, dst: string")
+        return graph.degree_assortativity(e).collect()[0]
+
+    def test_star_is_maximally_disassortative(self, spark):
+        # star: every edge joins deg-n hub to deg-1 leaf -> r = -1
+        r = self._run(spark, [("h", f"x{i}") for i in range(5)])
+        assert r.r_ppm == -1_000_000
+
+    def test_regular_graph_null(self, spark):
+        # cycle: all degrees 2 -> zero variance -> NULL
+        cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        assert self._run(spark, cyc).r_ppm is None
+
+    def test_hand_computed_path(self, spark):
+        # path a-b-c-d: degrees 1,2,2,1; edges (1,2),(2,2),(2,1)
+        # S1 = 3+4+3 = 10, S2 = 5+8+5 = 18, S3 = 2+4+2 = 8, M = 3
+        # r = (4*3*8 - 100) / (2*3*18 - 100) = -4/8 = -0.5
+        r = self._run(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert (r.n_edges, r.s1, r.s2, r.s3) == (3, 10, 18, 8)
+        assert r.r_ppm == -500_000
+
+    def test_two_cliques_assortative_sign(self, spark):
+        # K3 + K4 disjoint: within each clique degrees equal, across
+        # cliques none -> positive assortativity (like attaches like)
+        k3 = [("a", "b"), ("b", "c"), ("a", "c")]
+        k4 = [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]
+        r = self._run(spark, k3 + k4)
+        assert r.r_ppm == 1_000_000

@@ -251,3 +251,50 @@ class TestClusteringPairMetrics:
         assert r.recall_ppm == 1_000_000
         assert r.pred_pairs == 6 and r.tp_pairs == 2
         assert r.precision_ppm == 2_000_000 // 6
+
+
+# ---------------------------------------------------------------------------
+# blocking-quality metrics
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.operators.linkage import blocking_metrics
+
+
+class TestBlockingMetrics:
+    def test_hand_computed(self, spark):
+        # gold: {1,2,3} in A, {4,5} in B -> 4 true pairs
+        gold = spark.createDataFrame(
+            [(i, "A") for i in (1, 2, 3)] + [(i, "B") for i in (4, 5)],
+            "node_id: long, gold_label: string",
+        )
+        # candidates: (1,2) true, (1,4) false, (2,3) true, (4,5) true
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 4), (2, 3), (4, 5)], "a: long, b: long"
+        )
+        r = blocking_metrics(cands, gold).collect()[0]
+        assert (r.n_candidates, r.n_true_pairs, r.n_candidate_true) == (4, 4, 3)
+        assert r.n_total_pairs == 10
+        assert r.pair_completeness_ppm == 750_000
+        assert r.reduction_ratio_ppm == 600_000
+
+    def test_canonicalization_and_unknown_ids(self, spark):
+        gold = spark.createDataFrame(
+            [(1, "A"), (2, "A")], "node_id: long, gold_label: string"
+        )
+        cands = spark.createDataFrame(
+            # dup in both orders + self-pair + an id outside gold
+            [(1, 2), (2, 1), (1, 1), (1, 99)], "a: long, b: long"
+        )
+        r = blocking_metrics(cands, gold).collect()[0]
+        # canonical distinct: (1,2) and (1,99) -> 2 candidates, 1 true
+        assert r.n_candidates == 2
+        assert r.n_candidate_true == 1 and r.n_true_pairs == 1
+        assert r.pair_completeness_ppm == 1_000_000
+
+    def test_zero_true_pairs_null_completeness(self, spark):
+        gold = spark.createDataFrame(
+            [(1, "A"), (2, "B")], "node_id: long, gold_label: string"
+        )
+        cands = spark.createDataFrame([(1, 2)], "a: long, b: long")
+        r = blocking_metrics(cands, gold).collect()[0]
+        assert r.pair_completeness_ppm is None
