@@ -2353,3 +2353,121 @@ def degree_assortativity(
             ),
         ).alias("r_ppm"),
     )
+
+
+def condense(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node_id",
+    label: str = "scc_id",
+) -> DataFrame:
+    """Condensation: rewrite each directed edge onto its endpoints'
+    component labels and drop intra-component edges — with SCC labels
+    this is THE classic construction of the component DAG (always
+    acyclic), the cycle-free dependency view of a directed KG.
+    Returns distinct (src, dst) label pairs.
+
+    Endpoints missing a label raise in-plan (the modularity guard) —
+    a silently dropped edge would fake acyclicity downstream.
+
+    100 TB shape: two node-keyed equi-joins + one dedup shuffle;
+    output is component-sized.
+    """
+    lab = labels.select(
+        F.col(node).cast("string").alias("_n"),
+        F.col(label).cast("string").alias("_l"),
+    ).dropDuplicates(["_n"])
+    guard = lambda c: F.when(  # noqa: E731
+        F.assert_true(
+            F.col(c).isNotNull(),
+            F.lit("condense: every endpoint needs a label"),
+        ).isNull(),
+        F.col(c),
+    )
+    return (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .join(lab.withColumnRenamed("_n", "u"), "u", "left")
+        .withColumnRenamed("_l", "lu")
+        .join(
+            lab.withColumnRenamed("_n", "v").withColumnRenamed("_l", "lv"),
+            "v",
+            "left",
+        )
+        .select(guard("lu").alias("src"), guard("lv").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 100,
+) -> DataFrame:
+    """Topological layering of a DAG: (node_id, layer) with layer =
+    length of the LONGEST incoming path (sources at 0) — the
+    dependency-wave schedule (everything in layer k depends only on
+    layers < k, so waves execute in parallel), and the natural
+    ordering for applying condensed-KG updates.
+
+    Kahn-style peeling: per round, emit nodes whose unresolved
+    in-degree is zero, remove them, repeat. RAISES if anything
+    remains after ``max_depth`` rounds OR if no node peels in a round
+    (both certify a cycle — a partial layering would silently
+    misorder downstream work; run :func:`condense` over
+    strongly_connected_components first).
+
+    100 TB shape: per round one anti-join (live edges vs resolved
+    sources) + one in-degree agg + one driver action; rounds = the
+    DAG's longest path, bounded by ``max_depth``.
+    """
+    if max_depth < 1:
+        raise ValueError(f"need max_depth >= 1, got {max_depth}")
+    pairs = (
+        edges.select(
+            F.col(src).cast("string").alias("u"),
+            F.col(dst).cast("string").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    live_nodes = (
+        pairs.select(F.col("u").alias("node_id"))
+        .union(pairs.select(F.col("v").alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    live_edges = pairs
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "node_id string, layer int")
+    for layer in range(max_depth):
+        if live_nodes.count() == 0:
+            return out
+        with_in = live_edges.select(F.col("v").alias("node_id")).distinct()
+        zero_in = live_nodes.join(with_in, "node_id", "left_anti").localCheckpoint()
+        # no progress on a non-empty residual == a cycle; raise loudly
+        # (in-plan assert would not see the empty frame)
+        if zero_in.count() == 0:
+            raise ValueError(
+                "topo_layers: cycle detected — condense() the graph "
+                "over its strongly connected components first"
+            )
+        out = out.unionByName(
+            zero_in.withColumn("layer", F.lit(layer))
+        ).localCheckpoint()
+        live_nodes = live_nodes.join(zero_in, "node_id", "left_anti").localCheckpoint()
+        live_edges = live_edges.join(
+            zero_in.withColumnRenamed("node_id", "u"), "u", "left_anti"
+        ).localCheckpoint()
+    if live_nodes.count() == 0:
+        return out
+    raise RuntimeError(
+        f"topo_layers did not settle in {max_depth} rounds"
+    )

@@ -7419,3 +7419,93 @@ def kg_graph_assortativity_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.degree_assortativity(pairs)
+
+
+# =========================================================================
+# Condensation DAG + topological layering
+# =========================================================================
+
+@xq(
+    "kg_condensed_layers",
+    """
+    WITH RECURSIVE succ AS (
+      SELECT l_suppkey,
+             lead(l_suppkey) OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey
+             ) AS nxt
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT l_suppkey AS src, nxt AS dst FROM succ
+      WHERE nxt IS NOT NULL AND nxt <> l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    reach(u, v) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.u, e.dst FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    mutual AS (
+      SELECT r1.u AS a, r1.v AS b
+      FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+    ),
+    sccmap AS (
+      SELECT node, min(m) AS scc_id FROM (
+        SELECT node, node AS m FROM nodes
+        UNION ALL
+        SELECT a AS node, b AS m FROM mutual
+      ) GROUP BY node
+    ),
+    cond AS (
+      SELECT DISTINCT CAST(la.scc_id AS VARCHAR) AS src,
+                      CAST(lb.scc_id AS VARCHAR) AS dst
+      FROM edges e
+      JOIN sccmap la ON la.node = e.src
+      JOIN sccmap lb ON lb.node = e.dst
+      WHERE la.scc_id <> lb.scc_id
+    ),
+    cnodes AS (SELECT src AS n FROM cond UNION SELECT dst FROM cond),
+    paths(n, d) AS (
+      SELECT n, 0 FROM cnodes WHERE n NOT IN (SELECT dst FROM cond)
+      UNION
+      SELECT c.dst, p.d + 1 FROM paths p JOIN cond c ON c.src = p.n
+    )
+    SELECT n AS node_id, CAST(max(d) AS INTEGER) AS layer
+    FROM paths GROUP BY 1
+    """,
+)
+def kg_condensed_layers_q(spark, sf_dir):
+    """COMPOSITION: strongly_connected_components over the directed
+    supplier succession graph -> condense (the component DAG — always
+    acyclic by construction) -> topo_layers (longest-incoming-path
+    dependency waves). The twin recomputes SCC labels by the
+    INDEPENDENT transitive-closure algorithm, condenses in SQL, and
+    layers via recursive path enumeration + max — so the hash gates
+    the three-operator composition end to end."""
+    from pyspark.sql import Window as W
+
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    edges = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.lead("l_suppkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("src", "dst")
+        .localCheckpoint()  # feeds SCC and the condensation rewrite
+    )
+    sccs = graph.strongly_connected_components(edges)
+    dag = graph.condense(edges, sccs, label="scc_id")
+    return graph.topo_layers(dag)

@@ -1184,3 +1184,65 @@ class TestDegreeAssortativity:
         k4 = [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]
         r = self._run(spark, k3 + k4)
         assert r.r_ppm == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# condensation + topological layering
+# ---------------------------------------------------------------------------
+
+class TestCondenseAndLayers:
+    def test_condense_drops_intra_and_dedups(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "x"), ("b", "x"), ("x", "y")],
+            "src: string, dst: string",
+        )
+        lab = spark.createDataFrame(
+            [("a", "A"), ("b", "A"), ("x", "X"), ("y", "Y")],
+            "node_id: string, scc_id: string",
+        )
+        got = sorted(
+            (r.src, r.dst) for r in graph.condense(e, lab, label="scc_id").collect()
+        )
+        assert got == [("A", "X"), ("X", "Y")]
+
+    def test_condense_missing_label_raises(self, spark):
+        e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+        lab = spark.createDataFrame(
+            [("a", "A")], "node_id: string, scc_id: string"
+        )
+        with pytest.raises(Exception, match="needs a label"):
+            graph.condense(e, lab, label="scc_id").collect()
+
+    def test_layers_longest_path(self, spark):
+        # diamond with a shortcut: d's layer = longest path = 2
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")],
+            "src: string, dst: string",
+        )
+        got = dict(
+            (r.node_id, r.layer) for r in graph.topo_layers(e).collect()
+        )
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    def test_layers_cycle_raises(self, spark):
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src: string, dst: string"
+        )
+        with pytest.raises(ValueError, match="cycle"):
+            graph.topo_layers(e)
+
+    def test_scc_condense_layers_composition(self, spark):
+        # 2-cycle {a,b} feeding x feeding the 2-cycle {c,d}:
+        # condensation = A -> x -> C, layers 0/1/2
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "x"), ("x", "c"),
+             ("c", "d"), ("d", "c")],
+            "src: string, dst: string",
+        )
+        sccs = graph.strongly_connected_components(e)
+        dag = graph.condense(e, sccs, label="scc_id")
+        layers = {
+            r.node_id: r.layer for r in graph.topo_layers(dag).collect()
+        }
+        assert sorted(layers.values()) == [0, 1, 2]
+        assert layers["a"] == 0 and layers["x"] == 1 and layers["c"] == 2
