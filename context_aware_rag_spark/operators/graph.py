@@ -2471,3 +2471,88 @@ def topo_layers(
     raise RuntimeError(
         f"topo_layers did not settle in {max_depth} rounds"
     )
+
+
+def pathsim(
+    instances: DataFrame,
+    a: str = "a",
+    mid: str = "mid",
+    n: str = "n",
+    min_sim_ppm: int = 0,
+) -> DataFrame:
+    """PathSim meta-path similarity (Sun et al., VLDB 2011):
+    s(x, y) = 2*m_xy / (m_xx + m_yy) over a SYMMETRIC meta-path,
+    where m_xy = sum over mid of n_x(mid) * n_y(mid) counts the
+    path instances between x and y — the heterogeneous-KG peer
+    similarity ("customers structurally alike through their
+    order->supplier profile") that plain co-occurrence overstates
+    for high-degree nodes (the normalization by self-instances is
+    the point of the measure).
+
+    Input is the HALF-path instance table (a, mid, n) — fold any
+    meta-path prefix into it with ordinary joins + count aggs (each
+    hop: join + groupBy sum, the kge/linking shapes); this operator
+    closes the path with its own mirror. Returns
+    (a, b, m_ab, m_aa, m_bb, pathsim_ppm) for a < b, m_ab > 0, and
+    pathsim_ppm >= ``min_sim_ppm``; instance products are summed in
+    decimal(38,0) (1e6-instance hubs square past int64), the ppm is
+    a trunc division.
+
+    100 TB shape: ONE mid-keyed self-join (fan-out = per-mid
+    instance-row count squared — hot mids are the df_cap-style skew
+    case: cap or drop promiscuous mids upstream, exactly like the
+    inverted-index family) + map-side-combined pair and diagonal
+    aggs.
+    """
+    if not (0 <= min_sim_ppm <= 1_000_000):
+        raise ValueError(f"need 0 <= min_sim_ppm <= 1e6: {min_sim_ppm}")
+    inst = (
+        instances.select(
+            F.col(a).cast("string").alias("x"),
+            F.col(mid).cast("string").alias("m"),
+            F.col(n).cast("long").alias("cnt"),
+        )
+        .groupBy("x", "m")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()  # self-joined + diagonal agg
+    )
+    diag = inst.groupBy(F.col("x")).agg(
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("m_self")
+    )
+    l, r = inst.alias("l"), inst.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.m") == F.col("r.m")) & (F.col("l.x") < F.col("r.x")),
+        )
+        .groupBy(F.col("l.x").alias("pa"), F.col("r.x").alias("pb"))
+        .agg(
+            F.sum(
+                F.col("l.cnt").cast("decimal(38,0)")
+                * F.col("r.cnt").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("m_ab")
+        )
+    )
+    return (
+        pairs.join(diag.withColumnRenamed("x", "pa"), "pa")
+        .withColumnRenamed("m_self", "m_aa")
+        .join(
+            diag.withColumnRenamed("x", "pb").withColumnRenamed(
+                "m_self", "m_bb"
+            ),
+            "pb",
+        )
+        .select(
+            F.col("pa").alias("a"),
+            F.col("pb").alias("b"),
+            F.col("m_ab").cast("long").alias("m_ab"),
+            F.col("m_aa").cast("long").alias("m_aa"),
+            F.col("m_bb").cast("long").alias("m_bb"),
+            F.expr(
+                "CAST(2 * m_ab * 1000000 div (m_aa + m_bb) AS LONG)"
+            ).alias("pathsim_ppm"),
+        )
+        .filter(F.col("pathsim_ppm") >= min_sim_ppm)
+    )

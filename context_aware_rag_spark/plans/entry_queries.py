@@ -7509,3 +7509,64 @@ def kg_condensed_layers_q(spark, sf_dir):
     sccs = graph.strongly_connected_components(edges)
     dag = graph.condense(edges, sccs, label="scc_id")
     return graph.topo_layers(dag)
+
+
+# =========================================================================
+# PathSim: heterogeneous meta-path peer similarity
+# =========================================================================
+
+@xq(
+    "kg_pathsim_customers",
+    """
+    WITH inst AS (
+      SELECT CAST(o.o_custkey AS VARCHAR) AS x,
+             CAST(l.l_suppkey AS VARCHAR) AS m,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 20 = 0
+      GROUP BY 1, 2
+    ),
+    diag AS (
+      SELECT x, CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS m_self
+      FROM inst GROUP BY 1
+    ),
+    pairs AS (
+      SELECT l.x AS pa, r.x AS pb,
+             CAST(sum(CAST(l.cnt AS HUGEINT) * r.cnt) AS HUGEINT) AS m_ab
+      FROM inst l
+      JOIN inst r ON l.m = r.m AND l.x < r.x
+      GROUP BY 1, 2
+    )
+    SELECT p.pa AS a, p.pb AS b,
+           CAST(p.m_ab AS BIGINT) AS m_ab,
+           CAST(da.m_self AS BIGINT) AS m_aa,
+           CAST(db.m_self AS BIGINT) AS m_bb,
+           CAST((2 * p.m_ab * 1000000) // (da.m_self + db.m_self)
+             AS BIGINT) AS pathsim_ppm
+    FROM pairs p
+    JOIN diag da ON da.x = p.pa
+    JOIN diag db ON db.x = p.pb
+    WHERE CAST((2 * p.m_ab * 1000000) // (da.m_self + db.m_self)
+          AS BIGINT) >= 400000
+    """,
+)
+def kg_pathsim_customers_q(spark, sf_dir):
+    """PathSim (Sun et al., VLDB 2011) between customers over the
+    symmetric meta-path customer-order-supplier-order-customer
+    (o_orderkey % 20 slice): structurally-alike peers, with the
+    self-instance normalization that keeps big buyers from dominating
+    raw co-occurrence; >= 0.4 cut. Twin replicates the half-path
+    instance fold, the HUGEINT products and the trunc ppm."""
+    from ..operators import graph
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    inst = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("a"), F.col("l_suppkey").alias("mid")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return graph.pathsim(inst, min_sim_ppm=400_000)

@@ -1246,3 +1246,51 @@ class TestCondenseAndLayers:
         }
         assert sorted(layers.values()) == [0, 1, 2]
         assert layers["a"] == 0 and layers["x"] == 1 and layers["c"] == 2
+
+
+# ---------------------------------------------------------------------------
+# PathSim
+# ---------------------------------------------------------------------------
+
+class TestPathsim:
+    def _run(self, spark, rows, **kw):
+        inst = spark.createDataFrame(rows, "a: string, mid: string, n: long")
+        return {
+            (r.a, r.b): r for r in graph.pathsim(inst, **kw).collect()
+        }
+
+    def test_hand_computed(self, spark):
+        # x: {m1: 2, m2: 1}; y: {m1: 1}; z: {m3: 5}
+        rows = [("x", "m1", 2), ("x", "m2", 1), ("y", "m1", 1), ("z", "m3", 5)]
+        got = self._run(spark, rows)
+        r = got[("x", "y")]
+        # m_xy = 2*1 = 2; m_xx = 4+1 = 5; m_yy = 1
+        assert (r.m_ab, r.m_aa, r.m_bb) == (2, 5, 1)
+        assert r.pathsim_ppm == 4_000_000 // 6
+        assert ("x", "z") not in got  # no shared mid
+
+    def test_identical_profiles_score_one(self, spark):
+        rows = [("x", "m1", 3), ("x", "m2", 1), ("y", "m1", 3), ("y", "m2", 1)]
+        assert self._run(spark, rows)[("x", "y")].pathsim_ppm == 1_000_000
+
+    def test_normalization_penalizes_big_nodes(self, spark):
+        # hub shares y's whole profile but has 10x more mass elsewhere:
+        # PathSim must rank the modest twin above the hub
+        rows = (
+            [("y", "m1", 1), ("twin", "m1", 1)]
+            + [("hub", "m1", 1)] + [("hub", f"e{i}", 3) for i in range(10)]
+        )
+        got = self._run(spark, rows)
+        assert got[("twin", "y")].pathsim_ppm > got[("hub", "y")].pathsim_ppm
+
+    def test_duplicate_instance_rows_sum(self, spark):
+        a = self._run(spark, [("x", "m", 2), ("y", "m", 1)])
+        b = self._run(spark, [("x", "m", 1), ("x", "m", 1), ("y", "m", 1)])
+        assert a[("x", "y")] == b[("x", "y")]
+
+    def test_min_sim_cut_and_validation(self, spark):
+        rows = [("x", "m1", 2), ("x", "m2", 1), ("y", "m1", 1)]
+        assert self._run(spark, rows, min_sim_ppm=700_000) == {}
+        inst = spark.createDataFrame(rows, "a: string, mid: string, n: long")
+        with pytest.raises(ValueError, match="min_sim_ppm"):
+            graph.pathsim(inst, min_sim_ppm=-1)
