@@ -16,7 +16,7 @@ numerically) and cast to string only for the uniform output schema.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -173,3 +173,36 @@ def robust_outliers(
             F.lit(10.0) * F.col("abs_dev") > F.lit(float(k_x10)) * F.col("mad"),
         ),
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    group_cols: "list[str] | None" = None,
+    tie_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: adds ``bin`` (1..n_bins) so
+    every bin holds an equal share of rows — the feature
+    discretization / percentile-cohort assignment step (ntile
+    semantics: bin sizes differ by at most one row). Ordering is
+    (value, *tie_cols) — pass a unique tie-breaker, the engine-wide
+    determinism contract; without it equal values straddle a bin
+    boundary nondeterministically.
+
+    100 TB shape: ONE window per group (global binning = ONE ordering
+    over everything — a range-partitioned sort, Spark's sort shuffle,
+    acceptable for assignment jobs; for purely statistical cuts use
+    histogram_quantiles and banded joins instead — documented
+    trade-off, not hidden).
+    """
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    order = [F.col(value_col).asc()] + [
+        F.col(c).asc() for c in (tie_cols or [])
+    ]
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+    else:
+        w = Window.orderBy(*order)
+    return df.withColumn("bin", F.ntile(n_bins).over(w))

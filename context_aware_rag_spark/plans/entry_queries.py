@@ -7570,3 +7570,34 @@ def kg_pathsim_customers_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return graph.pathsim(inst, min_sim_ppm=400_000)
+
+
+@xq(
+    "event_value_deciles",
+    """
+    SELECT event_id, event_type, cents,
+           ntile(10) OVER (PARTITION BY event_type
+                           ORDER BY cents, event_id) AS bin
+    FROM (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    """,
+)
+def event_value_deciles_q(spark, sf_dir):
+    """Equi-depth decile assignment of event values (integer cents)
+    per event type — ntile semantics (bin sizes differ by <= 1), tie
+    broken by event_id so the cut is deterministic on both engines.
+    Twin is the direct ntile window."""
+    from ..operators.profile import equi_depth_bins
+
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return equi_depth_bins(
+        base, "cents", n_bins=10, group_cols=["event_type"],
+        tie_cols=["event_id"],
+    )

@@ -149,3 +149,46 @@ class TestRobustOutliers:
         df = _vals(spark, [(1, "a", 1)])
         with _pytest.raises(ValueError, match="k_x10"):
             robust_outliers(df, "v", k_x10=0)
+
+
+# ---------------------------------------------------------------------------
+# equi-depth binning
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.operators.profile import equi_depth_bins
+
+
+class TestEquiDepthBins:
+    def test_equal_shares_and_order(self, spark):
+        df = spark.createDataFrame(
+            [(i, "g", (i * 7) % 100) for i in range(20)],
+            "id: long, g: string, v: long",
+        )
+        out = equi_depth_bins(
+            df, "v", n_bins=4, group_cols=["g"], tie_cols=["id"]
+        ).collect()
+        sizes = {}
+        for r in out:
+            sizes[r.bin] = sizes.get(r.bin, 0) + 1
+        assert sizes == {1: 5, 2: 5, 3: 5, 4: 5}
+        # monotone: every bin-1 value <= every bin-4 value
+        assert max(r.v for r in out if r.bin == 1) <= min(
+            r.v for r in out if r.bin == 4
+        )
+
+    def test_uneven_split_differs_by_at_most_one(self, spark):
+        df = spark.createDataFrame(
+            [(i, i) for i in range(10)], "id: long, v: long"
+        )
+        out = equi_depth_bins(df, "v", n_bins=3, tie_cols=["id"]).collect()
+        sizes = sorted(
+            sum(1 for r in out if r.bin == b) for b in (1, 2, 3)
+        )
+        assert sizes == [3, 3, 4]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1)], "id: long, v: long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_bins"):
+            equi_depth_bins(df, "v", n_bins=0)
