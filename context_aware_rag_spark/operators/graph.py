@@ -2556,3 +2556,95 @@ def pathsim(
         )
         .filter(F.col("pathsim_ppm") >= min_sim_ppm)
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998):
+    (node_id, degree, n_triangles, clustering_ppm) with
+    clustering_ppm = trunc(1e6 * 2*T(v) / (deg(v)*(deg(v)-1))) — the
+    node-level cohesion signal the corpus-wide census
+    (:func:`triangle_count`) aggregates away: an entity whose
+    neighbors all know each other is a community member; one whose
+    neighbors don't is a bridge (and a salting candidate, since
+    bridges stay hot under any partition).
+
+    Degree-1 nodes report NULL (undefined, not a fake 0). Same
+    degree-ordered compact-forward enumeration as triangle_count —
+    every triangle found once, then exploded to its THREE corners for
+    the per-node count; deg*(deg-1) is computed in decimal(38,0)
+    (1e10-degree hubs square past int64).
+
+    100 TB shape: triangle_count's three shuffles + one corner
+    explode/agg (map-side combined) + one degree join.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src).cast("string"), F.col(dst).cast("string"))
+            .alias("a"),
+            F.greatest(F.col(src).cast("string"), F.col(dst).cast("string"))
+            .alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    with_deg = (
+        und.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select("a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b"))
+    )
+    lower_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("d_v"),
+    ).localCheckpoint()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    order_lt = (F.col("e1.d_v") < F.col("e2.d_v")) | (
+        (F.col("e1.d_v") == F.col("e2.d_v")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    tris = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & order_lt)
+        .select(
+            F.col("e1.u").alias("w"),
+            F.col("e1.v").alias("x"),
+            F.col("e2.v").alias("y"),
+        )
+        .join(
+            oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+    )
+    corners = (
+        tris.select(F.explode(F.array("w", "x", "y")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("n").alias("node_id"), F.col("d").alias("degree"))
+        .join(corners, "node_id", "left")
+        .select(
+            "node_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "CAST(2 * coalesce(n_triangles, 0) * 1000000 div "
+                    "(CAST(degree AS decimal(38,0)) * (degree - 1)) AS LONG)"
+                ),
+            ).alias("clustering_ppm"),
+        )
+    )

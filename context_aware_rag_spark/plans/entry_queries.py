@@ -7601,3 +7601,76 @@ def event_value_deciles_q(spark, sf_dir):
         base, "cents", n_bins=10, group_cols=["event_type"],
         tie_cols=["event_id"],
     )
+
+
+@xq(
+    "kg_clustering_coefficients",
+    """
+    WITH pairs AS (
+      SELECT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT x.l_orderkey) >= 28
+    ),
+    canon AS (
+      SELECT DISTINCT
+        least(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+        greatest(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+      FROM pairs
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT lo AS n FROM canon UNION ALL SELECT hi FROM canon
+      ) GROUP BY 1
+    ),
+    tris AS (
+      SELECT e1.lo AS w, e1.hi AS x, e2.hi AS y
+      FROM canon e1
+      JOIN canon e2 ON e2.lo = e1.hi
+      JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    corners AS (
+      SELECT n, count(*) AS t FROM (
+        SELECT w AS n FROM tris
+        UNION ALL SELECT x FROM tris
+        UNION ALL SELECT y FROM tris
+      ) GROUP BY 1
+    )
+    SELECT d.n AS node_id,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.d >= 2 THEN
+             CAST((2 * coalesce(c.t, 0) * CAST(1000000 AS HUGEINT))
+                  // (CAST(d.d AS HUGEINT) * (d.d - 1)) AS BIGINT)
+           END AS clustering_ppm
+    FROM deg d LEFT JOIN corners c ON c.n = d.n
+    """,
+)
+def kg_clustering_coefficients_q(spark, sf_dir):
+    """Per-node local clustering coefficients (Watts & Strogatz 1998)
+    over the >= 28-gated supplier co-occurrence graph — bridge vs
+    community-member detection at the node grain. The twin enumerates
+    triangles by the INDEPENDENT canonical a<b<c three-way join
+    (the operator uses degree-ordered compact-forward), so agreement
+    checks the census itself, corner by corner."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 28)
+        .select("src", "dst")
+    )
+    return graph.clustering_coefficients(pairs)

@@ -1294,3 +1294,64 @@ class TestPathsim:
         inst = spark.createDataFrame(rows, "a: string, mid: string, n: long")
         with pytest.raises(ValueError, match="min_sim_ppm"):
             graph.pathsim(inst, min_sim_ppm=-1)
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficients
+# ---------------------------------------------------------------------------
+
+class TestClusteringCoefficients:
+    def _run(self, spark, pairs):
+        e = spark.createDataFrame(pairs, "src: string, dst: string")
+        return {
+            r.node_id: (r.degree, r.n_triangles, r.clustering_ppm)
+            for r in graph.clustering_coefficients(e).collect()
+        }
+
+    def test_hand_computed(self, spark):
+        # triangle abc plus pendant d on a: a has deg 3, 1 triangle,
+        # C = 2*1/(3*2) = 1/3; b,c have deg 2, C = 1; d deg 1 -> NULL
+        got = self._run(
+            spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+        )
+        assert got["a"] == (3, 1, 333_333)
+        assert got["b"] == (2, 1, 1_000_000)
+        assert got["c"] == (2, 1, 1_000_000)
+        assert got["d"] == (1, 0, None)
+
+    def test_clique_all_one(self, spark):
+        k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+        got = self._run(spark, k4)
+        assert all(v == (3, 3, 1_000_000) for v in got.values())
+
+    def test_star_center_zero(self, spark):
+        got = self._run(spark, [("h", f"x{i}") for i in range(4)])
+        assert got["h"] == (4, 0, 0)
+        assert all(got[f"x{i}"][2] is None for i in range(4))
+
+    def test_python_replication(self, spark):
+        import hashlib
+        from itertools import combinations
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        pairs = [
+            (f"v{i:02d}", f"v{j:02d}")
+            for i in range(14)
+            for j in range(i + 1, 14)
+            if h(f"cc:{i}:{j}") % 3 == 0
+        ]
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {}
+        for v, nb in adj.items():
+            t = sum(
+                1 for x, y in combinations(sorted(nb), 2) if y in adj[x]
+            )
+            d = len(nb)
+            c = (2 * t * 1_000_000) // (d * (d - 1)) if d >= 2 else None
+            exp[v] = (d, t, c)
+        assert self._run(spark, pairs) == exp
