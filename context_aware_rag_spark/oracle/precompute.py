@@ -2146,3 +2146,30 @@ def pagerank_weighted_py(
             for v in nodes
         }
     return r
+
+
+def tool_chains_table(
+    n_convs: int, n: int = 2, min_groups: int = 2
+) -> "List[Tuple[str, int, int]]":
+    """Pure-Python replication of seqmine.sequence_ngrams over the
+    generate_rows corpus' TOOL stream (tool-bearing turns in turn_idx
+    order per conversation): (gram, n_groups, n_occurrences)."""
+    from ..sources.transcripts import generate_rows
+
+    seqs: Dict[str, list] = {}
+    for conv_id, turn_idx, _role, _text, tool, _ts in generate_rows(n_convs):
+        if tool is not None:
+            seqs.setdefault(conv_id, []).append((turn_idx, tool))
+    support: Dict[str, set] = {}
+    occs: Dict[str, int] = {}
+    for conv_id, rows in seqs.items():
+        toks = [t for _, t in sorted(rows)]
+        for i in range(len(toks) - n + 1):
+            gram = "\x1f".join(toks[i:i + n])
+            support.setdefault(gram, set()).add(conv_id)
+            occs[gram] = occs.get(gram, 0) + 1
+    return sorted(
+        (g, len(cs), occs[g])
+        for g, cs in support.items()
+        if len(cs) >= min_groups
+    )

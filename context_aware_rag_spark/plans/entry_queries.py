@@ -7674,3 +7674,27 @@ def kg_clustering_coefficients_q(spark, sf_dir):
         .select("src", "dst")
     )
     return graph.clustering_coefficients(pairs)
+
+
+@xq(
+    "t_tool_chains",
+    f"""
+    SELECT gram, n_groups, n_occurrences
+    FROM read_parquet('{_pq("tool_chains")}')
+    """,
+)
+def t_tool_chains_q(spark, sf_dir):
+    """Tool-call chain mining over the RAW transcript payload: the
+    tool stream (tool-bearing turns in turn_idx order per
+    conversation) fed to seqmine.sequence_ngrams at n=2 — which tool
+    pairs follow each other in agent behaviour, the payload-native
+    companion to the events-table sequence queries. Twin =
+    precomputed pure-Python replication over the identical
+    generate_rows corpus."""
+    from ..operators import seqmine
+
+    turns = transcripts_for(spark, sf_dir).filter(F.col("tool").isNotNull())
+    return seqmine.sequence_ngrams(
+        turns, group="conv_id", order_by=("turn_idx",), token="tool",
+        n=2, min_groups=1,
+    )

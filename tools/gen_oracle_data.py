@@ -138,6 +138,10 @@ SCHEMAS = {
         [("kind", pa.string()), ("node_id", pa.string()),
          ("d", pa.int32()), ("v_micro", pa.int64())]
     ),
+    "tool_chains": pa.schema(
+        [("gram", pa.string()), ("n_groups", pa.int64()),
+         ("n_occurrences", pa.int64())]
+    ),
     "conv_metrics": pa.schema(
         [("conv_id", pa.string()), ("n_turns", pa.int64()),
          ("n_user", pa.int64()), ("n_assistant", pa.int64()),
@@ -517,6 +521,9 @@ def main(sf_dirs: list[str]) -> None:
 
         write(out_dir, "conv_metrics",
               precompute.conv_metrics_table(n_convs_for(sf_dir)))
+        write(out_dir, "tool_chains",
+              precompute.tool_chains_table(
+                  n_convs_for(sf_dir), min_groups=1))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
