@@ -1,0 +1,164 @@
+"""TextTiling topic segmentation: planted-boundary fixtures + a
+pure-Python bit-exact twin over the deterministic transcript corpus."""
+
+import pytest
+
+from context_aware_rag_spark.operators import segmentation
+from context_aware_rag_spark.oracle.precompute import normalize_py
+from context_aware_rag_spark.sources.transcripts import generate_rows
+
+
+# ---------------------------------------------------------------- twin
+
+def _toks(text):
+    return set(t for t in normalize_py(text or "").split(" ") if t)
+
+
+def texttiling_py(rows, block_turns=3, depth_window=2,
+                  cutoff_ppm=500_000):
+    """(conv_id, turn_idx, text) -> [(conv_id, gap_after, score_ppm,
+    depth_ppm, is_boundary)] replicating texttiling_gaps bit-for-bit
+    (trunc-ppm integer Jaccard, positional peak windows)."""
+    by_conv = {}
+    for conv_id, turn_idx, text in rows:
+        by_conv.setdefault(conv_id, []).append((turn_idx, text))
+    out = []
+    for conv_id, turns in by_conv.items():
+        turns.sort()
+        idxs = [i for i, _ in turns]
+        tok = [_toks(t) for _, t in turns]
+        n = len(turns)
+        scores = []
+        for g in range(n - 1):  # gap after position g
+            lo = max(0, g - (block_turns - 1))
+            left = set().union(*tok[lo:g + 1]) if g + 1 > lo else set()
+            hi = min(n, g + 1 + block_turns)
+            right = set().union(*tok[g + 1:hi]) if hi > g + 1 else set()
+            if len(left) + len(right) > 0:
+                inter = len(left & right)
+                scores.append(
+                    inter * 1_000_000
+                    // (len(left) + len(right) - inter)
+                )
+            else:
+                scores.append(None)
+        for g in range(n - 1):
+            s = scores[g]
+            if s is None:
+                out.append((conv_id, idxs[g], None, None, False))
+                continue
+            window_l = [x for x in scores[max(0, g - depth_window):g + 1]
+                        if x is not None]
+            window_r = [x for x in scores[g:g + 1 + depth_window]
+                        if x is not None]
+            depth = max(window_l) + max(window_r) - 2 * s
+            prevs = [x for x in scores[max(0, g - depth_window):g]
+                     if x is not None]
+            nexts = [x for x in scores[g + 1:g + 1 + depth_window]
+                     if x is not None]
+            floor = (not prevs or s < min(prevs)) and (
+                not nexts or s <= min(nexts)
+            )
+            out.append(
+                (conv_id, idxs[g], s, depth,
+                 depth >= cutoff_ppm and floor)
+            )
+    return sorted(out)
+
+
+# ------------------------------------------------------------- fixtures
+
+TOPIC_A = "the database index scan uses the btree pages for lookups"
+TOPIC_B = "our holiday trip visits sunny beaches with warm ocean waves"
+
+
+def _conv(spark, texts, conv_id="c0"):
+    return spark.createDataFrame(
+        [(conv_id, i, t) for i, t in enumerate(texts)],
+        "conv_id: string, turn_idx: int, text: string",
+    )
+
+
+class TestPlantedBoundaries:
+    def test_topic_shift_is_the_unique_boundary(self, spark):
+        texts = [TOPIC_A] * 4 + [TOPIC_B] * 4
+        got = {
+            r.gap_after: r
+            for r in segmentation.texttiling_gaps(
+                _conv(spark, texts)
+            ).collect()
+        }
+        assert len(got) == 7  # one row per turn with a successor
+        boundaries = [g for g, r in got.items() if r.is_boundary]
+        assert boundaries == [3]  # the A->B shift, nothing else
+        assert got[3].score_ppm == 0  # disjoint vocab across the gap
+        # same-topic gap whose blocks stay inside topic A -> 1e6 ppm
+        assert got[0].score_ppm == 1_000_000
+
+    def test_uniform_topic_has_no_boundary(self, spark):
+        got = segmentation.texttiling_gaps(
+            _conv(spark, [TOPIC_A] * 6)
+        ).collect()
+        assert len(got) == 5
+        assert not any(r.is_boundary for r in got)
+        assert all(r.depth_ppm == 0 for r in got)
+
+    def test_empty_turns_score_null_not_zero(self, spark):
+        got = {
+            r.gap_after: r
+            for r in segmentation.texttiling_gaps(
+                _conv(spark, ["", "", ""]), block_turns=1
+            ).collect()
+        }
+        assert got[0].score_ppm is None
+        assert got[0].depth_ppm is None
+        assert got[0].is_boundary is False
+
+    def test_segments_count_prior_boundaries(self, spark):
+        texts = [TOPIC_A] * 3 + [TOPIC_B] * 3 + [TOPIC_A] * 3
+        seg = {
+            r.turn_idx: r.seg_idx
+            for r in segmentation.texttiling_segments(
+                _conv(spark, texts)
+            ).collect()
+        }
+        gaps = {
+            r.gap_after: r.is_boundary
+            for r in segmentation.texttiling_gaps(
+                _conv(spark, texts)
+            ).collect()
+        }
+        assert len(seg) == 9  # every turn kept, incl. the last
+        for i in range(9):
+            assert seg[i] == sum(
+                1 for g, b in gaps.items() if b and g < i
+            )
+        assert seg[0] == 0 and seg[8] == max(seg.values())
+
+    def test_validation(self, spark):
+        df = _conv(spark, [TOPIC_A, TOPIC_B])
+        with pytest.raises(ValueError):
+            segmentation.texttiling_gaps(df, block_turns=0)
+        with pytest.raises(ValueError):
+            segmentation.texttiling_gaps(df, depth_window=0)
+        with pytest.raises(ValueError):
+            segmentation.texttiling_gaps(df, cutoff_ppm=3_000_000)
+
+
+class TestTwinParity:
+    def test_bit_exact_on_transcript_corpus(self, spark):
+        rows = generate_rows(8)
+        want = texttiling_py(
+            [(c, t, txt) for c, t, _r, txt, _tool, _ts in rows]
+        )
+        df = spark.createDataFrame(
+            [(c, t, txt) for c, t, _r, txt, _tool, _ts in rows],
+            "conv_id: string, turn_idx: int, text: string",
+        )
+        got = sorted(
+            (r.conv_id, r.gap_after, r.score_ppm, r.depth_ppm,
+             r.is_boundary)
+            for r in segmentation.texttiling_gaps(df).collect()
+        )
+        assert got == want
+        assert any(r[4] for r in got)  # corpus has real boundaries
