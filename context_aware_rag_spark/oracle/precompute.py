@@ -2173,3 +2173,76 @@ def tool_chains_table(
         for g, cs in support.items()
         if len(cs) >= min_groups
     )
+
+
+def texttiling_py(
+    rows: "Sequence[tuple]",
+    block_turns: int = 3,
+    depth_window: int = 2,
+    cutoff_ppm: int = 500_000,
+) -> "List[tuple]":
+    """Pure-Python replication of operators/segmentation.texttiling_gaps
+    over (conv_id, turn_idx, text) rows: [(conv_id, gap_after,
+    score_ppm, depth_ppm, is_boundary)], trunc-ppm integer Jaccard of
+    distinct normalized-token block sets + positional peak windows."""
+    def toks(text):
+        return set(
+            t for t in normalize_py(text or "").split(" ") if t
+        )
+
+    by_conv: Dict[str, list] = {}
+    for conv_id, turn_idx, text in rows:
+        by_conv.setdefault(conv_id, []).append((turn_idx, text))
+    out = []
+    for conv_id, turns in by_conv.items():
+        turns.sort()
+        idxs = [i for i, _ in turns]
+        tok = [toks(t) for _, t in turns]
+        n = len(turns)
+        scores = []
+        for g in range(n - 1):  # gap after position g
+            lo = max(0, g - (block_turns - 1))
+            left = set().union(*tok[lo:g + 1]) if g + 1 > lo else set()
+            hi = min(n, g + 1 + block_turns)
+            right = set().union(*tok[g + 1:hi]) if hi > g + 1 else set()
+            if len(left) + len(right) > 0:
+                inter = len(left & right)
+                scores.append(
+                    inter * 1_000_000
+                    // (len(left) + len(right) - inter)
+                )
+            else:
+                scores.append(None)
+        for g in range(n - 1):
+            s = scores[g]
+            if s is None:
+                out.append((conv_id, idxs[g], None, None, False))
+                continue
+            window_l = [x for x in scores[max(0, g - depth_window):g + 1]
+                        if x is not None]
+            window_r = [x for x in scores[g:g + 1 + depth_window]
+                        if x is not None]
+            depth = max(window_l) + max(window_r) - 2 * s
+            prevs = [x for x in scores[max(0, g - depth_window):g]
+                     if x is not None]
+            nexts = [x for x in scores[g + 1:g + 1 + depth_window]
+                     if x is not None]
+            floor = (not prevs or s < min(prevs)) and (
+                not nexts or s <= min(nexts)
+            )
+            out.append(
+                (conv_id, idxs[g], s, depth,
+                 depth >= cutoff_ppm and floor)
+            )
+    return sorted(out)
+
+
+def texttiling_table(n_convs: int) -> "List[tuple]":
+    """texttiling_py over the generate_rows transcript corpus at the
+    operator defaults — the snapshot behind the `conv_topic_gaps`
+    EXTRA query."""
+    from ..sources.transcripts import generate_rows
+
+    return texttiling_py(
+        [(c, i, t) for c, i, _r, t, _tool, _ts in generate_rows(n_convs)]
+    )

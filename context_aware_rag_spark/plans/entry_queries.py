@@ -7698,3 +7698,23 @@ def t_tool_chains_q(spark, sf_dir):
         turns, group="conv_id", order_by=("turn_idx",), token="tool",
         n=2, min_groups=1,
     )
+
+
+@xq(
+    "conv_topic_gaps",
+    f"""
+    SELECT conv_id, gap_after, score_ppm, depth_ppm, is_boundary
+    FROM read_parquet('{_pq("texttiling_gaps")}')
+    """,
+)
+def conv_topic_gaps_q(spark, sf_dir):
+    """TextTiling (Hearst, CL 1997) topic-cohesion scores + boundary
+    flags at every inter-turn gap of the transcript corpus — the
+    content-aware chunking signal for KG ingestion (the reference
+    chunks by character count, graph_ingestion.py:68-69). Twin =
+    precomputed pure-Python precompute.texttiling_py over the
+    identical generate_rows corpus (trunc-ppm integer Jaccard makes
+    the match bit-exact)."""
+    from ..operators import segmentation
+
+    return segmentation.texttiling_gaps(transcripts_for(spark, sf_dir))

@@ -4,66 +4,8 @@ pure-Python bit-exact twin over the deterministic transcript corpus."""
 import pytest
 
 from context_aware_rag_spark.operators import segmentation
-from context_aware_rag_spark.oracle.precompute import normalize_py
+from context_aware_rag_spark.oracle.precompute import texttiling_py
 from context_aware_rag_spark.sources.transcripts import generate_rows
-
-
-# ---------------------------------------------------------------- twin
-
-def _toks(text):
-    return set(t for t in normalize_py(text or "").split(" ") if t)
-
-
-def texttiling_py(rows, block_turns=3, depth_window=2,
-                  cutoff_ppm=500_000):
-    """(conv_id, turn_idx, text) -> [(conv_id, gap_after, score_ppm,
-    depth_ppm, is_boundary)] replicating texttiling_gaps bit-for-bit
-    (trunc-ppm integer Jaccard, positional peak windows)."""
-    by_conv = {}
-    for conv_id, turn_idx, text in rows:
-        by_conv.setdefault(conv_id, []).append((turn_idx, text))
-    out = []
-    for conv_id, turns in by_conv.items():
-        turns.sort()
-        idxs = [i for i, _ in turns]
-        tok = [_toks(t) for _, t in turns]
-        n = len(turns)
-        scores = []
-        for g in range(n - 1):  # gap after position g
-            lo = max(0, g - (block_turns - 1))
-            left = set().union(*tok[lo:g + 1]) if g + 1 > lo else set()
-            hi = min(n, g + 1 + block_turns)
-            right = set().union(*tok[g + 1:hi]) if hi > g + 1 else set()
-            if len(left) + len(right) > 0:
-                inter = len(left & right)
-                scores.append(
-                    inter * 1_000_000
-                    // (len(left) + len(right) - inter)
-                )
-            else:
-                scores.append(None)
-        for g in range(n - 1):
-            s = scores[g]
-            if s is None:
-                out.append((conv_id, idxs[g], None, None, False))
-                continue
-            window_l = [x for x in scores[max(0, g - depth_window):g + 1]
-                        if x is not None]
-            window_r = [x for x in scores[g:g + 1 + depth_window]
-                        if x is not None]
-            depth = max(window_l) + max(window_r) - 2 * s
-            prevs = [x for x in scores[max(0, g - depth_window):g]
-                     if x is not None]
-            nexts = [x for x in scores[g + 1:g + 1 + depth_window]
-                     if x is not None]
-            floor = (not prevs or s < min(prevs)) and (
-                not nexts or s <= min(nexts)
-            )
-            out.append(
-                (conv_id, idxs[g], s, depth,
-                 depth >= cutoff_ppm and floor)
-            )
-    return sorted(out)
 
 
 # ------------------------------------------------------------- fixtures

@@ -142,6 +142,11 @@ SCHEMAS = {
         [("gram", pa.string()), ("n_groups", pa.int64()),
          ("n_occurrences", pa.int64())]
     ),
+    "texttiling_gaps": pa.schema(
+        [("conv_id", pa.string()), ("gap_after", pa.int32()),
+         ("score_ppm", pa.int64()), ("depth_ppm", pa.int64()),
+         ("is_boundary", pa.bool_())]
+    ),
     "conv_metrics": pa.schema(
         [("conv_id", pa.string()), ("n_turns", pa.int64()),
          ("n_user", pa.int64()), ("n_assistant", pa.int64()),
@@ -524,6 +529,8 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "tool_chains",
               precompute.tool_chains_table(
                   n_convs_for(sf_dir), min_groups=1))
+        write(out_dir, "texttiling_gaps",
+              precompute.texttiling_table(n_convs_for(sf_dir)))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
