@@ -7718,3 +7718,93 @@ def conv_topic_gaps_q(spark, sf_dir):
     from ..operators import segmentation
 
     return segmentation.texttiling_gaps(transcripts_for(spark, sf_dir))
+
+
+@xq(
+    "bm25_retrieval_eval",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(len(words))::BIGINT AS sum_dl FROM w),
+    tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, unnest(words) AS term,
+                         len(words)::BIGINT AS dl FROM w)
+            GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+    qt AS (SELECT doc_id AS query_id,
+                  unnest(list_distinct(words[1:10])) AS term
+           FROM w WHERE doc_id IN (0, 7, 42)),
+    con AS (SELECT qt.query_id, tfc.doc_id,
+                   CAST(round(ln(1.0 + (st.n_docs - dfc.df + 0.5)
+                                       / (dfc.df + 0.5))
+                        * (tfc.tf * 2.2)
+                        / (tfc.tf + 1.2 * (0.25 + 0.75
+                             * (tfc.dl * st.n_docs) / st.sum_dl))
+                        * 1000000) AS BIGINT) AS c
+            FROM qt JOIN tfc USING (term) JOIN dfc USING (term) CROSS JOIN st),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
+           FROM con GROUP BY 1, 2),
+    run AS (SELECT query_id, doc_id, rank FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_micro DESC, doc_id)
+                       ::BIGINT AS rank
+              FROM sc) WHERE rank <= 20),
+    qr AS (SELECT q.doc_id AS query_id, d.doc_id
+           FROM documents q JOIN documents d
+             ON d.source = q.source AND d.lang = q.lang
+           WHERE q.doc_id IN (0, 7, 42)),
+    nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY 1),
+    mk AS (SELECT r.query_id, r.rank,
+                  CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           FROM run r LEFT JOIN qr
+             ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id),
+    rc AS (SELECT query_id, rank, rel,
+                  sum(rel) OVER (PARTITION BY query_id ORDER BY rank)
+                    AS relcnt
+           FROM mk),
+    pq AS (SELECT query_id,
+                  count(*)::BIGINT AS n_ranked,
+                  sum(CASE WHEN rel = 1 AND rank <= 10
+                           THEN 1 ELSE 0 END)::BIGINT AS hits_at_k,
+                  min(CASE WHEN rel = 1 AND rank <= 10
+                           THEN rank END) AS first_rel,
+                  sum(CASE WHEN rel = 1 AND rank <= 10
+                           THEN (relcnt * 1000000) // rank
+                           ELSE 0 END)::BIGINT AS ap_num
+           FROM rc GROUP BY 1)
+    SELECT n.query_id,
+           n.n_rel,
+           coalesce(p.n_ranked, 0) AS n_ranked,
+           coalesce(p.hits_at_k, 0) AS hits_at_k,
+           (coalesce(p.hits_at_k, 0) * 1000000) // 10 AS p_at_k_ppm,
+           (coalesce(p.hits_at_k, 0) * 1000000) // n.n_rel AS r_at_k_ppm,
+           CASE WHEN p.first_rel IS NOT NULL THEN 1000000 // p.first_rel
+                ELSE 0 END AS rr_ppm,
+           coalesce(p.ap_num, 0) // n.n_rel AS ap_ppm
+    FROM nrel n LEFT JOIN pq p USING (query_id)
+    """,
+)
+def bm25_retrieval_eval_q(spark, sf_dir):
+    """The trec_eval battery over the engine's OWN BM25 run: queries
+    are the first ten tokens of docs 0/7/42 ("more like this"), the
+    run is bm25_topk at k=20 (integer micro scores shared bit-for-bit
+    with the twin's CTE), and relevance = same (source, lang) class as
+    the query doc — does lexical retrieval recover the query's
+    corpus slice? The twin stacks the full AP/P@10/R@10/RR arithmetic
+    (per-term ppm truncation order included) on the bm25_topk CTE, so
+    the hash gates the two-operator COMPOSITION."""
+    from ..operators import rankeval
+
+    docs = load(spark, sf_dir, "documents")
+    qs = bm25.sample_doc_queries(docs, [0, 7, 42], n_words=10)
+    run = bm25.bm25_topk(docs, qs, k=20).select("query_id", "doc_id", "rank")
+    qdocs = docs.filter(F.col("doc_id").isin([0, 7, 42])).select(
+        F.col("doc_id").alias("query_id"), "source", "lang"
+    )
+    qrels = qdocs.join(docs, on=["source", "lang"]).select(
+        "query_id", "doc_id"
+    )
+    return rankeval.ranking_metrics(run, qrels, k=10)
