@@ -2246,3 +2246,63 @@ def texttiling_table(n_convs: int) -> "List[tuple]":
     return texttiling_py(
         [(c, i, t) for c, i, _r, t, _tool, _ts in generate_rows(n_convs)]
     )
+
+
+def sft_pairs_py(
+    rows: "Sequence[tuple]",
+    context_turns: int = 4,
+    response_role: str = "assistant",
+) -> "List[tuple]":
+    """Pure-Python replication of operators/sftpairs.sft_pairs over
+    (conv_id, turn_idx, role, text) rows: [(conv_id, pair_id,
+    prev_role, prompt, n_context_turns, response, n_response_turns)]
+    — maximal response-role runs, last-k-turns rendered prompt."""
+    by_conv: Dict[str, list] = {}
+    for conv_id, turn_idx, role, text in rows:
+        by_conv.setdefault(conv_id, []).append((turn_idx, role, text))
+    out = []
+    for conv_id, turns in by_conv.items():
+        turns.sort()
+        i = 0
+        n = len(turns)
+        while i < n:
+            _, role, _ = turns[i]
+            if role != response_role:
+                i += 1
+                continue
+            j = i
+            while j < n and turns[j][1] == response_role:
+                j += 1
+            ctx = turns[max(0, i - context_turns):i]
+            prompt = (
+                "\n".join(
+                    ": ".join(
+                        x for x in ((r if r is not None else ""), t)
+                        if x is not None
+                    )
+                    for _, r, t in ctx
+                )
+                if ctx
+                else None
+            )
+            prev_role = turns[i - 1][1] if i > 0 else None
+            response = "\n".join(
+                t for _, _, t in turns[i:j] if t is not None
+            )
+            out.append(
+                (conv_id, turns[i][0], prev_role, prompt, len(ctx),
+                 response, j - i)
+            )
+            i = j
+    return sorted(out)
+
+
+def sft_pairs_table(n_convs: int, context_turns: int = 4) -> "List[tuple]":
+    """sft_pairs_py over the generate_rows transcript corpus — the
+    snapshot behind the `sft_pairs` EXTRA query."""
+    from ..sources.transcripts import generate_rows
+
+    return sft_pairs_py(
+        [(c, i, r, t) for c, i, r, t, _tool, _ts in generate_rows(n_convs)],
+        context_turns=context_turns,
+    )

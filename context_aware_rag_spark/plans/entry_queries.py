@@ -7808,3 +7808,26 @@ def bm25_retrieval_eval_q(spark, sf_dir):
         "query_id", "doc_id"
     )
     return rankeval.ranking_metrics(run, qrels, k=10)
+
+
+@xq(
+    "sft_training_pairs",
+    f"""
+    SELECT conv_id, pair_id, prev_role, prompt, n_context_turns,
+           response, n_response_turns
+    FROM read_parquet('{_pq("sft_pairs")}')
+    """,
+)
+def sft_training_pairs_q(spark, sf_dir):
+    """SFT (prompt, response) pair assembly over the raw transcript
+    payload: one pair per maximal assistant-turn run, prompt = the
+    last 4 turns rendered `role: text`, prev_role kept (not filtered)
+    so chat-SFT and agent-trajectory consumers slice differently.
+    Twin = precomputed pure-Python precompute.sft_pairs_py over the
+    identical generate_rows corpus."""
+    from ..operators import sftpairs
+
+    return sftpairs.sft_pairs(transcripts_for(spark, sf_dir)).select(
+        "conv_id", "pair_id", "prev_role", "prompt", "n_context_turns",
+        "response", "n_response_turns",
+    )

@@ -142,6 +142,12 @@ SCHEMAS = {
         [("gram", pa.string()), ("n_groups", pa.int64()),
          ("n_occurrences", pa.int64())]
     ),
+    "sft_pairs": pa.schema(
+        [("conv_id", pa.string()), ("pair_id", pa.int32()),
+         ("prev_role", pa.string()), ("prompt", pa.string()),
+         ("n_context_turns", pa.int32()), ("response", pa.string()),
+         ("n_response_turns", pa.int32())]
+    ),
     "texttiling_gaps": pa.schema(
         [("conv_id", pa.string()), ("gap_after", pa.int32()),
          ("score_ppm", pa.int64()), ("depth_ppm", pa.int64()),
@@ -531,6 +537,8 @@ def main(sf_dirs: list[str]) -> None:
                   n_convs_for(sf_dir), min_groups=1))
         write(out_dir, "texttiling_gaps",
               precompute.texttiling_table(n_convs_for(sf_dir)))
+        write(out_dir, "sft_pairs",
+              precompute.sft_pairs_table(n_convs_for(sf_dir)))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
