@@ -110,6 +110,8 @@ def main() -> None:
         "range_join_2m",
         "conv_metrics_100x",
         "textrank_2k",
+        "sft_pairs_100x",
+        "texttiling_100x",
     ):
         samples[extra] = []
 
@@ -340,6 +342,28 @@ def main() -> None:
         kg_counts["n_conv_metrics_100x"] = conv_turn_metrics(big100).count()
         samples["conv_metrics_100x"].append(round(time.monotonic() - t0, 3))
 
+        # SFT pair assembly over the 100x corpus (gaps-and-islands +
+        # context window + per-run agg, all on one conv-keyed Exchange)
+        from context_aware_rag_spark.operators.sftpairs import sft_pairs
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_sft_pairs_100x"] = sft_pairs(big100).count()
+        samples["sft_pairs_100x"].append(round(time.monotonic() - t0, 3))
+
+        # TextTiling gap scoring over the 100x corpus (block-assembly +
+        # depth windows sharing the same conv-keyed sort)
+        from context_aware_rag_spark.operators.segmentation import (
+            texttiling_gaps,
+        )
+
+        drop_persisted(spark, keep)
+        t0 = time.monotonic()
+        kg_counts["n_texttiling_100x_boundaries"] = texttiling_gaps(
+            big100
+        ).filter(F.col("is_boundary")).count()
+        samples["texttiling_100x"].append(round(time.monotonic() - t0, 3))
+
         # TextRank extractive summaries over a 2k-doc slice: sentence
         # split + per-doc similarity self-join + ONE corpus-wide
         # integer-PageRank power iteration over the sentence graph
@@ -397,6 +421,8 @@ def main() -> None:
         "range_join_2m",
         "conv_metrics_100x",
         "textrank_2k",
+        "sft_pairs_100x",
+        "texttiling_100x",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in scale_entries), 3
@@ -463,6 +489,16 @@ def main() -> None:
             "textrank_2k_rows": kg_counts["n_textrank_2k_rows"],
             "textrank_2k_docs_per_sec": round(
                 2000 / timings["textrank_2k"], 1
+            ),
+            "sft_pairs_100x": kg_counts["n_sft_pairs_100x"],
+            "sft_pairs_100x_turns_per_sec": round(
+                n_big100_turns / timings["sft_pairs_100x"], 1
+            ),
+            "texttiling_100x_boundaries": kg_counts[
+                "n_texttiling_100x_boundaries"
+            ],
+            "texttiling_100x_turns_per_sec": round(
+                n_big100_turns / timings["texttiling_100x"], 1
             ),
         },
         "cpus": int(cpus),

@@ -69,6 +69,40 @@ def texttiling_gaps(
     the gap to be a deep VALLEY, not merely low (a uniformly low-cohesion
     region yields low depths everywhere — Hearst's key insight).
     """
+    return (
+        _gap_scored(
+            turns, group_col, order_col, text_col,
+            block_turns, depth_window, cutoff_ppm,
+        )
+        .filter(F.col("__tt_has_next"))
+        .select(
+            F.col(group_col).alias("conv_id"),
+            F.col(order_col).alias("gap_after"),
+            F.col("__tt_score").alias("score_ppm"),
+            F.col("__tt_depth").alias("depth_ppm"),
+            F.col("__tt_boundary").alias("is_boundary"),
+        )
+    )
+
+
+def _gap_scored(
+    turns: DataFrame,
+    group_col: str,
+    order_col: str,
+    text_col: str,
+    block_turns: int,
+    depth_window: int,
+    cutoff_ppm: int,
+) -> DataFrame:
+    """Append gap scores to the FULL-WIDTH turn frame: __tt_score /
+    __tt_depth / __tt_boundary / __tt_has_next per turn (the gap AFTER
+    that turn). The conversation's last turn has no gap — it stays as
+    one trailing NULL-score position, which the positional min/max
+    peak windows skip, so the scored sequence is positionally
+    identical to the gaps-only view. Keeping every turn row is what
+    lets texttiling_segments run join-free on ONE conv-keyed
+    Exchange.
+    """
     if block_turns < 1:
         raise ValueError(f"need block_turns >= 1: {block_turns}")
     if depth_window < 1:
@@ -76,72 +110,67 @@ def texttiling_gaps(
     if not (0 <= cutoff_ppm <= 2_000_000):
         raise ValueError(f"need 0 <= cutoff_ppm <= 2e6: {cutoff_ppm}")
 
-    toks = turns.select(
-        F.col(group_col).alias("conv_id"),
-        F.col(order_col).alias("gap_after"),
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    toks = turns.withColumn(
+        "__tt_toks",
         F.array_remove(
             F.array_distinct(
                 F.split(normalized_text(F.col(text_col)), " ")
             ),
             "",
-        ).alias("_toks"),
+        ),
     )
-    w = Window.partitionBy("conv_id").orderBy(F.col("gap_after").asc())
     left = F.array_distinct(
         F.flatten(
-            F.collect_list("_toks").over(
+            F.collect_list("__tt_toks").over(
                 w.rowsBetween(-(block_turns - 1), 0)
             )
         )
     )
     right = F.array_distinct(
         F.flatten(
-            F.collect_list("_toks").over(w.rowsBetween(1, block_turns))
+            F.collect_list("__tt_toks").over(w.rowsBetween(1, block_turns))
         )
     )
-    gaps = (
-        toks.select(
-            "conv_id",
-            "gap_after",
-            left.alias("_l"),
-            right.alias("_r"),
-            F.lead("gap_after").over(w).alias("_next"),
-        )
-        .filter(F.col("_next").isNotNull())
+    scored = (
+        toks.withColumn("__tt_l", left)
+        .withColumn("__tt_r", right)
         .withColumn(
-            "score_ppm",
+            "__tt_has_next",
+            F.lead(order_col).over(w).isNotNull(),
+        )
+        .withColumn(
+            "__tt_score",
             F.when(
-                (F.size("_l") + F.size("_r")) > 0,
+                F.col("__tt_has_next")
+                & ((F.size("__tt_l") + F.size("__tt_r")) > 0),
                 F.expr(
-                    "(size(array_intersect(_l, _r)) * 1000000) div "
-                    "(size(_l) + size(_r) - size(array_intersect(_l, _r)))"
+                    "(size(array_intersect(__tt_l, __tt_r)) * 1000000) div "
+                    "(size(__tt_l) + size(__tt_r)"
+                    " - size(array_intersect(__tt_l, __tt_r)))"
                 ),
             ),
         )
-        .drop("_l", "_r", "_next")
+        .drop("__tt_toks", "__tt_l", "__tt_r")
     )
-    gw = Window.partitionBy("conv_id").orderBy(F.col("gap_after").asc())
-    lpeak = F.max("score_ppm").over(gw.rowsBetween(-depth_window, 0))
-    rpeak = F.max("score_ppm").over(gw.rowsBetween(0, depth_window))
-    prev_min = F.min("score_ppm").over(gw.rowsBetween(-depth_window, -1))
-    next_min = F.min("score_ppm").over(gw.rowsBetween(1, depth_window))
+    lpeak = F.max("__tt_score").over(w.rowsBetween(-depth_window, 0))
+    rpeak = F.max("__tt_score").over(w.rowsBetween(0, depth_window))
+    prev_min = F.min("__tt_score").over(w.rowsBetween(-depth_window, -1))
+    next_min = F.min("__tt_score").over(w.rowsBetween(1, depth_window))
     is_floor = (
-        F.coalesce(F.col("score_ppm") < prev_min, F.lit(True))
-        & F.coalesce(F.col("score_ppm") <= next_min, F.lit(True))
+        F.coalesce(F.col("__tt_score") < prev_min, F.lit(True))
+        & F.coalesce(F.col("__tt_score") <= next_min, F.lit(True))
     )
-    return gaps.select(
-        "conv_id",
-        "gap_after",
-        "score_ppm",
-        (lpeak + rpeak - 2 * F.col("score_ppm")).alias("depth_ppm"),
-        is_floor.alias("_floor"),
+    return scored.withColumn(
+        "__tt_depth",
+        lpeak + rpeak - 2 * F.col("__tt_score"),
     ).withColumn(
-        "is_boundary",
+        "__tt_boundary",
         F.coalesce(
-            (F.col("depth_ppm") >= F.lit(cutoff_ppm)) & F.col("_floor"),
+            (F.col("__tt_depth") >= F.lit(cutoff_ppm)) & is_floor,
             F.lit(False),
         ),
-    ).drop("_floor")
+    )
 
 
 def texttiling_segments(
@@ -155,28 +184,21 @@ def texttiling_segments(
 ) -> DataFrame:
     """Assign every turn its topic-segment index: ``seg_idx`` = number
     of boundaries at strictly earlier gaps (0-based; a boundary after
-    turn i puts turn i+1 in the next segment). Adds one window pass on
-    the SAME conversation partitioning (running sum over the boundary
-    flags joined back by (conv_id, order)).
+    turn i puts turn i+1 in the next segment). Join-free: the gap
+    scorer keeps the full-width turn frame, so the running boundary
+    sum is one more window on the SAME conv-keyed Exchange — the
+    whole operator is a single shuffle (plan-asserted in tests).
     """
-    gaps = texttiling_gaps(
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    scored = _gap_scored(
         turns, group_col, order_col, text_col,
         block_turns, depth_window, cutoff_ppm,
     )
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
-    flagged = turns.join(
-        gaps.select(
-            F.col("conv_id").alias(group_col),
-            F.col("gap_after").alias(order_col),
-            F.col("is_boundary").cast("long").alias("_cut"),
-        ),
-        on=[group_col, order_col],
-        how="left",
-    )
-    seg = (
-        F.sum(F.coalesce(F.col("_cut"), F.lit(0)))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    )
-    return flagged.withColumn(
+    seg = F.sum(
+        F.col("__tt_boundary").cast("long")
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return scored.withColumn(
         "seg_idx", F.coalesce(seg, F.lit(0)).cast("int")
-    ).drop("_cut")
+    ).drop(
+        "__tt_has_next", "__tt_score", "__tt_depth", "__tt_boundary"
+    )

@@ -104,3 +104,23 @@ class TestTwinParity:
         )
         assert got == want
         assert any(r[4] for r in got)  # corpus has real boundaries
+
+
+class TestPlanShape:
+    def test_single_exchange_for_gaps_and_segments(self, spark):
+        # the whole point of the full-width scorer: gap scoring AND
+        # segment assignment are one conv-keyed shuffle each, no join
+        df = generate_transcripts_df(spark)
+        for op in (segmentation.texttiling_gaps,
+                   segmentation.texttiling_segments):
+            plan = op(df)._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1, plan
+            assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+
+
+def generate_transcripts_df(spark):
+    from context_aware_rag_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    return generate_transcripts(spark, 4)
