@@ -202,3 +202,72 @@ def texttiling_segments(
     ).drop(
         "__tt_has_next", "__tt_score", "__tt_depth", "__tt_boundary"
     )
+
+
+def topic_chunks(
+    turns: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    block_turns: int = 3,
+    depth_window: int = 2,
+    cutoff_ppm: int = 500_000,
+) -> DataFrame:
+    """Assemble topic segments into KG-ingestion chunks: one row per
+    (conversation, topic segment) with the segment's turn texts joined
+    in turn order — the content-aware alternative to the reference's
+    character-count splitter, sharing its chunk-id rule
+    (``sha1(chunk_text + conv_id)``, base.py:381-387) so topic chunks
+    drop into the same downstream tables.
+
+    Output: (group_col, seg_idx, chunk_id, chunk_text, n_turns,
+    first_turn, last_turn). NULL turn texts contribute nothing to
+    chunk_text (concat_ws semantics, mirrored by the twin) but still
+    count in n_turns — the turn belongs to the segment even when its
+    text is empty.
+
+    100 TB shape: texttiling_segments' single conv-keyed Exchange also
+    serves the (group, seg) groupBy — hash(conv) co-locates every
+    segment of a conversation, so Catalyst plans the aggregate without
+    a second shuffle (plan-asserted in tests). Chunk text size is
+    bounded by segment length; a degenerate no-boundary conversation
+    yields ONE chunk of the whole conversation — the cutoff knob, not
+    the engine, owns that trade-off.
+    """
+    seg = texttiling_segments(
+        turns, group_col, order_col, text_col,
+        block_turns, depth_window, cutoff_ppm,
+    )
+    out = (
+        seg.groupBy(group_col, "seg_idx")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col).alias("_o"),
+                                F.col(text_col).alias("_t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_t"],
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.min(order_col).alias("first_turn"),
+            F.max(order_col).alias("last_turn"),
+        )
+    )
+    return out.select(
+        group_col,
+        "seg_idx",
+        F.sha1(
+            F.concat(F.col("chunk_text"), F.col(group_col))
+        ).alias("chunk_id"),
+        "chunk_text",
+        "n_turns",
+        "first_turn",
+        "last_turn",
+    )

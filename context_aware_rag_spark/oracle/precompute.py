@@ -20,6 +20,7 @@ Spark queries reproduce these tables bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import json
 import re
@@ -2305,4 +2306,65 @@ def sft_pairs_table(n_convs: int, context_turns: int = 4) -> "List[tuple]":
     return sft_pairs_py(
         [(c, i, r, t) for c, i, r, t, _tool, _ts in generate_rows(n_convs)],
         context_turns=context_turns,
+    )
+
+
+def topic_chunks_py(
+    rows: "Sequence[tuple]",
+    block_turns: int = 3,
+    depth_window: int = 2,
+    cutoff_ppm: int = 500_000,
+) -> "List[tuple]":
+    """Pure-Python replication of segmentation.topic_chunks over
+    (conv_id, turn_idx, text) rows: [(conv_id, seg_idx, chunk_id,
+    chunk_text, n_turns, first_turn, last_turn)]."""
+    gaps = {
+        (c, g): b
+        for c, g, _s, _d, b in texttiling_py(
+            rows, block_turns, depth_window, cutoff_ppm
+        )
+    }
+    by_conv: Dict[str, list] = {}
+    for conv_id, turn_idx, text in rows:
+        by_conv.setdefault(conv_id, []).append((turn_idx, text))
+    out = []
+    for conv_id, turns in by_conv.items():
+        turns.sort()
+        seg = 0
+        cur: list = []
+        segs = []
+        for i, (idx, text) in enumerate(turns):
+            cur.append((idx, text))
+            last = i == len(turns) - 1
+            if last or gaps.get((conv_id, idx), False):
+                segs.append((seg, cur))
+                seg += 1
+                cur = []
+        for seg_idx, items in segs:
+            chunk_text = "\n".join(
+                t for _, t in items if t is not None
+            )
+            out.append(
+                (
+                    conv_id,
+                    seg_idx,
+                    hashlib.sha1(
+                        (chunk_text + conv_id).encode("utf-8")
+                    ).hexdigest(),
+                    chunk_text,
+                    len(items),
+                    items[0][0],
+                    items[-1][0],
+                )
+            )
+    return sorted(out)
+
+
+def topic_chunks_table(n_convs: int) -> "List[tuple]":
+    """topic_chunks_py over the generate_rows corpus — the snapshot
+    behind the `kg_topic_chunks` EXTRA query."""
+    from ..sources.transcripts import generate_rows
+
+    return topic_chunks_py(
+        [(c, i, t) for c, i, _r, t, _tool, _ts in generate_rows(n_convs)]
     )

@@ -7831,3 +7831,24 @@ def sft_training_pairs_q(spark, sf_dir):
         "conv_id", "pair_id", "prev_role", "prompt", "n_context_turns",
         "response", "n_response_turns",
     )
+
+
+@xq(
+    "kg_topic_chunks",
+    f"""
+    SELECT conv_id, seg_idx, chunk_id, chunk_text, n_turns,
+           first_turn, last_turn
+    FROM read_parquet('{_pq("topic_chunks")}')
+    """,
+)
+def kg_topic_chunks_q(spark, sf_dir):
+    """Content-aware chunk assembly: TextTiling topic segments joined
+    into ingestion chunks under the reference's chunk-id rule
+    (sha1(chunk_text + conv_id), base.py:381-387) — the alternative
+    front-end to the character-count splitter, one conv-keyed
+    Exchange end-to-end. Twin = precomputed pure-Python
+    precompute.topic_chunks_py over the identical corpus (boundary
+    detection + assembly + sha1, all Spark-free)."""
+    from ..operators import segmentation
+
+    return segmentation.topic_chunks(transcripts_for(spark, sf_dir))

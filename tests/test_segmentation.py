@@ -124,3 +124,46 @@ def generate_transcripts_df(spark):
     )
 
     return generate_transcripts(spark, 4)
+
+
+class TestTopicChunks:
+    def test_planted_shift_yields_two_chunks(self, spark):
+        texts = [TOPIC_A] * 6 + [TOPIC_B] * 6
+        df = _conv(spark, texts)
+        rows = sorted(
+            (r.seg_idx, r.first_turn, r.last_turn, r.n_turns)
+            for r in segmentation.topic_chunks(df).collect()
+        )
+        assert len(rows) == 2
+        assert rows[0][1] == 0 and rows[1][2] == 11
+        assert rows[0][3] + rows[1][3] == 12
+
+    def test_chunk_id_rule(self, spark):
+        import hashlib
+
+        df = _conv(spark, [TOPIC_A, TOPIC_A])
+        r = segmentation.topic_chunks(df).collect()[0]
+        want = hashlib.sha1(
+            (r.chunk_text + r.conv_id).encode()
+        ).hexdigest()
+        assert r.chunk_id == want
+        assert r.chunk_text == TOPIC_A + "\n" + TOPIC_A
+
+    def test_corpus_parity(self, spark):
+        from context_aware_rag_spark.oracle.precompute import (
+            topic_chunks_table,
+        )
+
+        df = generate_transcripts_df(spark)
+        got = sorted(
+            tuple(r) for r in segmentation.topic_chunks(df).collect()
+        )
+        assert got == [tuple(e) for e in topic_chunks_table(4)]
+
+    def test_single_exchange(self, spark):
+        df = generate_transcripts_df(spark)
+        plan = (
+            segmentation.topic_chunks(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan

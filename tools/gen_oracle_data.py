@@ -148,6 +148,12 @@ SCHEMAS = {
          ("n_context_turns", pa.int32()), ("response", pa.string()),
          ("n_response_turns", pa.int32())]
     ),
+    "topic_chunks": pa.schema(
+        [("conv_id", pa.string()), ("seg_idx", pa.int32()),
+         ("chunk_id", pa.string()), ("chunk_text", pa.string()),
+         ("n_turns", pa.int32()), ("first_turn", pa.int32()),
+         ("last_turn", pa.int32())]
+    ),
     "texttiling_gaps": pa.schema(
         [("conv_id", pa.string()), ("gap_after", pa.int32()),
          ("score_ppm", pa.int64()), ("depth_ppm", pa.int64()),
@@ -539,6 +545,8 @@ def main(sf_dirs: list[str]) -> None:
               precompute.texttiling_table(n_convs_for(sf_dir)))
         write(out_dir, "sft_pairs",
               precompute.sft_pairs_table(n_convs_for(sf_dir)))
+        write(out_dir, "topic_chunks",
+              precompute.topic_chunks_table(n_convs_for(sf_dir)))
 
         kg = precompute.kg_tables(n_convs_for(sf_dir))
         write(out_dir, "kg_triples", kg["kg_triples"])
