@@ -20,6 +20,13 @@ class PipelineConfig:
     chunk_size: int = 500
     chunk_overlap: int = 10
     timestamp_prefix: bool = False      # reference prefixes only file/rtsp docs
+    # "chars" = the reference's character-count splitter (parity
+    # default); "topic" = TextTiling topic segments as chunks (engine
+    # extension — content-aware boundaries, same chunk-id rule)
+    chunking: str = "chars"
+    texttiling_block_turns: int = 3
+    texttiling_depth_window: int = 2
+    texttiling_cutoff_ppm: int = 500_000
     # extraction
     extractor: str = "rule_based"       # "rule_based" | "null" (bypass, chunks only)
     allowed_nodes: List[str] = field(

@@ -121,3 +121,60 @@ def chunk_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None)
     return chunks.withColumn(
         "chunk_id", hashing.chunk_id_col(F.col("text"), F.col("conv_id"))
     )
+
+
+def chunk_transcripts_topic(
+    transcripts: DataFrame, cfg: "PipelineConfig | None" = None
+) -> DataFrame:
+    """Topic-chunking front-end for the pipeline (cfg.chunking =
+    "topic"): TextTiling segments become the chunk rows, under the
+    SAME stage contract as chunk_transcripts — `_CHUNK_SCHEMA` +
+    chunk_id — so every downstream stage (extraction, linking,
+    materialize) is untouched. Mapping: batch_id = seg_idx (the
+    ingestion batch IS the topic), turn_idx = the segment's first
+    turn, split_pos = 0 (one chunk per segment — the content decides
+    the boundary, not a character budget), ts = the first turn's
+    timestamp. Ordering contract (conv_id, batch_id, turn_idx,
+    split_pos) stays monotone in conversation order because seg_idx
+    is. One conv-keyed Exchange end-to-end (segmentation plan), vs
+    the splitter's zero — the price of content-awareness.
+    """
+    from .segmentation import texttiling_segments
+
+    cfg = cfg or PipelineConfig()
+    seg = texttiling_segments(
+        transcripts,
+        block_turns=cfg.texttiling_block_turns,
+        depth_window=cfg.texttiling_depth_window,
+        cutoff_ppm=cfg.texttiling_cutoff_ppm,
+    )
+    chunks = (
+        seg.groupBy("conv_id", F.col("seg_idx").cast("long").alias("batch_id"))
+        .agg(
+            F.min("turn_idx").cast("int").alias("turn_idx"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("turn_idx").alias("_o"),
+                                F.col("text").alias("_t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_t"],
+                ),
+            ).alias("text"),
+            F.min_by("ts", "turn_idx").alias("ts"),
+        )
+        .withColumn("split_pos", F.lit(0).cast("int"))
+        .withColumn("length", F.length("text").cast("int"))
+        .select(
+            "conv_id", "batch_id", "turn_idx", "split_pos",
+            "text", "length", "ts",
+        )
+    )
+    return chunks.withColumn(
+        "chunk_id", hashing.chunk_id_col(F.col("text"), F.col("conv_id"))
+    )

@@ -100,7 +100,13 @@ def run_pipeline(
         spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
     w = StageWriter(spark, workdir, run_id)
 
-    chunks = w.materialize("chunks", lambda: chunking.chunk_transcripts(transcripts, cfg))
+    if cfg.chunking == "topic":
+        chunk_fn = chunking.chunk_transcripts_topic
+    elif cfg.chunking == "chars":
+        chunk_fn = chunking.chunk_transcripts
+    else:
+        raise ValueError(f"unknown chunking strategy: {cfg.chunking!r}")
+    chunks = w.materialize("chunks", lambda: chunk_fn(transcripts, cfg))
 
     def _extract() -> DataFrame:
         t, _ = extraction.extract_stage(chunks, cfg)

@@ -173,3 +173,32 @@ def test_lsh_banded_exchanges_exclude_embeddings(spark):
     assert blocks, "expected banded exchanges in the knn plan"
     for blk in blocks:
         assert "embedding" not in blk, blk
+
+
+def test_topic_chunking_strategy_plugs_into_pipeline(spark):
+    """cfg.chunking='topic' swaps the front-end under the same stage
+    contract: chunk ids equal segmentation.topic_chunks' ids, the
+    downstream stages run unchanged, and unknown strategies raise."""
+    import pytest as _pytest
+
+    from context_aware_rag_spark.config import PipelineConfig
+    from context_aware_rag_spark.operators import segmentation
+    from context_aware_rag_spark.plans.pipeline import run_pipeline
+    from context_aware_rag_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    df = generate_transcripts(spark, 6)
+    res = run_pipeline(spark, df, PipelineConfig(chunking="topic"))
+    got = sorted(r.chunk_id for r in res.chunks.select("chunk_id").collect())
+    want = sorted(
+        r.chunk_id for r in segmentation.topic_chunks(df).collect()
+    )
+    assert got == want
+    assert res.triples.count() > 0
+    assert res.nodes.count() > 0
+    # chunk schema contract: same columns as the chars front-end
+    chars = run_pipeline(spark, df, PipelineConfig())
+    assert set(res.chunks.columns) == set(chars.chunks.columns)
+    with _pytest.raises(ValueError, match="chunking strategy"):
+        run_pipeline(spark, df, PipelineConfig(chunking="sentences"))
