@@ -206,3 +206,67 @@ def equi_depth_bins(
     else:
         w = Window.orderBy(*order)
     return df.withColumn("bin", F.ntile(n_bins).over(w))
+
+
+def time_decayed_counts(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    ts_col: str,
+    as_of: str,
+    half_life_s: int,
+    max_halvings: int = 62,
+) -> DataFrame:
+    """Recency-weighted activity per key — the decayed complement of a
+    plain count (A4's entity frequency is the undecayed version; a KG
+    retrieval layer ranks entities by *current* salience, not lifetime
+    mentions).
+
+    Each event's weight is ``1_000_000 >> (age // half_life_s)`` — the
+    power-of-two staircase of exponential decay: exactly one halving
+    per elapsed half-life, evaluated in pure int64 so Spark and any
+    SQL twin agree bit-for-bit (no ``exp()``/``pow()`` float drift).
+    Ages are integer seconds derived from microsecond epochs with
+    trunc division; the shift count is capped at ``max_halvings``
+    (BIGINT shift semantics diverge across engines past the word
+    width; 1e6 >> 20 is already 0, so the cap changes nothing
+    observable).
+
+    Rows with ``ts_col`` after ``as_of`` are EXCLUDED — as of the
+    scoring instant they have not happened; a negative age would
+    otherwise mint unbounded weight. NULL timestamps are excluded the
+    same way (unknowable age, never a fake weight).
+
+    Output per key: (*key_cols, n_events, salience, last_ts) where
+    ``salience`` = sum of decayed weights and ``n_events`` counts the
+    INCLUDED rows. One map-side-combined groupBy — a single
+    key-shuffle, no window, no driver actions.
+
+    100 TB shape: weights are computed in the narrow map before the
+    exchange, so shuffle volume is one partial aggregate per (task,
+    key); hot keys (a viral entity) cost only their own partial rows.
+    """
+    if half_life_s < 1:
+        raise ValueError(f"need half_life_s >= 1: {half_life_s}")
+    if not (0 <= max_halvings <= 62):
+        raise ValueError(f"need 0 <= max_halvings <= 62: {max_halvings}")
+
+    as_of_us = F.unix_micros(F.lit(as_of).cast("timestamp"))
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    k = F.least(
+        F.expr(
+            f"((unix_micros(cast('{as_of}' as timestamp))"
+            f" - unix_micros(cast({ts_col} as timestamp))) div 1000000)"
+            f" div {half_life_s}"
+        ),
+        F.lit(max_halvings).cast("long"),
+    )
+    weighted = (
+        df.filter(F.col(ts_col).isNotNull() & (ts_us <= as_of_us))
+        .withColumn("_k", k.cast("int"))
+        .withColumn("_w", F.expr("shiftright(1000000L, _k)"))
+    )
+    return weighted.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_w").alias("salience"),
+        F.max(ts_col).alias("last_ts"),
+    )

@@ -7852,3 +7852,36 @@ def kg_topic_chunks_q(spark, sf_dir):
     from ..operators import segmentation
 
     return segmentation.topic_chunks(transcripts_for(spark, sf_dir))
+
+
+@xq(
+    "event_salience_decayed",
+    """
+    SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+           sum(1000000 >> least(
+             (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+               // 1000000 // 604800, 62))::BIGINT AS salience,
+           max(ts) AS last_ts
+    FROM events
+    WHERE ts IS NOT NULL
+      AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+    GROUP BY 1, 2
+    """,
+)
+def event_salience_decayed_q(spark, sf_dir):
+    """Recency-weighted activity per (user, event_type) at a 7-day
+    half-life — the decayed complement of A4's plain frequency (a KG
+    retrieval layer ranks by CURRENT salience, not lifetime counts).
+    Weight = 1e6 >> (age div half_life): the power-of-two staircase of
+    exponential decay, pure int64 on both engines (no exp()/pow()
+    float drift). Rows after the as_of instant are excluded, never
+    negatively aged."""
+    from ..operators import profile as prof
+
+    return prof.time_decayed_counts(
+        load(spark, sf_dir, "events"),
+        ["user_id", "event_type"],
+        "ts",
+        as_of="2024-01-31 00:00:00",
+        half_life_s=7 * 86400,
+    )

@@ -192,3 +192,92 @@ class TestEquiDepthBins:
 
         with _pytest.raises(ValueError, match="n_bins"):
             equi_depth_bins(df, "v", n_bins=0)
+
+
+class TestTimeDecayedCounts:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k string, ts timestamp"
+        )
+
+    def test_staircase_halving(self, spark):
+        from datetime import datetime
+
+        from context_aware_rag_spark.operators import profile as prof
+
+        # events exactly 0, 1, 2 half-lives old: 1e6 + 5e5 + 2.5e5
+        rows = [
+            ("a", datetime(2024, 1, 10, 0, 0, 0)),
+            ("a", datetime(2024, 1, 9, 0, 0, 0)),
+            ("a", datetime(2024, 1, 8, 0, 0, 0)),
+        ]
+        out = prof.time_decayed_counts(
+            self._df(spark, rows), ["k"], "ts",
+            as_of="2024-01-10 00:00:00", half_life_s=86400,
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["n_events"] == 3
+        assert out[0]["salience"] == 1_000_000 + 500_000 + 250_000
+
+    def test_future_and_null_rows_excluded(self, spark):
+        from datetime import datetime
+
+        from context_aware_rag_spark.operators import profile as prof
+
+        rows = [
+            ("a", datetime(2024, 1, 10, 0, 0, 0)),
+            ("a", datetime(2024, 1, 11, 0, 0, 0)),   # future
+            ("a", None),                              # unknowable
+        ]
+        out = prof.time_decayed_counts(
+            self._df(spark, rows), ["k"], "ts",
+            as_of="2024-01-10 00:00:00", half_life_s=86400,
+        ).collect()
+        assert out[0]["n_events"] == 1
+        assert out[0]["salience"] == 1_000_000
+
+    def test_halvings_cap(self, spark):
+        from datetime import datetime
+
+        from context_aware_rag_spark.operators import profile as prof
+
+        # 25 half-lives old: weight would be 0 anyway; cap at 3 keeps
+        # 1e6 >> 3 = 125000 (the cap is observable => honored)
+        rows = [("a", datetime(2023, 12, 1, 0, 0, 0))]
+        out = prof.time_decayed_counts(
+            self._df(spark, rows), ["k"], "ts",
+            as_of="2024-01-10 00:00:00", half_life_s=86400,
+            max_halvings=3,
+        ).collect()
+        assert out[0]["salience"] == 125_000
+
+    def test_key_isolation(self, spark):
+        from datetime import datetime
+
+        from context_aware_rag_spark.operators import profile as prof
+
+        rows = [
+            ("a", datetime(2024, 1, 10, 0, 0, 0)),
+            ("b", datetime(2024, 1, 9, 0, 0, 0)),
+        ]
+        got = {
+            r["k"]: r["salience"]
+            for r in prof.time_decayed_counts(
+                self._df(spark, rows), ["k"], "ts",
+                as_of="2024-01-10 00:00:00", half_life_s=86400,
+            ).collect()
+        }
+        assert got == {"a": 1_000_000, "b": 500_000}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from context_aware_rag_spark.operators import profile as prof
+
+        df = self._df(spark, [])
+        with _pytest.raises(ValueError, match="half_life_s"):
+            prof.time_decayed_counts(df, ["k"], "ts", "2024-01-01", 0)
+        with _pytest.raises(ValueError, match="max_halvings"):
+            prof.time_decayed_counts(
+                df, ["k"], "ts", "2024-01-01", 1, max_halvings=63
+            )
