@@ -7885,3 +7885,41 @@ def event_salience_decayed_q(spark, sf_dir):
         as_of="2024-01-31 00:00:00",
         half_life_s=7 * 86400,
     )
+
+
+@xq(
+    "clf_calibration",
+    f"""
+    WITH sc AS (SELECT prob, doc_id % 2 AS label
+                FROM read_parquet('{_pq("quality_classifier")}')),
+    b AS (SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin,
+                 CAST(floor(prob * 1000000) AS BIGINT) AS p_micro,
+                 CAST(floor((prob - label) * (prob - label) * 1000000)
+                      AS BIGINT) AS sq_micro,
+                 label
+          FROM sc)
+    SELECT bin, count(*)::BIGINT AS n, sum(label)::BIGINT AS n_pos,
+           sum(p_micro) // count(*) AS conf_ppm,
+           (sum(label) * 1000000) // count(*) AS acc_ppm,
+           sum(p_micro) // count(*)
+             - (sum(label) * 1000000) // count(*) AS gap_ppm,
+           sum(p_micro)::BIGINT AS sum_prob_micro,
+           sum(sq_micro)::BIGINT AS sum_sq_err_micro
+    FROM b GROUP BY bin
+    """,
+)
+def clf_calibration_q(spark, sf_dir):
+    """Reliability-diagram battery (Guo et al. 2017) over the learned
+    quality classifier's live probabilities, against parity labels
+    (doc_id % 2) as a NEGATIVE CONTROL: labels are independent of the
+    text, so a well-behaved evaluator must show per-bin accuracy ~ the
+    500000 base rate and gap = the classifier's raw confidence spread
+    — the arithmetic (micro flooring of bit-exact floats, trunc-ppm
+    ratios, top-bin clamp) is what the hash gates. Twin = the same
+    binning over the float-bit-exact quality_classifier snapshot."""
+    from ..operators import calibration, textmetrics
+
+    scored = textmetrics.quality_classifier(
+        load(spark, sf_dir, "documents")
+    ).select("prob", (F.col("doc_id") % 2).cast("int").alias("label"))
+    return calibration.calibration_metrics(scored, n_bins=10)
