@@ -408,7 +408,7 @@ def a1_ordered_concat(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "a2_time_bounds",
     """
     SELECT user_id,
@@ -2005,7 +2005,7 @@ def a8_max_span_per_user(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "o4_set_except",
     """
     SELECT user_id FROM events WHERE event_type = 'error'
@@ -2070,7 +2070,7 @@ def f5_batch_range_filter(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "f4_subtitle_time_filter",
     """
     SELECT (i + 1)::INT AS seq,
@@ -7720,7 +7720,7 @@ def conv_topic_gaps_q(spark, sf_dir):
     return segmentation.texttiling_gaps(transcripts_for(spark, sf_dir))
 
 
-@xq(
+@q(
     "bm25_retrieval_eval",
     r"""
     WITH w AS (SELECT doc_id,
@@ -7810,7 +7810,7 @@ def bm25_retrieval_eval_q(spark, sf_dir):
     return rankeval.ranking_metrics(run, qrels, k=10)
 
 
-@xq(
+@q(
     "sft_training_pairs",
     f"""
     SELECT conv_id, pair_id, prev_role, prompt, n_context_turns,
@@ -7833,7 +7833,7 @@ def sft_training_pairs_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "kg_topic_chunks",
     f"""
     SELECT conv_id, seg_idx, chunk_id, chunk_text, n_turns,
