@@ -184,3 +184,167 @@ def ranking_summary(metrics: DataFrame, query_col: str = "query_id") -> DataFram
         F.expr("sum(r_at_k_ppm) div count(1)").alias("mean_r_at_k_ppm"),
         F.expr("sum(rr_ppm) div count(1)").alias("mrr_ppm"),
     )
+
+
+def discount_micro(rank: int) -> int:
+    """The nDCG position discount floor(1e6 / log2(rank + 1)) as an
+    integer micro weight. This single Python definition is the ONE
+    source of the discount values — the Spark plan embeds them as an
+    array literal and the SQL twin interpolates the same integers into
+    a VALUES list, so no runtime log2() (whose last-ulp behaviour
+    differs between libm implementations) ever reaches either engine.
+    rank=1 -> 1_000_000 exactly."""
+    import math
+
+    if rank < 1:
+        raise ValueError(f"need rank >= 1: {rank}")
+    return int(1_000_000 / math.log2(rank + 1))
+
+
+def ndcg_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """Per-query nDCG@k with GRADED relevance (Järvelin & Kekäläinen,
+    TOIS 2002) — the graded companion to ranking_metrics' binary
+    battery, grading the same four retrieval surfaces when judgments
+    carry degrees (exact class match vs partial class match).
+
+    ``run``: one row per (query, retrieved doc) with a 1-based
+    gap-free per-query ``rank_col`` (validated in-plan exactly as
+    ranking_metrics does — a gapped rank silently shifts every
+    discounted gain after it, so it RAISES instead). ``qrels``:
+    (query, doc, gain) with integer gain >= 0, validated in-plan;
+    duplicate (query, doc) judgments collapse to the MOST generous
+    (max gain) — the documented tie policy, never a nondeterministic
+    pick.
+
+    Determinism discipline: DCG = sum(gain * w[rank]) with
+    w = discount_micro (a driver-side integer table — see above), so
+    both DCG and ideal DCG are exact int64 sums; the final ratio is
+    computed in decimal(38,0) (gain * 1e6 * 1e6 products) and
+    truncated to ppm. Ideal DCG orders by (gain desc, doc asc) — the
+    doc tie-break cannot change IDCG (swapping equal gains across
+    positions leaves the weighted sum unchanged), it only pins the
+    plan to one deterministic ordering.
+
+    NULL ndcg when the query has no positive-gain judgment (IDCG = 0,
+    unscorable — never a fake 0 or a division blow-up); honest zero
+    when the query is judged but the run retrieved nothing relevant;
+    NULL for run-only (unjudged) queries.
+
+    100 TB shape: qrels collapse in one (q,d)-keyed agg, the ideal
+    side is one qrels-sized window + agg, the run side one
+    (q,d)-keyed join + one q-keyed agg (the rank-contract guard rides
+    the same agg) — all qrels/run-sized Exchanges, no driver actions,
+    no UDFs; the discount table is an in-plan array literal, not a
+    join.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1: {k}")
+    if k > 1000:
+        raise ValueError(f"discount literal bounded at k <= 1000: {k}")
+
+    q, d, r, g = query_col, doc_col, rank_col, gain_col
+    weights = F.array(*[F.lit(discount_micro(i)) for i in range(1, k + 1)])
+
+    graded = (
+        qrels.select(
+            F.col(q).alias("_q"),
+            F.col(d).alias("_d"),
+            F.col(g).cast("long").alias("_g"),
+        )
+        .withColumn(
+            "_chk",
+            F.assert_true(
+                F.col("_g").isNotNull() & (F.col("_g") >= 0),
+                F.lit("ndcg_metrics: gain must be a non-negative integer"),
+            ),
+        )
+        .filter(F.col("_chk").isNull())
+        .groupBy("_q", "_d")
+        .agg(F.max("_g").alias("_g"))
+    )
+
+    ideal_w = Window.partitionBy("_q").orderBy(
+        F.col("_g").desc(), F.col("_d").asc()
+    )
+    ideal = (
+        graded.withColumn("_pos", F.row_number().over(ideal_w))
+        .filter(F.col("_pos") <= k)
+        .groupBy(F.col("_q").alias(q))
+        .agg(
+            F.sum(
+                F.col("_g") * F.element_at(weights, F.col("_pos"))
+            ).alias("idcg_micro"),
+        )
+    )
+    n_judged = graded.groupBy(F.col("_q").alias(q)).agg(
+        F.count(F.lit(1)).alias("n_judged")
+    )
+
+    marked = run.select(
+        F.col(q), F.col(d), F.col(r).cast("long").alias("_rank")
+    ).join(
+        graded,
+        on=[F.col(q) == F.col("_q"), F.col(d) == F.col("_d")],
+        how="left",
+    ).drop("_q", "_d")
+    per_query = (
+        marked.groupBy(q)
+        .agg(
+            F.count(F.lit(1)).alias("n_ranked"),
+            F.max("_rank").alias("_max_rank"),
+            F.count_distinct(F.col("_rank")).alias("_n_distinct"),
+            F.min("_rank").alias("_min_rank"),
+            F.sum(
+                F.when(
+                    (F.col("_rank") <= k) & F.col("_g").isNotNull(),
+                    F.col("_g")
+                    * F.element_at(weights, F.col("_rank").cast("int")),
+                ).otherwise(F.lit(0))
+            ).alias("dcg_micro"),
+        )
+        .withColumn(
+            "_guard",
+            F.assert_true(
+                (F.col("_max_rank") == F.col("n_ranked"))
+                & (F.col("_n_distinct") == F.col("n_ranked"))
+                & (F.col("_min_rank") == 1),
+                F.lit(
+                    "ndcg_metrics: rank must be 1-based, gap-free "
+                    "and duplicate-free per query"
+                ),
+            ),
+        )
+        .filter(F.col("_guard").isNull())
+        .drop("_guard", "_max_rank", "_n_distinct", "_min_rank")
+    )
+
+    joined = per_query.join(
+        n_judged.join(ideal, on=q, how="inner"), on=q, how="full_outer"
+    )
+    scorable = F.col("idcg_micro") > 0
+    return joined.select(
+        F.col(q),
+        F.coalesce(F.col("n_judged"), F.lit(0)).alias("n_judged"),
+        F.coalesce(F.col("n_ranked"), F.lit(0)).alias("n_ranked"),
+        F.when(
+            F.col("n_judged").isNotNull(),
+            F.coalesce(F.col("dcg_micro"), F.lit(0)),
+        ).alias("dcg_micro"),
+        F.col("idcg_micro"),
+        F.when(
+            scorable,
+            F.expr(
+                "cast((cast(coalesce(dcg_micro, 0) as decimal(38,0))"
+                " * 1000000) div cast(idcg_micro as decimal(38,0))"
+                " as bigint)"
+            ),
+        ).alias("ndcg_ppm"),
+    )

@@ -111,3 +111,145 @@ def rouge_n_scores(
         ppm("clipped_overlap", "ref_grams").alias("recall_ppm"),
         ppm("2 * clipped_overlap", "cand_grams + ref_grams").alias("f_ppm"),
     )
+
+
+def _char_gram_array(chars_col, n: int):
+    """Contiguous character n-grams WITH multiplicity over an
+    already-normalized, space-stripped string; empty array when the
+    string is shorter than n (same sequence(1, m<1) counts-down guard
+    as the word-gram builder above)."""
+    m = F.length(chars_col) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: chars_col.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def chrf_scores(
+    pairs: DataFrame,
+    id_cols: Sequence[str] = ("pair_id",),
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+    max_n: int = 6,
+    beta_sq: int = 4,
+) -> DataFrame:
+    """Per-pair chrF (Popović, WMT 2015) — the character-n-gram
+    F-score that grades morphology-level overlap word-token metrics
+    miss (inflection variants, typos, agglutination). Character
+    1..max_n-grams are taken over the repo-wide normalization with
+    spaces REMOVED (the chrF convention: word boundaries carry no
+    signal at the character level); per order n
+
+        clip_n = sum_g min(count_cand(g), count_ref(g))
+        F_n    = (1 + beta_sq) * clip_n / (beta_sq * ref_n + cand_n)
+
+    — the exact closed form of (1+b)PR/(bP+R) after clearing the
+    P = clip/cand, R = clip/ref denominators, so every level score is
+    one integer trunc-ppm division (beta_sq = beta^2 = 4 is the
+    standard recall-doubled chrF2). chrf_ppm is the trunc mean over
+    the INCLUDED levels: a level with zero grams on BOTH sides is
+    excluded (sacreBLEU's effective-order convention — a short pair
+    is scored at the orders it can express, never padded with fake
+    zeros); a level where only one side is empty scores an honest 0.
+    NULL chrf when no level is scorable (both texts empty).
+
+    100 TB shape: identical to rouge_n_scores — one narrow map builds
+    the char strings, 2*max_n explode branches over the checkpointed
+    base union into ONE (ids, n, gram)-keyed map-side-combined agg
+    (shuffle volume = max_n * total chars — the documented cost of
+    the full chrF order family), level sizes come straight from
+    length() arithmetic (no second explode), and one ids-keyed agg
+    rolls up. No UDFs, no driver actions.
+    """
+    if max_n < 1:
+        raise ValueError(f"chrf_scores: need max_n >= 1, got {max_n}")
+    if beta_sq < 0:
+        raise ValueError(f"chrf_scores: need beta_sq >= 0, got {beta_sq}")
+    if not id_cols:
+        raise ValueError("chrf_scores: need at least one id column")
+    ids = list(id_cols)
+
+    chars = lambda c: F.replace(  # noqa: E731
+        normalized_text(c), F.lit(" "), F.lit("")
+    )
+    base = pairs.select(
+        *ids,
+        chars(F.col(cand_col)).alias("_cc"),
+        chars(F.col(ref_col)).alias("_rc"),
+    ).localCheckpoint()  # consumed 2*max_n + 1 times
+
+    side_frames = []
+    for n in range(1, max_n + 1):
+        side_frames.append(
+            base.select(
+                *ids, F.lit(n).alias("n"),
+                F.explode(_char_gram_array(F.col("_cc"), n)).alias("gram"),
+                F.lit(1).alias("_c"), F.lit(0).alias("_r"),
+            )
+        )
+        side_frames.append(
+            base.select(
+                *ids, F.lit(n).alias("n"),
+                F.explode(_char_gram_array(F.col("_rc"), n)).alias("gram"),
+                F.lit(0).alias("_c"), F.lit(1).alias("_r"),
+            )
+        )
+    sides = side_frames[0]
+    for f in side_frames[1:]:
+        sides = sides.unionAll(f)
+    clipped = (
+        sides.groupBy(*ids, "n", "gram")
+        .agg(F.sum("_c").alias("c"), F.sum("_r").alias("r"))
+        .groupBy(*ids, "n")
+        .agg(F.sum(F.least("c", "r")).cast("long").alias("_clip"))
+    )
+
+    levels = base.select(
+        *ids,
+        F.explode(
+            F.array(*[F.lit(n) for n in range(1, max_n + 1)])
+        ).alias("n"),
+        F.length("_cc").alias("_lc"),
+        F.length("_rc").alias("_lr"),
+    ).select(
+        *ids, "n",
+        F.greatest(F.col("_lc") - F.col("n") + 1, F.lit(0))
+        .cast("long").alias("_tc"),
+        F.greatest(F.col("_lr") - F.col("n") + 1, F.lit(0))
+        .cast("long").alias("_tr"),
+    )
+    per_level = (
+        levels.join(clipped, [*ids, "n"], "left")
+        .withColumn("_clip", F.coalesce("_clip", F.lit(0)).cast("long"))
+        .withColumn(
+            "_f_ppm",
+            # the guard is the F-denominator itself (not tc+tr) so the
+            # beta_sq=0 precision degenerate can't divide by zero on a
+            # ref-only level — for any beta_sq >= 1 the two guards are
+            # equivalent
+            F.when(
+                F.lit(beta_sq) * F.col("_tr") + F.col("_tc") > 0,
+                F.expr(
+                    f"(({1 + beta_sq} * _clip) * 1000000)"
+                    f" div ({beta_sq} * _tr + _tc)"
+                ),
+            ),
+        )
+    )
+    return per_level.groupBy(*ids).agg(
+        F.sum(
+            F.when(F.col("_f_ppm").isNotNull(), 1).otherwise(0)
+        ).cast("int").alias("n_levels"),
+        F.sum(F.col("_tc")).alias("cand_grams"),
+        F.sum(F.col("_tr")).alias("ref_grams"),
+        F.sum(F.col("_clip")).alias("clipped_overlap"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN _f_ppm IS NOT NULL THEN 1 ELSE 0 END)"
+            " > 0 THEN sum(coalesce(_f_ppm, 0))"
+            " div sum(CASE WHEN _f_ppm IS NOT NULL THEN 1 ELSE 0 END)"
+            " END"
+        ).alias("chrf_ppm"),
+    )

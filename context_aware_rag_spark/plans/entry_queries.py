@@ -7923,3 +7923,189 @@ def clf_calibration_q(spark, sf_dir):
         load(spark, sf_dir, "documents")
     ).select("prob", (F.col("doc_id") % 2).cast("int").alias("label"))
     return calibration.calibration_metrics(scored, n_bins=10)
+
+
+def _ndcg_weight_values(k: int) -> str:
+    """The nDCG discount table as a SQL VALUES list — interpolated
+    from the SAME rankeval.discount_micro integers the Spark plan
+    embeds as an array literal, so neither engine evaluates log2()."""
+    from ..operators import rankeval
+
+    return ", ".join(
+        f"({i}, {rankeval.discount_micro(i)})" for i in range(1, k + 1)
+    )
+
+
+@xq(
+    "bm25_ndcg_eval",
+    rf"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT count(*)::BIGINT AS n_docs,
+                  sum(len(words))::BIGINT AS sum_dl FROM w),
+    tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, unnest(words) AS term,
+                         len(words)::BIGINT AS dl FROM w)
+            GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+    qt AS (SELECT doc_id AS query_id,
+                  unnest(list_distinct(words[1:10])) AS term
+           FROM w WHERE doc_id IN (0, 7, 42)),
+    con AS (SELECT qt.query_id, tfc.doc_id,
+                   CAST(round(ln(1.0 + (st.n_docs - dfc.df + 0.5)
+                                       / (dfc.df + 0.5))
+                        * (tfc.tf * 2.2)
+                        / (tfc.tf + 1.2 * (0.25 + 0.75
+                             * (tfc.dl * st.n_docs) / st.sum_dl))
+                        * 1000000) AS BIGINT) AS c
+            FROM qt JOIN tfc USING (term) JOIN dfc USING (term) CROSS JOIN st),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_micro
+           FROM con GROUP BY 1, 2),
+    run AS (SELECT query_id, doc_id, rank FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_micro DESC, doc_id)
+                       ::BIGINT AS rank
+              FROM sc) WHERE rank <= 20),
+    wt(pos, wt_micro) AS (VALUES {_ndcg_weight_values(10)}),
+    qr AS (SELECT q.doc_id AS query_id, d.doc_id,
+                  CASE WHEN d.lang = q.lang THEN 2 ELSE 1 END::BIGINT AS gain
+           FROM documents q JOIN documents d ON d.source = q.source
+           WHERE q.doc_id IN (0, 7, 42)),
+    nj AS (SELECT query_id, count(*)::BIGINT AS n_judged FROM qr GROUP BY 1),
+    ideal AS (SELECT query_id,
+                     sum(gain * wt_micro)::BIGINT AS idcg_micro
+              FROM (SELECT query_id, gain,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY gain DESC, doc_id)
+                             AS pos
+                    FROM qr) i JOIN wt USING (pos)
+              WHERE pos <= 10 GROUP BY 1),
+    dcg AS (SELECT r.query_id,
+                   count(*)::BIGINT AS n_ranked,
+                   coalesce(sum(qr.gain * wt.wt_micro), 0)::BIGINT
+                     AS dcg_micro
+            FROM run r
+            LEFT JOIN qr ON qr.query_id = r.query_id
+                        AND qr.doc_id = r.doc_id
+            LEFT JOIN wt ON wt.pos = r.rank AND r.rank <= 10
+            GROUP BY 1)
+    SELECT n.query_id, n.n_judged,
+           coalesce(d.n_ranked, 0) AS n_ranked,
+           coalesce(d.dcg_micro, 0) AS dcg_micro,
+           i.idcg_micro,
+           CASE WHEN i.idcg_micro > 0
+                THEN (coalesce(d.dcg_micro, 0) * 1000000) // i.idcg_micro
+           END AS ndcg_ppm
+    FROM nj n JOIN ideal i USING (query_id)
+    LEFT JOIN dcg d ON d.query_id = n.query_id
+    """,
+)
+def bm25_ndcg_eval_q(spark, sf_dir):
+    """nDCG@10 with GRADED relevance over the engine's own BM25 run
+    (Järvelin & Kekäläinen, TOIS 2002): same doc-0/7/42 "more like
+    this" queries and k=20 run as bm25_retrieval_eval, but judgments
+    carry degrees — gain 2 for the query doc's exact (source, lang)
+    class, gain 1 for same source in another language. The twin stacks
+    the full graded battery (max-gain collapse, the interpolated
+    integer discount table, decimal-safe trunc-ppm ratio) on the
+    bm25_topk CTE, so the hash gates the composition AND pins the
+    driver-side discount literals byte-for-byte across engines."""
+    from ..operators import rankeval
+
+    docs = load(spark, sf_dir, "documents")
+    qs = bm25.sample_doc_queries(docs, [0, 7, 42], n_words=10)
+    run = bm25.bm25_topk(docs, qs, k=20).select("query_id", "doc_id", "rank")
+    qdocs = docs.filter(F.col("doc_id").isin([0, 7, 42])).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("source").alias("_qsrc"),
+        F.col("lang").alias("_qlang"),
+    )
+    qrels = qdocs.join(
+        docs, on=[F.col("source") == F.col("_qsrc")], how="inner"
+    ).select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("lang") == F.col("_qlang"), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("gain"),
+    )
+    return rankeval.ndcg_metrics(run, qrels, k=10)
+
+
+@xq(
+    "chrf_excerpt_eval",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words,
+                      {_NORM_SQL} AS norm
+               FROM documents),
+    p AS (SELECT doc_id,
+            repeat(replace(array_to_string(words[5:20], ' '), ' ', ''), 2)
+              AS cc,
+            replace(norm, ' ', '') AS rc
+          FROM w WHERE doc_id % 5 = 0 AND len(words) >= 24),
+    lv AS (SELECT doc_id, n,
+             greatest(length(cc) - n + 1, 0)::BIGINT AS tc,
+             greatest(length(rc) - n + 1, 0)::BIGINT AS tr,
+             cc, rc
+           FROM p, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) ns),
+    cnt AS (
+      SELECT doc_id, n, gram, sum(c)::BIGINT AS c, sum(r)::BIGINT AS r
+      FROM (
+        SELECT doc_id, n,
+               unnest(list_transform(range(1, tc + 1),
+                      i -> substring(cc, i, n))) AS gram,
+               1 AS c, 0 AS r
+        FROM lv
+        UNION ALL
+        SELECT doc_id, n,
+               unnest(list_transform(range(1, tr + 1),
+                      i -> substring(rc, i, n))) AS gram,
+               0 AS c, 1 AS r
+        FROM lv
+      ) GROUP BY 1, 2, 3),
+    clip AS (SELECT doc_id, n, sum(least(c, r))::BIGINT AS cl
+             FROM cnt GROUP BY 1, 2),
+    pl AS (SELECT l.doc_id, l.n, l.tc, l.tr, coalesce(c.cl, 0) AS cl,
+             CASE WHEN 4 * l.tr + l.tc > 0
+                  THEN (5 * coalesce(c.cl, 0) * 1000000)
+                       // (4 * l.tr + l.tc) END AS f_ppm
+           FROM lv l LEFT JOIN clip c USING (doc_id, n))
+    SELECT doc_id,
+           CAST(count(f_ppm) AS INT) AS n_levels,
+           CAST(sum(tc) AS BIGINT) AS cand_grams,
+           CAST(sum(tr) AS BIGINT) AS ref_grams,
+           CAST(sum(cl) AS BIGINT) AS clipped_overlap,
+           CASE WHEN count(f_ppm) > 0
+                THEN CAST(sum(coalesce(f_ppm, 0)) // count(f_ppm) AS BIGINT)
+           END AS chrf_ppm
+    FROM pl GROUP BY 1
+    """,
+)
+def chrf_excerpt_eval_q(spark, sf_dir):
+    """chrF2 (Popović, WMT 2015) of a DOUBLED 16-word excerpt (every
+    5th sufficiently long doc) against its full document: character
+    1..6-gram clipped overlap, per-order integer F2 in trunc-ppm,
+    effective-order mean. The doubling makes char-gram clipping
+    load-bearing exactly as in rouge2_excerpt_eval; the twin
+    replicates normalization, space-stripping, char-gram multisets
+    per order, the (1+b)clip/(b*ref+cand) closed form and the
+    effective-order mean in DuckDB."""
+    from ..operators import dedup as dd
+    from ..operators.texteval import chrf_scores
+
+    words = F.split(dd.normalized_text(F.col("text")), " ")
+    excerpt = F.concat_ws(" ", F.slice("words", 5, 16))
+    prs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text"), words.alias("words"))
+        .filter((F.col("doc_id") % 5 == 0) & (F.size("words") >= 24))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", excerpt, excerpt).alias("cand_text"),
+            F.col("text").alias("ref_text"),
+        )
+    )
+    return chrf_scores(prs, id_cols=("doc_id",))

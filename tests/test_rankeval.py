@@ -117,3 +117,106 @@ class TestSummary:
         s = rankeval.ranking_summary(m).collect()[0]
         assert s["n_queries"] == 0
         assert s["map_ppm"] is None
+
+
+def _grun(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id string, rank int"
+    )
+
+
+def _gqrels(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id string, gain int"
+    )
+
+
+class TestNdcg:
+    def test_discount_table(self):
+        assert rankeval.discount_micro(1) == 1_000_000
+        # 1e6 / log2(3) = 630929.75... -> trunc
+        assert rankeval.discount_micro(2) == 630929
+        assert rankeval.discount_micro(3) == 500_000
+        with pytest.raises(ValueError):
+            rankeval.discount_micro(0)
+
+    def test_hand_computed(self, spark):
+        # q: gains a=3, b=1, c=2 (judged), run ranks [b, a, d, c]
+        # w = [1000000, 630929, 500000, 430676]
+        # dcg  = 1*w1 + 3*w2 + 0 + 2*w4
+        # idcg = 3*w1 + 2*w2 + 1*w3
+        run = _grun(spark, [
+            ("q", "b", 1), ("q", "a", 2), ("q", "d", 3), ("q", "c", 4),
+        ])
+        qrels = _gqrels(spark, [("q", "a", 3), ("q", "b", 1), ("q", "c", 2)])
+        w = [rankeval.discount_micro(i) for i in range(1, 5)]
+        dcg = 1 * w[0] + 3 * w[1] + 2 * w[3]
+        idcg = 3 * w[0] + 2 * w[1] + 1 * w[2]
+        row = rankeval.ndcg_metrics(run, qrels, k=4).collect()[0]
+        assert row["dcg_micro"] == dcg
+        assert row["idcg_micro"] == idcg
+        assert row["ndcg_ppm"] == (dcg * 1_000_000) // idcg
+        assert row["n_judged"] == 3
+
+    def test_ideal_ranking_scores_unity(self, spark):
+        run = _grun(spark, [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)])
+        qrels = _gqrels(spark, [("q", "a", 5), ("q", "b", 3), ("q", "c", 1)])
+        row = rankeval.ndcg_metrics(run, qrels, k=3).collect()[0]
+        assert row["ndcg_ppm"] == 1_000_000
+
+    def test_cutoff_excludes_late_gains(self, spark):
+        # the only relevant doc sits at rank 3 > k=2 -> dcg 0, ndcg 0
+        run = _grun(spark, [("q", "x", 1), ("q", "y", 2), ("q", "a", 3)])
+        qrels = _gqrels(spark, [("q", "a", 2)])
+        row = rankeval.ndcg_metrics(run, qrels, k=2).collect()[0]
+        assert row["dcg_micro"] == 0
+        assert row["ndcg_ppm"] == 0
+
+    def test_null_vs_zero_semantics(self, spark):
+        # qz: judged but all gain 0 -> IDCG 0 -> unscorable NULL
+        # qu: run-only, unjudged -> NULL
+        # qn: judged positively, no run rows -> honest zero
+        run = _grun(spark, [
+            ("qz", "a", 1), ("qu", "x", 1),
+        ])
+        qrels = _gqrels(
+            spark, [("qz", "a", 0), ("qn", "b", 2)]
+        )
+        got = {
+            r["query_id"]: (r["dcg_micro"], r["ndcg_ppm"])
+            for r in rankeval.ndcg_metrics(run, qrels, k=2).collect()
+        }
+        assert got["qz"] == (0, None)
+        assert got["qu"] == (None, None)
+        assert got["qn"] == (0, 0)
+
+    def test_duplicate_judgment_takes_max_gain(self, spark):
+        run = _grun(spark, [("q", "a", 1), ("q", "b", 2)])
+        qrels = _gqrels(
+            spark, [("q", "a", 1), ("q", "a", 3), ("q", "b", 2)]
+        )
+        row = rankeval.ndcg_metrics(run, qrels, k=2).collect()[0]
+        w = [rankeval.discount_micro(i) for i in range(1, 3)]
+        assert row["n_judged"] == 2
+        assert row["dcg_micro"] == 3 * w[0] + 2 * w[1]
+        assert row["ndcg_ppm"] == 1_000_000
+
+    def test_negative_gain_raises(self, spark):
+        run = _grun(spark, [("q", "a", 1)])
+        qrels = _gqrels(spark, [("q", "a", -1)])
+        with pytest.raises(Exception, match="non-negative"):
+            rankeval.ndcg_metrics(run, qrels, k=2).collect()
+
+    def test_gapped_rank_raises(self, spark):
+        run = _grun(spark, [("q", "a", 1), ("q", "b", 3)])
+        qrels = _gqrels(spark, [("q", "a", 1)])
+        with pytest.raises(Exception, match="gap-free"):
+            rankeval.ndcg_metrics(run, qrels, k=2).collect()
+
+    def test_bad_k_raises(self, spark):
+        run = _grun(spark, [("q", "a", 1)])
+        qrels = _gqrels(spark, [("q", "a", 1)])
+        with pytest.raises(ValueError):
+            rankeval.ndcg_metrics(run, qrels, k=0)
+        with pytest.raises(ValueError):
+            rankeval.ndcg_metrics(run, qrels, k=1001)

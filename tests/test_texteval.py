@@ -3,6 +3,7 @@ and is swept by test_entry_contract)."""
 
 import pytest
 
+from context_aware_rag_spark.operators import texteval
 from context_aware_rag_spark.operators.texteval import rouge_n_scores
 
 
@@ -140,3 +141,125 @@ class TestTextrankSummary:
             textrank_summary(d, top_k=0)
         with pytest.raises(ValueError, match="threshold"):
             textrank_summary(d, threshold_ppm=2_000_000)
+
+
+def _chrf_py(cand, ref, max_n=6, beta_sq=4):
+    """Pure-Python chrF twin: repo normalization, space-stripped char
+    n-grams, exact-integer level scores, trunc mean over included
+    levels."""
+    import re
+    from collections import Counter
+
+    def chars(t):
+        t = re.sub(r"[^\w\s]", " ", (t or "").lower(), flags=re.UNICODE)
+        t = re.sub(r"\s+", " ", t).strip()
+        return t.replace(" ", "")
+
+    c, r = chars(cand), chars(ref)
+    fs = []
+    tot = [0, 0, 0]
+    for n in range(1, max_n + 1):
+        cg = Counter(c[i:i + n] for i in range(len(c) - n + 1))
+        rg = Counter(r[i:i + n] for i in range(len(r) - n + 1))
+        tc, tr = sum(cg.values()), sum(rg.values())
+        clip = sum(min(cnt, rg[g]) for g, cnt in cg.items())
+        tot[0] += tc
+        tot[1] += tr
+        tot[2] += clip
+        den = beta_sq * tr + tc
+        if den > 0:
+            fs.append(((1 + beta_sq) * clip * 1_000_000) // den)
+    chrf = sum(fs) // len(fs) if fs else None
+    return len(fs), tot[0], tot[1], tot[2], chrf
+
+
+class TestChrf:
+    def _score(self, spark, cand, ref, **kw):
+        df = spark.createDataFrame(
+            [(1, cand, ref)], "pair_id int, cand_text string, ref_text string"
+        )
+        return texteval.chrf_scores(df, **kw).collect()[0]
+
+    def test_identical_texts_score_unity(self, spark):
+        row = self._score(spark, "the cat sat", "the cat sat")
+        assert row["chrf_ppm"] == 1_000_000
+        assert row["n_levels"] == 6
+
+    def test_hand_computed_single_order(self, spark):
+        # chars: cand "ab" vs ref "abb" at n=1 only:
+        # cand {a:1, b:1}, ref {a:1, b:2} -> clip 2, tc 2, tr 3
+        # F = 5*2*1e6 // (4*3 + 2) = 1e7 // 14
+        row = self._score(spark, "ab", "abb", max_n=1)
+        assert row["n_levels"] == 1
+        assert row["cand_grams"] == 2
+        assert row["ref_grams"] == 3
+        assert row["clipped_overlap"] == 2
+        assert row["chrf_ppm"] == (5 * 2 * 1_000_000) // 14
+
+    def test_python_replication_battery(self, spark):
+        cases = [
+            ("The quick brown fox", "the quick brown foxes jumped"),
+            ("Hello, world!", "hello world"),
+            ("abc", "xyz"),
+            ("a", "a longer reference text"),
+            ("short", "s"),
+            ("répétition répétée", "repetition repeated"),
+        ]
+        df = spark.createDataFrame(
+            [(i, c, r) for i, (c, r) in enumerate(cases)],
+            "pair_id int, cand_text string, ref_text string",
+        )
+        got = {
+            row["pair_id"]: (
+                row["n_levels"], row["cand_grams"], row["ref_grams"],
+                row["clipped_overlap"], row["chrf_ppm"],
+            )
+            for row in texteval.chrf_scores(df).collect()
+        }
+        for i, (c, r) in enumerate(cases):
+            assert got[i] == _chrf_py(c, r), (i, c, r)
+
+    def test_effective_order_excludes_short_levels(self, spark):
+        # both sides 3 chars -> levels 4..6 have zero grams on BOTH
+        # sides and are excluded, not scored as zero
+        row = self._score(spark, "abc", "abc")
+        assert row["n_levels"] == 3
+        assert row["chrf_ppm"] == 1_000_000
+
+    def test_one_sided_empty_level_scores_zero(self, spark):
+        # cand 2 chars, ref 6: levels 3..6 exist only on the ref side
+        # -> included with an honest 0, dragging the mean down
+        row = self._score(spark, "ab", "abcdef")
+        assert row["n_levels"] == 6
+        py = _chrf_py("ab", "abcdef")
+        assert row["chrf_ppm"] == py[4]
+        assert row["chrf_ppm"] < 500_000
+
+    def test_both_empty_unscorable_null(self, spark):
+        row = self._score(spark, "", "...")
+        assert row["n_levels"] == 0
+        assert row["chrf_ppm"] is None
+
+    def test_space_stripping_crosses_word_boundaries(self, spark):
+        # "ab cd" vs "abcd" are IDENTICAL after space removal
+        row = self._score(spark, "ab cd", "abcd")
+        assert row["chrf_ppm"] == 1_000_000
+
+    def test_recall_weighting_is_asymmetric(self, spark):
+        # truncating the reference hurts recall 4x more than adding
+        # noise hurts precision -> swapping sides changes the score
+        a = self._score(spark, "the cat", "the cat sat on the mat")
+        b = self._score(spark, "the cat sat on the mat", "the cat")
+        assert a["chrf_ppm"] < b["chrf_ppm"]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "b")], "pair_id int, cand_text string, ref_text string"
+        )
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            texteval.chrf_scores(df, max_n=0)
+        with _pt.raises(ValueError):
+            texteval.chrf_scores(df, beta_sq=-1)
+        with _pt.raises(ValueError):
+            texteval.chrf_scores(df, id_cols=())
