@@ -8109,3 +8109,152 @@ def chrf_excerpt_eval_q(spark, sf_dir):
         )
     )
     return chrf_scores(prs, id_cols=("doc_id",))
+
+
+# =========================================================================
+# Classification evaluation: grade the trigram language identifier
+# against the corpus ground-truth lang labels
+# =========================================================================
+
+# the language_id_ngram prediction + confusion-table CTE chain, shared
+# by the per-class and summary eval twins (same trigram scoring CTEs as
+# the language_id_ngram twin above)
+_LANGID_CONF_CTES = f"""
+    t AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                            ' +', ' ', 'g') AS s
+      FROM documents),
+    tri AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(s) - 2, 1) + 1),
+                            i -> s[i:i+2]) AS tg
+      FROM t),
+    sc AS (
+      SELECT doc_id,
+             len(list_filter(tg, x -> x IN ({_TRI_EN})))
+                 / greatest(len(tg), 1) AS raw_en,
+             len(list_filter(tg, x -> x IN ({_TRI_FR})))
+                 / greatest(len(tg), 1) AS raw_fr,
+             len(list_filter(tg, x -> x IN ({_TRI_DE})))
+                 / greatest(len(tg), 1) AS raw_de
+      FROM tri),
+    prd AS (
+      SELECT doc_id,
+             CASE WHEN greatest(raw_en, raw_fr, raw_de) < 0.05 THEN 'unknown'
+                  WHEN raw_en = greatest(raw_en, raw_fr, raw_de) THEN 'en'
+                  WHEN raw_fr = greatest(raw_en, raw_fr, raw_de) THEN 'fr'
+                  ELSE 'de' END AS pred
+      FROM sc),
+    conf AS (
+      SELECT d.lang AS label, p.pred, count(*)::BIGINT AS n
+      FROM prd p JOIN documents d USING (doc_id)
+      GROUP BY 1, 2),
+    ts AS (
+      SELECT label AS cls, sum(n)::BIGINT AS n_true,
+             coalesce(sum(CASE WHEN label = pred THEN n END), 0)::BIGINT
+               AS tp
+      FROM conf GROUP BY 1),
+    ps AS (SELECT pred AS cls, sum(n)::BIGINT AS n_pred FROM conf GROUP BY 1),
+    pc AS (
+      SELECT coalesce(ts.cls, ps.cls) AS class,
+             coalesce(n_true, 0) AS n_true,
+             coalesce(n_pred, 0) AS n_pred,
+             coalesce(tp, 0) AS tp,
+             CASE WHEN coalesce(n_pred, 0) > 0
+                  THEN (coalesce(tp, 0) * 1000000) // n_pred
+             END AS precision_ppm,
+             CASE WHEN coalesce(n_true, 0) > 0
+                  THEN (coalesce(tp, 0) * 1000000) // n_true
+             END AS recall_ppm,
+             CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) > 0
+                  THEN (2 * coalesce(tp, 0) * 1000000)
+                       // (coalesce(n_true, 0) + coalesce(n_pred, 0))
+             END AS f1_ppm
+      FROM ts FULL JOIN ps ON ts.cls = ps.cls)
+"""
+
+
+def _langid_scored(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    preds = textmetrics.language_id_ngram(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("label"))
+        .join(preds, on="doc_id", how="inner")
+        .select("label", F.col("lang_pred").alias("pred"))
+    )
+
+
+@xq(
+    "langid_class_eval",
+    f"""
+    WITH {_LANGID_CONF_CTES}
+    SELECT class,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(precision_ppm AS BIGINT) AS precision_ppm,
+           CAST(recall_ppm AS BIGINT) AS recall_ppm,
+           CAST(f1_ppm AS BIGINT) AS f1_ppm
+    FROM pc
+    """,
+)
+def langid_class_eval_q(spark, sf_dir):
+    """Per-class P/R/F1 of the engine's own trigram language
+    identifier (language_id_ngram) against the corpus ground-truth
+    ``lang`` labels — a REAL multiclass confusion: the predictor only
+    knows en/fr/de/unknown while the truth carries es and zh too, so
+    truth-only classes (NULL precision), pred-only classes (NULL
+    recall) and honest-zero rows are all live in the gated result.
+    Twin stacks the full battery (confusion, marginal re-aggs, the
+    full-outer class join, one trunc-ppm division per metric) on the
+    language_id_ngram CTE chain, so the hash gates the composition."""
+    from ..operators import clfeval
+
+    return clfeval.classification_metrics(_langid_scored(spark, sf_dir))
+
+
+@xq(
+    "langid_eval_summary",
+    f"""
+    WITH {_LANGID_CONF_CTES}
+    SELECT CAST(sum(n_true) AS BIGINT) AS n_examples,
+           CAST(count(*) AS INT) AS n_classes,
+           CASE WHEN sum(n_true) > 0
+                THEN CAST((sum(tp) * 1000000) // sum(n_true) AS BIGINT)
+           END AS accuracy_ppm,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(coalesce(precision_ppm, 0)) // count(*)
+                          AS BIGINT)
+           END AS macro_precision_ppm,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(coalesce(recall_ppm, 0)) // count(*)
+                          AS BIGINT)
+           END AS macro_recall_ppm,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(coalesce(f1_ppm, 0)) // count(*) AS BIGINT)
+           END AS macro_f1_ppm,
+           CASE WHEN CAST(sum(n_true) AS HUGEINT) * sum(n_true)
+                     <> sum(CAST(n_true AS HUGEINT) * n_pred)
+                THEN CAST(((CAST(sum(n_true) AS HUGEINT) * sum(tp)
+                            - sum(CAST(n_true AS HUGEINT) * n_pred))
+                           * 1000000)
+                          // (CAST(sum(n_true) AS HUGEINT) * sum(n_true)
+                              - sum(CAST(n_true AS HUGEINT) * n_pred))
+                          AS BIGINT)
+           END AS kappa_ppm
+    FROM pc
+    """,
+)
+def langid_eval_summary_q(spark, sf_dir):
+    """Corpus roll-up of langid_class_eval: accuracy, zero-filled
+    macro averages and SIGNED Cohen's kappa (the chance-corrected
+    agreement between the trigram identifier and the ground truth;
+    HUGEINT/decimal(38,0) trunc division, the assortativity idiom).
+    The hash pins the macro zero-fill convention and the kappa
+    marginal arithmetic across engines."""
+    from ..operators import clfeval
+
+    return clfeval.classification_summary(
+        clfeval.classification_metrics(_langid_scored(spark, sf_dir))
+    )
