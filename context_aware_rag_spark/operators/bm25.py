@@ -150,6 +150,133 @@ def bm25_topk(
     )
 
 
+def ql_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood scoring (Zhai & Lafferty,
+    SIGIR 2001) — the language-modeling leg of lexical retrieval,
+    complementing BM25's tf-saturation model (the two disagree most on
+    verbose queries and short docs, which is why trec runs both).
+
+    Rank-equivalent decomposition (Zhai & Lafferty eq. 6) over
+    candidate docs (>= 1 matching term):
+
+        score(q,d) = sum_{t in q cap d} qtf_t
+                       * ln(1 + tf_td * total_cf / (mu * cf_t))
+                     + n_q * ln(mu / (dl_d + mu))
+
+    with cf_t the corpus frequency of t, total_cf the corpus token
+    count and n_q the query token count WITH multiplicity. The
+    doc-independent sum_t qtf*ln p(t|C) is dropped (rank-equivalent;
+    documented so scores are comparable within a query, not across
+    corpora). Scores are negative-capable (the dl normalizer): a long
+    doc pays its smoothing mass.
+
+    Determinism discipline: identical to :func:`bm25_scores` — each
+    matched-term contribution AND the per-doc normalizer are rounded
+    to integer micro-nats before the order-independent sum; float
+    expressions are pure-double over exact integer counts with
+    identical parenthesization on both engines.
+
+    100 TB shape: the SAME single-scan tf/cf plan as bm25_scores (cf
+    is a vocabulary-sized agg over the tf frame — no second corpus
+    scan), broadcast query terms, one wide exchange (the tf agg).
+    """
+    words = _words(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col), F.explode(words).alias("term"), F.size(words).alias("dl")
+    )
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    stats = tf.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
+        F.sum("dl").cast("long").alias("total_cf"),
+    )
+    cf_counts = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    qtf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(_words(F.col(query_text_col))).alias("term"),
+    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    n_q = qtf.groupBy("query_id").agg(F.sum("qtf").cast("long").alias("n_q"))
+    q_with_cf = F.broadcast(cf_counts.join(F.broadcast(qtf), "term"))
+    contrib = (
+        tf.join(q_with_cf, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col("dl"),
+            F.round(
+                F.col("qtf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("tf") * F.col("total_cf"))
+                    / (F.lit(mu) * F.col("cf"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    per_doc = contrib.groupBy("query_id", id_col).agg(
+        F.sum("c_micro").alias("_match_micro"),
+        F.first("dl").alias("dl"),
+    )
+    return per_doc.join(F.broadcast(n_q), "query_id").select(
+        "query_id",
+        id_col,
+        (
+            F.col("_match_micro")
+            + F.round(
+                F.col("n_q")
+                * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+                * F.lit(1000000.0)
+            ).cast("long")
+        ).alias("score_micro"),
+    )
+
+
+def ql_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-``k`` documents per query by Dirichlet query likelihood,
+    deterministic tie-break on ascending doc id (the bm25_topk
+    contract, so rankeval/fusion consume either run unchanged)."""
+    scored = ql_scores(
+        docs,
+        queries,
+        mu=mu,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score_micro")
+    )
+
+
 def sample_doc_queries(
     docs: DataFrame,
     doc_ids: "list[int]",

@@ -8258,3 +8258,59 @@ def langid_eval_summary_q(spark, sf_dir):
     return clfeval.classification_summary(
         clfeval.classification_metrics(_langid_scored(spark, sf_dir))
     )
+
+
+@xq(
+    "ql_dirichlet_topk",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS words
+               FROM documents WHERE text IS NOT NULL),
+    st AS (SELECT sum(len(words))::BIGINT AS total_cf FROM w),
+    tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, unnest(words) AS term,
+                         len(words)::BIGINT AS dl FROM w)
+            GROUP BY doc_id, term),
+    cfc AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfc GROUP BY term),
+    qt AS (SELECT query_id, term, count(*)::BIGINT AS qtf FROM (
+             SELECT doc_id AS query_id, unnest(words[1:10]) AS term
+             FROM w WHERE doc_id IN (0, 7, 42))
+           GROUP BY 1, 2),
+    nq AS (SELECT query_id, sum(qtf)::BIGINT AS n_q FROM qt GROUP BY 1),
+    con AS (SELECT qt.query_id, tfc.doc_id, tfc.dl,
+                   CAST(round(qt.qtf
+                        * ln(1.0 + (tfc.tf * st.total_cf)
+                                   / (2000.0 * cfc.cf))
+                        * 1000000.0) AS BIGINT) AS c
+            FROM qt JOIN tfc USING (term) JOIN cfc USING (term)
+            CROSS JOIN st),
+    sc AS (SELECT query_id, doc_id, sum(c)::BIGINT AS m,
+                  any_value(dl) AS dl
+           FROM con GROUP BY 1, 2),
+    fin AS (SELECT sc.query_id, sc.doc_id,
+                   (sc.m + CAST(round(nq.n_q
+                                * ln(2000.0 / (sc.dl + 2000.0))
+                                * 1000000.0) AS BIGINT))::BIGINT
+                     AS score_micro
+            FROM sc JOIN nq USING (query_id))
+    SELECT query_id, doc_id, rank, score_micro FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id)::INT
+               AS rank,
+             score_micro
+      FROM fin) WHERE rank <= 20
+    """,
+)
+def ql_dirichlet_topk_q(spark, sf_dir):
+    """Dirichlet query-likelihood top-20 per query (Zhai & Lafferty,
+    SIGIR 2001; mu = 2000) — the language-modeling lexical leg beside
+    bm25_topk, over the same 10-token doc-0/7/42 exemplar queries so
+    the two runs are directly fusable/gradable. Query term
+    MULTIPLICITY is live (qtf, unlike BM25's distinct terms) and so is
+    the negative per-doc smoothing normalizer. Twin replicates the
+    single-scan tf/cf stats, both micro-nat roundings and the
+    deterministic top-k window."""
+    docs = load(spark, sf_dir, "documents")
+    qs = bm25.sample_doc_queries(docs, [0, 7, 42], n_words=10)
+    return bm25.ql_topk(docs, qs, k=20)
