@@ -270,3 +270,212 @@ def time_decayed_counts(
         F.sum("_w").alias("salience"),
         F.max(ts_col).alias("last_ts"),
     )
+
+
+def burst_buckets(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    ts_col: str,
+    bucket_s: int = 3600,
+    baseline_buckets: int = 24,
+    factor_num: int = 3,
+    factor_den: int = 1,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-bucket burst flags: which fixed time buckets carry
+    anomalously MANY events per key vs that key's own trailing rate.
+
+    The complement of :func:`time_decayed_counts`: decay answers "what
+    is hot NOW", bursts answer "WHEN did each key spike" — the signal a
+    KG ingestion monitor uses to spot replay storms / topic eruptions
+    in the transcript stream (the reference surfaces no temporal
+    anomaly view at all; its metrics are lifetime counters,
+    otel_metrics.py).
+
+    Semantics (integer-exact, engine-portable):
+
+    - ``epoch`` = floor(event seconds / bucket_s) in int64 (trunc
+      division on microsecond epochs — no FP).
+    - ``cnt`` = events per (key, epoch); ``base_sum`` = sum of cnt over
+      the trailing ``baseline_buckets`` epochs, computed with a
+      RANGE-frame window over the epoch VALUE, so empty buckets
+      contribute exactly 0 without densification — a gap longer than
+      the baseline window yields base_sum NULL→0 (history forgotten),
+      matching the arithmetic a densified frame would produce.
+    - burst ⇔ ``cnt >= min_count`` AND ``cnt * baseline_buckets *
+      factor_den > factor_num * base_sum`` — the division-free form of
+      "rate > factor × trailing mean" (same discipline as the MAD
+      outlier threshold, rules.py). Cold-start buckets (no history)
+      pass the ratio vacuously and are gated by ``min_count`` alone —
+      a key's first-ever spike IS a burst.
+
+    One map-side-combined (key, epoch) aggregation, then one key-keyed
+    window. 100 TB shape: the shuffle carries pre-aggregated bucket
+    rows (corpus-size-independent per key-hour), and the window state
+    is bounded by ``baseline_buckets`` rows per key. A hot key costs
+    its own bucket rows only — no densification join, no driver
+    action.
+    """
+    if bucket_s < 1:
+        raise ValueError(f"need bucket_s >= 1: {bucket_s}")
+    if baseline_buckets < 1:
+        raise ValueError(f"need baseline_buckets >= 1: {baseline_buckets}")
+    if factor_num < 1 or factor_den < 1:
+        raise ValueError("need factor_num, factor_den >= 1")
+    key_cols = list(key_cols)
+    epoch = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) div 1000000) div {bucket_s}"
+    )
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*key_cols, epoch.alias("epoch"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("epoch")
+        .rangeBetween(-baseline_buckets, -1)
+    )
+    return counts.withColumn(
+        "base_sum", F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("long"))
+    ).withColumn(
+        "is_burst",
+        (F.col("cnt") >= min_count)
+        & (
+            F.col("cnt") * F.lit(baseline_buckets * factor_den)
+            > F.lit(factor_num) * F.col("base_sum")
+        ),
+    )
+
+
+def burst_intervals(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    ts_col: str,
+    bucket_s: int = 3600,
+    baseline_buckets: int = 24,
+    factor_num: int = 3,
+    factor_den: int = 1,
+    min_count: int = 5,
+) -> DataFrame:
+    """Maximal runs of consecutive burst buckets per key
+    (gaps-and-islands over :func:`burst_buckets`).
+
+    ``island`` = epoch − row_number over the key's burst buckets in
+    epoch order: consecutive epochs share it, any gap starts a new
+    one — the standard islands identity, exact because epochs are
+    integers. Output per (key, island): (*key_cols, start_epoch,
+    end_epoch, n_buckets, total_events, peak_count); epochs stay
+    integer bucket indexes (× bucket_s = seconds since Unix epoch) so
+    SQL twins compare bit-for-bit without timestamp-zone semantics.
+
+    The islands window and the final groupBy both key on the same
+    (*key_cols)-prefixed partitioning the flag window already
+    established — Catalyst reuses one Exchange for all three.
+    """
+    flagged = burst_buckets(
+        df,
+        key_cols,
+        ts_col,
+        bucket_s=bucket_s,
+        baseline_buckets=baseline_buckets,
+        factor_num=factor_num,
+        factor_den=factor_den,
+        min_count=min_count,
+    ).filter(F.col("is_burst"))
+    key_cols = list(key_cols)
+    iw = Window.partitionBy(*key_cols).orderBy("epoch")
+    islands = flagged.withColumn(
+        "island", F.col("epoch") - F.row_number().over(iw)
+    )
+    return islands.groupBy(*key_cols, "island").agg(
+        F.min("epoch").alias("start_epoch"),
+        F.max("epoch").alias("end_epoch"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cnt").alias("total_events"),
+        F.max("cnt").alias("peak_count"),
+    ).drop("island")
+
+
+def silence_intervals(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    ts_col: str,
+    bucket_s: int = 3600,
+    min_gap_buckets: int = 6,
+    as_of: "str | None" = None,
+) -> DataFrame:
+    """Maximal runs of EMPTY time buckets per key — the outage
+    complement of :func:`burst_intervals`.
+
+    A rate DROP is invisible to any threshold over bucket rows: a key
+    that stops emitting produces NO rows at all, so "too few events"
+    can never be flagged by filtering counts. The gap between
+    consecutive ACTIVE buckets is the only place silence exists, so
+    the detector is one ``lag`` per key over distinct active epochs:
+    ``epoch − lag(epoch) − 1 >= min_gap_buckets`` emits the interval
+    of strictly-empty buckets between them. Exact with no
+    densification — a trillion-bucket calendar costs nothing; only
+    active buckets are rows.
+
+    With ``as_of`` set, a trailing silence per key is also emitted
+    (``is_trailing = true``): last active bucket + 1 through the
+    bucket BEFORE the as_of instant's (the as_of bucket is partial —
+    counting it would flag every key mid-bucket). An ongoing outage is
+    precisely the silence a monitor must not miss. Leading silence
+    (before a key's first event) is undefined — keys have no birth
+    timestamp — and never emitted.
+
+    Output: (*key_cols, start_epoch, end_epoch, n_buckets,
+    is_trailing); epochs are integer bucket indexes as in
+    :func:`burst_intervals`. The lag window and the trailing groupBy
+    share the key partitioning — one shuffle of distinct active
+    buckets.
+    """
+    if bucket_s < 1:
+        raise ValueError(f"need bucket_s >= 1: {bucket_s}")
+    if min_gap_buckets < 1:
+        raise ValueError(f"need min_gap_buckets >= 1: {min_gap_buckets}")
+    key_cols = list(key_cols)
+    epoch = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) div 1000000) div {bucket_s}"
+    )
+    active = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*key_cols, epoch.alias("epoch"))
+        .distinct()
+    )
+    w = Window.partitionBy(*key_cols).orderBy("epoch")
+    interior = (
+        active.withColumn("prev", F.lag("epoch").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("epoch") - F.col("prev") - 1 >= min_gap_buckets)
+        )
+        .select(
+            *key_cols,
+            (F.col("prev") + 1).alias("start_epoch"),
+            (F.col("epoch") - 1).alias("end_epoch"),
+            (F.col("epoch") - F.col("prev") - 1).alias("n_buckets"),
+            F.lit(False).alias("is_trailing"),
+        )
+    )
+    if as_of is None:
+        return interior
+    as_of_epoch = F.expr(
+        f"(unix_micros(cast('{as_of}' as timestamp)) div 1000000) div {bucket_s}"
+    )
+    trailing = (
+        active.groupBy(*key_cols)
+        .agg(F.max("epoch").alias("last_epoch"))
+        .withColumn("_ao", as_of_epoch)
+        .filter(F.col("_ao") - F.col("last_epoch") - 1 >= min_gap_buckets)
+        .select(
+            *key_cols,
+            (F.col("last_epoch") + 1).alias("start_epoch"),
+            (F.col("_ao") - 1).alias("end_epoch"),
+            (F.col("_ao") - F.col("last_epoch") - 1).alias("n_buckets"),
+            F.lit(True).alias("is_trailing"),
+        )
+    )
+    return interior.unionByName(trailing)

@@ -7888,6 +7888,103 @@ def event_salience_decayed_q(spark, sf_dir):
 
 
 @xq(
+    "event_bursts",
+    """
+    WITH c AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 // 3600 AS epoch,
+             count(*)::BIGINT AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT *, coalesce(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY epoch
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS base_sum
+      FROM c
+    ), b AS (
+      SELECT *, epoch - row_number() OVER (
+               PARTITION BY event_type ORDER BY epoch) AS island
+      FROM t WHERE cnt >= 5 AND cnt * 24 > 3 * base_sum
+    )
+    SELECT event_type, min(epoch) AS start_epoch, max(epoch) AS end_epoch,
+           count(*)::BIGINT AS n_buckets, sum(cnt)::BIGINT AS total_events,
+           max(cnt) AS peak_count
+    FROM b GROUP BY event_type, island
+    """,
+)
+def event_bursts_q(spark, sf_dir):
+    """Temporal burst intervals per event type: hourly buckets whose
+    count exceeds 3x the key's own trailing 24h mean (division-free
+    integer form), collapsed into maximal consecutive runs via the
+    gaps-and-islands identity. RANGE-frame baseline makes empty
+    buckets contribute exactly 0 without densification; cold-start
+    spikes gate on min_count alone. One bucket aggregation + one
+    key-keyed window chain."""
+    from ..operators import profile as prof
+
+    return prof.burst_intervals(
+        load(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        bucket_s=3600,
+        baseline_buckets=24,
+        factor_num=3,
+        min_count=5,
+    )
+
+
+@xq(
+    "event_silences",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, event_type,
+             epoch_us(ts) // 1000000 // 3600 AS epoch
+      FROM events WHERE ts IS NOT NULL
+    ), g AS (
+      SELECT *, lag(epoch) OVER (
+               PARTITION BY user_id, event_type ORDER BY epoch) AS prev
+      FROM a
+    ), interior AS (
+      SELECT user_id, event_type, prev + 1 AS start_epoch,
+             epoch - 1 AS end_epoch, epoch - prev - 1 AS n_buckets,
+             false AS is_trailing
+      FROM g WHERE prev IS NOT NULL AND epoch - prev - 1 >= 72
+    ), last AS (
+      SELECT user_id, event_type, max(epoch) AS last_epoch FROM a GROUP BY 1, 2
+    ), trail AS (
+      SELECT user_id, event_type, last_epoch + 1 AS start_epoch,
+             (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600) - 1
+               AS end_epoch,
+             (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600)
+               - last_epoch - 1 AS n_buckets,
+             true AS is_trailing
+      FROM last
+      WHERE (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600)
+              - last_epoch - 1 >= 72
+    )
+    SELECT * FROM interior UNION ALL SELECT * FROM trail
+    """,
+)
+def event_silences_q(spark, sf_dir):
+    """Outage intervals per (user, event_type): runs of >= 72 empty
+    hourly buckets between consecutive active buckets, plus ongoing
+    trailing silences as of the corpus end. A rate DROP produces no
+    bucket rows, so no count threshold can see it — the lag-gap over
+    distinct active epochs is the only densification-free detector.
+    One key-shuffle of distinct active buckets shared by the lag
+    window and the trailing max."""
+    from ..operators import profile as prof
+
+    return prof.silence_intervals(
+        load(spark, sf_dir, "events"),
+        ["user_id", "event_type"],
+        "ts",
+        bucket_s=3600,
+        min_gap_buckets=72,
+        as_of="2024-01-31 00:00:00",
+    )
+
+
+@xq(
     "clf_calibration",
     f"""
     WITH sc AS (SELECT prob, doc_id % 2 AS label

@@ -281,3 +281,208 @@ class TestTimeDecayedCounts:
             prof.time_decayed_counts(
                 df, ["k"], "ts", "2024-01-01", 1, max_halvings=63
             )
+
+
+class TestBurstDetection:
+    @staticmethod
+    def _events(spark, rows):
+        # rows: (key, epoch_seconds) — build timestamp column
+        return spark.createDataFrame(
+            [(k, s) for k, s in rows], "k: string, sec: long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+
+    def test_planted_burst(self, spark):
+        # key "a": 1 event/bucket for buckets 0..23 (baseline=24),
+        # then 6 events in bucket 24 — 6 >= min_count 5 and
+        # 6*24 = 144 > 3*24 = 72 -> burst. Bucket 25 back to 1 -> not.
+        rows = [("a", b * 10) for b in range(24)]
+        rows += [("a", 240 + i) for i in range(6)]
+        rows += [("a", 250)]
+        df = self._events(spark, rows)
+        flags = profile.burst_buckets(
+            df, ["k"], "ts", bucket_s=10, baseline_buckets=24,
+            factor_num=3, min_count=5,
+        )
+        got = {r.epoch: (r.cnt, r.base_sum, r.is_burst) for r in flags.collect()}
+        assert got[24] == (6, 24, True)
+        assert got[25] == (1, 29, False)
+        assert all(not v[2] for e, v in got.items() if e != 24)
+
+    def test_cold_start_gated_by_min_count_only(self, spark):
+        # first-ever bucket, no history: base_sum 0, ratio vacuous
+        df = self._events(spark, [("a", i) for i in range(5)] + [("b", 0)])
+        got = {
+            r.k: (r.base_sum, r.is_burst)
+            for r in profile.burst_buckets(
+                df, ["k"], "ts", bucket_s=10, min_count=5
+            ).collect()
+        }
+        assert got["a"] == (0, True)   # 5 events >= min_count
+        assert got["b"] == (0, False)  # 1 event < min_count
+
+    def test_gap_forgets_history(self, spark):
+        # dense history at epochs 0..23, then silence until epoch 100:
+        # the RANGE frame sees nothing in (76..99] -> base_sum 0,
+        # exactly what a densified frame would give
+        rows = [("a", b * 10 + i) for b in range(24) for i in range(9)]
+        rows += [("a", 1000 + i) for i in range(5)]
+        flags = profile.burst_buckets(
+            df := self._events(spark, rows), ["k"], "ts",
+            bucket_s=10, baseline_buckets=24, factor_num=3, min_count=5,
+        )
+        r100 = [r for r in flags.collect() if r.epoch == 100][0]
+        assert (r100.base_sum, r100.is_burst) == (0, True)
+
+    def test_intervals_islands(self, spark):
+        # two adjacent burst buckets collapse to one interval; a
+        # separated third stays its own island
+        rows = [("a", b * 10) for b in range(24)]           # baseline 1/bucket
+        rows += [("a", 240 + i) for i in range(6)]          # burst bucket 24
+        rows += [("a", 250 + i) for i in range(7)]          # burst bucket 25
+        rows += [("a", 260), ("a", 270)]                    # quiet 26, 27
+        rows += [("a", 280 + i) for i in range(9)]          # burst bucket 28
+        ivs = profile.burst_intervals(
+            self._events(spark, rows), ["k"], "ts", bucket_s=10,
+            baseline_buckets=24, factor_num=3, min_count=5,
+        ).orderBy("start_epoch").collect()
+        assert [(r.start_epoch, r.end_epoch, r.n_buckets, r.total_events,
+                 r.peak_count) for r in ivs] == [
+            (24, 25, 2, 13, 7),
+            (28, 28, 1, 9, 9),
+        ]
+
+    def test_matches_duckdb_on_events(self, spark):
+        import duckdb
+        import os
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+        )
+        got = sorted(
+            tuple(r) for r in profile.burst_intervals(
+                spark.read.parquet(f"{sf_dir}/events.parquet"),
+                ["event_type"], "ts", bucket_s=3600,
+                baseline_buckets=24, factor_num=3, min_count=5,
+            ).collect()
+        )
+        want = sorted(duckdb.connect().execute(f"""
+            WITH c AS (
+              SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS epoch,
+                     count(*)::BIGINT AS cnt
+              FROM '{sf_dir}/events.parquet'
+              WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+              SELECT *, coalesce(sum(cnt) OVER (
+                       PARTITION BY event_type ORDER BY epoch
+                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS base_sum
+              FROM c
+            ), b AS (
+              SELECT *, epoch - row_number() OVER (
+                       PARTITION BY event_type ORDER BY epoch) AS island
+              FROM t WHERE cnt >= 5 AND cnt * 24 > 3 * base_sum
+            )
+            SELECT event_type, min(epoch), max(epoch), count(*)::BIGINT,
+                   sum(cnt)::BIGINT, max(cnt)
+            FROM b GROUP BY event_type, island
+        """).fetchall())
+        assert got == want and len(got) > 0
+
+    def test_validation(self, spark):
+        df = self._events(spark, [("a", 0)])
+        with pytest.raises(ValueError):
+            profile.burst_buckets(df, ["k"], "ts", bucket_s=0)
+        with pytest.raises(ValueError):
+            profile.burst_buckets(df, ["k"], "ts", baseline_buckets=0)
+        with pytest.raises(ValueError):
+            profile.burst_buckets(df, ["k"], "ts", factor_num=0)
+
+
+class TestSilenceIntervals:
+    def test_interior_gap(self, spark):
+        # active buckets 0,1,2 then 10: empty 3..9 = 7 buckets
+        rows = [("a", e * 10) for e in (0, 1, 2, 10)]
+        df = TestBurstDetection._events(spark, rows)
+        got = profile.silence_intervals(
+            df, ["k"], "ts", bucket_s=10, min_gap_buckets=6
+        ).collect()
+        assert [(r.start_epoch, r.end_epoch, r.n_buckets, r.is_trailing)
+                for r in got] == [(3, 9, 7, False)]
+        # below threshold: nothing
+        assert profile.silence_intervals(
+            df, ["k"], "ts", bucket_s=10, min_gap_buckets=8
+        ).count() == 0
+
+    def test_trailing_silence_excludes_partial_bucket(self, spark):
+        # last active bucket 2; as_of inside bucket 20 -> silence 3..19
+        df = TestBurstDetection._events(spark, [("a", 0), ("a", 25)])
+        got = profile.silence_intervals(
+            df, ["k"], "ts", bucket_s=10, min_gap_buckets=6,
+            as_of="1970-01-01 00:03:25",  # second 205 -> bucket 20
+        ).collect()
+        assert [(r.start_epoch, r.end_epoch, r.n_buckets, r.is_trailing)
+                for r in got] == [(3, 19, 17, True)]
+
+    def test_no_as_of_no_trailing(self, spark):
+        df = TestBurstDetection._events(spark, [("a", 0)])
+        assert profile.silence_intervals(
+            df, ["k"], "ts", bucket_s=10, min_gap_buckets=1
+        ).count() == 0
+
+    def test_key_isolation(self, spark):
+        # a's activity must not mask b's gap
+        rows = [("a", e * 10) for e in range(12)] + [("b", 0), ("b", 110)]
+        got = profile.silence_intervals(
+            TestBurstDetection._events(spark, rows), ["k"], "ts",
+            bucket_s=10, min_gap_buckets=6,
+        ).collect()
+        assert [(r.k, r.start_epoch, r.end_epoch) for r in got] == [
+            ("b", 1, 10)
+        ]
+
+    def test_matches_duckdb_on_events(self, spark):
+        import duckdb
+        import os
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+        )
+        got = sorted(
+            tuple(r) for r in profile.silence_intervals(
+                spark.read.parquet(f"{sf_dir}/events.parquet"),
+                ["user_id", "event_type"], "ts", bucket_s=3600,
+                min_gap_buckets=72, as_of="2024-01-31 00:00:00",
+            ).collect()
+        )
+        want = sorted(duckdb.connect().execute(f"""
+            WITH a AS (
+              SELECT DISTINCT user_id, event_type,
+                     epoch_us(ts) // 1000000 // 3600 AS epoch
+              FROM '{sf_dir}/events.parquet' WHERE ts IS NOT NULL
+            ), g AS (
+              SELECT *, lag(epoch) OVER (
+                       PARTITION BY user_id, event_type ORDER BY epoch) AS prev
+              FROM a
+            ), last AS (
+              SELECT user_id, event_type, max(epoch) AS last_epoch
+              FROM a GROUP BY 1, 2
+            )
+            SELECT user_id, event_type, prev + 1, epoch - 1,
+                   epoch - prev - 1, false
+            FROM g WHERE prev IS NOT NULL AND epoch - prev - 1 >= 72
+            UNION ALL
+            SELECT user_id, event_type, last_epoch + 1,
+                   (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600) - 1,
+                   (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600)
+                     - last_epoch - 1, true
+            FROM last
+            WHERE (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600)
+                    - last_epoch - 1 >= 72
+        """).fetchall())
+        assert got == want and len(got) > 100
+
+    def test_validation(self, spark):
+        df = TestBurstDetection._events(spark, [("a", 0)])
+        with pytest.raises(ValueError):
+            profile.silence_intervals(df, ["k"], "ts", bucket_s=0)
+        with pytest.raises(ValueError):
+            profile.silence_intervals(df, ["k"], "ts", min_gap_buckets=0)
