@@ -155,3 +155,79 @@ def infer_from_rules(
         F.col("t").alias("dst"),
     )
     return cand.join(existing, ["src", "rel", "dst"], "left_anti")
+
+
+def relation_profile(
+    triples: DataFrame,
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-predicate schema census — the statistics AMIE conditions
+    on, surfaced as a first-class QA table for the freshly-built KG.
+
+    For each predicate over the DISTINCT triple set:
+
+    - ``n_triples``, ``n_subjects``, ``n_objects`` — raw cardinalities.
+    - ``functionality_ppm`` = n_subjects / n_triples (AMIE's fun(p),
+      Galarraga et al. 2013 §3): 1e6 means every subject has exactly
+      one object — a functional relation, where a second object for
+      the same subject is an extraction ERROR, the KG-construction
+      monitor's highest-precision anomaly signal.
+    - ``inv_functionality_ppm`` = n_objects / n_triples — same, for
+      the inverse direction (identifies join-key-like predicates).
+    - ``n_reflexive`` — triples with subj == obj (usually extraction
+      noise for real-world relation vocabularies).
+    - ``n_symmetric`` / ``symmetry_ppm`` — non-reflexive triples whose
+      exact reverse (obj, pred, subj) is also asserted; a predicate
+      near 1e6 is symmetric (MET, MARRIED_TO) and its edges should be
+      canonically oriented before dedup, near 0 is directed
+      (MANAGES) and a reversed pair is a likely extraction swap.
+
+    All ratios are integer trunc-div ppm (engine-portable — the
+    repo-wide discipline). Composite entity identities (name, type)
+    are the caller's to compose into ``src``/``dst`` (concat with an
+    unambiguous separator), same contract as :func:`mine_path_rules`.
+
+    100 TB shape: one multi-distinct groupBy(pred) (single Expand
+    pass) + one self-equi-join keyed on the full reversed tuple —
+    both shuffles are triple-table-sized, output is
+    vocabulary-sized. No windows, no driver actions, no UDFs.
+    """
+    tri = _clean(triples, src, rel, dst)
+    base = tri.groupBy(F.col("p").alias("pred")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("h").alias("n_subjects"),
+        F.countDistinct("t").alias("n_objects"),
+        F.sum((F.col("h") == F.col("t")).cast("long")).alias("n_reflexive"),
+    )
+    rev = tri.select(
+        F.col("p"), F.col("t").alias("h"), F.col("h").alias("t")
+    )
+    sym = (
+        tri.filter(F.col("h") != F.col("t"))
+        .join(rev, ["p", "h", "t"], "left_semi")
+        .groupBy(F.col("p").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n_symmetric"))
+    )
+    return (
+        base.join(sym, "pred", "left")
+        .na.fill({"n_symmetric": 0})
+        .select(
+            "pred",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            F.expr("n_subjects * 1000000 div n_triples").alias(
+                "functionality_ppm"
+            ),
+            F.expr("n_objects * 1000000 div n_triples").alias(
+                "inv_functionality_ppm"
+            ),
+            "n_reflexive",
+            "n_symmetric",
+            F.expr("n_symmetric * 1000000 div n_triples").alias(
+                "symmetry_ppm"
+            ),
+        )
+    )

@@ -5865,6 +5865,55 @@ def record_linkage_edit_q(spark, sf_dir):
 
 
 @xq(
+    "kg_relation_profile",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT subj_name || chr(31) || subj_type AS h, pred AS p,
+             obj_name || chr(31) || obj_type AS t
+      FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    base AS (
+      SELECT p AS pred, count(*)::BIGINT AS n_triples,
+             count(DISTINCT h)::BIGINT AS n_subjects,
+             count(DISTINCT t)::BIGINT AS n_objects,
+             sum(CASE WHEN h = t THEN 1 ELSE 0 END)::BIGINT AS n_reflexive
+      FROM t GROUP BY p
+    ),
+    sym AS (
+      SELECT a.p AS pred, count(*)::BIGINT AS n_symmetric
+      FROM t a JOIN t b ON a.p = b.p AND a.h = b.t AND a.t = b.h
+      WHERE a.h <> a.t GROUP BY a.p
+    )
+    SELECT base.pred, n_triples, n_subjects, n_objects,
+           n_subjects * 1000000 // n_triples AS functionality_ppm,
+           n_objects * 1000000 // n_triples AS inv_functionality_ppm,
+           n_reflexive, coalesce(n_symmetric, 0) AS n_symmetric,
+           coalesce(n_symmetric, 0) * 1000000 // n_triples AS symmetry_ppm
+    FROM base LEFT JOIN sym ON base.pred = sym.pred
+    """,
+)
+def kg_relation_profile_q(spark, sf_dir):
+    """Per-predicate schema census over the engine-extracted KG:
+    AMIE's functionality / inverse-functionality (Galarraga et al.
+    2013 §3) plus reflexivity and exact-reverse symmetry — the QA
+    table a construction monitor reads to catch extraction anomalies
+    (a functional predicate growing second objects, a directed one
+    growing reversed pairs). Spark side runs the REAL extraction
+    pipeline then profiles; the twin stacks the same census over the
+    precomputed kg_triples snapshot, so the hash gates the
+    composition end-to-end."""
+    from ..operators import rules
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    tri = res.triples.select(
+        F.concat_ws("\x1f", "subj_name", "subj_type").alias("src"),
+        F.col("pred").alias("rel"),
+        F.concat_ws("\x1f", "obj_name", "obj_type").alias("dst"),
+    )
+    return rules.relation_profile(tri, "src", "rel", "dst")
+
+
+@xq(
     "kg_rule_mining",
     """
     WITH tri AS (

@@ -133,3 +133,44 @@ def test_rules_validation(spark):
         rules.mine_path_rules(df, min_conf_ppm=2_000_000)
     with pytest.raises(ValueError):
         rules.mine_path_rules(df, max_mid_fanout=0)
+
+
+class TestRelationProfile:
+    def test_hand_computed(self, spark):
+        tri = [
+            # functional: 3 subjects, 3 triples, 2 distinct objects
+            ("a", "born_in", "x"), ("b", "born_in", "x"), ("c", "born_in", "y"),
+            # non-functional: 1 subject, 3 objects
+            ("a", "visited", "x"), ("a", "visited", "y"), ("a", "visited", "z"),
+            # symmetric pair + one unreciprocated + one reflexive
+            ("a", "met", "b"), ("b", "met", "a"), ("a", "met", "c"),
+            ("d", "met", "d"),
+        ]
+        got = {r.pred: r for r in rules.relation_profile(_df(spark, tri)).collect()}
+        b = got["born_in"]
+        assert (b.n_triples, b.n_subjects, b.n_objects) == (3, 3, 2)
+        assert b.functionality_ppm == 1_000_000
+        assert b.inv_functionality_ppm == 666_666
+        assert (b.n_reflexive, b.n_symmetric, b.symmetry_ppm) == (0, 0, 0)
+        v = got["visited"]
+        assert (v.n_triples, v.n_subjects, v.n_objects) == (3, 1, 3)
+        assert v.functionality_ppm == 333_333
+        assert v.inv_functionality_ppm == 1_000_000
+        m = got["met"]
+        assert (m.n_triples, m.n_reflexive) == (4, 1)
+        # reflexive (d,d) is NOT counted symmetric; (a,b)+(b,a) are
+        assert m.n_symmetric == 2
+        assert m.symmetry_ppm == 500_000
+
+    def test_duplicate_triples_collapse(self, spark):
+        tri = [("a", "p", "b")] * 5 + [("b", "p", "a")]
+        r = rules.relation_profile(_df(spark, tri)).collect()[0]
+        assert (r.n_triples, r.n_symmetric) == (2, 2)
+
+    def test_empty_predicate_isolation(self, spark):
+        # symmetry join must key on pred: reverse under ANOTHER
+        # predicate is not symmetry
+        tri = [("a", "p", "b"), ("b", "q", "a")]
+        got = {r.pred: r.n_symmetric for r in
+               rules.relation_profile(_df(spark, tri)).collect()}
+        assert got == {"p": 0, "q": 0}
