@@ -239,7 +239,7 @@ def f1_empty_doc_filter(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "f8_lucene_scrub",
     """
     SELECT doc_id,
@@ -1991,7 +1991,7 @@ def a5_user_set_union(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "a8_max_span_per_user",
     """
     SELECT user_id, round(max(value) - min(value), 2) AS value_span
@@ -5864,7 +5864,7 @@ def record_linkage_edit_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "kg_relation_profile",
     f"""
     WITH t AS (
@@ -7936,7 +7936,7 @@ def event_salience_decayed_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "event_bursts",
     """
     WITH c AS (
