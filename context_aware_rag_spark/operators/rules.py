@@ -231,3 +231,42 @@ def relation_profile(
             ),
         )
     )
+
+
+def relation_signatures(
+    triples: DataFrame,
+    rel: str = "rel",
+    subj_type: str = "subj_type",
+    obj_type: str = "obj_type",
+) -> DataFrame:
+    """Domain/range census: distinct-triple counts per (pred,
+    subj_type, obj_type) with the share of the predicate's total in
+    integer ppm — the schema-induction companion to
+    :func:`relation_profile` (which profiles instances; this profiles
+    the TYPE signature). A predicate whose mass concentrates on one
+    (domain, range) pair has an induced signature; rows outside it
+    are type-level extraction anomalies, rankable directly by
+    ``share_ppm``. NULL types group as NULL (never coalesced to a
+    fake type — an untyped mention is its own anomaly class).
+
+    Counts are over input rows AS GIVEN — pass the distinct triple
+    set (the same contract the kg_relation_profile query applies);
+    the operator cannot dedupe for you because entity identity
+    columns are not in its signature.
+
+    One map-side-combined groupBy + a predicate-keyed window over the
+    signature-sized result for the total; output is
+    vocabulary x type-vocabulary sized.
+    """
+    tri = triples.select(
+        F.col(rel).cast("string").alias("pred"),
+        F.col(subj_type).cast("string").alias("subj_type"),
+        F.col(obj_type).cast("string").alias("obj_type"),
+    )
+    sig = tri.groupBy("pred", "subj_type", "obj_type").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    return sig.withColumn(
+        "share_ppm",
+        F.expr("n_triples * 1000000 div sum(n_triples) over (partition by pred)"),
+    )

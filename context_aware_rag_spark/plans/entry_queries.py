@@ -5914,6 +5914,41 @@ def kg_relation_profile_q(spark, sf_dir):
 
 
 @xq(
+    "kg_relation_signatures",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT subj_name, subj_type, pred, obj_name, obj_type
+      FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    sig AS (
+      SELECT pred, subj_type, obj_type, count(*)::BIGINT AS n_triples
+      FROM t GROUP BY 1, 2, 3
+    )
+    SELECT pred, subj_type, obj_type, n_triples,
+           n_triples * 1000000 // sum(n_triples) OVER (PARTITION BY pred)
+             AS share_ppm
+    FROM sig
+    """,
+)
+def kg_relation_signatures_q(spark, sf_dir):
+    """Domain/range type census per predicate — the schema-induction
+    companion to kg_relation_profile: which (subj_type, obj_type)
+    pairs each predicate connects, with the predicate-mass share in
+    ppm, ranking type-level extraction anomalies directly. Spark runs
+    the real pipeline then the census; twin = same census in DuckDB
+    over the precomputed kg_triples snapshot."""
+    from ..operators import rules
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    tri = res.triples.select(
+        "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    return rules.relation_signatures(
+        tri, rel="pred", subj_type="subj_type", obj_type="obj_type"
+    )
+
+
+@xq(
     "kg_rule_mining",
     """
     WITH tri AS (

@@ -174,3 +174,22 @@ class TestRelationProfile:
         got = {r.pred: r.n_symmetric for r in
                rules.relation_profile(_df(spark, tri)).collect()}
         assert got == {"p": 0, "q": 0}
+
+
+class TestRelationSignatures:
+    def test_hand_computed(self, spark):
+        rows = [
+            ("p", "Person", "Org"), ("p", "Person", "Org"),
+            ("p", "Person", "Place"), ("q", None, "Org"),
+        ]
+        df = spark.createDataFrame(
+            rows, "rel: string, subj_type: string, obj_type: string"
+        )
+        got = {
+            (r.pred, r.subj_type, r.obj_type): (r.n_triples, r.share_ppm)
+            for r in rules.relation_signatures(df).collect()
+        }
+        assert got[("p", "Person", "Org")] == (2, 666_666)
+        assert got[("p", "Person", "Place")] == (1, 333_333)
+        # NULL type is its own anomaly class, never coalesced
+        assert got[("q", None, "Org")] == (1, 1_000_000)
