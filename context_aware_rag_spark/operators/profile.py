@@ -479,3 +479,125 @@ def silence_intervals(
         )
     )
     return interior.unionByName(trailing)
+
+
+def level_shifts(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    ts_col: str,
+    bucket_s: int = 3600,
+    window_buckets: int = 24,
+    factor_num: int = 2,
+    factor_den: int = 1,
+    min_side_events: int = 10,
+    full_window: bool = False,
+) -> DataFrame:
+    """Sustained regime shifts per key — the third leg of the temporal
+    health family: :func:`burst_intervals` flags single-bucket spikes,
+    :func:`silence_intervals` flags total stops, this flags the rate
+    LEVEL changing and staying changed (a deploy doubling error rate,
+    a migration halving traffic).
+
+    At every active bucket, compare the trailing ``window_buckets``
+    sum against the leading one (current bucket inclusive), both as
+    RANGE frames over the epoch value (gap-exact, densification-free):
+
+    - up-shift  ⇔ ``lead * factor_den >= factor_num * trail`` with
+      ``lead >= min_side_events`` and ``trail >= 1``
+    - down-shift ⇔ mirrored.
+
+    Both sides must be nonzero: a key appearing from nothing is a
+    burst/cold-start, a key stopping entirely is a silence — each
+    already owned by its operator. Consecutive same-direction flagged
+    buckets are one shift event; the representative is elected by max
+    ``|lead − trail|`` then min epoch (deterministic). Output:
+    (*key_cols, epoch, direction ±1, trail_sum, lead_sum, ratio_ppm)
+    with ``ratio_ppm = lead * 1e6 div trail``.
+
+    ``full_window=False`` (default) also reports a key's ramp-in /
+    ramp-out edges (partial windows at history boundaries satisfy the
+    ratio) — real signals for a monitor watching key lifecycles.
+    ``full_window=True`` restricts to buckets with ``window_buckets``
+    of history on BOTH sides: strict interior regime comparison.
+
+    Shape: the bucket agg shuffles once on (key, epoch); every window
+    (two frame sums, the run-id lag/cumsum, min/max support when
+    ``full_window``) shares one key-keyed sort, then the election
+    row_number re-partitions by (key, run) — bucket-census-sized
+    exchanges, corpus-size-independent per key-hour.
+    """
+    if window_buckets < 1:
+        raise ValueError(f"need window_buckets >= 1: {window_buckets}")
+    if factor_num < 1 or factor_den < 1:
+        raise ValueError("need factor_num, factor_den >= 1")
+    key_cols = list(key_cols)
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            *key_cols,
+            F.expr(
+                f"(unix_micros(cast({ts_col} as timestamp)) div 1000000)"
+                f" div {bucket_s}"
+            ).alias("epoch"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("epoch")
+    trail = F.coalesce(
+        F.sum("cnt").over(wk.rangeBetween(-window_buckets, -1)),
+        F.lit(0).cast("long"),
+    )
+    lead = F.coalesce(
+        F.sum("cnt").over(wk.rangeBetween(0, window_buckets - 1)),
+        F.lit(0).cast("long"),
+    )
+    scored = counts.select(
+        *key_cols,
+        "epoch",
+        trail.alias("trail_sum"),
+        lead.alias("lead_sum"),
+        F.min("epoch").over(wk).alias("_first"),
+        F.max("epoch").over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_last"),
+    )
+    up = (
+        (F.col("lead_sum") * factor_den >= F.lit(factor_num) * F.col("trail_sum"))
+        & (F.col("lead_sum") >= min_side_events)
+        & (F.col("trail_sum") >= 1)
+    )
+    down = (
+        (F.col("trail_sum") * factor_den >= F.lit(factor_num) * F.col("lead_sum"))
+        & (F.col("trail_sum") >= min_side_events)
+        & (F.col("lead_sum") >= 1)
+    )
+    flagged = scored.withColumn(
+        "direction", F.when(up, F.lit(1)).when(down, F.lit(-1))
+    ).filter(F.col("direction").isNotNull())
+    if full_window:
+        flagged = flagged.filter(
+            (F.col("epoch") - F.col("_first") >= window_buckets)
+            & (F.col("_last") - F.col("epoch") >= window_buckets - 1)
+        )
+    runs = flagged.select(
+        *key_cols, "epoch", "direction", "trail_sum", "lead_sum",
+        F.coalesce(
+            (F.lag("epoch").over(wk) != F.col("epoch") - 1)
+            | (F.lag("direction").over(wk) != F.col("direction")),
+            F.lit(True),
+        ).cast("long").alias("_new_run"),
+    ).withColumn(
+        "_run",
+        F.sum("_new_run").over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    elect = Window.partitionBy(*key_cols, "_run").orderBy(
+        F.abs(F.col("lead_sum") - F.col("trail_sum")).desc(), F.col("epoch").asc()
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(elect))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *key_cols, "epoch", "direction", "trail_sum", "lead_sum",
+            F.expr("lead_sum * 1000000 div trail_sum").alias("ratio_ppm"),
+        )
+    )

@@ -8017,6 +8017,71 @@ def event_bursts_q(spark, sf_dir):
 
 
 @xq(
+    "event_level_shifts",
+    """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS epoch,
+             count(*)::BIGINT AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, epoch,
+        coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch
+          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+        coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch
+          RANGE BETWEEN CURRENT ROW AND 23 FOLLOWING), 0) AS lead_sum
+      FROM c
+    ), f AS (
+      SELECT *, CASE
+          WHEN lead_sum >= 2 * trail_sum AND lead_sum >= 10
+               AND trail_sum >= 1 THEN 1
+          WHEN trail_sum >= 2 * lead_sum AND trail_sum >= 10
+               AND lead_sum >= 1 THEN -1 END AS direction
+      FROM t
+    ), g AS (
+      SELECT *, CASE WHEN lag(epoch) OVER w = epoch - 1
+                 AND lag(direction) OVER w = direction
+                THEN 0 ELSE 1 END AS new_run
+      FROM f WHERE direction IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch)
+    ), r AS (
+      SELECT *, sum(new_run) OVER (
+          PARTITION BY event_type ORDER BY epoch) AS run
+      FROM g
+    ), e AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY event_type, run
+          ORDER BY abs(lead_sum - trail_sum) DESC, epoch ASC) AS rn
+      FROM r
+    )
+    SELECT event_type, epoch, direction, trail_sum, lead_sum,
+           lead_sum * 1000000 // trail_sum AS ratio_ppm
+    FROM e WHERE rn = 1
+    """,
+)
+def event_level_shifts_q(spark, sf_dir):
+    """Sustained regime shifts per event type: trailing vs leading
+    24-bucket RANGE-frame sums at every active bucket, division-free
+    2x threshold both directions, same-direction runs collapsed with
+    a deterministic max-|lead-trail| / min-epoch election. On the
+    uniform synthetic corpus the emitted events are each key's
+    ramp-in/ramp-out edges (full_window=False documents this) — the
+    hash gates the frame arithmetic, run collapse and election
+    end-to-end; planted mid-stream shifts are pinned by unit
+    fixtures."""
+    from ..operators import profile as prof
+
+    return prof.level_shifts(
+        load(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        bucket_s=3600,
+        window_buckets=24,
+        factor_num=2,
+        min_side_events=10,
+    )
+
+
+@xq(
     "event_silences",
     """
     WITH a AS (

@@ -486,3 +486,126 @@ class TestSilenceIntervals:
             profile.silence_intervals(df, ["k"], "ts", bucket_s=0)
         with pytest.raises(ValueError):
             profile.silence_intervals(df, ["k"], "ts", min_gap_buckets=0)
+
+
+class TestLevelShifts:
+    def test_planted_step_up(self, spark):
+        # rate 1/bucket for 24 buckets, then 3/bucket for 24: a 3x
+        # sustained shift. The detector should emit ONE up event per
+        # run; the elected epoch has max |lead - trail|.
+        rows = [("a", b * 10) for b in range(24)]
+        rows += [("a", 240 + b * 10 + i) for b in range(24) for i in range(3)]
+        got = profile.level_shifts(
+            TestBurstDetection._events(spark, rows), ["k"], "ts",
+            bucket_s=10, window_buckets=24, factor_num=2, min_side_events=10,
+            full_window=True,
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.direction == 1
+        # at the boundary bucket 24: trail = 24, lead = 72
+        assert (r.epoch, r.trail_sum, r.lead_sum, r.ratio_ppm) == (
+            24, 24, 72, 3_000_000,
+        )
+
+    def test_planted_step_down(self, spark):
+        rows = [("a", b * 10 + i) for b in range(24) for i in range(4)]
+        rows += [("a", 240 + b * 10) for b in range(24)]
+        got = profile.level_shifts(
+            TestBurstDetection._events(spark, rows), ["k"], "ts",
+            bucket_s=10, window_buckets=24, factor_num=2, min_side_events=10,
+            full_window=True,
+        ).collect()
+        assert len(got) == 1 and got[0].direction == -1
+        assert got[0].ratio_ppm == 250_000  # 24 / 96
+
+    def test_uniform_interior_quiet(self, spark):
+        rows = [("a", b * 10) for b in range(72)]
+        assert profile.level_shifts(
+            TestBurstDetection._events(spark, rows), ["k"], "ts",
+            bucket_s=10, window_buckets=24, factor_num=2, min_side_events=10,
+            full_window=True,
+        ).count() == 0
+
+    def test_boundary_ramps_without_full_window(self, spark):
+        # same uniform data WITHOUT full_window: birth/death partial
+        # windows satisfy the ratio -> exactly one up and one down ramp
+        rows = [("a", b * 10) for b in range(72)]
+        got = profile.level_shifts(
+            TestBurstDetection._events(spark, rows), ["k"], "ts",
+            bucket_s=10, window_buckets=24, factor_num=2, min_side_events=10,
+        ).collect()
+        dirs = sorted(r.direction for r in got)
+        assert dirs == [-1, 1]
+
+    def test_zero_side_never_flags(self, spark):
+        # key born from nothing: trail 0 -> burst territory, not shift
+        rows = [("a", b * 10 + i) for b in range(24) for i in range(2)]
+        got = profile.level_shifts(
+            TestBurstDetection._events(spark, rows), ["k"], "ts",
+            bucket_s=10, window_buckets=24, factor_num=2, min_side_events=10,
+        ).collect()
+        assert all(r.trail_sum >= 1 and r.lead_sum >= 1 for r in got)
+
+    def test_matches_duckdb_on_events(self, spark):
+        import duckdb
+        import os
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+        )
+        got = sorted(
+            tuple(r) for r in profile.level_shifts(
+                spark.read.parquet(f"{sf_dir}/events.parquet"),
+                ["event_type"], "ts", bucket_s=3600, window_buckets=24,
+                factor_num=2, min_side_events=10,
+            ).collect()
+        )
+        want = sorted(duckdb.connect().execute(f"""
+            WITH c AS (
+              SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS epoch,
+                     count(*)::BIGINT AS cnt
+              FROM '{sf_dir}/events.parquet'
+              WHERE ts IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+              SELECT event_type, epoch,
+                coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch
+                  RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+                coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch
+                  RANGE BETWEEN CURRENT ROW AND 23 FOLLOWING), 0) AS lead_sum
+              FROM c
+            ), f AS (
+              SELECT *, CASE
+                  WHEN lead_sum >= 2 * trail_sum AND lead_sum >= 10
+                       AND trail_sum >= 1 THEN 1
+                  WHEN trail_sum >= 2 * lead_sum AND trail_sum >= 10
+                       AND lead_sum >= 1 THEN -1 END AS direction
+              FROM t
+            ), g AS (
+              SELECT *, CASE WHEN lag(epoch) OVER w = epoch - 1
+                         AND lag(direction) OVER w = direction
+                        THEN 0 ELSE 1 END AS new_run
+              FROM f WHERE direction IS NOT NULL
+              WINDOW w AS (PARTITION BY event_type ORDER BY epoch)
+            ), r AS (
+              SELECT *, sum(new_run) OVER (
+                  PARTITION BY event_type ORDER BY epoch) AS run
+              FROM g
+            ), e AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY event_type, run
+                  ORDER BY abs(lead_sum - trail_sum) DESC, epoch ASC) AS rn
+              FROM r
+            )
+            SELECT event_type, epoch, direction, trail_sum, lead_sum,
+                   lead_sum * 1000000 // trail_sum
+            FROM e WHERE rn = 1
+        """).fetchall())
+        assert got == want and len(got) > 0
+
+    def test_validation(self, spark):
+        df = TestBurstDetection._events(spark, [("a", 0)])
+        with pytest.raises(ValueError):
+            profile.level_shifts(df, ["k"], "ts", window_buckets=0)
+        with pytest.raises(ValueError):
+            profile.level_shifts(df, ["k"], "ts", factor_den=0)
