@@ -601,3 +601,90 @@ def level_shifts(
             F.expr("lead_sum * 1000000 div trail_sum").alias("ratio_ppm"),
         )
     )
+
+
+def temporal_health_scorecard(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    ts_col: str,
+    bucket_s: int = 3600,
+    baseline_buckets: int = 24,
+    burst_factor_num: int = 3,
+    burst_min_count: int = 5,
+    min_gap_buckets: int = 72,
+    shift_factor_num: int = 2,
+    shift_min_side: int = 10,
+    as_of: "str | None" = None,
+) -> DataFrame:
+    """One health row per key: the three temporal detectors composed —
+    how many burst runs, silence intervals (+ whether one is ongoing)
+    and level-shift events each key exhibited, plus total activity.
+    This is the monitor table an ingestion operator actually reads;
+    the individual detectors are its drill-downs.
+
+    Keys with zero anomalies still appear (activity side is the spine,
+    detectors left-join onto it) — absence of a row meaning "healthy"
+    would be indistinguishable from "never ingested". Counts are 0,
+    never NULL, for present keys. All detector semantics and defaults
+    are the composed operators', unchanged.
+
+    Shape: three detector plans plus one activity agg, all keyed the
+    same, joined key-on-key — every side is key-vocabulary-sized
+    after its own aggregation, so the joins are trivially
+    broadcast-able at any corpus scale.
+    """
+    key_cols = list(key_cols)
+    activity = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bursts = (
+        burst_intervals(
+            df, key_cols, ts_col, bucket_s=bucket_s,
+            baseline_buckets=baseline_buckets,
+            factor_num=burst_factor_num, min_count=burst_min_count,
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.max("peak_count").alias("max_burst_peak"),
+        )
+    )
+    sil = silence_intervals(
+        df, key_cols, ts_col, bucket_s=bucket_s,
+        min_gap_buckets=min_gap_buckets, as_of=as_of,
+    )
+    silences = sil.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_silences"),
+        F.max("n_buckets").alias("max_silence_buckets"),
+        F.max(F.col("is_trailing").cast("long")).alias("ongoing_silence"),
+    )
+    shifts = (
+        level_shifts(
+            df, key_cols, ts_col, bucket_s=bucket_s,
+            window_buckets=baseline_buckets,
+            factor_num=shift_factor_num, min_side_events=shift_min_side,
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.sum((F.col("direction") == 1).cast("long")).alias("n_up_shifts"),
+            F.sum((F.col("direction") == -1).cast("long")).alias("n_down_shifts"),
+        )
+    )
+    out = (
+        activity.join(bursts, key_cols, "left")
+        .join(silences, key_cols, "left")
+        .join(shifts, key_cols, "left")
+    )
+    return out.na.fill(
+        {
+            "n_bursts": 0,
+            "max_burst_peak": 0,
+            "n_silences": 0,
+            "max_silence_buckets": 0,
+            "ongoing_silence": 0,
+            "n_up_shifts": 0,
+            "n_down_shifts": 0,
+        }
+    )

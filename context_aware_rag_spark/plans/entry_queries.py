@@ -8017,6 +8017,138 @@ def event_bursts_q(spark, sf_dir):
 
 
 @xq(
+    "event_health_scorecard",
+    """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS epoch,
+             count(*)::BIGINT AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT event_type, count(*)::BIGINT AS n_events
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    bt AS (
+      SELECT *, coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS base_sum
+      FROM c
+    ),
+    bb AS (
+      SELECT *, epoch - row_number() OVER (
+               PARTITION BY event_type ORDER BY epoch) AS island
+      FROM bt WHERE cnt >= 5 AND cnt * 24 > 3 * base_sum
+    ),
+    bi AS (
+      SELECT event_type, island, max(cnt) AS peak
+      FROM bb GROUP BY 1, 2
+    ),
+    bursts AS (
+      SELECT event_type, count(*)::BIGINT AS n_bursts,
+             max(peak) AS max_burst_peak
+      FROM bi GROUP BY 1
+    ),
+    sg AS (
+      SELECT event_type, epoch, lag(epoch) OVER (
+               PARTITION BY event_type ORDER BY epoch) AS prev
+      FROM c
+    ),
+    si AS (
+      SELECT event_type, epoch - prev - 1 AS n_buckets, false AS is_trailing
+      FROM sg WHERE prev IS NOT NULL AND epoch - prev - 1 >= 2
+      UNION ALL
+      SELECT event_type,
+             (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600)
+               - max(epoch) - 1, true
+      FROM c GROUP BY event_type
+      HAVING (epoch_us(TIMESTAMP '2024-01-31 00:00:00') // 1000000 // 3600)
+               - max(epoch) - 1 >= 2
+    ),
+    silences AS (
+      SELECT event_type, count(*)::BIGINT AS n_silences,
+             max(n_buckets) AS max_silence_buckets,
+             max(CASE WHEN is_trailing THEN 1 ELSE 0 END)::BIGINT
+               AS ongoing_silence
+      FROM si GROUP BY 1
+    ),
+    lt AS (
+      SELECT event_type, epoch,
+        coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch
+          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+        coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch
+          RANGE BETWEEN CURRENT ROW AND 23 FOLLOWING), 0) AS lead_sum
+      FROM c
+    ),
+    lf AS (
+      SELECT *, CASE
+          WHEN lead_sum >= 2 * trail_sum AND lead_sum >= 10
+               AND trail_sum >= 1 THEN 1
+          WHEN trail_sum >= 2 * lead_sum AND trail_sum >= 10
+               AND lead_sum >= 1 THEN -1 END AS direction
+      FROM lt
+    ),
+    lg AS (
+      SELECT *, CASE WHEN lag(epoch) OVER w = epoch - 1
+                 AND lag(direction) OVER w = direction
+                THEN 0 ELSE 1 END AS new_run
+      FROM lf WHERE direction IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch)
+    ),
+    lr AS (
+      SELECT event_type, direction,
+             sum(new_run) OVER (PARTITION BY event_type ORDER BY epoch) AS run,
+             new_run
+      FROM lg
+    ),
+    shifts AS (
+      SELECT event_type,
+             sum(CASE WHEN direction = 1 THEN new_run ELSE 0 END)::BIGINT
+               AS n_up_shifts,
+             sum(CASE WHEN direction = -1 THEN new_run ELSE 0 END)::BIGINT
+               AS n_down_shifts
+      FROM lr GROUP BY 1
+    )
+    SELECT act.event_type, n_events,
+           coalesce(n_bursts, 0) AS n_bursts,
+           coalesce(max_burst_peak, 0) AS max_burst_peak,
+           coalesce(n_silences, 0) AS n_silences,
+           coalesce(max_silence_buckets, 0) AS max_silence_buckets,
+           coalesce(ongoing_silence, 0) AS ongoing_silence,
+           coalesce(n_up_shifts, 0) AS n_up_shifts,
+           coalesce(n_down_shifts, 0) AS n_down_shifts
+    FROM act
+    LEFT JOIN bursts USING (event_type)
+    LEFT JOIN silences USING (event_type)
+    LEFT JOIN shifts USING (event_type)
+    """,
+)
+def event_health_scorecard_q(spark, sf_dir):
+    """The temporal-health COMPOSITION: one monitor row per event type
+    joining all three detectors (burst runs + peak, silence intervals
+    + ongoing flag, up/down level shifts) onto the activity spine —
+    healthy keys appear with zeros, never vanish. The twin stacks all
+    four legs as one CTE chain, so the hash gates every detector's
+    arithmetic AND the join/zero-fill composition (the
+    curation_pipeline pattern). Shift-run counting in the twin sums
+    new_run flags per direction — identical to counting elected
+    representatives, since each run elects exactly one."""
+    from ..operators import profile as prof
+
+    return prof.temporal_health_scorecard(
+        load(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        bucket_s=3600,
+        baseline_buckets=24,
+        burst_factor_num=3,
+        burst_min_count=5,
+        min_gap_buckets=2,
+        shift_factor_num=2,
+        shift_min_side=10,
+        as_of="2024-01-31 00:00:00",
+    )
+
+
+@xq(
     "event_level_shifts",
     """
     WITH c AS (

@@ -609,3 +609,35 @@ class TestLevelShifts:
             profile.level_shifts(df, ["k"], "ts", window_buckets=0)
         with pytest.raises(ValueError):
             profile.level_shifts(df, ["k"], "ts", factor_den=0)
+
+
+class TestTemporalHealthScorecard:
+    def test_healthy_key_appears_with_zeros(self, spark):
+        # "a" has a planted burst; "b" is uniform (healthy) — it must
+        # still appear, with zero anomaly counts, not vanish
+        rows = [("a", b * 10) for b in range(24)]
+        rows += [("a", 240 + i) for i in range(6)]
+        rows += [("b", b * 10) for b in range(26)]
+        got = {
+            r.k: r
+            for r in profile.temporal_health_scorecard(
+                TestBurstDetection._events(spark, rows), ["k"], "ts",
+                bucket_s=10, baseline_buckets=24, burst_factor_num=3,
+                burst_min_count=5, min_gap_buckets=2,
+                shift_factor_num=10, shift_min_side=1000,
+            ).collect()
+        }
+        assert got["a"].n_bursts == 1 and got["a"].max_burst_peak == 6
+        b = got["b"]
+        assert b.n_events == 26
+        assert (b.n_bursts, b.n_silences, b.n_up_shifts, b.n_down_shifts,
+                b.ongoing_silence) == (0, 0, 0, 0, 0)
+
+    def test_ongoing_silence_flag(self, spark):
+        rows = [("a", 0)]
+        got = profile.temporal_health_scorecard(
+            TestBurstDetection._events(spark, rows), ["k"], "ts",
+            bucket_s=10, min_gap_buckets=2, as_of="1970-01-01 00:01:40",
+        ).collect()[0]
+        assert (got.n_silences, got.ongoing_silence) == (1, 1)
+        assert got.max_silence_buckets == 9  # buckets 1..9
