@@ -190,11 +190,18 @@ def equi_depth_bins(
     determinism contract; without it equal values straddle a bin
     boundary nondeterministically.
 
-    100 TB shape: ONE window per group (global binning = ONE ordering
-    over everything — a range-partitioned sort, Spark's sort shuffle,
-    acceptable for assignment jobs; for purely statistical cuts use
-    histogram_quantiles and banded joins instead — documented
-    trade-off, not hidden).
+    100 TB shape: grouped binning is ONE window per group (a
+    group-keyed sort shuffle, fully parallel across groups — a hot
+    group sorts within one task, same trade-off as exact percentiles
+    above). GLOBAL binning does NOT use ``Window.orderBy()`` — that
+    plans an ``Exchange SinglePartition`` and funnels the whole corpus
+    through one task. Instead it rides :func:`skew.global_rank`
+    (repartitionByRange + local sort + broadcast prefix offsets — one
+    parallel range shuffle, plan-asserted SinglePartition-free) and
+    derives the bin arithmetically from (rank, N): with ``q = N div
+    n_bins`` and ``rem = N mod n_bins`` the first ``rem`` bins hold
+    ``q+1`` rows — exactly SQL ntile. N falls out of global_rank's
+    offset collect, so no extra job.
     """
     if n_bins < 1:
         raise ValueError(f"need n_bins >= 1, got {n_bins}")
@@ -203,9 +210,25 @@ def equi_depth_bins(
     ]
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(*order)
-    else:
-        w = Window.orderBy(*order)
-    return df.withColumn("bin", F.ntile(n_bins).over(w))
+        return df.withColumn("bin", F.ntile(n_bins).over(w))
+
+    from .skew import global_rank
+
+    order_cols = [value_col] + list(tie_cols or [])
+    ranked, n = global_rank(df, order_cols, rank_col="_edb_rank")
+    q, rem = divmod(n, n_bins)
+    r = F.col("_edb_rank")
+    cut = rem * (q + 1)  # rows 1..cut land in the q+1-sized bins
+    # integer `div`, never float `/`: bit-exact at any N
+    big = F.expr(f"(_edb_rank - 1) div {q + 1} + 1")
+    # q == 0 only when N < n_bins, where every row satisfies r <= cut
+    # (cut == N) — the small branch never selects a row then; max(q,1)
+    # just keeps the divisor nonzero so non-ANSI NULL-on-div-zero
+    # can't leak through evaluation of the unselected branch.
+    small = F.expr(f"{rem} + (_edb_rank - 1 - {cut}) div {max(q, 1)} + 1")
+    return ranked.withColumn(
+        "bin", F.when(r <= F.lit(cut), big).otherwise(small).cast("int")
+    ).drop("_edb_rank")
 
 
 def time_decayed_counts(

@@ -62,6 +62,23 @@ def global_index(
     partitions. ``order_cols`` must be a total order for the output to
     be deterministic (same contract as the window version).
     """
+    out, _total = global_rank(df, order_cols, rank_col=index_col,
+                              partitions=partitions)
+    return out
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "_grank",
+    partitions: int | None = None,
+) -> "tuple[DataFrame, int]":
+    """Two-phase global 1-based rank (the :func:`global_index` engine),
+    returning ``(df + rank_col, total_row_count)``. The total falls out
+    of the per-partition counts collect for free, so callers that need
+    both (equi-depth binning computes ntile bins from rank and N) pay
+    zero extra jobs. See :func:`global_index` for the plan shape — one
+    range shuffle, no ``Exchange SinglePartition``."""
     spark = df.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -81,11 +98,11 @@ def global_index(
         acc += r["_n"]
     # explicit schema: empty input must not hit schema inference
     off_df = spark.createDataFrame(offsets, "_pid long, _offset long")
-    return (
+    out = (
         ranged.withColumn("_pid", F.shiftrightunsigned("_mid", 33))
         .join(F.broadcast(off_df), "_pid")
         .withColumn(
-            index_col,
+            rank_col,
             (
                 F.col("_offset")
                 + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
@@ -94,6 +111,7 @@ def global_index(
         )
         .drop("_mid", "_pid", "_offset")
     )
+    return out, acc
 
 
 def link_chunks_salted(chunks: DataFrame, block_turns: int = 8192) -> DataFrame:

@@ -193,6 +193,46 @@ class TestEquiDepthBins:
         with _pytest.raises(ValueError, match="n_bins"):
             equi_depth_bins(df, "v", n_bins=0)
 
+    def test_global_plan_has_no_single_partition_exchange(self, spark):
+        # the r5 scale fix: global binning rides global_rank, not a
+        # partition-less window — assert the executed plan proves it
+        df = spark.createDataFrame(
+            [(i, (i * 13) % 97) for i in range(200)], "id: long, v: long"
+        )
+        out = equi_depth_bins(df, "v", n_bins=7, tie_cols=["id"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+
+    def test_global_matches_window_ntile(self, spark):
+        # two-phase global path ≡ the single-task window ntile, row by
+        # row, including n_bins > N and exact-multiple N
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        for n_rows, n_bins in ((37, 5), (40, 8), (4, 9), (1, 3)):
+            df = spark.createDataFrame(
+                [(i, (i * 31) % 11) for i in range(n_rows)],
+                "id: long, v: long",
+            )
+            got = {
+                (r.id, r.bin)
+                for r in equi_depth_bins(
+                    df, "v", n_bins=n_bins, tie_cols=["id"]
+                ).collect()
+            }
+            w = W.orderBy(F.col("v").asc(), F.col("id").asc())
+            want = {
+                (r.id, r.bin)
+                for r in df.withColumn(
+                    "bin", F.ntile(n_bins).over(w)
+                ).collect()
+            }
+            assert got == want, (n_rows, n_bins)
+
+    def test_global_empty_input(self, spark):
+        df = spark.createDataFrame([], "id: long, v: long")
+        assert equi_depth_bins(df, "v", n_bins=4, tie_cols=["id"]).count() == 0
+
 
 class TestTimeDecayedCounts:
     def _df(self, spark, rows):
