@@ -73,6 +73,22 @@ def drop_persisted(spark, keep: set[int] = frozenset()) -> None:
         pass
 
 
+def settle(spark, keep: set[int] = frozenset(), touch=None) -> None:
+    """Pre-measurement settle (the bench_scaling_dedup protocol,
+    promoted to the headline loop — VERDICT r4 item 6): evict stray
+    checkpoint blocks, force a JVM GC so the first timed op is not
+    billed for the previous query's garbage (observed as 0.7↔21 s
+    swings on the first slot of a round), and optionally touch the
+    input so block-manager fetch paths are warm."""
+    drop_persisted(spark, keep)
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    if touch is not None:
+        touch.limit(1).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -186,19 +202,18 @@ def main() -> None:
         # -- relational / training-data headline queries ------------------
         for name in HEADLINE:
             fn = registry[name]
-            drop_persisted(spark, keep)
+            settle(spark, keep)
             t0 = time.monotonic()
             force(fn(spark, sf_dir))
             samples[name].append(round(time.monotonic() - t0, 3))
-        drop_persisted(spark, keep)
-
         # -- KG construction pipeline (the flagship numbers) ---------------
+        settle(spark, keep, touch=transcripts)
         t0 = time.monotonic()
         res = run_pipeline(spark, transcripts, PipelineConfig())
         kg_counts["n_triples"] = res.triples.count()
         samples["kg_pipeline"].append(round(time.monotonic() - t0, 3))
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=transcripts)
         t0 = time.monotonic()
         res_dedup = run_pipeline(
             spark, transcripts, PipelineConfig(deduplicate_nodes=True)
@@ -207,7 +222,7 @@ def main() -> None:
         samples["kg_pipeline_dedup"].append(round(time.monotonic() - t0, 3))
 
         # 10x corpus: amortizes fixed job overhead, the honest throughput
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=big)
         t0 = time.monotonic()
         kg_counts["n_big_triples"] = run_pipeline(
             spark, big, PipelineConfig()
@@ -215,7 +230,7 @@ def main() -> None:
         samples["kg_pipeline_10x"].append(round(time.monotonic() - t0, 3))
 
         # 100x corpus: the scale mode — plan deltas visible above noise
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=big100)
         t0 = time.monotonic()
         kg_counts["n_big100_triples"] = run_pipeline(
             spark, big100, PipelineConfig()
@@ -225,7 +240,7 @@ def main() -> None:
         # chunk-KNN SIMILAR pass + degree-gate fixpoint depth telemetry
         # (VERDICT r3 item 7: assert the alias-dense convergence claim
         # with a measured iteration count every round)
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=knn_chunks)
         knn_stats: dict = {}
         t0 = time.monotonic()
         kg_counts["n_knn_edges"] = sim_ops.knn_similar_edges(
@@ -235,7 +250,7 @@ def main() -> None:
         kg_counts["knn_fixpoint_iterations"] = knn_stats.get("iterations")
 
         # dedup family at 50k synthesized docs (real candidate load)
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         # planted near-dups (1/8 words rewritten) sit at jaccard 0.45
         # and simhash hamming ~10 (measured) — thresholds set to surface
@@ -245,7 +260,7 @@ def main() -> None:
         ).count()
         samples["minhash_near_dups_50k"].append(round(time.monotonic() - t0, 3))
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         # max_hamming stays at the default 3 (16-bit quarters): wider
         # gates shrink the block width — at d=10 the 5-bit blocks put
@@ -266,14 +281,14 @@ def main() -> None:
         from context_aware_rag_spark.operators import lm as lm_ops
         from context_aware_rag_spark.operators import textmetrics as tm_ops
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         kg_counts["n_clf_keep_50k"] = tm_ops.quality_classifier(
             docs50k
         ).filter("keep").count()
         samples["quality_classifier_50k"].append(round(time.monotonic() - t0, 3))
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         kg_counts["n_dsir_50k"] = dsir_ops.dsir_select(
             docs50k,
@@ -283,7 +298,7 @@ def main() -> None:
         ).count()
         samples["dsir_select_50k"].append(round(time.monotonic() - t0, 3))
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         kg_counts["n_lm_50k"] = lm_ops.bigram_lm_scores(docs50k).count()
         samples["lm_perplexity_50k"].append(round(time.monotonic() - t0, 3))
@@ -293,7 +308,7 @@ def main() -> None:
         # "more like this" queries — the index is the real cost
         from context_aware_rag_spark.operators import bm25 as bm25_ops
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         kg_counts["n_bm25_50k_results"] = bm25_ops.bm25_topk(
             docs50k,
@@ -310,7 +325,7 @@ def main() -> None:
         words50k = docs50k.select(
             F.explode(F.split(F.lower("text"), " ")).alias("word")
         )
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         est = sk_ops.hll_count_distinct(
             words50k.select(F.lit("all").alias("g"), "word"), ["g"], "word",
@@ -319,7 +334,7 @@ def main() -> None:
         samples["hll_distinct_3m"].append(round(time.monotonic() - t0, 3))
         kg_counts["n_hll_words_estimate"] = int(est.estimate)
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         cms = sk_ops.cms_build(words50k, "word", depth=4, width=4096)
         # dedup BEFORE limit: limit-then-dedup returns the first 64
@@ -337,7 +352,7 @@ def main() -> None:
             conv_turn_metrics,
         )
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=big100)
         t0 = time.monotonic()
         kg_counts["n_conv_metrics_100x"] = conv_turn_metrics(big100).count()
         samples["conv_metrics_100x"].append(round(time.monotonic() - t0, 3))
@@ -346,7 +361,7 @@ def main() -> None:
         # context window + per-run agg, all on one conv-keyed Exchange)
         from context_aware_rag_spark.operators.sftpairs import sft_pairs
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=big100)
         t0 = time.monotonic()
         kg_counts["n_sft_pairs_100x"] = sft_pairs(big100).count()
         samples["sft_pairs_100x"].append(round(time.monotonic() - t0, 3))
@@ -357,7 +372,7 @@ def main() -> None:
             texttiling_gaps,
         )
 
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=big100)
         t0 = time.monotonic()
         kg_counts["n_texttiling_100x_boundaries"] = texttiling_gaps(
             big100
@@ -372,7 +387,7 @@ def main() -> None:
         )
 
         docs2k = docs50k.filter(F.col("doc_id") < 2000)
-        drop_persisted(spark, keep)
+        settle(spark, keep, touch=docs50k)
         t0 = time.monotonic()
         kg_counts["n_textrank_2k_rows"] = textrank_summary(
             docs2k, top_k=3, threshold_ppm=150_000
@@ -393,7 +408,7 @@ def main() -> None:
             ((F.col("id") * 131) % 40_000_000).alias("s"),
             (((F.col("id") * 131) % 40_000_000) + F.col("id") % 600).alias("e"),
         )
-        drop_persisted(spark, keep)
+        settle(spark, keep)
         t0 = time.monotonic()
         kg_counts["n_range_join_matches"] = iv_ops.range_join_points(
             pts2m, ivs200k, "p", "s", "e", bucket_width=512
@@ -503,7 +518,46 @@ def main() -> None:
         },
         "cpus": int(cpus),
     }
-    print(json.dumps(out))
+    # full record (per-round samples, every kg counter) → bench_full.json;
+    # stdout gets a COMPACT final line (< 1.5 kB) because the driver's
+    # tail capture is bounded (BENCH_r04 "parsed": null — the r4 line
+    # outgrew it and the round-over-round comparison lost its artifact)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as e:
+        print(f"WARN: could not write {full_path}: {e}", file=sys.stderr)
+    kg = out["kg"]
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: v for k, v in timings.items()},
+        "scale_total": scale_total,
+        "sf": sf,
+        "cpus": int(cpus),
+        "rounds": rounds,
+        "kg": {
+            "n_turns": n_turns,
+            "n_triples": kg["n_triples"],
+            "triples_per_sec": kg["triples_per_sec"],
+            "kg_100x_turns_per_sec": kg["kg_100x_turns_per_sec"],
+        },
+        "full": "bench_full.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # hard driver-capture budget: shed per-query detail
+        compact["queries"] = {
+            k: v
+            for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:20]
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
