@@ -273,11 +273,23 @@ def time_decayed_counts(
     if not (0 <= max_halvings <= 62):
         raise ValueError(f"need 0 <= max_halvings <= 62: {max_halvings}")
 
-    as_of_us = F.unix_micros(F.lit(as_of).cast("timestamp"))
+    # parse as_of DRIVER-SIDE (same ADVICE-r4 contract as
+    # silence_intervals): a junk timestamp must RAISE here, not cast to
+    # NULL and silently zero the whole salience table; naive inputs are
+    # pinned UTC, exact integer epoch math.
+    from datetime import datetime, timedelta, timezone
+
+    dt = datetime.fromisoformat(as_of)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    as_of_us_val = (
+        dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    ) // timedelta(microseconds=1)
+    as_of_us = F.lit(as_of_us_val).cast("long")
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     k = F.least(
         F.expr(
-            f"((unix_micros(cast('{as_of}' as timestamp))"
+            f"(({as_of_us_val}L"
             f" - unix_micros(cast({ts_col} as timestamp))) div 1000000)"
             f" div {half_life_s}"
         ),
@@ -485,13 +497,26 @@ def silence_intervals(
     )
     if as_of is None:
         return interior
-    as_of_epoch = F.expr(
-        f"(unix_micros(cast('{as_of}' as timestamp)) div 1000000) div {bucket_s}"
-    )
+    # parse as_of DRIVER-SIDE (ADVICE r4): interpolating the raw string
+    # into F.expr meant an unparsable timestamp cast to NULL under
+    # non-ANSI mode and silently suppressed every trailing-silence row
+    # (an ongoing-outage monitor that quietly reports nothing), and a
+    # quote in the string broke the expression. fromisoformat RAISES on
+    # junk; naive inputs are pinned UTC (the session-wide timezone
+    # contract), and the epoch math is exact integer division.
+    from datetime import datetime, timedelta, timezone
+
+    dt = datetime.fromisoformat(as_of)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    epoch_us = (
+        dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    ) // timedelta(microseconds=1)
+    as_of_epoch_val = (epoch_us // 1_000_000) // bucket_s
     trailing = (
         active.groupBy(*key_cols)
         .agg(F.max("epoch").alias("last_epoch"))
-        .withColumn("_ao", as_of_epoch)
+        .withColumn("_ao", F.lit(as_of_epoch_val).cast("long"))
         .filter(F.col("_ao") - F.col("last_epoch") - 1 >= min_gap_buckets)
         .select(
             *key_cols,

@@ -151,10 +151,18 @@ def chrf_scores(
     one integer trunc-ppm division (beta_sq = beta^2 = 4 is the
     standard recall-doubled chrF2). chrf_ppm is the trunc mean over
     the INCLUDED levels: a level with zero grams on BOTH sides is
-    excluded (sacreBLEU's effective-order convention — a short pair
-    is scored at the orders it can express, never padded with fake
-    zeros); a level where only one side is empty scores an honest 0.
-    NULL chrf when no level is scorable (both texts empty).
+    excluded (a short pair is scored at the orders it can express,
+    never padded with fake zeros); a level where only one side is
+    empty scores an honest 0 AND stays in the mean. NOTE — this
+    DELIBERATELY differs from sacreBLEU's effective-order rule, which
+    drops any order where EITHER side lacks n-grams: under that rule a
+    candidate much shorter than max_n characters is never penalized at
+    the orders it cannot express, so e.g. a one-char candidate against
+    a long reference scores only at order 1. Here the mismatch is kept
+    as a 0-valued level (a length-mismatch penalty); expect chrF
+    values to diverge from sacreBLEU whenever either text is shorter
+    than max_n characters. The SQL twin (chrf_excerpt_eval) pins this
+    contract. NULL chrf when no level is scorable (both texts empty).
 
     100 TB shape: identical to rouge_n_scores — one narrow map builds
     the char strings, 2*max_n explode branches over the checkpointed

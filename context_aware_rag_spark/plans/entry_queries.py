@@ -5905,10 +5905,14 @@ def kg_relation_profile_q(spark, sf_dir):
     from ..operators import rules
 
     res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    # F.concat, NOT concat_ws: the twin's `||` is NULL-propagating, so
+    # a NULL name/type must make the whole key NULL on BOTH engines
+    # (concat_ws would silently skip the NULL field and mint a
+    # different key) — identical NULL semantics, ADVICE r4
     tri = res.triples.select(
-        F.concat_ws("\x1f", "subj_name", "subj_type").alias("src"),
+        F.concat("subj_name", F.lit("\x1f"), "subj_type").alias("src"),
         F.col("pred").alias("rel"),
-        F.concat_ws("\x1f", "obj_name", "obj_type").alias("dst"),
+        F.concat("obj_name", F.lit("\x1f"), "obj_type").alias("dst"),
     )
     return rules.relation_profile(tri, "src", "rel", "dst")
 
@@ -8368,16 +8372,19 @@ def _ndcg_weight_values(k: int) -> str:
             LEFT JOIN qr ON qr.query_id = r.query_id
                         AND qr.doc_id = r.doc_id
             LEFT JOIN wt ON wt.pos = r.rank AND r.rank <= 10
-            GROUP BY 1)
-    SELECT n.query_id, n.n_judged,
+            GROUP BY 1),
+    j AS (SELECT query_id, n_judged, idcg_micro
+          FROM nj JOIN ideal USING (query_id))
+    SELECT coalesce(j.query_id, d.query_id) AS query_id,
+           coalesce(j.n_judged, 0) AS n_judged,
            coalesce(d.n_ranked, 0) AS n_ranked,
-           coalesce(d.dcg_micro, 0) AS dcg_micro,
-           i.idcg_micro,
-           CASE WHEN i.idcg_micro > 0
-                THEN (coalesce(d.dcg_micro, 0) * 1000000) // i.idcg_micro
+           CASE WHEN j.query_id IS NOT NULL
+                THEN coalesce(d.dcg_micro, 0) END AS dcg_micro,
+           j.idcg_micro,
+           CASE WHEN j.idcg_micro > 0
+                THEN (coalesce(d.dcg_micro, 0) * 1000000) // j.idcg_micro
            END AS ndcg_ppm
-    FROM nj n JOIN ideal i USING (query_id)
-    LEFT JOIN dcg d ON d.query_id = n.query_id
+    FROM j FULL JOIN dcg d ON d.query_id = j.query_id
     """,
 )
 def bm25_ndcg_eval_q(spark, sf_dir):
@@ -8389,7 +8396,11 @@ def bm25_ndcg_eval_q(spark, sf_dir):
     the full graded battery (max-gain collapse, the interpolated
     integer discount table, decimal-safe trunc-ppm ratio) on the
     bm25_topk CTE, so the hash gates the composition AND pins the
-    driver-side discount literals byte-for-byte across engines."""
+    driver-side discount literals byte-for-byte across engines. The
+    twin FULL JOINs the run side (mirroring ndcg_metrics' full_outer)
+    so the run-only/unjudged-query contract — n_judged=0, NULL dcg,
+    NULL ndcg — is pinned by the parity hash, not just invisible on a
+    corpus where every query judges itself (ADVICE r4)."""
     from ..operators import rankeval
 
     docs = load(spark, sf_dir, "documents")

@@ -468,6 +468,25 @@ class TestSilenceIntervals:
             df, ["k"], "ts", bucket_s=10, min_gap_buckets=1
         ).count() == 0
 
+    def test_junk_as_of_raises_not_silent(self, spark):
+        # ADVICE r4: an unparsable as_of used to cast to NULL in-plan
+        # and silently suppress every trailing-silence row — the
+        # ongoing-outage monitor quietly reporting nothing. It must
+        # RAISE at plan-build time now.
+        import pytest as _pytest
+
+        df = TestBurstDetection._events(spark, [("a", 0)])
+        with _pytest.raises(ValueError):
+            profile.silence_intervals(
+                df, ["k"], "ts", bucket_s=10, min_gap_buckets=1,
+                as_of="not-a-timestamp'); DROP",
+            )
+        with _pytest.raises(ValueError):
+            profile.time_decayed_counts(
+                df, ["k"], "ts", as_of="2024-13-45 99:99:99",
+                half_life_s=60,
+            )
+
     def test_key_isolation(self, spark):
         # a's activity must not mask b's gap
         rows = [("a", e * 10) for e in range(12)] + [("b", 0), ("b", 110)]
