@@ -2368,3 +2368,188 @@ def topic_chunks_table(n_convs: int) -> "List[tuple]":
     return topic_chunks_py(
         [(c, i, t) for c, i, _r, t, _tool, _ts in generate_rows(n_convs)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Agentic planner-retrieval trace (operators/planner.py twin)
+# ---------------------------------------------------------------------------
+
+def planner_trace_table(n_convs: int, query: str) -> "List[tuple]":
+    """Independent pure-Python replay of the scripted planner loop
+    (reference retrieval/planner.py:166-601): the same fake-LLM plan
+    script and XML parse path (functions/plannerscript.py — shared, it
+    is the loop's INPUT), with every tool leg recomputed sequentially —
+    chunk/entity cosines as left-to-right folds (_seq_dot), BFS and
+    NEXT_CHUNK walks over the oracle edge set, the time filter over
+    the turn timestamps — so the snapshot gates the engine's
+    distributed legs AND the observe→replan scalar flow.
+
+    Rows: (iteration, step, tool, arg, rank, result_id, score, detail).
+    """
+    from ..functions import plannerscript as ps
+    from ..functions.embedder import entity_embed, hash_embed
+    from ..sources.transcripts import generate_rows
+
+    rows = generate_rows(n_convs)
+    res = run_oracle(rows)
+
+    # ---- unique chunks with min-ts keeper (engine dedupes the same way)
+    ts_by_turn = {(r[0], r[1]): r[5] for r in rows}
+    uniq: Dict[str, dict] = {}
+    for c in res.chunks:
+        ts = ts_by_turn[(c["conv_id"], c["turn_idx"])]
+        prev = uniq.get(c["chunk_id"])
+        if prev is None or ts < prev["ts"]:
+            uniq[c["chunk_id"]] = {
+                "conv_id": c["conv_id"], "text": c["text"], "ts": ts,
+            }
+    chunk_ids = sorted(uniq)
+    chunk_embs = {
+        cid: hash_embed([uniq[cid]["text"]], dim=64)[0].astype(np.float32)
+        for cid in chunk_ids
+    }
+
+    # ---- nodes (build_nodes, no canonical map) + entity embeddings ----
+    groups: Dict[str, list] = defaultdict(list)
+    for m in res.mentions:
+        groups[m["node_id"]].append(m)
+    node_rows = {}
+    for nid, ms in groups.items():
+        lead = min(ms, key=lambda m: m["node_id"])
+        node_rows[nid] = (lead["name"], lead["type"] or "Entity")
+    node_ids = sorted(node_rows)
+    ent_mat = entity_embed([node_rows[n][0] for n in node_ids], dim=64)
+    ent_embs = {
+        nid: vec.astype(np.float32) for nid, vec in zip(node_ids, ent_mat)
+    }
+
+    # ---- edge set (build_edges dedup key) -----------------------------
+    edge_set = {
+        (e["src"], e["dst"], e["rel_type"]) for e in res.edges
+    }
+    next_chunk = defaultdict(set)
+    for s, d, r in edge_set:
+        if r == "NEXT_CHUNK":
+            next_chunk[s].add(d)
+
+    def chunk_search(qtext: str, topk: int):
+        qvec = hash_embed([qtext], dim=64)[0].astype(np.float32)
+        qn = _seq_norm(qvec)
+        scored = []
+        for cid in chunk_ids:
+            v = chunk_embs[cid]
+            cos = _seq_dot(v, qvec) / (_seq_norm(v) * qn)
+            scored.append((cid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return [
+            (rank, cid, round(cos, 6), uniq[cid]["conv_id"])
+            for rank, (cid, cos) in enumerate(scored[:topk], start=1)
+        ]
+
+    def entity_search(qtext: str, topk: int):
+        qvec = hash_embed([qtext], dim=64)[0].astype(np.float32)
+        qn = _seq_norm(qvec) or 1.0
+        scored = []
+        for nid in node_ids:
+            v = ent_embs[nid]
+            cos = _seq_dot(v, qvec) / (_seq_norm(v) * qn)
+            scored.append((nid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        name_type = node_rows
+        return [
+            (rank, nid, round(cos, 6), f"{name_type[nid][1]}:{name_type[nid][0]}")
+            for rank, (nid, cos) in enumerate(scored[:topk], start=1)
+        ]
+
+    def bfs(node_id: str):
+        hop = set()
+        for s, d, r in edge_set:
+            if s == node_id:
+                hop.add((d, r, "out"))
+            elif d == node_id:
+                hop.add((s, r, "in"))
+        ranked = sorted(hop, key=lambda t: (t[1], t[2], t[0]))
+        return [
+            (rank, nid, None, f"{rel}:{direction}")
+            for rank, (nid, rel, direction) in enumerate(ranked, start=1)
+        ]
+
+    def next_chunk_walk(chunk_id: str, hops: int):
+        out = []
+        frontier = {chunk_id}
+        for hop in range(1, max(hops, 0) + 1):
+            step = set()
+            for c in frontier:
+                step |= next_chunk.get(c, set())
+            for cid in sorted(step):
+                out.append((hop, cid, None, None))
+            frontier = step
+        return out
+
+    def chunk_filter(range_str: str, camera: str, chunk_size_s: float = 10.0):
+        lo_s, hi_s = range_str.split(":")
+        lo = int(ps.round_down_to_chunk(float(lo_s), chunk_size_s))
+        hi = int(ps.round_up_to_chunk(float(hi_s), chunk_size_s))
+        hits = []
+        for cid in chunk_ids:
+            c = uniq[cid]
+            epoch = int(c["ts"].timestamp())
+            if lo <= epoch <= hi and (not camera or c["conv_id"] == camera):
+                hits.append((epoch, cid))
+        hits.sort()
+        return [
+            (rank, cid, None, str(epoch))
+            for rank, (epoch, cid) in enumerate(hits, start=1)
+        ]
+
+    # ---- the loop -----------------------------------------------------
+    trace: List[tuple] = []
+    observations: Dict[str, object] = {}
+    for iteration in range(5):
+        plan = ps.scripted_plan(query, iteration, observations, topk=5)
+        trace.append((iteration, 0, "think", "", 0, None, None, plan))
+        if ps.thinking_complete(plan):
+            break
+        calls = ps.parse_plan(plan)
+        results = []
+        for step, (tool, input_data) in enumerate(calls, start=1):
+            arg = ps.call_arg_string(input_data)
+            if tool == "chunk_search":
+                rows_t = chunk_search(
+                    input_data["query"], int(input_data.get("topk", 5))
+                )
+            elif tool == "entity_search":
+                rows_t = entity_search(input_data["query"], 5)
+            elif tool == "bfs":
+                rows_t = bfs(input_data["node_id"])
+            elif tool == "next_chunk":
+                rows_t = next_chunk_walk(
+                    input_data["chunk_id"],
+                    int(input_data.get("number_of_hops", 1)),
+                )
+            elif tool == "chunk_filter":
+                rows_t = chunk_filter(
+                    input_data["range"], input_data.get("camera_id") or ""
+                )
+            else:
+                continue
+            for rank, rid, score, detail in rows_t:
+                trace.append(
+                    (iteration, step, tool, arg, rank, rid, score, detail)
+                )
+            results.append((tool, rows_t))
+
+        if iteration == 0:
+            for tool, rows_t in results:
+                if tool == "chunk_search" and "top_chunk" not in observations:
+                    if rows_t:
+                        _rank, cid, _score, conv = rows_t[0]
+                        observations["top_chunk"] = cid
+                        observations["top_chunk_conv"] = conv
+                        observations["top_chunk_epoch_s"] = int(
+                            uniq[cid]["ts"].timestamp()
+                        )
+                elif tool == "entity_search" and "top_entity" not in observations:
+                    if rows_t:
+                        observations["top_entity"] = rows_t[0][1]
+    return trace

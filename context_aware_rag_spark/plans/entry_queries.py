@@ -316,7 +316,7 @@ def w2_event_linking(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "w3_running_offset",
     """
     SELECT user_id, event_id,
@@ -2050,7 +2050,7 @@ def tpch_q1_rollup(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "f5_batch_range_filter",
     """
     SELECT event_id, user_id, CAST(floor(event_id / 100) AS BIGINT) AS batch_i
@@ -2170,7 +2170,7 @@ def s8_jsonl_source_q(spark, sf_dir):
     )
 
 
-@q(
+@xq(
     "a11_merged_count",
     f"""
     SELECT count(*)::BIGINT AS merge_groups,
@@ -2413,6 +2413,39 @@ def ep3_compressed_context(spark, sf_dir):
 
 
 @q(
+    "ep3_planner_trace",
+    f"""
+    SELECT iteration, step, tool, arg, rank, result_id, score, detail
+    FROM read_parquet('{_pq("ep3_planner_trace")}')
+    """,
+)
+def ep3_planner_trace(spark, sf_dir):
+    """Agentic planner retrieval — the reference's main Q&A mode
+    (retrieval/planner.py:1-601, planner_retrieval.py:1-315,
+    graph_search_tool.py:199-527): the scripted fake-LLM planner drives
+    the full think→execute→observe loop over the ChunkSearch /
+    EntitySearch / BFS / NextChunk / ChunkFilter tool twins; the driver
+    hash gates the COMPLETE trace (plan texts + every tool result row)
+    against the pure-Python replay of the loop
+    (oracle/precompute.planner_trace_table)."""
+    from ..functions.plannerscript import DEFAULT_PLANNER_QUERY
+    from ..operators import planner
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    # unique chunks with a deterministic min-ts keeper (duplicate
+    # chunk_id rows are content-identical but their ts differ)
+    chunks = res.chunks.groupBy("chunk_id").agg(
+        F.min("conv_id").alias("conv_id"),
+        F.min("text").alias("text"),
+        F.min("ts").alias("ts"),
+    )
+    with_emb = similarity.with_text_embeddings(chunks)
+    return planner.planner_retrieve(
+        with_emb, res.edges, res.nodes, DEFAULT_PLANNER_QUERY
+    )
+
+
+@q(
     "a10_tree_summarize",
     f"""
     SELECT conv_id, summary, n_levels
@@ -2518,7 +2551,7 @@ def kg_nodes_canonical(spark, sf_dir):
     return res.nodes.select("node_id", "name", "type", "mention_chunks")
 
 
-@q(
+@xq(
     "kg_canonical_incremental",
     f"""
     SELECT node_id, canon_id
@@ -2661,7 +2694,7 @@ def minhash_dedup_incremental_q(spark, sf_dir):
     return dedup.minhash_dedup_incremental(new, idx).select("doc_id")
 
 
-@q(
+@xq(
     "simhash_near_dups",
     f"""
     SELECT a, b, hamming FROM read_parquet('{_pq("simhash_near_dups")}')
@@ -2671,7 +2704,7 @@ def simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@q(
+@xq(
     "ann_ivf_topk",
     f"""
     SELECT query_id, vec_id, cosine, rank
@@ -4032,7 +4065,7 @@ def scd2_user_status_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "record_linkage",
     """
     WITH ws AS (
@@ -4189,7 +4222,7 @@ def ann_mmr_topk_q(spark, sf_dir):
 # HyperLogLog distinct sketch (mergeable cardinality state)
 # =========================================================================
 
-@xq(
+@q(
     "hll_user_distinct",
     """
     WITH reg AS (
@@ -7603,7 +7636,7 @@ def kg_condensed_layers_q(spark, sf_dir):
 # PathSim: heterogeneous meta-path peer similarity
 # =========================================================================
 
-@xq(
+@q(
     "kg_pathsim_customers",
     """
     WITH inst AS (
@@ -8152,7 +8185,7 @@ def event_health_scorecard_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "event_level_shifts",
     """
     WITH c AS (
@@ -8217,7 +8250,7 @@ def event_level_shifts_q(spark, sf_dir):
     )
 
 
-@xq(
+@q(
     "event_silences",
     """
     WITH a AS (

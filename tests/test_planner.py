@@ -1,0 +1,148 @@
+"""Agentic planner retrieval (operators/planner.py + the scripted
+fake-LLM in functions/plannerscript.py) vs the pure-Python replay
+(oracle/precompute.planner_trace_table).
+
+The parity test is the strong gate: the ENTIRE trace — plan texts,
+every tool-result row, the observe→replan scalars threaded between
+iterations — must match the sequential replica bit-for-bit.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.config import PipelineConfig
+from context_aware_rag_spark.functions import plannerscript as ps
+from context_aware_rag_spark.operators import planner, similarity
+from context_aware_rag_spark.oracle import precompute
+from context_aware_rag_spark.plans.pipeline import run_pipeline
+from context_aware_rag_spark.sources.transcripts import generate_transcripts
+
+
+# ---------------------------------------------------------------------------
+# plannerscript: the reference execution_node parse path
+# ---------------------------------------------------------------------------
+
+class TestParsePlan:
+    def test_query_split_fans_out(self):
+        plan = (
+            "<execute><tool>chunk_search</tool>"
+            "<input><query>a;b</query><topk>3</topk></input></execute>"
+        )
+        calls = ps.parse_plan(plan)
+        assert calls == [
+            ("chunk_search", {"query": "a", "topk": "3"}),
+            ("chunk_search", {"query": "b", "topk": "3"}),
+        ]
+
+    def test_unknown_tool_skipped(self):
+        plan = (
+            "<execute><tool>teleport</tool><input><query>x</query></input>"
+            "</execute>"
+            "<execute><tool>bfs</tool><input><node_id>n1</node_id></input>"
+            "</execute>"
+        )
+        assert ps.parse_plan(plan) == [("bfs", {"node_id": "n1"})]
+
+    def test_prose_with_xml_specials_survives_escaping(self):
+        # free-text reasoning with raw &, <, ', " around the blocks —
+        # the reference's escape→selective-unescape cycle must keep the
+        # structural tags parseable (planner.py:275-334)
+        plan = (
+            "Alice & Bob said \"it's < 5 minutes\".\n"
+            "<execute><tool>entity_search</tool>"
+            "<input><query>Alice & Bob</query></input></execute>"
+        )
+        calls = ps.parse_plan(plan)
+        assert calls == [("entity_search", {"query": "Alice & Bob"})]
+
+    def test_thinking_complete_on_answer(self):
+        assert ps.thinking_complete("<answer>done</answer>")
+        assert not ps.thinking_complete("<execute>...</execute>")
+
+    def test_scripted_loop_shape(self):
+        p0 = ps.scripted_plan("q", 0)
+        assert not ps.thinking_complete(p0)
+        assert [t for t, _ in ps.parse_plan(p0)] == [
+            "chunk_search", "chunk_search", "entity_search"
+        ]
+        obs = {"top_entity": "e1", "top_chunk": "c1",
+               "top_chunk_epoch_s": 1000, "top_chunk_conv": "conv0"}
+        p1 = ps.scripted_plan("q", 1, obs)
+        calls = ps.parse_plan(p1)
+        assert [t for t, _ in calls] == ["bfs", "next_chunk", "chunk_filter"]
+        assert calls[2][1]["range"] == "-2600.0:4600.0"
+        assert ps.thinking_complete(ps.scripted_plan("q", 2, obs))
+
+    def test_chunk_boundary_rounding(self):
+        assert ps.round_down_to_chunk(153.0, 10.0) == 150.0
+        assert ps.round_up_to_chunk(153.0, 10.0) == 160.0
+        assert ps.round_up_to_chunk(150.0, 10.0) == 150.0
+
+
+# ---------------------------------------------------------------------------
+# full-loop parity: Spark trace == pure-Python replay, bit-for-bit
+# ---------------------------------------------------------------------------
+
+N_CONVS = 6
+
+
+@pytest.fixture(scope="module")
+def trace_inputs(spark):
+    res = run_pipeline(
+        spark, generate_transcripts(spark, N_CONVS), PipelineConfig()
+    )
+    chunks = res.chunks.groupBy("chunk_id").agg(
+        F.min("conv_id").alias("conv_id"),
+        F.min("text").alias("text"),
+        F.min("ts").alias("ts"),
+    )
+    with_emb = similarity.with_text_embeddings(chunks).localCheckpoint()
+    return with_emb, res.edges.localCheckpoint(), res.nodes.localCheckpoint()
+
+
+class TestPlannerParity:
+    def test_trace_matches_oracle_exactly(self, spark, trace_inputs):
+        with_emb, edges, nodes = trace_inputs
+        trace = planner.planner_retrieve(
+            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY
+        )
+        got = sorted(tuple(r) for r in trace.collect())
+        want = sorted(
+            precompute.planner_trace_table(N_CONVS, ps.DEFAULT_PLANNER_QUERY)
+        )
+        assert len(got) == len(want)
+        assert got == want
+
+    def test_all_five_tools_executed(self, spark, trace_inputs):
+        with_emb, edges, nodes = trace_inputs
+        trace = planner.planner_retrieve(
+            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY
+        ).localCheckpoint()
+        tools = {r["tool"] for r in trace.select("tool").distinct().collect()}
+        assert {"think", "chunk_search", "entity_search", "bfs",
+                "next_chunk", "chunk_filter"} <= tools
+        # loop terminated via <answer>, not max_iterations
+        finals = [
+            r["detail"]
+            for r in trace.filter(
+                (F.col("tool") == "think") & (F.col("iteration") == 2)
+            ).collect()
+        ]
+        assert len(finals) == 1 and "<answer>" in finals[0]
+
+    def test_different_query_different_trace(self, spark, trace_inputs):
+        with_emb, edges, nodes = trace_inputs
+        t1 = planner.planner_retrieve(
+            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY
+        )
+        t2 = planner.planner_retrieve(
+            with_emb, edges, nodes, "what is Bob Smith testing"
+        )
+        r1 = sorted(tuple(r) for r in t1.collect())
+        r2 = sorted(tuple(r) for r in t2.collect())
+        assert r1 != r2
+        # but the oracle replays the second query identically too
+        want = sorted(
+            precompute.planner_trace_table(N_CONVS, "what is Bob Smith testing")
+        )
+        assert r2 == want

@@ -82,6 +82,12 @@ SCHEMAS = {
          ("n_pieces_kept", pa.int64()), ("best_piece_sim", pa.float64()),
          ("compressed_length", pa.int64())]
     ),
+    "ep3_planner_trace": pa.schema(
+        [("iteration", pa.int32()), ("step", pa.int32()),
+         ("tool", pa.string()), ("arg", pa.string()),
+         ("rank", pa.int32()), ("result_id", pa.string()),
+         ("score", pa.float64()), ("detail", pa.string())]
+    ),
     "ann_ivf_topk": pa.schema(
         [("query_id", pa.int64()), ("vec_id", pa.int64()),
          ("cosine", pa.float64()), ("rank", pa.int32())]
@@ -560,6 +566,13 @@ def main(sf_dirs: list[str]) -> None:
         ep3 = precompute.ep3_tables(n_convs_for(sf_dir))
         write(out_dir, "ep3_graph_vector_search", ep3["assembled"])
         write(out_dir, "ep3_compressed_context", ep3["compressed"])
+
+        from context_aware_rag_spark.functions.plannerscript import (
+            DEFAULT_PLANNER_QUERY,
+        )
+        write(out_dir, "ep3_planner_trace",
+              precompute.planner_trace_table(
+                  n_convs_for(sf_dir), DEFAULT_PLANNER_QUERY))
 
 
 if __name__ == "__main__":
