@@ -2445,6 +2445,181 @@ def ep3_planner_trace(spark, sf_dir):
     )
 
 
+# ---- Vector-RAG entry point (vector_retrieval_func.py:1-354) ----------
+# corpus = documents joined to their embeddings, metadata-filtered to
+# the "caption" analog (lang = 'en'); query = the vec_id-0 embedding.
+_VRAG_COS = (
+    "list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])"
+    " / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+    " * sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+)
+
+_VRAG_RANKED = f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    ranked AS (
+      SELECT d.doc_id, d.source AS file, d.text,
+             round({_VRAG_COS}, 6) AS score,
+             row_number() OVER (
+               ORDER BY {_VRAG_COS} DESC, c.vec_id ASC) AS rank
+      FROM embeddings c
+      JOIN documents d ON d.doc_id = c.vec_id, q
+      WHERE c.vec_id >= 5 AND d.lang = 'en')
+"""
+
+
+@xq(
+    "vector_rag_search",
+    _VRAG_RANKED + """
+    SELECT rank, doc_id, file, score,
+           substr(text, 1, 200) AS snippet,
+           '[' || file || '] ' || CAST(doc_id AS VARCHAR) AS citation
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def vector_rag_search_q(spark, sf_dir):
+    """Vector-RAG retrieval rows (vector_retrieval_func.py:82-110):
+    metadata filter under the vector top-k, citation template
+    "[{file}] {chunkIdx}", 200-char snippets."""
+    from ..operators import vectorrag
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).filter(
+        F.col("vec_id") >= 5
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return vectorrag.vector_rag_search(
+        corpus, qvec, top_k=5, filter_expr=F.col("lang") == "en"
+    )
+
+
+@xq(
+    "vector_rag_context",
+    _VRAG_RANKED + """
+    , hits AS (SELECT * FROM ranked WHERE rank <= 5)
+    SELECT 'what changed in the slow table scan' AS question,
+           string_agg(text, chr(10) || chr(10) ORDER BY rank) AS context,
+           chr(10) || '**Sources:**' || chr(10) ||
+             string_agg('[' || file || '] ' || CAST(doc_id AS VARCHAR),
+                        chr(10) ORDER BY rank) AS sources,
+           count(*)::BIGINT AS n_docs,
+           length(string_agg(text, chr(10) || chr(10) ORDER BY rank))::BIGINT
+             AS context_length
+    FROM hits
+    """,
+)
+def vector_rag_context_q(spark, sf_dir):
+    """The stuffed QA context + Sources block (format_docs,
+    utils.py:234-235; format_citations_display,
+    vector_retrieval_func.py:180-230)."""
+    from ..operators import vectorrag
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).filter(
+        F.col("vec_id") >= 5
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    retrieved = vectorrag.vector_rag_search(
+        corpus, qvec, top_k=5, filter_expr=F.col("lang") == "en"
+    )
+    return vectorrag.vector_rag_context(
+        retrieved, "what changed in the slow table scan", docs
+    )
+
+
+@xq(
+    "vlm_frame_assembly",
+    _VRAG_RANKED + """
+    , hits AS (SELECT doc_id, rank FROM ranked WHERE rank <= 10),
+    vids AS (
+      SELECT h.rank, d.doc_id AS media_id, d.text,
+             (d.doc_id % 9000 + 1000) AS duration_ms,
+             d.doc_id * 1000000000 AS start_ns,
+             d.doc_id * 1000000000 + (d.doc_id % 9000 + 1000) * 1000000
+               AS end_ns,
+             greatest(CAST(floor((d.doc_id % 9000 + 1000) / 100.0) AS INT), 1)
+               AS t
+      FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 3 = 2),
+    hms AS (
+      SELECT *,
+             lpad(CAST(start_ns // 1000000000 // 3600 AS VARCHAR), 2, '0')
+               || ':' ||
+             lpad(CAST(start_ns // 1000000000 % 3600 // 60 AS VARCHAR), 2, '0')
+               || ':' ||
+             lpad(CAST(start_ns // 1000000000 % 60 AS VARCHAR), 2, '0')
+               AS start_time,
+             lpad(CAST(end_ns // 1000000000 // 3600 AS VARCHAR), 2, '0')
+               || ':' ||
+             lpad(CAST(end_ns // 1000000000 % 3600 // 60 AS VARCHAR), 2, '0')
+               || ':' ||
+             lpad(CAST(end_ns // 1000000000 % 60 AS VARCHAR), 2, '0')
+               AS end_time
+      FROM vids),
+    meta_rows AS (
+      SELECT rank, media_id, 0 AS msg_idx, 'text' AS msg_type,
+             'Image metadata: (Timestamp: ' || start_time || ' to '
+               || end_time || ')' || chr(10) AS content,
+             start_time, end_time, CAST(NULL AS INT) AS frame_idx
+      FROM hms),
+    exploded AS (
+      SELECT h.*, CAST(u.i AS BIGINT) AS i
+      FROM hms h, unnest(range(least(4, h.t))) AS u(i)),
+    idx AS (
+      -- round-half-even(i*(t-1)/3): Python int(round()) parity
+      SELECT *,
+             CASE WHEN t > 4 THEN
+               CAST(i * (t - 1) // 3
+                 + CASE WHEN 2 * (i * (t - 1) % 3) > 3
+                          OR (2 * (i * (t - 1) % 3) = 3
+                              AND (i * (t - 1) // 3) % 2 = 1)
+                        THEN 1 ELSE 0 END AS INT)
+             ELSE CAST(i AS INT) END AS frame_idx
+      FROM exploded),
+    frame_rows AS (
+      SELECT rank, media_id, CAST(i + 1 AS INT) AS msg_idx,
+             'image_url' AS msg_type,
+             'data:image/jpeg;base64,' ||
+               to_base64(encode(text || '#frame_'
+                                || CAST(frame_idx AS VARCHAR))) AS content,
+             start_time, end_time, frame_idx
+      FROM idx)
+    SELECT * FROM meta_rows UNION ALL SELECT * FROM frame_rows
+    """,
+)
+def vlm_frame_assembly_q(spark, sf_dir):
+    """VLM retrieval frame assembly (vlm_retrieval_func.py:116-252 +
+    image_fetcher.py:241-287): vector top-10 docs, video-kind rows
+    only, 100 ms frame census, 4 uniformly-sampled frames per doc
+    (banker's-rounding index parity), reference message ordering."""
+    from ..operators import multimodal, vectorrag, vlmretrieval
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).filter(
+        F.col("vec_id") >= 5
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    retrieved = vectorrag.vector_rag_search(
+        corpus, qvec, top_k=10, filter_expr=F.col("lang") == "en"
+    )
+    media = multimodal.synthesize_media(spark, docs)
+    return vlmretrieval.vlm_frame_assembly(
+        retrieved.select("rank", "doc_id"), media,
+        num_frames_per_chunk=4, every_ms=100,
+    )
+
+
 @q(
     "a10_tree_summarize",
     f"""
