@@ -35,11 +35,16 @@ from typing import Dict, List, Optional, Tuple
 # rank something meaningful.
 DEFAULT_PLANNER_QUERY = "what did Alice Johnson deploy"
 
-# Tool names the execution node recognizes (planner.py:337-346).
+# Tool names the execution node recognizes (planner.py:337-346) — the
+# FULL reference registry: ChunkSearch, EntitySearch, ChunkFilter,
+# ChunkReader, SubtitleSearch, SubtitleFilter, BFS, NextChunk.
 KNOWN_TOOLS = (
     "chunk_search",
     "entity_search",
     "chunk_filter",
+    "chunk_reader",
+    "subtitle_search",
+    "subtitle_filter",
     "bfs",
     "next_chunk",
 )
@@ -108,7 +113,10 @@ def parse_plan(plan_text: str) -> List[Tuple[str, Dict[str, str]]]:
             else {}
         )
         queries = input_data.get("query", "").split(";") if "query" in input_data else []
-        if tool_name in ("chunk_search", "entity_search") and len(queries) > 1:
+        if (
+            tool_name in ("chunk_search", "entity_search", "subtitle_search")
+            and len(queries) > 1
+        ):
             for one in queries:
                 per = dict(input_data)
                 per["query"] = one.strip()
@@ -124,18 +132,24 @@ def thinking_complete(plan_text: str) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# The scripted planner itself: three deterministic iterations.
+# The scripted planner itself: four deterministic iterations covering
+# the FULL tool registry.
 #
 # Iteration 0 — broad recall: semantic chunk search (two ;-joined query
 #   variants, exercising the query-split path) + entity search.
 # Iteration 1 — targeted follow-up from observations: BFS from the top
-#   entity, NEXT_CHUNK walk from the top chunk, and a chunk_filter
-#   around the top chunk's time window on its camera.
-# Iteration 2 — <answer>: thinking complete, loop exits to response.
+#   entity, NEXT_CHUNK walk from the top chunk, a chunk_filter around
+#   the top chunk's time window on its camera, a subtitle search, and
+#   a chunk_reader (VLM) read of the top chunk.
+# Iteration 2 — subtitle_filter around the top subtitle's time range
+#   (the reference's subtitle-first → time-range → visual workflow,
+#   graph_search_tool.py:1251-1276).
+# Iteration 3 — <answer>: thinking complete, loop exits to response.
 #
 # Observations are the engine's tool results folded back in as scalars
-# (top entity id, top chunk id, its epoch second and conv) — the same
-# observe→replan information flow as planner.py:196-216, made exact.
+# (top entity id, top chunk id + epoch + conv, top subtitle start) —
+# the same observe→replan information flow as planner.py:196-216,
+# made exact.
 # ---------------------------------------------------------------------------
 
 def scripted_plan(
@@ -144,8 +158,10 @@ def scripted_plan(
     observations: Optional[Dict[str, object]] = None,
     topk: int = 5,
     filter_window_s: int = 3600,
+    subtitle_window_s: int = 30,
 ) -> str:
     """Return the fake LLM's plan text for one thinking iteration."""
+    obs = observations or {}
     if iteration == 0:
         return (
             "I will start broad: semantic retrieval plus entity lookup.\n"
@@ -162,7 +178,6 @@ def scripted_plan(
             "</execute>\n"
         )
     if iteration == 1:
-        obs = observations or {}
         top_entity = obs.get("top_entity", "")
         top_chunk = obs.get("top_chunk", "")
         t0 = int(obs.get("top_chunk_epoch_s", 0)) - filter_window_s
@@ -170,7 +185,8 @@ def scripted_plan(
         camera = obs.get("top_chunk_conv", "")
         return (
             "The results point at one entity and one chunk; I will "
-            "expand locally around both.\n"
+            "expand locally around both, check the spoken track, and "
+            "read the top chunk visually.\n"
             "<execute>\n"
             "  <step>1</step>\n"
             "  <tool>bfs</tool>\n"
@@ -188,11 +204,95 @@ def scripted_plan(
             f"  <input><range>{t0}.0:{t1}.0</range>"
             f"<camera_id>{camera}</camera_id></input>\n"
             "</execute>\n"
+            "<execute>\n"
+            "  <step>4</step>\n"
+            "  <tool>subtitle_search</tool>\n"
+            f"  <input><query>{query}</query><topk>{topk}</topk></input>\n"
+            "</execute>\n"
+            "<execute>\n"
+            "  <step>5</step>\n"
+            "  <tool>chunk_reader</tool>\n"
+            f"  <input><chunk_id>{top_chunk}</chunk_id>"
+            f"<query>{query}</query></input>\n"
+            "</execute>\n"
+        )
+    if iteration == 2:
+        s0 = int(obs.get("top_subtitle_start_s", 0)) - subtitle_window_s
+        s1 = int(obs.get("top_subtitle_start_s", 0)) + subtitle_window_s
+        return (
+            "The spoken track pins a moment; I will pull every subtitle "
+            "in that window before answering.\n"
+            "<execute>\n"
+            "  <step>1</step>\n"
+            "  <tool>subtitle_filter</tool>\n"
+            f"  <input><range>{s0}.0:{s1}.0</range></input>\n"
+            "</execute>\n"
         )
     return (
-        "<answer>Collected semantic, entity, graph-neighborhood and "
-        "temporal evidence; the context is sufficient.</answer>"
+        "<answer>Collected semantic, entity, graph-neighborhood, "
+        "temporal, spoken-track and visual evidence; the context is "
+        "sufficient.</answer>"
     )
+
+
+def uniform_sample_indices(total: int, k: int) -> List[int]:
+    """image_fetcher.py:265-287 transcribed: the frame indices a
+    ChunkReader fetch would sample (Python round() half-even at exact
+    halves; k == 1 takes the middle frame)."""
+    if total > 0 and k > 0 and total > k:
+        if k == 1:
+            return [total // 2]
+        return [int(round(i * (total - 1) / (k - 1))) for i in range(k)]
+    return list(range(max(total, 0)))
+
+
+def chunk_reader_frame_census(text_len: int) -> int:
+    """Deterministic stand-in for a chunk's asset-directory frame count
+    (the sandbox has no video files): one frame per 40 chars of chunk
+    text, at least 1 — both engine and oracle derive it identically."""
+    return max(int(text_len) // 40, 1)
+
+
+def fake_vlm_answer(chunk_text: str, query: str) -> str:
+    """Deterministic ChunkReader VLM response through the structured-
+    JSON malform→repair→parse cycle (the U4 fake-LLM pattern: the
+    response SHAPE is an LLM's, deliberately malformed in a
+    content-preserving style picked by a content hash, so the repair
+    path runs end to end and the parsed answer is exact)."""
+    import hashlib as _hashlib
+    import json as _json
+
+    from .jsonrepair import repair_json
+
+    # backticks are scrubbed from the excerpt (the C5 scrub, and a
+    # fence INSIDE content would derail repair's fence extraction in
+    # EVERY mode, not just the fenced one)
+    answer = (
+        f"Observed in frames: {chunk_text[:80].replace('`', '')} "
+        f"[re: {query}]"
+    )
+    s = _json.dumps({"answer": answer})
+    modes = [3, 0]
+    if '"' not in answer and "'" not in answer:
+        modes.append(1)
+    if "}" not in answer and "]" not in answer:
+        modes.append(2)
+    pick = modes[
+        int.from_bytes(_hashlib.sha1(answer.encode()).digest()[:2], "big")
+        % len(modes)
+    ]
+    if pick == 0:
+        raw = "The visual analysis:\n```json\n" + s + "\n```\n"
+    elif pick == 1:
+        raw = s.replace('"', "'")
+    elif pick == 2:
+        raw = s.replace("}", ",}")
+    else:
+        raw = s.replace('"answer":', "answer:", 1)
+    doc = repair_json(raw)
+    if isinstance(doc, dict) and isinstance(doc.get("answer"), str):
+        return doc["answer"]
+    return ""
 
 
 def call_arg_string(input_data: Dict[str, str]) -> str:

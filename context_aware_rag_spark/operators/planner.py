@@ -23,6 +23,13 @@ the engine's existing relational twins:
   node, both directions — one pruned edge-scan filter.
 - NextChunk    (graph_search_tool.py:486-527): bounded NEXT_CHUNK walk
   — per-hop equi-join on the rel-type-pruned edge scan (W2's edges).
+- SubtitleSearch (graph_search_tool.py:1207-1296): vector top-k over
+  the subtitle track, each hit carrying its time range.
+- SubtitleFilter (graph_search_tool.py:1300-1352): time-range
+  containment over the subtitle track, chunk-boundary widened.
+- ChunkReader  (graph_search_tool.py:634-810 + image_fetcher.py:
+  222-320): uniform frame sample over the chunk's census plus the
+  fake-VLM answer through the structured-JSON repair cycle (U4).
 
 Output: the full deterministic TRACE — one row per thinking iteration
 (the plan text) and one row per tool result — so the driver hash gates
@@ -40,7 +47,9 @@ fans out embarrassingly.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Iterator, List, Optional
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -183,6 +192,134 @@ def tool_next_chunk(edges: DataFrame, chunk_id: str, hops: int) -> DataFrame:
     )
 
 
+def subtitles_from_transcripts(transcripts: DataFrame) -> DataFrame:
+    """Deterministic subtitle track derived from the transcript turns
+    (the reference ingests SRT subtitles alongside chunks,
+    base.py:627-726; here each turn is one subtitle line at its
+    within-conversation offset — turns are 7 s apart by corpus
+    construction, each line held 5 s). Integer seconds throughout so
+    the trace's time strings are format-stable across engines."""
+    return transcripts.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "sub_id"
+        ),
+        "conv_id",
+        (F.col("turn_idx") * 7).cast("int").alias("start_s"),
+        (F.col("turn_idx") * 7 + 5).cast("int").alias("end_s"),
+        "text",
+    )
+
+
+def tool_subtitle_search(
+    subs_with_emb: DataFrame, query_text: str, topk: int
+) -> DataFrame:
+    """SubtitleSearch (graph_search_tool.py:1207-1296): cosine top-k
+    subtitle lines; detail carries the "start:end" range the reference
+    workflow feeds into the follow-up time filter."""
+    from .similarity import with_text_embeddings
+
+    spark = subs_with_emb.sparkSession
+    q = with_text_embeddings(
+        spark.createDataFrame([(0, query_text)], ["query_id", "text"]),
+        text_col="text",
+    ).select("query_id", "embedding")
+    hits = cosine_topk_bruteforce(
+        subs_with_emb, q, k=topk, id_col="sub_id", vec_col="embedding"
+    )
+    meta = subs_with_emb.select(
+        "sub_id", F.concat_ws(":", "start_s", "end_s").alias("detail")
+    )
+    return hits.join(meta, "sub_id").select(
+        "rank",
+        F.col("sub_id").alias("result_id"),
+        F.col("cosine").alias("score"),
+        "detail",
+    )
+
+
+def tool_subtitle_filter(
+    subtitles: DataFrame, range_str: str, chunk_size_s: float = 10.0
+) -> DataFrame:
+    """SubtitleFilter (graph_search_tool.py:1290-1352): subtitle lines
+    contained in [lo, hi] after outward widening to chunk boundaries
+    (get_filtered_subtitles :1290-1297). Ranked by (start_s, sub_id)."""
+    lo_s, hi_s = range_str.split(":")
+    lo = int(ps.round_down_to_chunk(float(lo_s), chunk_size_s))
+    hi = int(ps.round_up_to_chunk(float(hi_s), chunk_size_s))
+    w = Window.orderBy("start_s", "result_id")
+    return (
+        subtitles.filter(
+            (F.col("start_s") >= lo) & (F.col("end_s") <= hi)
+        )
+        .select(
+            F.col("sub_id").alias("result_id"),
+            F.lit(None).cast("double").alias("score"),
+            F.concat_ws(":", "start_s", "end_s").alias("detail"),
+            "start_s",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .drop("start_s")
+    )
+
+
+def tool_chunk_reader(
+    chunks: DataFrame,
+    chunk_id: str,
+    query_text: str,
+    num_frames: int = 3,
+) -> DataFrame:
+    """ChunkReader (graph_search_tool.py:634-810): fetch the chunk's
+    frames (uniform sample over its census — plannerscript's
+    transcription of image_fetcher.py:265-287, half-even index parity
+    via exact integer arithmetic) and ask the VLM about them. Frame
+    rows rank 1..k with "frame_<idx>" detail; the fake-VLM answer
+    (structured-JSON malform→repair cycle, the U4 pattern) lands at
+    rank 0."""
+    from .vlmretrieval import _half_even_index
+
+    one = chunks.filter(F.col("chunk_id") == chunk_id).select(
+        "chunk_id", "text"
+    )
+    t = F.greatest(
+        F.floor(F.length("text") / 40).cast("int"), F.lit(1)
+    )
+    k = int(num_frames)
+    sampled = one.select(
+        "chunk_id", "text", t.alias("_t"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.least(F.lit(k), t) - 1)
+        ).alias("_i", "_"),
+    )
+    if k == 1:
+        frame_idx = (F.col("_t") / 2).cast("int")
+    else:
+        frame_idx = F.when(
+            F.col("_t") > k,
+            _half_even_index(
+                F.col("_i").cast("long"), F.col("_t").cast("long"), k
+            ),
+        ).otherwise(F.col("_i").cast("int"))
+    frame_rows = sampled.select(
+        (F.col("_i") + 1).cast("int").alias("rank"),
+        F.col("chunk_id").alias("result_id"),
+        F.lit(None).cast("double").alias("score"),
+        F.concat(F.lit("frame_"), frame_idx.cast("string")).alias("detail"),
+    )
+
+    @F.pandas_udf("string")
+    def vlm_answer(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:  # Arrow-batched; the input is one chunk row
+            yield s.map(lambda t: ps.fake_vlm_answer(t or "", query_text))
+
+    answer_row = one.select(
+        F.lit(0).alias("rank"),
+        F.col("chunk_id").alias("result_id"),
+        F.lit(None).cast("double").alias("score"),
+        vlm_answer(F.col("text")).alias("detail"),
+    )
+    return answer_row.unionByName(frame_rows)
+
+
 def tool_chunk_filter(
     chunks: DataFrame,
     range_str: str,
@@ -222,20 +359,28 @@ def planner_retrieve(
     query: str,
     max_iterations: int = 5,
     topk: int = 5,
+    subtitles: "DataFrame | None" = None,
 ) -> DataFrame:
     """Run the scripted think→execute→observe loop; return the trace.
 
     ``chunks_with_emb`` needs (chunk_id, conv_id, text, ts, embedding)
     with unique chunk_id (PRECONDITION: dedupe upstream, min-ts keeper);
-    ``edges`` (src, dst, rel_type); ``nodes`` (node_id, name, type).
+    ``edges`` (src, dst, rel_type); ``nodes`` (node_id, name, type);
+    ``subtitles`` (sub_id, conv_id, start_s, end_s, text) — omitted,
+    the subtitle tool legs return empty (a corpus without an SRT
+    track, the reference's non-subtitle prompt branch,
+    planner.py:128-145).
     """
-    from .similarity import with_entity_embeddings
+    from .similarity import with_entity_embeddings, with_text_embeddings
 
     spark = chunks_with_emb.sparkSession
     nodes_emb = with_entity_embeddings(
         nodes.select("node_id", "name", "type").dropDuplicates(["node_id"])
     ).localCheckpoint()
     chunks_cached = chunks_with_emb.localCheckpoint()
+    subs_cached = None
+    if subtitles is not None:
+        subs_cached = with_text_embeddings(subtitles).localCheckpoint()
 
     observations: Dict[str, object] = {}
     legs: List[DataFrame] = []
@@ -268,6 +413,22 @@ def planner_retrieve(
                 df = tool_chunk_filter(
                     chunks_cached, input_data["range"],
                     input_data.get("camera_id") or None,
+                )
+            elif tool == "subtitle_search":
+                if subs_cached is None:
+                    continue
+                df = tool_subtitle_search(
+                    subs_cached, input_data["query"],
+                    int(input_data.get("topk", topk)),
+                )
+            elif tool == "subtitle_filter":
+                if subs_cached is None:
+                    continue
+                df = tool_subtitle_filter(subs_cached, input_data["range"])
+            elif tool == "chunk_reader":
+                df = tool_chunk_reader(
+                    chunks_cached, input_data["chunk_id"],
+                    input_data["query"],
                 )
             else:  # pragma: no cover — parse_plan already skips these
                 continue
@@ -302,6 +463,17 @@ def planner_retrieve(
                     top = df.filter(F.col("rank") == 1).collect()
                     if top:
                         observations["top_entity"] = top[0]["result_id"]
+        elif iteration == 1:
+            for tool, _arg, df in iter_legs:
+                if (
+                    tool == "subtitle_search"
+                    and "top_subtitle_start_s" not in observations
+                ):
+                    top = df.filter(F.col("rank") == 1).collect()
+                    if top:
+                        observations["top_subtitle_start_s"] = int(
+                            top[0]["detail"].split(":")[0]
+                        )
 
     trace = spark.createDataFrame(think_rows, TRACE_SCHEMA)
     for leg in legs:

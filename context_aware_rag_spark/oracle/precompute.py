@@ -2432,6 +2432,20 @@ def planner_trace_table(n_convs: int, query: str) -> "List[tuple]":
         if r == "NEXT_CHUNK":
             next_chunk[s].add(d)
 
+    # ---- subtitle track (planner.subtitles_from_transcripts) ----------
+    subs = {}
+    for r in rows:
+        sub_id = f"{r[0]}:{r[1]}"
+        subs[sub_id] = {
+            "conv_id": r[0], "start_s": r[1] * 7, "end_s": r[1] * 7 + 5,
+            "text": r[3],
+        }
+    sub_ids = sorted(subs)
+    sub_embs = {
+        sid: hash_embed([subs[sid]["text"]], dim=64)[0].astype(np.float32)
+        for sid in sub_ids
+    }
+
     def chunk_search(qtext: str, topk: int):
         qvec = hash_embed([qtext], dim=64)[0].astype(np.float32)
         qn = _seq_norm(qvec)
@@ -2502,6 +2516,45 @@ def planner_trace_table(n_convs: int, query: str) -> "List[tuple]":
             for rank, (epoch, cid) in enumerate(hits, start=1)
         ]
 
+    def subtitle_search(qtext: str, topk: int):
+        qvec = hash_embed([qtext], dim=64)[0].astype(np.float32)
+        qn = _seq_norm(qvec)
+        scored = []
+        for sid in sub_ids:
+            v = sub_embs[sid]
+            cos = _seq_dot(v, qvec) / (_seq_norm(v) * qn)
+            scored.append((sid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return [
+            (rank, sid, round(cos, 6),
+             f"{subs[sid]['start_s']}:{subs[sid]['end_s']}")
+            for rank, (sid, cos) in enumerate(scored[:topk], start=1)
+        ]
+
+    def subtitle_filter(range_str: str, chunk_size_s: float = 10.0):
+        lo_s, hi_s = range_str.split(":")
+        lo = int(ps.round_down_to_chunk(float(lo_s), chunk_size_s))
+        hi = int(ps.round_up_to_chunk(float(hi_s), chunk_size_s))
+        hits = sorted(
+            (subs[sid]["start_s"], sid)
+            for sid in sub_ids
+            if subs[sid]["start_s"] >= lo and subs[sid]["end_s"] <= hi
+        )
+        return [
+            (rank, sid, None, f"{subs[sid]['start_s']}:{subs[sid]['end_s']}")
+            for rank, (_s, sid) in enumerate(hits, start=1)
+        ]
+
+    def chunk_reader(chunk_id: str, qtext: str, k: int = 3):
+        c = uniq.get(chunk_id)
+        if c is None:
+            return []
+        out = [(0, chunk_id, None, ps.fake_vlm_answer(c["text"], qtext))]
+        total = ps.chunk_reader_frame_census(len(c["text"]))
+        for i, idx in enumerate(ps.uniform_sample_indices(total, k), start=1):
+            out.append((i, chunk_id, None, f"frame_{idx}"))
+        return out
+
     # ---- the loop -----------------------------------------------------
     trace: List[tuple] = []
     observations: Dict[str, object] = {}
@@ -2531,6 +2584,16 @@ def planner_trace_table(n_convs: int, query: str) -> "List[tuple]":
                 rows_t = chunk_filter(
                     input_data["range"], input_data.get("camera_id") or ""
                 )
+            elif tool == "subtitle_search":
+                rows_t = subtitle_search(
+                    input_data["query"], int(input_data.get("topk", 5))
+                )
+            elif tool == "subtitle_filter":
+                rows_t = subtitle_filter(input_data["range"])
+            elif tool == "chunk_reader":
+                rows_t = chunk_reader(
+                    input_data["chunk_id"], input_data["query"]
+                )
             else:
                 continue
             for rank, rid, score, detail in rows_t:
@@ -2552,4 +2615,14 @@ def planner_trace_table(n_convs: int, query: str) -> "List[tuple]":
                 elif tool == "entity_search" and "top_entity" not in observations:
                     if rows_t:
                         observations["top_entity"] = rows_t[0][1]
+        elif iteration == 1:
+            for tool, rows_t in results:
+                if (
+                    tool == "subtitle_search"
+                    and "top_subtitle_start_s" not in observations
+                ):
+                    if rows_t:
+                        observations["top_subtitle_start_s"] = int(
+                            rows_t[0][3].split(":")[0]
+                        )
     return trace

@@ -2431,7 +2431,8 @@ def ep3_planner_trace(spark, sf_dir):
     from ..functions.plannerscript import DEFAULT_PLANNER_QUERY
     from ..operators import planner
 
-    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    transcripts = transcripts_for(spark, sf_dir)
+    res = run_pipeline(spark, transcripts, PipelineConfig())
     # unique chunks with a deterministic min-ts keeper (duplicate
     # chunk_id rows are content-identical but their ts differ)
     chunks = res.chunks.groupBy("chunk_id").agg(
@@ -2441,7 +2442,8 @@ def ep3_planner_trace(spark, sf_dir):
     )
     with_emb = similarity.with_text_embeddings(chunks)
     return planner.planner_retrieve(
-        with_emb, res.edges, res.nodes, DEFAULT_PLANNER_QUERY
+        with_emb, res.edges, res.nodes, DEFAULT_PLANNER_QUERY,
+        subtitles=planner.subtitles_from_transcripts(transcripts),
     )
 
 

@@ -69,9 +69,32 @@ class TestParsePlan:
                "top_chunk_epoch_s": 1000, "top_chunk_conv": "conv0"}
         p1 = ps.scripted_plan("q", 1, obs)
         calls = ps.parse_plan(p1)
-        assert [t for t, _ in calls] == ["bfs", "next_chunk", "chunk_filter"]
+        assert [t for t, _ in calls] == [
+            "bfs", "next_chunk", "chunk_filter", "subtitle_search",
+            "chunk_reader",
+        ]
         assert calls[2][1]["range"] == "-2600.0:4600.0"
-        assert ps.thinking_complete(ps.scripted_plan("q", 2, obs))
+        obs["top_subtitle_start_s"] = 140
+        p2 = ps.scripted_plan("q", 2, obs)
+        calls2 = ps.parse_plan(p2)
+        assert [t for t, _ in calls2] == ["subtitle_filter"]
+        assert calls2[0][1]["range"] == "110.0:170.0"
+        assert ps.thinking_complete(ps.scripted_plan("q", 3, obs))
+
+    def test_uniform_sample_indices_reference_parity(self):
+        # transcription vs the formula used engine-side; includes the
+        # banker's half (T=6,k=3 -> 2.5 -> 2)
+        assert ps.uniform_sample_indices(6, 3) == [0, 2, 5]
+        assert ps.uniform_sample_indices(13, 4) == [0, 4, 8, 12]
+        assert ps.uniform_sample_indices(5, 1) == [2]
+        assert ps.uniform_sample_indices(3, 4) == [0, 1, 2]
+
+    def test_fake_vlm_answer_roundtrip_exact(self):
+        for text in ["Alice deployed the service", 'quote "x" inside',
+                     "fence ``` inside", "brace } inside"]:
+            ans = ps.fake_vlm_answer(text, "q?")
+            clean = text[:80].replace("`", "")
+            assert ans == f"Observed in frames: {clean} [re: q?]"
 
     def test_chunk_boundary_rounding(self):
         assert ps.round_down_to_chunk(153.0, 10.0) == 150.0
@@ -88,23 +111,24 @@ N_CONVS = 6
 
 @pytest.fixture(scope="module")
 def trace_inputs(spark):
-    res = run_pipeline(
-        spark, generate_transcripts(spark, N_CONVS), PipelineConfig()
-    )
+    tr = generate_transcripts(spark, N_CONVS)
+    res = run_pipeline(spark, tr, PipelineConfig())
     chunks = res.chunks.groupBy("chunk_id").agg(
         F.min("conv_id").alias("conv_id"),
         F.min("text").alias("text"),
         F.min("ts").alias("ts"),
     )
     with_emb = similarity.with_text_embeddings(chunks).localCheckpoint()
-    return with_emb, res.edges.localCheckpoint(), res.nodes.localCheckpoint()
+    subs = planner.subtitles_from_transcripts(tr).localCheckpoint()
+    return (with_emb, res.edges.localCheckpoint(),
+            res.nodes.localCheckpoint(), subs)
 
 
 class TestPlannerParity:
     def test_trace_matches_oracle_exactly(self, spark, trace_inputs):
-        with_emb, edges, nodes = trace_inputs
+        with_emb, edges, nodes, subs = trace_inputs
         trace = planner.planner_retrieve(
-            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY
+            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY, subtitles=subs
         )
         got = sorted(tuple(r) for r in trace.collect())
         want = sorted(
@@ -113,30 +137,43 @@ class TestPlannerParity:
         assert len(got) == len(want)
         assert got == want
 
-    def test_all_five_tools_executed(self, spark, trace_inputs):
-        with_emb, edges, nodes = trace_inputs
+    def test_all_eight_tools_executed(self, spark, trace_inputs):
+        with_emb, edges, nodes, subs = trace_inputs
         trace = planner.planner_retrieve(
-            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY
+            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY, subtitles=subs
         ).localCheckpoint()
         tools = {r["tool"] for r in trace.select("tool").distinct().collect()}
-        assert {"think", "chunk_search", "entity_search", "bfs",
-                "next_chunk", "chunk_filter"} <= tools
+        assert tools == {"think", "chunk_search", "entity_search", "bfs",
+                         "next_chunk", "chunk_filter", "subtitle_search",
+                         "subtitle_filter", "chunk_reader"}
         # loop terminated via <answer>, not max_iterations
         finals = [
             r["detail"]
             for r in trace.filter(
-                (F.col("tool") == "think") & (F.col("iteration") == 2)
+                (F.col("tool") == "think") & (F.col("iteration") == 3)
             ).collect()
         ]
         assert len(finals) == 1 and "<answer>" in finals[0]
 
-    def test_different_query_different_trace(self, spark, trace_inputs):
-        with_emb, edges, nodes = trace_inputs
-        t1 = planner.planner_retrieve(
+    def test_no_subtitle_track_skips_subtitle_tools(self, spark, trace_inputs):
+        # the reference's non-subtitle prompt branch (planner.py:128-145)
+        with_emb, edges, nodes, _subs = trace_inputs
+        trace = planner.planner_retrieve(
             with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY
+        ).localCheckpoint()
+        tools = {r["tool"] for r in trace.select("tool").distinct().collect()}
+        assert "subtitle_search" not in tools
+        assert "subtitle_filter" not in tools
+        assert "chunk_reader" in tools  # visual read needs no subtitles
+
+    def test_different_query_different_trace(self, spark, trace_inputs):
+        with_emb, edges, nodes, subs = trace_inputs
+        t1 = planner.planner_retrieve(
+            with_emb, edges, nodes, ps.DEFAULT_PLANNER_QUERY, subtitles=subs
         )
         t2 = planner.planner_retrieve(
-            with_emb, edges, nodes, "what is Bob Smith testing"
+            with_emb, edges, nodes, "what is Bob Smith testing",
+            subtitles=subs,
         )
         r1 = sorted(tuple(r) for r in t1.collect())
         r2 = sorted(tuple(r) for r in t2.collect())
