@@ -246,6 +246,9 @@ def tool_subtitle_filter(
     lo_s, hi_s = range_str.split(":")
     lo = int(ps.round_down_to_chunk(float(lo_s), chunk_size_s))
     hi = int(ps.round_up_to_chunk(float(hi_s), chunk_size_s))
+    # global rank window AFTER the range filter: its input is the
+    # in-window subtitle set (window-width x line-rate), never the
+    # corpus — the bounded-input exemption, same as w5's top-k rank
     w = Window.orderBy("start_s", "result_id")
     return (
         subtitles.filter(
@@ -337,6 +340,8 @@ def tool_chunk_filter(
     cond = (epoch >= int(lo)) & (epoch <= int(hi))
     if camera_id:
         cond = cond & (F.col("conv_id") == camera_id)
+    # global rank window AFTER the time/camera filter — bounded input
+    # (one camera's chunks in one time window), never the corpus
     w = Window.orderBy("epoch", "result_id")
     return (
         chunks.withColumn("epoch", epoch)

@@ -37,7 +37,10 @@ def _table(name, cols):
      "source, compressed_text, n_pieces_kept, best_piece_sim, compressed_length"),
 ])
 def test_float_tables_bit_exact(spark, name, cols):
-    sdf = eq.QUERIES[name](spark, SF_DIR)
+    # merged registry: driver-surface rotation moves entries between
+    # QUERIES and EXTRA_QUERIES without changing their semantics
+    registry = {**eq.EXTRA_QUERIES, **eq.QUERIES}
+    sdf = registry[name](spark, SF_DIR)
     got = sorted(
         tuple(_bits(v) for v in r) for r in (tuple(r) for r in sdf.collect())
     )
