@@ -974,26 +974,32 @@ def simhash_near_dups(
         F.posexplode(F.expr(blocks_expr)).alias("quarter", "qval"),
     )
     l, r = quarters.alias("l"), quarters.alias("r")
-    cand = (
+    # the Hamming predicate sits INSIDE the join: on (quarter, qval)
+    # equi-keys it runs as the sort-merge join's streamed filter, so
+    # false-positive bucket-mates (the vast majority of candidates —
+    # a 16-bit block over N docs holds ~N/65k mates each, probed once
+    # per agreeing quarter) are dropped in the join loop and never
+    # materialized; dropDuplicates then shuffles only TRUE pairs
+    # (output-sized) instead of the ~(d+1)× candidate set. Same rows
+    # out; at 1.2M docs this is the difference between deduping ~40M
+    # candidate rows and ~200k near-dup rows.
+    hamming_lr = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
         l.join(
             r,
             on=[
                 F.col("l.quarter") == F.col("r.quarter"),
                 F.col("l.qval") == F.col("r.qval"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                hamming_lr <= max_hamming,
             ],
         )
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+            hamming_lr.alias("hamming"),
         )
         .dropDuplicates(["a", "b"])
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select("a", "b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 
