@@ -1,0 +1,223 @@
+"""GraphRAG-style community reports over the constructed KG.
+
+The reference delegates community structure to its graph-DB plugin
+(reference src/vss_ctx_rag/tools/storage — the Neo4j/Arango graph
+stores) and summarizes per-batch (functions/summarization/batch.py);
+the community REPORT — one LLM summary per entity community, used as
+map-reduce context for corpus-global questions (Edge et al. 2024,
+"From Local to Global: A Graph RAG Approach to Query-Focused
+Summarization") — is the composition this module adds over the
+engine's own pieces: deterministic LPA communities
+(:func:`..operators.graph.label_propagation`) and the U4 fake-LLM
+summarize slot (:func:`..operators.summarize.llm_summarize_udf`).
+
+100 TB shape: the entity graph is VOCABULARY-sized (distinct canonical
+entities + distinct co-mention pairs), orders of magnitude below the
+chunk corpus, so every stage here is cheap relative to extraction.
+LPA is one edge-sized shuffle per round (bounded rounds); the report
+assembly shares ONE label-keyed Exchange between the member-rank
+window and the per-community agg (same partitioning key, reused), and
+``collect_list`` is bounded at ``max_members`` BY THE RANK FILTER
+BEFORE the agg — a mega-community (the usual KG skew: one giant
+connected blob) costs max_members rows in the collect, never its full
+membership. The summary UDF sees one bounded row per community.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def entity_graph(
+    triples: DataFrame,
+    *,
+    subj_name: str = "subj_name",
+    subj_type: str = "subj_type",
+    obj_name: str = "obj_name",
+    obj_type: str = "obj_type",
+    min_count: int = 1,
+) -> tuple:
+    """(nodes, edges) of the undirected entity co-assertion graph.
+
+    Node key = ``name :: coalesce(type, 'Entity')`` — the same
+    NULL-type default the canonical node builder uses
+    (materialize.py / kg_nodes_canonical), and explicitly coalesced on
+    BOTH engines so NULL semantics cannot diverge (the round-4
+    kg_relation_profile advice). Triples with a NULL name on either
+    side carry no linkable endpoint and are dropped. Self-loops
+    (subject key == object key) are dropped; edges are undirected
+    (least, greatest) pairs asserted by at least ``min_count`` input
+    rows — the assertion GRAIN is the caller's: pass instance-level
+    triples to weight by mention, or ``.distinct()`` them first to
+    weight by distinct assertion (what the kg_community_reports query
+    does). Nodes are NOT gated: every named endpoint appears, so the
+    node table stays the full entity vocabulary.
+
+    One pair-keyed map-side-combined groupBy (edge-vocabulary-sized
+    output) + one node-key dedup — both tiny next to extraction.
+    """
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1, got {min_count}")
+    sk = F.concat(
+        F.col(subj_name), F.lit("::"),
+        F.coalesce(F.col(subj_type), F.lit("Entity")),
+    )
+    ok = F.concat(
+        F.col(obj_name), F.lit("::"),
+        F.coalesce(F.col(obj_type), F.lit("Entity")),
+    )
+    named = triples.filter(
+        F.col(subj_name).isNotNull() & F.col(obj_name).isNotNull()
+    ).select(
+        sk.alias("_sk"),
+        F.col(subj_name).alias("_sn"),
+        F.coalesce(F.col(subj_type), F.lit("Entity")).alias("_st"),
+        ok.alias("_ok"),
+        F.col(obj_name).alias("_on"),
+        F.coalesce(F.col(obj_type), F.lit("Entity")).alias("_ot"),
+    )
+    nodes = (
+        named.select(
+            F.col("_sk").alias("node_id"),
+            F.col("_sn").alias("name"),
+            F.col("_st").alias("type"),
+        )
+        .unionAll(
+            named.select(
+                F.col("_ok").alias("node_id"),
+                F.col("_on").alias("name"),
+                F.col("_ot").alias("type"),
+            )
+        )
+        .dropDuplicates(["node_id"])
+    )
+    edges = (
+        named.filter(F.col("_sk") != F.col("_ok"))
+        .select(
+            F.least("_sk", "_ok").alias("src"),
+            F.greatest("_sk", "_ok").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("src", "dst")
+    )
+    return nodes, edges
+
+
+def community_reports(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iter: int = 10,
+    max_members: int = 40,
+    cap: int = 400,
+    summarize_udf=None,
+) -> DataFrame:
+    """One report row per LPA community: (community, n_members,
+    n_listed, summary).
+
+    ``community`` is the LPA label (the min member key of the
+    converged label class — deterministic); ``n_members`` counts the
+    FULL membership; the summary is built from the first
+    ``max_members`` members in node_id order (``n_listed``), each
+    rendered ``name (type)`` and joined ``"; "`` — the GraphRAG
+    community-context clamp, so one giant community cannot blow the
+    summarize row. The summary rides the U4 structured-JSON fake-LLM
+    cycle by default (content == ``("[SUM] " + text)[:cap + 6]`` by
+    the lossless-mode construction, which is what the pure-Python
+    oracle pins).
+
+    Isolated nodes (no edges) never reach LPA and are absent here —
+    same contract as the reference's graph-DB community views, which
+    are defined over the relationship projection. Document-side
+    callers wanting singleton reports should union them in upstream.
+    """
+    from .graph import label_propagation
+    from .summarize import llm_summarize_udf
+
+    if max_members < 1:
+        raise ValueError(f"need max_members >= 1, got {max_members}")
+    if summarize_udf is None:
+        summarize_udf = llm_summarize_udf(cap)
+
+    labels = label_propagation(edges, max_iter=max_iter).select(
+        "node_id", "label"
+    )
+    members = labels.join(nodes, "node_id")
+    w = Window.partitionBy("label").orderBy("node_id")
+    ranked = members.select(
+        "label",
+        F.concat(
+            F.col("name"), F.lit(" ("), F.col("type"), F.lit(")")
+        ).alias("member_text"),
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("label")
+        ).alias("_total"),
+    ).filter(F.col("_rk") <= max_members)
+    reports = (
+        ranked.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.max("_total").alias("n_members"),
+            F.count(F.lit(1)).alias("n_listed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rk", "member_text"))
+                    ),
+                    lambda x: x.member_text,
+                ),
+                "; ",
+            ).alias("_members"),
+        )
+        .select(
+            "community",
+            "n_members",
+            "n_listed",
+            summarize_udf(F.col("_members")).alias("summary"),
+        )
+    )
+    return reports
+
+
+def community_global_search(
+    reports: DataFrame,
+    query: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """GraphRAG global search, the deterministic skeleton: score every
+    community report against the question by the number of DISTINCT
+    lowercased query terms contained in the lowercased summary
+    (substring containment — the rate-limited relevance gate GraphRAG
+    applies before the map step), keep the top ``k`` by
+    (score DESC, community ASC), and emit them rank-ordered as the
+    map-reduce context rows. Zero-score reports are dropped (an
+    irrelevant community contributes nothing to the reduce).
+
+    Returns (rank, community, score, summary). One report-sized
+    (vocabulary-sized) TakeOrdered — no corpus access at query time.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query has no terms")
+    score = None
+    for t in terms:
+        hit = F.when(
+            F.instr(F.lower(F.col("summary")), t) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        score = hit if score is None else (score + hit)
+    scored = reports.select(
+        "community", score.alias("score"), "summary"
+    ).filter(F.col("score") > 0)
+    w = Window.orderBy(F.col("score").desc(), F.col("community").asc())
+    # the window's input is the report table (vocabulary-sized, never
+    # corpus-sized), so the global orderBy is bounded by construction —
+    # same exemption class as skew.py's documented top-k sites
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "community", "score", "summary")
+    )

@@ -2626,3 +2626,76 @@ def planner_trace_table(n_convs: int, query: str) -> "List[tuple]":
                             rows_t[0][3].split(":")[0]
                         )
     return trace
+
+
+def community_reports_table(
+    n_convs: int,
+    max_members: int = 12,
+    cap: int = 400,
+    min_count: int = 10,
+) -> List[tuple]:
+    """Independent recomputation of operators/communities.py
+    entity_graph + community_reports over the real extraction
+    pipeline's DISTINCT triples (the kg_triples grain): node key =
+    name :: coalesce(type, 'Entity'), undirected co-assertion edges
+    kept at >= min_count distinct assertions, deterministic
+    synchronous min-tie-break LPA (same sweep as lpa_py, string keys),
+    members ordered by node_id, listing clamped at max_members,
+    summary = ("[SUM] " + "name (type); ...")[:cap + 6] — the
+    lossless fake-LLM cycle's pinned content. Returns sorted
+    (community, n_members, n_listed, summary).
+    """
+    from collections import Counter
+
+    from ..sources.transcripts import generate_rows
+
+    res = run_oracle(generate_rows(n_convs))
+    distinct = {
+        (t["conv_id"], t["subj_name"], t["subj_type"], t["pred"],
+         t["obj_name"], t["obj_type"])
+        for t in res.triples
+        if t["subj_name"] is not None and t["obj_name"] is not None
+    }
+    nodes: Dict[str, Tuple[str, str]] = {}
+    ec: Dict[Tuple[str, str], int] = defaultdict(int)
+    for _conv, sn, st, _pred, on, ot in distinct:
+        st = st if st is not None else "Entity"
+        ot = ot if ot is not None else "Entity"
+        sk = f"{sn}::{st}"
+        ok = f"{on}::{ot}"
+        nodes[sk] = (sn, st)
+        nodes[ok] = (on, ot)
+        if sk != ok:
+            ec[(min(sk, ok), max(sk, ok))] += 1
+    edges = {e for e, c in ec.items() if c >= min_count}
+
+    adj: Dict[str, set] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(10):
+        new = {}
+        for n in adj:
+            counts = Counter(labels[z] for z in adj[n])
+            top = max(counts.values())
+            new[n] = min(lbl for lbl, c in counts.items() if c == top)
+        changed = new != labels
+        labels = new
+        if not changed:
+            break
+
+    groups: Dict[str, List[str]] = defaultdict(list)
+    for n, lbl in labels.items():
+        groups[lbl].append(n)
+    out = []
+    for lbl, ms in sorted(groups.items()):
+        ms = sorted(ms)
+        listed = ms[:max_members]
+        text = "; ".join(
+            f"{nodes[m][0]} ({nodes[m][1]})" for m in listed
+        )
+        out.append(
+            (lbl, len(ms), len(listed), ("[SUM] " + text)[: cap + 6])
+        )
+    return out

@@ -8913,3 +8913,80 @@ def ql_dirichlet_topk_q(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     qs = bm25.sample_doc_queries(docs, [0, 7, 42], n_words=10)
     return bm25.ql_topk(docs, qs, k=20)
+
+
+# =========================================================================
+# GraphRAG community reports + global search (Edge et al. 2024) over the
+# real extraction pipeline's KG — LPA communities composed with the U4
+# fake-LLM summarize slot
+# =========================================================================
+
+@xq(
+    "kg_community_reports",
+    f"""
+    SELECT community, n_members, n_listed, summary
+    FROM read_parquet('{_pq("kg_community_reports")}')
+    """,
+)
+def kg_community_reports_q(spark, sf_dir):
+    """GraphRAG community reports over the constructed KG: distinct
+    triples -> entity co-assertion graph (>= 10 distinct assertions
+    per edge) -> deterministic LPA -> one fake-LLM report per
+    community, member listing clamped at 12 (the sf0.01 corpus yields
+    a 22-member cluster that CLAMPS and an 8-member one that does
+    not, so both listing paths are in the hash). Twin = precomputed
+    pure-Python replication of the full compose
+    (oracle/precompute.community_reports_table)."""
+    from ..operators import communities
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    triples = res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    nodes, edges = communities.entity_graph(triples, min_count=10)
+    return communities.community_reports(nodes, edges, max_members=12)
+
+
+@xq(
+    "kg_community_search",
+    f"""
+    WITH scored AS (
+      SELECT community,
+             CAST(
+               CASE WHEN position('alice' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END
+             + CASE WHEN position('berlin' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END
+             + CASE WHEN position('johnson' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS score,
+             summary
+      FROM read_parquet('{_pq("kg_community_reports")}')
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, community)
+                AS INTEGER) AS rank,
+           community, score, summary
+    FROM scored WHERE score > 0
+    ORDER BY rank
+    LIMIT 5
+    """,
+)
+def kg_community_search_q(spark, sf_dir):
+    """GraphRAG global search skeleton: score each community report by
+    distinct-query-term containment, rank, keep top-5 as the
+    map-reduce context. The live Spark leg recomputes the reports from
+    the pipeline and searches them; the twin searches the precomputed
+    report snapshot with the same term arithmetic — the hash gates
+    BOTH the report compose and the scoring/rank contract (the two
+    sf0.01 reports score 2 and 1 under this query, so ordering is
+    live)."""
+    from ..operators import communities
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    triples = res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    nodes, edges = communities.entity_graph(triples, min_count=10)
+    reports = communities.community_reports(nodes, edges, max_members=12)
+    return communities.community_global_search(
+        reports, "Alice Johnson Berlin", k=5
+    )

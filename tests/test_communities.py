@@ -1,0 +1,197 @@
+"""GraphRAG community reports: graph construction, LPA compose,
+member clamp, global search, pure-Python corpus parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.operators import communities
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id: string, subj_name: string, subj_type: string, "
+        "pred: string, obj_name: string, obj_type: string",
+    )
+
+
+def _two_cliques(spark):
+    # clique {A, B, C} and clique {X, Y, Z} — no cross edges
+    rows = []
+    for a, b in [("A", "B"), ("A", "C"), ("B", "C")]:
+        rows.append(("c1", a, "Person", "KNOWS", b, "Person"))
+    for a, b in [("X", "Y"), ("X", "Z"), ("Y", "Z")]:
+        rows.append(("c1", a, "Object", "NEAR", b, "Object"))
+    return _triples(spark, rows)
+
+
+class TestEntityGraph:
+    def test_nodes_and_edges(self, spark):
+        t = _two_cliques(spark)
+        nodes, edges = communities.entity_graph(t)
+        assert nodes.count() == 6
+        got = {(r.src, r.dst) for r in edges.collect()}
+        assert ("A::Person", "B::Person") in got
+        assert len(got) == 6
+
+    def test_null_name_dropped_null_type_coalesced(self, spark):
+        t = _triples(
+            spark,
+            [
+                ("c1", "A", None, "P", "B", "Person"),
+                ("c1", None, "Person", "P", "B", "Person"),
+                ("c1", "A", None, "P", None, "Person"),
+            ],
+        )
+        nodes, edges = communities.entity_graph(t)
+        assert {r.node_id for r in nodes.collect()} == {
+            "A::Entity", "B::Person"
+        }
+        assert {r.type for r in nodes.collect()} == {"Entity", "Person"}
+        assert edges.count() == 1
+
+    def test_self_loop_dropped(self, spark):
+        t = _triples(spark, [("c1", "A", "T", "P", "A", "T")])
+        nodes, edges = communities.entity_graph(t)
+        assert nodes.count() == 1 and edges.count() == 0
+
+    def test_min_count_gate(self, spark):
+        rows = [("c%d" % i, "A", "T", "P", "B", "T") for i in range(3)]
+        rows.append(("c9", "A", "T", "P", "C", "T"))
+        t = _triples(spark, rows)
+        _, edges = communities.entity_graph(t, min_count=2)
+        got = {(r.src, r.dst) for r in edges.collect()}
+        assert got == {("A::T", "B::T")}
+        with pytest.raises(ValueError):
+            communities.entity_graph(t, min_count=0)
+
+
+class TestCommunityReports:
+    def test_two_cliques_exact(self, spark):
+        nodes, edges = communities.entity_graph(_two_cliques(spark))
+        rows = {
+            r.community: r
+            for r in communities.community_reports(nodes, edges).collect()
+        }
+        assert set(rows) == {"A::Person", "X::Object"}
+        a = rows["A::Person"]
+        assert (a.n_members, a.n_listed) == (3, 3)
+        assert a.summary == "[SUM] A (Person); B (Person); C (Person)"
+        x = rows["X::Object"]
+        assert x.summary == "[SUM] X (Object); Y (Object); Z (Object)"
+
+    def test_max_members_clamp(self, spark):
+        nodes, edges = communities.entity_graph(_two_cliques(spark))
+        rows = {
+            r.community: r
+            for r in communities.community_reports(
+                nodes, edges, max_members=2
+            ).collect()
+        }
+        a = rows["A::Person"]
+        assert (a.n_members, a.n_listed) == (3, 2)
+        assert a.summary == "[SUM] A (Person); B (Person)"
+        with pytest.raises(ValueError):
+            communities.community_reports(nodes, edges, max_members=0)
+
+    def test_isolated_node_absent(self, spark):
+        t = _triples(
+            spark,
+            [
+                # triangle (single-edge pairs 2-cycle under synchronous
+                # LPA and end as singletons — documented; a triangle is
+                # stable at the min label)
+                ("c1", "A", "T", "P", "B", "T"),
+                ("c1", "A", "T", "P", "C", "T"),
+                ("c1", "B", "T", "P", "C", "T"),
+                ("c1", "L", "T", "P", "L", "T"),  # self-loop only
+            ],
+        )
+        nodes, edges = communities.entity_graph(t)
+        assert nodes.count() == 4  # L is in the vocabulary...
+        reports = communities.community_reports(nodes, edges).collect()
+        # ...but not in any report (no edges -> LPA never sees it)
+        assert {r.community for r in reports} == {"A::T"}
+
+    def test_partitioning_invariant(self, spark):
+        t = _two_cliques(spark).repartition(7)
+        nodes, edges = communities.entity_graph(t)
+        a = sorted(
+            map(tuple, communities.community_reports(nodes, edges).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                communities.community_reports(
+                    nodes.repartition(5), edges.repartition(3)
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_corpus_parity(self, spark):
+        """Spark compose == pure-Python oracle on the real pipeline."""
+        from context_aware_rag_spark.config import PipelineConfig
+        from context_aware_rag_spark.oracle import precompute
+        from context_aware_rag_spark.plans.pipeline import run_pipeline
+        from context_aware_rag_spark.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        res = run_pipeline(spark, generate_transcripts(spark, 6),
+                           PipelineConfig())
+        triples = res.triples.select(
+            "conv_id", "subj_name", "subj_type", "pred",
+            "obj_name", "obj_type",
+        ).distinct()
+        nodes, edges = communities.entity_graph(triples, min_count=10)
+        got = sorted(
+            map(
+                tuple,
+                communities.community_reports(
+                    nodes, edges, max_members=12
+                ).collect(),
+            )
+        )
+        assert got == precompute.community_reports_table(6)
+
+
+class TestGlobalSearch:
+    def _reports(self, spark):
+        return spark.createDataFrame(
+            [
+                ("c1", 3, 3, "[SUM] Alice (Person); Bob (Person)"),
+                ("c2", 2, 2, "[SUM] Berlin (Location); Alice (Person)"),
+                ("c3", 2, 2, "[SUM] Red Truck (Vehicle)"),
+            ],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+
+    def test_scoring_and_rank(self, spark):
+        got = communities.community_global_search(
+            self._reports(spark), "alice berlin", k=5
+        ).collect()
+        assert [(r.rank, r.community, r.score) for r in got] == [
+            (1, "c2", 2), (2, "c1", 1)
+        ]  # c3 scores 0 -> dropped
+
+    def test_tie_break_and_k(self, spark):
+        got = communities.community_global_search(
+            self._reports(spark), "alice", k=1
+        ).collect()
+        # c1 and c2 both score 1; community ASC wins -> c1
+        assert [(r.rank, r.community) for r in got] == [(1, "c1")]
+
+    def test_distinct_terms_case(self, spark):
+        # duplicate + mixed-case terms collapse to one distinct term
+        got = communities.community_global_search(
+            self._reports(spark), "ALICE alice Alice", k=5
+        ).collect()
+        assert all(r.score == 1 for r in got)
+
+    def test_empty_query_raises(self, spark):
+        with pytest.raises(ValueError):
+            communities.community_global_search(
+                self._reports(spark), "   ", k=5
+            )

@@ -88,6 +88,10 @@ SCHEMAS = {
          ("rank", pa.int32()), ("result_id", pa.string()),
          ("score", pa.float64()), ("detail", pa.string())]
     ),
+    "kg_community_reports": pa.schema(
+        [("community", pa.string()), ("n_members", pa.int64()),
+         ("n_listed", pa.int64()), ("summary", pa.string())]
+    ),
     "ann_ivf_topk": pa.schema(
         [("query_id", pa.int64()), ("vec_id", pa.int64()),
          ("cosine", pa.float64()), ("rank", pa.int32())]
@@ -563,6 +567,8 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "kg_similar_chunk_edges", kg["kg_similar_chunk_edges"])
         write(out_dir, "a10_tree_summarize", kg["a10_tree_summarize"])
         write(out_dir, "s6_batch_summaries", kg["s6_batch_summaries"])
+        write(out_dir, "kg_community_reports",
+              precompute.community_reports_table(n_convs_for(sf_dir)))
         ep3 = precompute.ep3_tables(n_convs_for(sf_dir))
         write(out_dir, "ep3_graph_vector_search", ep3["assembled"])
         write(out_dir, "ep3_compressed_context", ep3["compressed"])
