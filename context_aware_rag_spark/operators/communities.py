@@ -221,3 +221,57 @@ def community_global_search(
         .filter(F.col("rank") <= k)
         .select("rank", "community", "score", "summary")
     )
+
+
+def community_hierarchy(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """GraphRAG's hierarchical community levels, two deep: LPA on the
+    base graph gives level-0 communities; LPA on the community
+    QUOTIENT graph (one node per level-0 community, an edge where any
+    base edge crosses two communities) gives each community its
+    level-1 parent. A community with no cross edges is its own parent
+    (an isolated island has nothing to merge with — coalesced, never
+    NULL).
+
+    Returns (node_id, community, parent) at the NODE grain, so the
+    level-1 membership is a groupBy away and joins directly onto
+    :func:`community_reports` output via ``community``.
+
+    100 TB shape: the quotient graph is COMMUNITY-vocabulary-sized
+    (strictly smaller than the entity vocabulary), so the second LPA
+    is asymptotically free next to the first; the parent attach is one
+    label-keyed equi-join of two node-sized tables.
+    """
+    from .graph import label_propagation
+
+    l0 = label_propagation(edges, src=src, dst=dst, max_iter=max_iter).select(
+        "node_id", F.col("label").alias("community")
+    ).localCheckpoint()
+    lab = l0.select(
+        F.col("node_id").alias("_n"), F.col("community").alias("_c")
+    )
+    quotient = (
+        edges.join(lab.withColumnRenamed("_n", src).withColumnRenamed(
+            "_c", "_cs"), src)
+        .join(lab.withColumnRenamed("_n", dst).withColumnRenamed(
+            "_c", "_cd"), dst)
+        .filter(F.col("_cs") != F.col("_cd"))
+        .select(
+            F.least("_cs", "_cd").alias("src"),
+            F.greatest("_cs", "_cd").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    l1 = label_propagation(quotient, max_iter=max_iter).select(
+        F.col("node_id").alias("community"), F.col("label").alias("_p")
+    )
+    return l0.join(l1, "community", "left").select(
+        "node_id",
+        "community",
+        F.coalesce(F.col("_p"), F.col("community")).alias("parent"),
+    )

@@ -2699,3 +2699,45 @@ def community_reports_table(
             (lbl, len(ms), len(listed), ("[SUM] " + text)[: cap + 6])
         )
     return out
+
+
+def community_hierarchy_table(
+    pairs: Sequence[Tuple[int, int]], max_iter: int = 10
+) -> List[Tuple[int, int, int]]:
+    """Independent recomputation of operators/communities.py
+    community_hierarchy: deterministic synchronous min-tie-break LPA
+    on the base graph (level 0), the same sweep on the community
+    quotient graph (an edge where any base edge crosses two level-0
+    communities), isolated communities their own parent. Returns
+    sorted (node_id, community, parent)."""
+    from collections import Counter
+
+    def lpa(edge_iter):
+        adj: Dict[int, set] = defaultdict(set)
+        for a, b in edge_iter:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        labels = {n: n for n in adj}
+        for _ in range(max_iter):
+            new = {}
+            for n in adj:
+                counts = Counter(labels[z] for z in adj[n])
+                top = max(counts.values())
+                new[n] = min(lbl for lbl, c in counts.items() if c == top)
+            changed = new != labels
+            labels = new
+            if not changed:
+                break
+        return labels
+
+    l0 = lpa(pairs)
+    quotient = {
+        (min(l0[a], l0[b]), max(l0[a], l0[b]))
+        for a, b in pairs
+        if a != b and l0[a] != l0[b]
+    }
+    l1 = lpa(quotient)
+    return sorted(
+        (n, c, l1.get(c, c)) for n, c in l0.items()
+    )

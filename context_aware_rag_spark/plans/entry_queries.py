@@ -8990,3 +8990,44 @@ def kg_community_search_q(spark, sf_dir):
     return communities.community_global_search(
         reports, "Alice Johnson Berlin", k=5
     )
+
+
+@xq(
+    "kg_community_hierarchy",
+    f"""
+    SELECT node_id, community, parent
+    FROM read_parquet('{_pq("kg_community_hierarchy")}')
+    """,
+)
+def kg_community_hierarchy_q(spark, sf_dir):
+    """GraphRAG hierarchical community levels: LPA level-0 communities
+    over the >= 35-gated supplier co-occurrence graph (the kg_graph_lpa
+    surface — 26 communities / 63 nodes), then LPA over the community
+    QUOTIENT graph assigns each community a level-1 parent (18 parents:
+    a 6-way and a 4-way merge plus singleton islands that are their own
+    parent, so both the merge and the isolated-coalesce paths are in
+    the hash). Twin = precomputed pure-Python replication of both
+    sweeps + quotient construction."""
+    from ..operators import communities
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 35)
+        .select("src", "dst")
+    )
+    return communities.community_hierarchy(pairs).select(
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("community").cast("long").alias("community"),
+        F.col("parent").cast("long").alias("parent"),
+    )

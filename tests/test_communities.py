@@ -195,3 +195,67 @@ class TestGlobalSearch:
             communities.community_global_search(
                 self._reports(spark), "   ", k=5
             )
+
+
+class TestCommunityHierarchy:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src: long, dst: long")
+
+    def test_three_linked_cliques_merge(self, spark):
+        # three 5-cliques with single bridges: internal cohesion (4
+        # clique neighbors vs 1 bridge) keeps level-0 communities
+        # distinct, while the quotient triangle merges all three at
+        # level 1 (bridged triangles of size 3 flood to ONE level-0
+        # community under min-tie-break — too tie-heavy)
+        from itertools import combinations
+
+        pairs = (
+            list(combinations(range(1, 6), 2))
+            + list(combinations(range(11, 16), 2))
+            + list(combinations(range(21, 26), 2))
+            + [(5, 11), (15, 21), (1, 25)]
+        )
+        got = communities.community_hierarchy(
+            self._edges(spark, pairs)
+        ).collect()
+        by_node = {r.node_id: r for r in got}
+        assert {by_node[n].community for n in range(1, 6)} == {1}
+        assert {by_node[n].community for n in range(11, 16)} == {11}
+        assert {by_node[n].community for n in range(21, 26)} == {21}
+        assert {r.parent for r in got} == {1}
+
+    def test_isolated_community_is_own_parent(self, spark):
+        pairs = [(1, 2), (1, 3), (2, 3), (11, 12), (11, 13), (12, 13)]
+        got = communities.community_hierarchy(
+            self._edges(spark, pairs)
+        ).collect()
+        by_node = {r.node_id: r for r in got}
+        assert (by_node[1].community, by_node[1].parent) == (1, 1)
+        assert (by_node[11].community, by_node[11].parent) == (11, 11)
+        assert all(r.parent is not None for r in got)
+
+    def test_supplier_graph_parity(self, spark):
+        """Spark hierarchy == pure-Python oracle on the real graph."""
+        import duckdb
+
+        from context_aware_rag_spark.oracle import precompute
+
+        pairs = duckdb.sql(
+            """
+            SELECT a, b FROM (
+              SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+                     count(DISTINCT x.l_orderkey) AS n
+              FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet') x
+              JOIN read_parquet('/root/testdata/sf0.01/lineitem.parquet') y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_suppkey < y.l_suppkey
+              GROUP BY 1, 2) WHERE n >= 35
+            """
+        ).fetchall()
+        got = sorted(
+            (int(r.node_id), int(r.community), int(r.parent))
+            for r in communities.community_hierarchy(
+                spark.createDataFrame(pairs, "src: long, dst: long")
+            ).collect()
+        )
+        assert got == precompute.community_hierarchy_table(pairs)

@@ -192,6 +192,10 @@ SCHEMAS = {
         [("node_id", pa.int64()), ("label", pa.int64()),
          ("n_iter", pa.int64())]
     ),
+    "kg_community_hierarchy": pa.schema(
+        [("node_id", pa.int64()), ("community", pa.int64()),
+         ("parent", pa.int64())]
+    ),
     "compression_ratio": pa.schema(
         [("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
          ("compressed_bytes", pa.int64()), ("ratio_ppm", pa.int64())]
@@ -545,6 +549,8 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_lpa", precompute.lpa_py(lpa_pairs, max_iter=10))
+        write(out_dir, "kg_community_hierarchy",
+              precompute.community_hierarchy_table(lpa_pairs))
 
         write(out_dir, "conv_metrics",
               precompute.conv_metrics_table(n_convs_for(sf_dir)))
