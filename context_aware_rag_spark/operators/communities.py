@@ -275,3 +275,100 @@ def community_hierarchy(
         "community",
         F.coalesce(F.col("_p"), F.col("community")).alias("parent"),
     )
+
+
+def community_local_search(
+    labels: DataFrame,
+    reports: DataFrame,
+    triples: DataFrame,
+    entity_key: str,
+    *,
+    k: int = 10,
+    subj_name: str = "subj_name",
+    subj_type: str = "subj_type",
+    obj_name: str = "obj_name",
+    obj_type: str = "obj_type",
+) -> DataFrame:
+    """GraphRAG local search, the deterministic skeleton: the context
+    package for ONE entity — its community's report (section
+    'report', rank 1) followed by its top-``k`` graph neighbors
+    ranked by how many input triples assert a connection (section
+    'neighbor', rank 1..k within the section, ties by neighbor key). ``labels`` is the
+    (node_id, label) LPA output, ``reports`` the
+    :func:`community_reports` table, ``triples`` the SAME grain the
+    entity graph was built at.
+
+    Returns (section, rank, ref, text, weight): for the report row
+    ref = community key, text = summary, weight = n_members; for
+    neighbor rows ref = neighbor key, text = "name (type)", weight =
+    the assertion count.
+
+    100 TB shape: the entity filter hits the triple scan (two pushed
+    name predicates under an OR — still a scan-level filter), the
+    neighbor agg is one map-side-combined groupBy on the filtered
+    sliver, and the report lookup is a 1-row broadcast-able join.
+    A global TakeOrdered over <= vocabulary-degree rows finishes it.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    sk = F.concat(
+        F.col(subj_name), F.lit("::"),
+        F.coalesce(F.col(subj_type), F.lit("Entity")),
+    )
+    ok = F.concat(
+        F.col(obj_name), F.lit("::"),
+        F.coalesce(F.col(obj_type), F.lit("Entity")),
+    )
+    named = triples.filter(
+        F.col(subj_name).isNotNull() & F.col(obj_name).isNotNull()
+    ).select(
+        sk.alias("_sk"), ok.alias("_ok"),
+        F.col(subj_name).alias("_sn"),
+        F.coalesce(F.col(subj_type), F.lit("Entity")).alias("_st"),
+        F.col(obj_name).alias("_on"),
+        F.coalesce(F.col(obj_type), F.lit("Entity")).alias("_ot"),
+    )
+    nbr = (
+        named.filter(
+            (F.col("_sk") == entity_key) | (F.col("_ok") == entity_key)
+        )
+        .filter(F.col("_sk") != F.col("_ok"))
+        .select(
+            F.when(F.col("_sk") == entity_key, F.col("_ok"))
+            .otherwise(F.col("_sk")).alias("ref"),
+            F.when(F.col("_sk") == entity_key, F.col("_on"))
+            .otherwise(F.col("_sn")).alias("_name"),
+            F.when(F.col("_sk") == entity_key, F.col("_ot"))
+            .otherwise(F.col("_st")).alias("_type"),
+        )
+        .groupBy("ref", "_name", "_type")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col("ref").asc())
+    neighbors = (
+        # degree-of-one-entity rows: bounded-input global window
+        nbr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.lit("neighbor").alias("section"),
+            "rank",
+            "ref",
+            F.concat(
+                F.col("_name"), F.lit(" ("), F.col("_type"), F.lit(")")
+            ).alias("text"),
+            "weight",
+        )
+    )
+    report = (
+        labels.filter(F.col("node_id") == entity_key)
+        .select(F.col("label").alias("community"))
+        .join(reports, "community")
+        .select(
+            F.lit("report").alias("section"),
+            F.lit(1).alias("rank"),
+            F.col("community").alias("ref"),
+            F.col("summary").alias("text"),
+            F.col("n_members").alias("weight"),
+        )
+    )
+    return report.unionAll(neighbors)

@@ -2741,3 +2741,49 @@ def community_hierarchy_table(
     return sorted(
         (n, c, l1.get(c, c)) for n, c in l0.items()
     )
+
+
+def community_members_table(
+    n_convs: int, min_count: int = 10
+) -> List[Tuple[str, str]]:
+    """(node_id, community) level-0 LPA membership of the entity
+    co-assertion graph — the same sweep community_reports_table runs,
+    exposed at the node grain so the GraphRAG local-search twin can be
+    pure SQL over snapshots. Returns sorted pairs; only edge-connected
+    entities appear (isolated vocabulary nodes have no community)."""
+    from collections import Counter
+
+    from ..sources.transcripts import generate_rows
+
+    res = run_oracle(generate_rows(n_convs))
+    distinct = {
+        (t["conv_id"], t["subj_name"], t["subj_type"], t["pred"],
+         t["obj_name"], t["obj_type"])
+        for t in res.triples
+        if t["subj_name"] is not None and t["obj_name"] is not None
+    }
+    ec: Dict[Tuple[str, str], int] = defaultdict(int)
+    for _conv, sn, st, _pred, on, ot in distinct:
+        st = st if st is not None else "Entity"
+        ot = ot if ot is not None else "Entity"
+        sk = f"{sn}::{st}"
+        ok = f"{on}::{ot}"
+        if sk != ok:
+            ec[(min(sk, ok), max(sk, ok))] += 1
+    adj: Dict[str, set] = defaultdict(set)
+    for (a, b), c in ec.items():
+        if c >= min_count:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(10):
+        new = {}
+        for n in adj:
+            counts = Counter(labels[z] for z in adj[n])
+            top = max(counts.values())
+            new[n] = min(lbl for lbl, c in counts.items() if c == top)
+        changed = new != labels
+        labels = new
+        if not changed:
+            break
+    return sorted(labels.items())

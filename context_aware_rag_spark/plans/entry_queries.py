@@ -9031,3 +9031,69 @@ def kg_community_hierarchy_q(spark, sf_dir):
         F.col("community").cast("long").alias("community"),
         F.col("parent").cast("long").alias("parent"),
     )
+
+
+@xq(
+    "kg_community_local_search",
+    f"""
+    WITH keyed AS (
+      SELECT subj_name || '::' || coalesce(subj_type, 'Entity') AS sk,
+             subj_name AS sn, coalesce(subj_type, 'Entity') AS st,
+             obj_name || '::' || coalesce(obj_type, 'Entity') AS ok,
+             obj_name AS onm, coalesce(obj_type, 'Entity') AS ot
+      FROM read_parquet('{_pq("kg_triples")}')
+      WHERE subj_name IS NOT NULL AND obj_name IS NOT NULL
+    ),
+    nbr AS (
+      SELECT CASE WHEN sk = 'Alice Johnson::Person' THEN ok ELSE sk END
+               AS ref,
+             CASE WHEN sk = 'Alice Johnson::Person' THEN onm ELSE sn END
+               AS nm,
+             CASE WHEN sk = 'Alice Johnson::Person' THEN ot ELSE st END
+               AS ty,
+             count(*) AS weight
+      FROM keyed
+      WHERE (sk = 'Alice Johnson::Person' OR ok = 'Alice Johnson::Person')
+        AND sk <> ok
+      GROUP BY 1, 2, 3
+    ),
+    nrows AS (
+      SELECT 'neighbor' AS section,
+             CAST(row_number() OVER (ORDER BY weight DESC, ref)
+                  AS INTEGER) AS rank,
+             ref, nm || ' (' || ty || ')' AS text, weight
+      FROM nbr
+    )
+    SELECT 'report' AS section, CAST(1 AS INTEGER) AS rank,
+           r.community AS ref, r.summary AS text, r.n_members AS weight
+    FROM read_parquet('{_pq("kg_community_members")}') m
+    JOIN read_parquet('{_pq("kg_community_reports")}') r
+      ON r.community = m.community
+    WHERE m.node_id = 'Alice Johnson::Person'
+    UNION ALL
+    SELECT section, rank, ref, text, weight FROM nrows WHERE rank <= 10
+    """,
+)
+def kg_community_local_search_q(spark, sf_dir):
+    """GraphRAG local search for one entity: its community's report
+    (via live LPA membership) + its top-10 graph neighbors ranked by
+    distinct-assertion count. The Spark leg recomputes everything from
+    the pipeline (triples -> entity graph -> LPA -> reports -> context
+    package); the twin is PURE SQL over the kg_triples /
+    kg_community_members / kg_community_reports snapshots — the hash
+    gates the membership lookup, the report join, the neighbor
+    extraction's CASE symmetry and the (weight DESC, ref) rank
+    contract together."""
+    from ..operators import communities
+    from ..operators.graph import label_propagation
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    triples = res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    nodes, edges = communities.entity_graph(triples, min_count=10)
+    labels = label_propagation(edges).select("node_id", "label")
+    reports = communities.community_reports(nodes, edges, max_members=12)
+    return communities.community_local_search(
+        labels, reports, triples, "Alice Johnson::Person", k=10
+    )

@@ -259,3 +259,66 @@ class TestCommunityHierarchy:
             ).collect()
         )
         assert got == precompute.community_hierarchy_table(pairs)
+
+
+class TestLocalSearch:
+    def _fixture(self, spark):
+        triples = _triples(
+            spark,
+            [
+                ("c1", "A", "P", "K", "B", "P"),
+                ("c2", "A", "P", "K", "B", "P"),   # A-B weight 2
+                ("c1", "C", "Q", "K", "A", "P"),   # reversed side: A-C
+                ("c1", "A", "P", "K", "D", None),  # NULL type -> Entity
+                ("c1", "B", "P", "K", "C", "Q"),   # not incident to A
+                ("c1", "A", "P", "K", "A", "P"),   # self-loop dropped
+            ],
+        )
+        labels = spark.createDataFrame(
+            [("A::P", "A::P"), ("B::P", "A::P")],
+            "node_id: string, label: string",
+        )
+        reports = spark.createDataFrame(
+            [("A::P", 2, 2, "[SUM] A (P); B (P)")],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        return triples, labels, reports
+
+    def test_package_exact(self, spark):
+        triples, labels, reports = self._fixture(spark)
+        got = sorted(
+            map(
+                tuple,
+                communities.community_local_search(
+                    labels, reports, triples, "A::P", k=10
+                ).collect(),
+            )
+        )
+        assert got == [
+            ("neighbor", 1, "B::P", "B (P)", 2),
+            ("neighbor", 2, "C::Q", "C (Q)", 1),   # weight tie w/ D:
+            ("neighbor", 3, "D::Entity", "D (Entity)", 1),  # ref ASC
+            ("report", 1, "A::P", "[SUM] A (P); B (P)", 2),
+        ]
+
+    def test_k_bound_and_validation(self, spark):
+        triples, labels, reports = self._fixture(spark)
+        got = communities.community_local_search(
+            labels, reports, triples, "A::P", k=1
+        ).collect()
+        assert sorted(r.section for r in got) == ["neighbor", "report"]
+        assert [r.ref for r in got if r.section == "neighbor"] == ["B::P"]
+        with pytest.raises(ValueError):
+            communities.community_local_search(
+                labels, reports, triples, "A::P", k=0
+            )
+
+    def test_unlabeled_entity_no_report(self, spark):
+        triples, labels, reports = self._fixture(spark)
+        got = communities.community_local_search(
+            labels, reports, triples, "D::Entity", k=10
+        ).collect()
+        # D has a neighbor (A) but no community label -> no report row
+        assert {r.section for r in got} == {"neighbor"}
+        assert [(r.ref, r.weight) for r in got] == [("A::P", 1)]

@@ -192,6 +192,9 @@ SCHEMAS = {
         [("node_id", pa.int64()), ("label", pa.int64()),
          ("n_iter", pa.int64())]
     ),
+    "kg_community_members": pa.schema(
+        [("node_id", pa.string()), ("community", pa.string())]
+    ),
     "kg_community_hierarchy": pa.schema(
         [("node_id", pa.int64()), ("community", pa.int64()),
          ("parent", pa.int64())]
@@ -575,6 +578,8 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "s6_batch_summaries", kg["s6_batch_summaries"])
         write(out_dir, "kg_community_reports",
               precompute.community_reports_table(n_convs_for(sf_dir)))
+        write(out_dir, "kg_community_members",
+              precompute.community_members_table(n_convs_for(sf_dir)))
         ep3 = precompute.ep3_tables(n_convs_for(sf_dir))
         write(out_dir, "ep3_graph_vector_search", ep3["assembled"])
         write(out_dir, "ep3_compressed_context", ep3["compressed"])
