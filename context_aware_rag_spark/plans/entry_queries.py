@@ -2672,7 +2672,7 @@ def kg_triples(spark, sf_dir):
     ).distinct()
 
 
-@q(
+@xq(
     "kg_triples_json_llm",
     f"""
     SELECT conv_id, subj_name, subj_type, pred, obj_name, obj_type
@@ -8921,7 +8921,7 @@ def ql_dirichlet_topk_q(spark, sf_dir):
 # fake-LLM summarize slot
 # =========================================================================
 
-@xq(
+@q(
     "kg_community_reports",
     f"""
     SELECT community, n_members, n_listed, summary
