@@ -128,6 +128,7 @@ def main() -> None:
         "textrank_2k",
         "sft_pairs_100x",
         "texttiling_100x",
+        "kg_communities_100x",
     ):
         samples[extra] = []
 
@@ -167,6 +168,20 @@ def main() -> None:
         spark, big100_factor * eq.n_convs_for(sf_dir)
     ).localCheckpoint()
     n_big100_turns = big100.count()
+
+    # distinct triple set of the 100x corpus, materialized once
+    # untimed: the kg_communities_100x entry times the GraphRAG
+    # community compose GIVEN a constructed KG, not the pipeline again
+    triples100 = (
+        run_pipeline(spark, big100, PipelineConfig())
+        .triples.select(
+            "conv_id", "subj_name", "subj_type", "pred",
+            "obj_name", "obj_type",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    triples100.count()
 
     from context_aware_rag_spark.sources.synth_docs import synthesize_docs
 
@@ -379,6 +394,28 @@ def main() -> None:
         ).filter(F.col("is_boundary")).count()
         samples["texttiling_100x"].append(round(time.monotonic() - t0, 3))
 
+        # GraphRAG community layer over the 100x KG: entity graph +
+        # LPA + fake-LLM reports + quotient hierarchy (all
+        # vocabulary-sized after the one edge agg — the wall is the
+        # bounded LPA rounds, not the corpus)
+        from context_aware_rag_spark.operators import (
+            communities as comm_ops,
+        )
+
+        settle(spark, keep, touch=triples100)
+        t0 = time.monotonic()
+        c_nodes, c_edges = comm_ops.entity_graph(triples100, min_count=10)
+        kg_counts["n_communities_100x"] = comm_ops.community_reports(
+            c_nodes, c_edges, max_members=12
+        ).count()
+        kg_counts["n_community_parents_100x"] = (
+            comm_ops.community_hierarchy(c_edges)
+            .select("parent").distinct().count()
+        )
+        samples["kg_communities_100x"].append(
+            round(time.monotonic() - t0, 3)
+        )
+
         # TextRank extractive summaries over a 2k-doc slice: sentence
         # split + per-doc similarity self-join + ONE corpus-wide
         # integer-PageRank power iteration over the sentence graph
@@ -509,6 +546,10 @@ def main() -> None:
             "sft_pairs_100x_turns_per_sec": round(
                 n_big100_turns / timings["sft_pairs_100x"], 1
             ),
+            "communities_100x": kg_counts["n_communities_100x"],
+            "community_parents_100x": kg_counts[
+                "n_community_parents_100x"
+            ],
             "texttiling_100x_boundaries": kg_counts[
                 "n_texttiling_100x_boundaries"
             ],
