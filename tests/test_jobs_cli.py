@@ -111,3 +111,34 @@ def test_spark_submit_py_files_roundtrip(tmp_path):
     )
     assert 1 <= len(hits) <= 3
     assert all("score" in h and "text" in h for h in hits)
+
+
+@pytest.mark.slow
+def test_community_reports_job(tmp_path):
+    wd = str(tmp_path / "kgwork")
+    ingest = _run(
+        "ingest_kg.py", "--synthesize-convs", "12", "--workdir", wd,
+        "--run-id", "r1",
+    )[-1]
+    assert ingest["n_triples"] > 0
+
+    rows = _run(
+        "community_reports.py", "--workdir", wd, "--run-id", "c1",
+        "--query", "alice berlin", "--entity", "Alice Johnson::Person",
+        "--k", "3",
+    )
+    summary = rows[-1]
+    assert summary["n_communities"] == 2  # the sf0.01-corpus structure
+    assert summary["n_parents"] >= 1
+    assert summary["largest_community"] == 22
+    assert os.path.exists(
+        os.path.join(wd, "communities_c1", "reports", "_SUCCESS")
+    )
+    assert os.path.exists(
+        os.path.join(wd, "communities_c1", "hierarchy", "_SUCCESS")
+    )
+    search = [r["search"] for r in rows if "search" in r]
+    assert search and search[0]["rank"] == 1 and search[0]["score"] >= 1
+    local = [r["local"] for r in rows if "local" in r]
+    sections = {r["section"] for r in local}
+    assert sections == {"report", "neighbor"}
