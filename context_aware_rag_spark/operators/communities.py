@@ -372,3 +372,76 @@ def community_local_search(
         )
     )
     return report.unionAll(neighbors)
+
+
+def community_global_qa(
+    reports: DataFrame,
+    query: str,
+    *,
+    k: int = 5,
+    cap: int = 400,
+) -> DataFrame:
+    """GraphRAG global QA, the deterministic skeleton of the full
+    map-reduce: :func:`community_global_search` selects the top-``k``
+    relevant reports; the MAP step extracts each report's answer
+    fragment (the '; '-separated member clauses containing at least
+    one query term — the extractive stand-in for the per-community LLM
+    answer); the REDUCE step joins surviving fragments in rank order
+    as ``"<rank>) <frag>"`` with ``" | "`` and routes the result
+    through the U4 fake-LLM summarize cycle (content ==
+    ``("[SUM] " + joined)[:cap + 6]``, the lossless-mode pin).
+
+    Returns ONE row (n_maps, answer). Reports whose term match spans a
+    clause boundary (no single clause contains a term) contribute no
+    fragment and are dropped from the reduce — an honest empty map
+    answer, never a fabricated one. All-empty maps yield (0, NULL).
+
+    100 TB shape: everything downstream of the report table is
+    k-bounded; the reduce is a single-row aggregate over k rows (the
+    bounded-input exemption, same as the search window).
+    """
+    from .summarize import llm_summarize_udf
+
+    terms = sorted({t for t in query.lower().split() if t})
+    hits = community_global_search(reports, query, k=k)
+    frag = F.array_join(
+        F.filter(
+            F.split(F.substring(F.col("summary"), 7, 1_000_000), "; "),
+            lambda s: F.reduce(
+                F.array(*[F.lit(t) for t in terms]),
+                F.lit(False),
+                lambda acc, t: acc | (F.instr(F.lower(s), t) > 0),
+            ),
+        ),
+        "; ",
+    )
+    mapped = hits.select("rank", frag.alias("frag")).filter(
+        F.col("frag") != ""
+    )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rank",
+                        F.concat(
+                            F.col("rank").cast("string"),
+                            F.lit(") "),
+                            F.col("frag"),
+                        ).alias("txt"),
+                    )
+                )
+            ),
+            lambda x: x.txt,
+        ),
+        " | ",
+    )
+    summarize = llm_summarize_udf(cap)
+    return mapped.agg(
+        F.count(F.lit(1)).alias("n_maps"), joined.alias("_joined")
+    ).select(
+        "n_maps",
+        F.when(
+            F.col("n_maps") > 0, summarize(F.col("_joined"))
+        ).alias("answer"),
+    )

@@ -9097,3 +9097,65 @@ def kg_community_local_search_q(spark, sf_dir):
     return communities.community_local_search(
         labels, reports, triples, "Alice Johnson::Person", k=10
     )
+
+
+@xq(
+    "kg_community_global_qa",
+    f"""
+    WITH scored AS (
+      SELECT community,
+             CAST(
+               CASE WHEN position('alice' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END
+             + CASE WHEN position('berlin' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END
+             + CASE WHEN position('johnson' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS score,
+             summary
+      FROM read_parquet('{_pq("kg_community_reports")}')
+    ),
+    sel AS (
+      SELECT * FROM (
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, community)
+                    AS INTEGER) AS rank, summary
+        FROM scored WHERE score > 0
+      ) WHERE rank <= 5
+    ),
+    mapped AS (
+      SELECT rank,
+             array_to_string(
+               list_filter(
+                 string_split(substring(summary, 7), '; '),
+                 s -> position('alice' IN lower(s)) > 0
+                   OR position('berlin' IN lower(s)) > 0
+                   OR position('johnson' IN lower(s)) > 0),
+               '; ') AS frag
+      FROM sel
+    )
+    SELECT count(*) AS n_maps,
+           CASE WHEN count(*) > 0 THEN
+             substring('[SUM] ' || string_agg(
+               CAST(rank AS VARCHAR) || ') ' || frag, ' | '
+               ORDER BY rank), 1, 406)
+           END AS answer
+    FROM mapped WHERE frag <> ''
+    """,
+)
+def kg_community_global_qa_q(spark, sf_dir):
+    """GraphRAG global QA map-reduce: top-5 relevant community reports
+    -> per-report extractive answer fragment (member clauses containing
+    a query term) -> rank-ordered reduce through the U4 fake-LLM cycle.
+    Twin = the identical select/map/reduce arithmetic in DuckDB over
+    the report snapshot (clause split, per-clause containment, ordered
+    string_agg, cap) — one hash pins the whole composed loop."""
+    from ..operators import communities
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    triples = res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    nodes, edges = communities.entity_graph(triples, min_count=10)
+    reports = communities.community_reports(nodes, edges, max_members=12)
+    return communities.community_global_qa(
+        reports, "Alice Johnson Berlin", k=5
+    )

@@ -322,3 +322,68 @@ class TestLocalSearch:
         # D has a neighbor (A) but no community label -> no report row
         assert {r.section for r in got} == {"neighbor"}
         assert [(r.ref, r.weight) for r in got] == [("A::P", 1)]
+
+
+class TestGlobalQA:
+    def _reports(self, spark):
+        return spark.createDataFrame(
+            [
+                ("c1", 2, 2, "[SUM] Alice (Person); Bob (Person)"),
+                ("c2", 2, 2, "[SUM] Berlin (Location); Alice (Person)"),
+                ("c3", 1, 1, "[SUM] Red Truck (Vehicle)"),
+            ],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+
+    def test_map_reduce_exact(self, spark):
+        got = communities.community_global_qa(
+            self._reports(spark), "alice berlin", k=5
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        # c2 scores 2 (rank 1), c1 scores 1 (rank 2); fragments keep
+        # only term-bearing clauses, reduce joins in rank order
+        assert r.n_maps == 2
+        assert r.answer == (
+            "[SUM] 1) Berlin (Location); Alice (Person)"
+            " | 2) Alice (Person)"
+        )
+
+    def test_boundary_spanning_term_drops_map(self, spark):
+        # 'person); bob' matches the SUMMARY (so the report is
+        # selected) but no single clause -> honest empty map answer
+        got = communities.community_global_qa(
+            self._reports(spark), "person); alice", k=1
+        ).collect()[0]
+        # c1 rank 1 (score 2 beats c2's... both contain 'alice';
+        # 'person);' contained in c1 and c2 summaries alike -> tie,
+        # community ASC -> c1); its 'alice' clause survives
+        assert got.n_maps == 1
+        assert "Alice (Person)" in got.answer
+
+    def test_no_fragments_null_answer(self, spark):
+        reports = spark.createDataFrame(
+            [("c1", 1, 1, "[SUM] A (P); B (Q)")],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        got = communities.community_global_qa(
+            reports, "p); ", k=5
+        ).collect()[0]
+        assert (got.n_maps, got.answer) == (0, None)
+
+    def test_cap(self, spark):
+        long_members = "; ".join(
+            f"Alice{i} (Person)" for i in range(200)
+        )
+        reports = spark.createDataFrame(
+            [("c1", 200, 200, "[SUM] " + long_members)],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        got = communities.community_global_qa(
+            reports, "alice", k=5, cap=50
+        ).collect()[0]
+        assert len(got.answer) == 56  # cap + len('[SUM] ')
+        assert got.answer.startswith("[SUM] 1) Alice0 (Person)")
