@@ -141,3 +141,150 @@ def scd2_from_changelog(
         F.col(ts_col).alias("valid_from"),
         F.lead(F.col(ts_col)).over(key_order).alias("valid_to"),
     )
+
+
+def psi_numeric(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots of a
+    numeric column — the standard training-data drift monitor (PSI
+    < 0.1 stable, 0.1-0.25 moderate, > 0.25 population shift).
+
+    Buckets are equi-width over the REFERENCE snapshot's [min, max]
+    (the fixed yardstick: the current snapshot is measured against the
+    reference's frame, so out-of-range current values CLAMP into the
+    end buckets — standard PSI practice, and the clamp is what makes a
+    range shift visible as end-bucket mass). NULL values are excluded
+    on both sides (unknowable position). Ratios are Laplace-smoothed
+    ((c + 1) / (total + n_buckets)) so an empty bucket cannot divide
+    by zero; each bucket's contribution is rounded to integer micro
+    units from scalar counts BEFORE any cross-bucket arithmetic, so
+    the output is partitioning-order-independent. A degenerate
+    reference (min == max, or no non-NULL rows) fails loudly in-plan
+    via assert_true rather than emitting NaN buckets.
+
+    Returns (bucket, ref_count, cur_count, psi_micro), one row per
+    occupied bucket; total PSI = sum(psi_micro) / 1e6. Plan: two
+    map-side-combined groupBys (n_buckets rows each), a full outer
+    join and two 1-row broadcast cross joins — nothing corpus-sized
+    after the scans, both of which read ONLY value_col.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"need n_buckets >= 2, got {n_buckets}")
+    v = F.col(value_col)
+    stats = ref.filter(v.isNotNull()).agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx")
+    ).select(
+        F.assert_true(
+            F.col("_mn").isNotNull() & (F.col("_mx") > F.col("_mn")),
+            F.lit(
+                f"psi_numeric: reference {value_col} is empty or "
+                "constant — equi-width buckets undefined"
+            ),
+        ).alias("_chk"),
+        "_mn", "_mx",
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        width = (F.col("_mx") - F.col("_mn")) / F.lit(n_buckets)
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.col("_mn")) / width).cast("int"),
+            ),
+        )
+        return (
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    r = bucketed(ref).select("bucket", F.col("c").alias("ref_count"))
+    c = bucketed(cur).select("bucket", F.col("c").alias("cur_count"))
+    j = (
+        r.join(c, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ref_count").alias("_tr"), F.sum("cur_count").alias("_tc")
+    )
+    pa = (F.col("ref_count") + F.lit(1.0)) / (F.col("_tr") + F.lit(n_buckets))
+    pb = (F.col("cur_count") + F.lit(1.0)) / (F.col("_tc") + F.lit(n_buckets))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "ref_count",
+            "cur_count",
+            F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000))
+            .cast("long")
+            .alias("psi_micro"),
+        )
+    )
+
+
+def psi_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    hex_chars: int = 1,
+) -> DataFrame:
+    """PSI over a categorical/string column via md5 hash buckets
+    (16^hex_chars of them) — the unbounded-vocabulary variant: bucket
+    = the first ``hex_chars`` of ``md5(value)``, a content-stable key
+    both engines compute identically (the sampling.py idiom), so no
+    vocabulary table is ever built or shuffled. NULLs excluded; same
+    smoothing/rounding contract as :func:`psi_numeric`.
+
+    Returns (bucket, ref_count, cur_count, psi_micro). Hash buckets
+    dilute per-category signal (a category shift spreads over its
+    bucket's mass) — they bound state, not sensitivity; raise
+    hex_chars for finer resolution at 16x state per char.
+    """
+    if not 1 <= hex_chars <= 8:
+        raise ValueError(f"need 1 <= hex_chars <= 8, got {hex_chars}")
+    n_buckets = 16 ** hex_chars
+    v = F.col(value_col)
+    b = F.substring(F.md5(v.cast("string").cast("binary")), 1, hex_chars)
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    j = (
+        bucketed(ref, "ref_count")
+        .join(bucketed(cur, "cur_count"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ref_count").alias("_tr"), F.sum("cur_count").alias("_tc")
+    )
+    pa = (F.col("ref_count") + F.lit(1.0)) / (F.col("_tr") + F.lit(n_buckets))
+    pb = (F.col("cur_count") + F.lit(1.0)) / (F.col("_tc") + F.lit(n_buckets))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "ref_count",
+            "cur_count",
+            F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000))
+            .cast("long")
+            .alias("psi_micro"),
+        )
+    )

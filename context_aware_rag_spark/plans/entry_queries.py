@@ -9159,3 +9159,107 @@ def kg_community_global_qa_q(spark, sf_dir):
     return communities.community_global_qa(
         reports, "Alice Johnson Berlin", k=5
     )
+
+
+# =========================================================================
+# Corpus-drift monitoring: Population Stability Index between snapshots
+# =========================================================================
+
+@xq(
+    "event_value_drift",
+    """
+    WITH stats AS (
+      SELECT min(value) AS mn, max(value) AS mx
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT least(9, greatest(0,
+               CAST(floor((value - mn) / ((mx - mn) / 10)) AS INTEGER)))
+               AS bucket, count(*) AS ref_count
+      FROM events, stats WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT least(9, greatest(0,
+               CAST(floor((value + 50 - mn) / ((mx - mn) / 10)) AS INTEGER)))
+               AS bucket, count(*) AS cur_count
+      FROM events, stats
+      WHERE value IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(r.bucket, c.bucket) AS bucket,
+             coalesce(ref_count, 0) AS ref_count,
+             coalesce(cur_count, 0) AS cur_count
+      FROM r FULL JOIN c ON r.bucket = c.bucket
+    ),
+    tot AS (SELECT sum(ref_count) AS tr, sum(cur_count) AS tc FROM j)
+    SELECT bucket, ref_count, cur_count,
+           CAST(round(((ref_count + 1.0) / (tr + 10)
+                       - (cur_count + 1.0) / (tc + 10))
+                      * ln(((ref_count + 1.0) / (tr + 10))
+                           / ((cur_count + 1.0) / (tc + 10)))
+                      * 1000000) AS BIGINT) AS psi_micro
+    FROM j, tot
+    """,
+)
+def event_value_drift_q(spark, sf_dir):
+    """PSI drift between the event-value distribution and a +50-shifted
+    current snapshot (an upstream recalibration / unit change — the
+    classic silent pipeline regime break). Equi-width buckets over the
+    REFERENCE frame; the shift marches the exponential bulk across
+    bucket boundaries (PSI ~ 6.09, deep in the population-shift band;
+    a value-truncation at 250 reads only 0.013 on this corpus because
+    the tail holds 67 of 10k rows — the monitor must catch the bulk
+    moving, not just the range). Laplace-smoothed ratios, each
+    bucket's micro contribution rounded from scalar counts; twin
+    replicates bucket arithmetic, smoothing, ln and rounding in SQL."""
+    from ..operators import diff as diff_ops
+
+    ev = load(spark, sf_dir, "events")
+    return diff_ops.psi_numeric(
+        ev, ev.withColumn("value", F.col("value") + 50), "value"
+    )
+
+
+@xq(
+    "event_type_drift",
+    """
+    WITH r AS (
+      SELECT substring(md5(event_type), 1, 1) AS bucket,
+             count(*) AS ref_count
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT substring(md5(event_type), 1, 1) AS bucket,
+             count(*) AS cur_count
+      FROM events
+      WHERE event_type IS NOT NULL AND event_type <> 'click' GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(r.bucket, c.bucket) AS bucket,
+             coalesce(ref_count, 0) AS ref_count,
+             coalesce(cur_count, 0) AS cur_count
+      FROM r FULL JOIN c ON r.bucket = c.bucket
+    ),
+    tot AS (SELECT sum(ref_count) AS tr, sum(cur_count) AS tc FROM j)
+    SELECT bucket, ref_count, cur_count,
+           CAST(round(((ref_count + 1.0) / (tr + 16)
+                       - (cur_count + 1.0) / (tc + 16))
+                      * ln(((ref_count + 1.0) / (tr + 16))
+                           / ((cur_count + 1.0) / (tc + 16)))
+                      * 1000000) AS BIGINT) AS psi_micro
+    FROM j, tot
+    """,
+)
+def event_type_drift_q(spark, sf_dir):
+    """Categorical PSI via md5 hash buckets (16, the unbounded-
+    vocabulary variant): current snapshot drops the 'click' category
+    entirely — its hash bucket's mass collapses and the drift
+    concentrates there, while same-bucket survivors dilute it (the
+    documented hash-bucket sensitivity trade). Twin replicates the
+    md5 bucketing + smoothing + micro rounding."""
+    from ..operators import diff as diff_ops
+
+    ev = load(spark, sf_dir, "events")
+    return diff_ops.psi_categorical(
+        ev, ev.filter(F.col("event_type") != "click"), "event_type"
+    )
