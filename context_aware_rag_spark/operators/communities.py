@@ -212,13 +212,16 @@ def community_global_search(
     scored = reports.select(
         "community", score.alias("score"), "summary"
     ).filter(F.col("score") > 0)
+    # community count grows with the corpus, so even the report table
+    # can't go through an unpartitioned row_number (Exchange
+    # SinglePartition); limit-after-sort plans as TakeOrderedAndProject
+    # and rank is re-derived on the k survivors — the dsir.py:219
+    # discipline.
     w = Window.orderBy(F.col("score").desc(), F.col("community").asc())
-    # the window's input is the report table (vocabulary-sized, never
-    # corpus-sized), so the global orderBy is bounded by construction —
-    # same exemption class as skew.py's documented top-k sites
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        scored.orderBy(F.col("score").desc(), F.col("community").asc())
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
         .select("rank", "community", "score", "summary")
     )
 
@@ -344,11 +347,14 @@ def community_local_search(
         .groupBy("ref", "_name", "_type")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+    # a hot entity's degree is corpus-scale, so the neighbor rank can't
+    # go through an unpartitioned row_number; TakeOrdered + rank on the
+    # k survivors (dsir.py:219 discipline)
     w = Window.orderBy(F.col("weight").desc(), F.col("ref").asc())
     neighbors = (
-        # degree-of-one-entity rows: bounded-input global window
-        nbr.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        nbr.orderBy(F.col("weight").desc(), F.col("ref").asc())
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
         .select(
             F.lit("neighbor").alias("section"),
             "rank",

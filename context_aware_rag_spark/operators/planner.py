@@ -127,20 +127,22 @@ def tool_entity_search(
     )
     qn = sum(x * x for x in qvec) ** 0.5 or 1.0
     cos = dot / (norm * F.lit(qn))
+    scored = nodes_with_emb.select(
+        F.col("node_id").alias("result_id"),
+        cos.alias("score"),
+        F.concat_ws(":", F.coalesce(F.col("type"), F.lit("Entity")),
+                    F.col("name")).alias("detail"),
+    )
+    # row_number over an unpartitioned window would single-task the
+    # whole entity vocabulary (corpus-scale at 10^12 turns);
+    # limit-after-sort plans as TakeOrderedAndProject (map-side partial
+    # top-k, k-row driver merge) and the rank is re-derived on the k
+    # survivors only — the dsir.py:219 discipline.
     w = Window.orderBy(F.desc("score"), F.asc("result_id"))
-    # the rank window's input is the topk survivors only (limit before
-    # row_number would reorder); here the scored node table IS small
-    # relative to chunks, and topk bounds the output — the window sorts
-    # |nodes| rows once, same trade-off as W5's per-group top-k
     return (
-        nodes_with_emb.select(
-            F.col("node_id").alias("result_id"),
-            cos.alias("score"),
-            F.concat_ws(":", F.coalesce(F.col("type"), F.lit("Entity")),
-                        F.col("name")).alias("detail"),
-        )
+        scored.orderBy(F.desc("score"), F.asc("result_id"))
+        .limit(int(topk))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
     )
 
 

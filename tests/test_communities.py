@@ -387,3 +387,48 @@ class TestGlobalQA:
         ).collect()[0]
         assert len(got.answer) == 56  # cap + len('[SUM] ')
         assert got.answer.startswith("[SUM] 1) Alice0 (Person)")
+
+
+class TestSearchPlans:
+    def test_global_search_plans_as_take_ordered(self, spark):
+        # community count grows with the corpus: the report rank must
+        # plan as TakeOrderedAndProject with rank re-derived on the k
+        # survivors, never an unpartitioned row_number over all reports
+        reports = spark.createDataFrame(
+            [
+                ("c1", 3, 3, "[SUM] Alice (Person); Bob (Person)"),
+                ("c2", 2, 2, "[SUM] Berlin (Location); Alice (Person)"),
+            ],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        out = communities.community_global_search(reports, "alice", k=5)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_local_search_neighbor_rank_plans_as_take_ordered(self, spark):
+        # a hot entity's degree is corpus-scale: the neighbor rank
+        # rides the same TakeOrdered discipline
+        triples = _triples(
+            spark,
+            [
+                ("c1", "A", "P", "K", "B", "P"),
+                ("c1", "C", "Q", "K", "A", "P"),
+            ],
+        )
+        labels = spark.createDataFrame(
+            [("A::P", "A::P")], "node_id: string, label: string"
+        )
+        reports = spark.createDataFrame(
+            [("A::P", 2, 2, "[SUM] A (P); B (P)")],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        out = communities.community_local_search(
+            labels, reports, triples, "A::P", k=3
+        )
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan

@@ -183,3 +183,31 @@ class TestPlannerParity:
             precompute.planner_trace_table(N_CONVS, "what is Bob Smith testing")
         )
         assert r2 == want
+
+
+class TestEntitySearchPlan:
+    def test_topk_plans_as_take_ordered_not_single_partition(
+        self, spark, trace_inputs
+    ):
+        # the entity vocabulary is corpus-scale at 10^12 turns, so the
+        # top-k must plan as TakeOrderedAndProject (map-side partial
+        # top-k) with rank re-derived on the k survivors — never an
+        # unpartitioned row_number over all scored nodes
+        _with_emb, _edges, nodes, _subs = trace_inputs
+        from context_aware_rag_spark.operators.similarity import (
+            with_text_embeddings,
+        )
+
+        nemb = with_text_embeddings(
+            nodes.select(
+                "node_id",
+                F.col("name"),
+                F.col("type"),
+                F.col("name").alias("text"),
+            )
+        ).drop("text")
+        out = planner.tool_entity_search(nemb, "alice bob", 5)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange SinglePartition" not in plan, plan
