@@ -148,7 +148,14 @@ def tool_entity_search(
 
 def tool_bfs(edges: DataFrame, node_id: str) -> DataFrame:
     """BFS: distinct 1-hop connections of ``node_id``, both directions,
-    ranked deterministically by (rel_type, direction, neighbor)."""
+    ranked deterministically by (rel_type, direction, neighbor).
+
+    The tool returns the FULL neighbor set ranked (no k), and a hot
+    entity's degree is corpus-scale, so the rank rides the two-phase
+    :func:`~.skew.global_rank` (range shuffle + broadcast offsets) —
+    never an unpartitioned row_number over the hop set."""
+    from .skew import global_rank
+
     out = edges.filter(F.col("src") == node_id).select(
         F.col("dst").alias("result_id"), "rel_type", F.lit("out").alias("dir")
     )
@@ -156,12 +163,14 @@ def tool_bfs(edges: DataFrame, node_id: str) -> DataFrame:
         F.col("src").alias("result_id"), "rel_type", F.lit("in").alias("dir")
     )
     hop = out.unionByName(inn).distinct()
-    w = Window.orderBy("rel_type", "dir", "result_id")
-    return hop.withColumn("rank", F.row_number().over(w)).select(
+    ranked, _n = global_rank(
+        hop, ["rel_type", "dir", "result_id"], rank_col="rank"
+    )
+    return ranked.select(
         "result_id",
         F.lit(None).cast("double").alias("score"),
         F.concat_ws(":", "rel_type", "dir").alias("detail"),
-        "rank",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -248,22 +257,26 @@ def tool_subtitle_filter(
     lo_s, hi_s = range_str.split(":")
     lo = int(ps.round_down_to_chunk(float(lo_s), chunk_size_s))
     hi = int(ps.round_up_to_chunk(float(hi_s), chunk_size_s))
-    # global rank window AFTER the range filter: its input is the
-    # in-window subtitle set (window-width x line-rate), never the
-    # corpus — the bounded-input exemption, same as w5's top-k rank
-    w = Window.orderBy("start_s", "result_id")
-    return (
-        subtitles.filter(
-            (F.col("start_s") >= lo) & (F.col("end_s") <= hi)
-        )
-        .select(
-            F.col("sub_id").alias("result_id"),
-            F.lit(None).cast("double").alias("score"),
-            F.concat_ws(":", "start_s", "end_s").alias("detail"),
-            "start_s",
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .drop("start_s")
+    # the tool returns the FULL in-range set ranked (no k), and a wide
+    # range over a long-running track is corpus-scale, so the rank
+    # rides the two-phase global_rank — never an unpartitioned
+    # row_number over the filter result
+    from .skew import global_rank
+
+    in_range = subtitles.filter(
+        (F.col("start_s") >= lo) & (F.col("end_s") <= hi)
+    ).select(
+        F.col("sub_id").alias("result_id"),
+        F.lit(None).cast("double").alias("score"),
+        F.concat_ws(":", "start_s", "end_s").alias("detail"),
+        "start_s",
+    )
+    ranked, _n = global_rank(
+        in_range, ["start_s", "result_id"], rank_col="rank"
+    )
+    return ranked.select(
+        "result_id", "score", "detail",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -342,10 +355,12 @@ def tool_chunk_filter(
     cond = (epoch >= int(lo)) & (epoch <= int(hi))
     if camera_id:
         cond = cond & (F.col("conv_id") == camera_id)
-    # global rank window AFTER the time/camera filter — bounded input
-    # (one camera's chunks in one time window), never the corpus
-    w = Window.orderBy("epoch", "result_id")
-    return (
+    # camera_id is optional: without it the filter result is ALL
+    # cameras in the window — corpus-scale — so the full ranking rides
+    # the two-phase global_rank, never an unpartitioned row_number
+    from .skew import global_rank
+
+    in_range = (
         chunks.withColumn("epoch", epoch)
         .filter(cond)
         .select(
@@ -354,8 +369,11 @@ def tool_chunk_filter(
             F.col("epoch").cast("string").alias("detail"),
             "epoch",
         )
-        .withColumn("rank", F.row_number().over(w))
-        .drop("epoch")
+    )
+    ranked, _n = global_rank(in_range, ["epoch", "result_id"], rank_col="rank")
+    return ranked.select(
+        "result_id", "score", "detail",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

@@ -211,3 +211,50 @@ class TestEntitySearchPlan:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, plan
         assert "Exchange SinglePartition" not in plan, plan
+
+
+class TestFullRankingToolPlans:
+    """The three tools that return a FULL ranking (no k) — BFS,
+    SubtitleFilter, ChunkFilter — ride skew.global_rank (range shuffle
+    + broadcast offsets): no unpartitioned row_number anywhere, so a
+    hot entity / wide time range never funnels through one task."""
+
+    def test_bfs_rank_is_single_partition_free(self, spark, trace_inputs):
+        _with_emb, edges, _nodes, _subs = trace_inputs
+        node = edges.select("src").first()["src"]
+        out = planner.tool_bfs(edges, node)
+        rows = out.collect()
+        assert rows, "fixture node must have neighbors"
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        # ranks follow (rel_type, dir, result_id) exactly
+        ordered = sorted(rows, key=lambda r: (r["detail"], r["result_id"]))
+        assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_subtitle_filter_rank_is_single_partition_free(
+        self, spark, trace_inputs
+    ):
+        *_rest, subs = trace_inputs
+        out = planner.tool_subtitle_filter(subs, "0:60")
+        rows = out.collect()
+        assert rows
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_chunk_filter_rank_is_single_partition_free(
+        self, spark, trace_inputs
+    ):
+        with_emb, *_rest = trace_inputs
+        lo = with_emb.agg(
+            F.min(F.unix_timestamp("ts").cast("long")).alias("lo")
+        ).first()["lo"]
+        out = planner.tool_chunk_filter(
+            with_emb, f"{lo}:{lo + 3600}", camera_id=None
+        )
+        rows = out.collect()
+        assert rows
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
