@@ -380,6 +380,177 @@ def community_local_search(
     return report.unionAll(neighbors)
 
 
+def community_drift_search(
+    reports: DataFrame,
+    triples: DataFrame,
+    query: str,
+    *,
+    k_reports: int = 3,
+    k_follow: int = 3,
+    k_neighbors: int = 5,
+    subj_name: str = "subj_name",
+    subj_type: str = "subj_type",
+    obj_name: str = "obj_name",
+    obj_type: str = "obj_type",
+) -> DataFrame:
+    """GraphRAG DRIFT search, the deterministic skeleton (Microsoft
+    GraphRAG's third query mode beside global and local): a PRIMER pass
+    over the community reports seeds FOLLOW-UP local searches whose
+    results widen the context beyond what either mode alone returns.
+
+    Phases (each deterministic, each a DataFrame op):
+
+    1. PRIMER — :func:`community_global_search` scores every report by
+       distinct-query-term containment and keeps the top
+       ``k_reports``.
+    2. FOLLOW-UP SELECTION — from each primer report, the first
+       ``k_follow`` member clauses (``"name (type)"``, '; '-separated)
+       containing at least one query term become follow-up entities
+       (key = ``name::type``, the entity-graph key). A clause that
+       does not parse as ``name (type)`` selects nothing (dropped,
+       never a malformed key).
+    3. FOLLOW-UP — ONE batched local search for ALL selected entities:
+       the distinct entity set (bounded at k_reports * k_follow rows)
+       broadcast-joins the direction-unioned triple scan, and each
+       entity's neighbors rank by (assertion count DESC, neighbor key
+       ASC), top ``k_neighbors`` per entity via a PARTITIONED window
+       (the W5 shape — parallel across entities, never a global sort).
+
+    Returns (section, entity, rank, ref, text, weight):
+
+    - section='primer':   entity NULL, rank = report rank, ref =
+      community, text = summary, weight = term score;
+    - section='selected': entity = follow-up key, rank = clause order
+      within its report, ref = community it came from, text = the
+      clause, weight = the report's primer rank;
+    - section='followup': entity = follow-up key, rank = neighbor rank
+      within that entity, ref = neighbor key, text = "name (type)",
+      weight = assertion count at the caller's triple grain.
+
+    100 TB shape: the primer is report-table-sized (TakeOrdered); the
+    selection is arithmetic on k_reports rows; the follow-up leg costs
+    ONE scan of the triple table regardless of how many follow-ups the
+    primer produced (contrast per-entity
+    :func:`community_local_search` calls: N scans), with the entity
+    set broadcast because it is k-bounded by construction.
+    """
+    if k_reports < 1:
+        raise ValueError(f"need k_reports >= 1, got {k_reports}")
+    if k_follow < 1:
+        raise ValueError(f"need k_follow >= 1, got {k_follow}")
+    if k_neighbors < 1:
+        raise ValueError(f"need k_neighbors >= 1, got {k_neighbors}")
+    terms = sorted({t for t in query.lower().split() if t})
+
+    primer_hits = community_global_search(reports, query, k=k_reports)
+    primer = primer_hits.select(
+        F.lit("primer").alias("section"),
+        F.lit(None).cast("string").alias("entity"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("community").alias("ref"),
+        F.col("summary").alias("text"),
+        F.col("score").cast("long").alias("weight"),
+    )
+
+    # ---- follow-up selection: first k_follow term-matching clauses --
+    clauses = F.split(F.substring(F.col("summary"), 7, 1_000_000), "; ")
+    matching = F.filter(
+        clauses,
+        lambda s: F.reduce(
+            F.array(*[F.lit(t) for t in terms]),
+            F.lit(False),
+            lambda acc, t: acc | (F.instr(F.lower(s), t) > 0),
+        ),
+    )
+    _pat = r"^(.*) \(([^()]*)\)$"
+    sel = (
+        primer_hits.select(
+            F.col("rank").alias("_prank"),
+            F.col("community").alias("_comm"),
+            F.posexplode(F.slice(matching, 1, int(k_follow))).alias(
+                "_pos", "_clause"
+            ),
+        )
+        .select(
+            "_prank",
+            "_comm",
+            (F.col("_pos") + 1).cast("int").alias("_ord"),
+            "_clause",
+            F.regexp_extract(F.col("_clause"), _pat, 1).alias("_nm"),
+            F.regexp_extract(F.col("_clause"), _pat, 2).alias("_ty"),
+        )
+        .filter(F.col("_nm") != "")
+        .withColumn(
+            "entity", F.concat(F.col("_nm"), F.lit("::"), F.col("_ty"))
+        )
+        .localCheckpoint()  # k-bounded; pins the broadcast side
+    )
+    selected = sel.select(
+        F.lit("selected").alias("section"),
+        "entity",
+        F.col("_ord").alias("rank"),
+        F.col("_comm").alias("ref"),
+        F.col("_clause").alias("text"),
+        F.col("_prank").cast("long").alias("weight"),
+    )
+
+    # ---- one batched local search for every follow-up entity --------
+    sk = F.concat(
+        F.col(subj_name), F.lit("::"),
+        F.coalesce(F.col(subj_type), F.lit("Entity")),
+    )
+    ok = F.concat(
+        F.col(obj_name), F.lit("::"),
+        F.coalesce(F.col(obj_type), F.lit("Entity")),
+    )
+    named = triples.filter(
+        F.col(subj_name).isNotNull() & F.col(obj_name).isNotNull()
+    ).select(
+        sk.alias("_sk"), ok.alias("_ok"),
+        F.col(subj_name).alias("_sn"),
+        F.coalesce(F.col(subj_type), F.lit("Entity")).alias("_st"),
+        F.col(obj_name).alias("_on"),
+        F.coalesce(F.col(obj_type), F.lit("Entity")).alias("_ot"),
+    ).filter(F.col("_sk") != F.col("_ok"))
+    both = named.select(
+        F.col("_sk").alias("entity"),
+        F.col("_ok").alias("ref"),
+        F.col("_on").alias("_nm"),
+        F.col("_ot").alias("_ty"),
+    ).unionAll(
+        named.select(
+            F.col("_ok").alias("entity"),
+            F.col("_sk").alias("ref"),
+            F.col("_sn").alias("_nm"),
+            F.col("_st").alias("_ty"),
+        )
+    )
+    ents = sel.select("entity").distinct()
+    nbr = (
+        both.join(F.broadcast(ents), "entity")
+        .groupBy("entity", "ref", "_nm", "_ty")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    wf = Window.partitionBy("entity").orderBy(
+        F.col("weight").desc(), F.col("ref").asc()
+    )
+    followup = (
+        nbr.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= int(k_neighbors))
+        .select(
+            F.lit("followup").alias("section"),
+            "entity",
+            F.col("rank").cast("int").alias("rank"),
+            "ref",
+            F.concat(
+                F.col("_nm"), F.lit(" ("), F.col("_ty"), F.lit(")")
+            ).alias("text"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+    return primer.unionAll(selected).unionAll(followup)
+
+
 def community_global_qa(
     reports: DataFrame,
     query: str,

@@ -9161,6 +9161,118 @@ def kg_community_global_qa_q(spark, sf_dir):
     )
 
 
+@xq(
+    "kg_community_drift_search",
+    f"""
+    WITH scored AS (
+      SELECT community,
+             CAST(
+               CASE WHEN position('alice' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END
+             + CASE WHEN position('berlin' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END
+             + CASE WHEN position('johnson' IN lower(summary)) > 0
+                    THEN 1 ELSE 0 END AS INTEGER) AS score,
+             summary
+      FROM read_parquet('{_pq("kg_community_reports")}')
+    ),
+    sel AS (
+      SELECT * FROM (
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, community)
+                    AS INTEGER) AS rank, community, score, summary
+        FROM scored WHERE score > 0
+      ) WHERE rank <= 5
+    ),
+    fl AS (
+      SELECT rank, community,
+             list_filter(
+               string_split(substring(summary, 7), '; '),
+               s -> position('alice' IN lower(s)) > 0
+                 OR position('berlin' IN lower(s)) > 0
+                 OR position('johnson' IN lower(s)) > 0) AS fl
+      FROM sel
+    ),
+    cl AS (
+      SELECT rank, community,
+             unnest(fl) AS clause,
+             unnest(range(1, len(fl) + 1)) AS ord
+      FROM fl
+    ),
+    fu AS (
+      SELECT rank, community, clause, CAST(ord AS INTEGER) AS ord,
+             regexp_extract(clause, '^(.*) \\(([^()]*)\\)$', 1) AS nm,
+             regexp_extract(clause, '^(.*) \\(([^()]*)\\)$', 2) AS ty
+      FROM cl
+      WHERE ord <= 3
+        AND regexp_extract(clause, '^(.*) \\(([^()]*)\\)$', 1) <> ''
+    ),
+    keyed AS (
+      SELECT subj_name || '::' || coalesce(subj_type, 'Entity') AS sk,
+             subj_name AS sn, coalesce(subj_type, 'Entity') AS st,
+             obj_name || '::' || coalesce(obj_type, 'Entity') AS ok,
+             obj_name AS onm, coalesce(obj_type, 'Entity') AS ot
+      FROM read_parquet('{_pq("kg_triples")}')
+      WHERE subj_name IS NOT NULL AND obj_name IS NOT NULL
+    ),
+    both_dir AS (
+      SELECT sk AS entity, ok AS ref, onm AS nm, ot AS ty
+      FROM keyed WHERE sk <> ok
+      UNION ALL
+      SELECT ok AS entity, sk AS ref, sn AS nm, st AS ty
+      FROM keyed WHERE sk <> ok
+    ),
+    ents AS (SELECT DISTINCT nm || '::' || ty AS entity FROM fu),
+    nbr AS (
+      SELECT b.entity, b.ref, b.nm, b.ty, count(*) AS weight
+      FROM both_dir b JOIN ents e ON b.entity = e.entity
+      GROUP BY 1, 2, 3, 4
+    ),
+    frows AS (
+      SELECT 'followup' AS section, entity,
+             CAST(row_number() OVER (PARTITION BY entity
+                                     ORDER BY weight DESC, ref)
+                  AS INTEGER) AS rank,
+             ref, nm || ' (' || ty || ')' AS text,
+             CAST(weight AS BIGINT) AS weight
+      FROM nbr
+    )
+    SELECT 'primer' AS section, CAST(NULL AS VARCHAR) AS entity, rank,
+           community AS ref, summary AS text, CAST(score AS BIGINT) AS weight
+    FROM sel
+    UNION ALL
+    SELECT 'selected' AS section, nm || '::' || ty AS entity, ord AS rank,
+           community AS ref, clause AS text, CAST(rank AS BIGINT) AS weight
+    FROM fu
+    UNION ALL
+    SELECT section, entity, rank, ref, text, weight
+    FROM frows WHERE rank <= 5
+    """,
+)
+def kg_community_drift_search_q(spark, sf_dir):
+    """GraphRAG DRIFT search: primer over the community reports (term
+    containment, top-5), follow-up entity selection from each primer
+    report's first 3 term-matching member clauses, then ONE batched
+    local search (broadcast entity set against the direction-unioned
+    triple scan) ranking each follow-up entity's neighbors. The live
+    leg recomputes everything from the pipeline; the twin is PURE SQL
+    over the kg_triples / kg_community_reports snapshots — the hash
+    gates primer scoring, clause selection order, the name::type key
+    parse, the per-entity neighbor rank, and the three-section package
+    shape together."""
+    from ..operators import communities
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    triples = res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    nodes, edges = communities.entity_graph(triples, min_count=10)
+    reports = communities.community_reports(nodes, edges, max_members=12)
+    return communities.community_drift_search(
+        reports, triples, "Alice Johnson Berlin",
+        k_reports=5, k_follow=3, k_neighbors=5,
+    )
+
+
 # =========================================================================
 # Corpus-drift monitoring: Population Stability Index between snapshots
 # =========================================================================

@@ -389,6 +389,121 @@ class TestGlobalQA:
         assert got.answer.startswith("[SUM] 1) Alice0 (Person)")
 
 
+def _drift_corpus(spark):
+    # two triangle communities (triangles are LPA-stable); Alice-Bob
+    # asserted twice so the neighbor weights are distinguishable
+    rows = [
+        ("c1", "Alice", "Person", "KNOWS", "Bob", "Person"),
+        ("c2", "Alice", "Person", "KNOWS", "Bob", "Person"),
+        ("c1", "Alice", "Person", "KNOWS", "Carol", "Person"),
+        ("c1", "Bob", "Person", "KNOWS", "Carol", "Person"),
+        ("c1", "Berlin", "Location", "NEAR", "Hamburg", "Location"),
+        ("c1", "Berlin", "Location", "NEAR", "Munich", "Location"),
+        ("c1", "Hamburg", "Location", "NEAR", "Munich", "Location"),
+    ]
+    return _triples(spark, rows)
+
+
+class TestDriftSearch:
+    def test_exact_package(self, spark):
+        t = _drift_corpus(spark)
+        nodes, edges = communities.entity_graph(t)
+        reports = communities.community_reports(nodes, edges)
+        out = communities.community_drift_search(
+            reports, t, "alice berlin", k_reports=3, k_follow=3,
+            k_neighbors=5,
+        )
+        got = sorted(tuple(r) for r in out.collect())
+        p_sum = "[SUM] Alice (Person); Bob (Person); Carol (Person)"
+        l_sum = "[SUM] Berlin (Location); Hamburg (Location); Munich (Location)"
+        want = sorted([
+            ("primer", None, 1, "Alice::Person", p_sum, 1),
+            ("primer", None, 2, "Berlin::Location", l_sum, 1),
+            ("selected", "Alice::Person", 1, "Alice::Person",
+             "Alice (Person)", 1),
+            ("selected", "Berlin::Location", 1, "Berlin::Location",
+             "Berlin (Location)", 2),
+            ("followup", "Alice::Person", 1, "Bob::Person",
+             "Bob (Person)", 2),
+            ("followup", "Alice::Person", 2, "Carol::Person",
+             "Carol (Person)", 1),
+            ("followup", "Berlin::Location", 1, "Hamburg::Location",
+             "Hamburg (Location)", 1),
+            ("followup", "Berlin::Location", 2, "Munich::Location",
+             "Munich (Location)", 1),
+        ])
+        assert got == want
+
+    def test_k_follow_bounds_selection(self, spark):
+        # query "person" matches every clause of the Person report (and
+        # none of the Location one): only the first k_follow clauses
+        # select follow-ups, in clause order
+        t = _drift_corpus(spark)
+        nodes, edges = communities.entity_graph(t)
+        reports = communities.community_reports(nodes, edges)
+        out = communities.community_drift_search(
+            reports, t, "person", k_follow=2
+        ).collect()
+        sel = sorted(
+            (r.rank, r.entity) for r in out if r.section == "selected"
+        )
+        assert sel == [(1, "Alice::Person"), (2, "Bob::Person")]
+        fu_entities = {r.entity for r in out if r.section == "followup"}
+        assert fu_entities == {"Alice::Person", "Bob::Person"}
+        assert not any(r.section == "primer" and "Location" in r.ref
+                       for r in out)
+
+    def test_unparseable_clause_selects_nothing(self, spark):
+        reports = spark.createDataFrame(
+            [("c1", 1, 1, "[SUM] garbage-without-parens")],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        t = _drift_corpus(spark)
+        out = communities.community_drift_search(
+            reports, t, "garbage"
+        ).collect()
+        assert [r.section for r in out] == ["primer"]
+
+    def test_entity_selected_by_two_reports_followed_up_once(self, spark):
+        # "Alice (Person)" matches in BOTH hand-built reports: two
+        # selected rows (one per report), ONE follow-up neighbor set
+        reports = spark.createDataFrame(
+            [
+                ("r1", 2, 2, "[SUM] Alice (Person); Bob (Person)"),
+                ("r2", 2, 2, "[SUM] Alice (Person); Carol (Person)"),
+            ],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        t = _drift_corpus(spark)
+        out = communities.community_drift_search(
+            reports, t, "alice"
+        ).collect()
+        sel = sorted(
+            (r.ref, r.entity, int(r.weight))
+            for r in out if r.section == "selected"
+        )
+        assert sel == [("r1", "Alice::Person", 1), ("r2", "Alice::Person", 2)]
+        fu = sorted(
+            (r.rank, r.ref) for r in out if r.section == "followup"
+        )
+        assert fu == [(1, "Bob::Person"), (2, "Carol::Person")]
+
+    def test_validation(self, spark):
+        t = _drift_corpus(spark)
+        reports = spark.createDataFrame(
+            [("r1", 1, 1, "[SUM] A (T)")],
+            "community: string, n_members: long, n_listed: long, "
+            "summary: string",
+        )
+        for kw in ("k_reports", "k_follow", "k_neighbors"):
+            with pytest.raises(ValueError):
+                communities.community_drift_search(
+                    reports, t, "a", **{kw: 0}
+                )
+
+
 class TestSearchPlans:
     def test_global_search_plans_as_take_ordered(self, spark):
         # community count grows with the corpus: the report rank must
