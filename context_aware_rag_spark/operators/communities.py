@@ -380,6 +380,119 @@ def community_local_search(
     return report.unionAll(neighbors)
 
 
+def entity_reports(
+    triples: DataFrame,
+    *,
+    max_facts: int = 20,
+    min_facts: int = 1,
+    cap: int = 400,
+    summarize_udf=None,
+    subj_name: str = "subj_name",
+    subj_type: str = "subj_type",
+    pred: str = "pred",
+    obj_name: str = "obj_name",
+    obj_type: str = "obj_type",
+) -> DataFrame:
+    """GraphRAG element summarization (Edge et al. 2024 §2.2): one
+    merged description per entity, synthesized from every assertion
+    that mentions it — the pipeline stage between extraction and the
+    community layer that collapses an entity's scattered per-chunk
+    descriptions into one canonical text.
+
+    Facts are direction-rendered clauses at the caller's triple grain:
+    ``"pred obj_name (obj_type)"`` where the entity is the subject and
+    ``"subj_name (subj_type) pred"`` where it is the object, weighted
+    by how many input rows assert them (pass conv-grain distinct
+    triples to weight by conversations, instance triples to weight by
+    mention). Per entity, facts rank (weight DESC, clause ASC); the
+    first ``max_facts`` are joined '; ' and routed through the U4
+    fake-LLM summarize cycle (description ==
+    ``("[SUM] " + text)[:cap + 6]`` in lossless mode — the pure-SQL
+    twin pin). Entities with fewer than ``min_facts`` distinct facts
+    are dropped (an entity asserted once has nothing to merge).
+
+    Returns (entity, name, type, n_facts, n_listed, description) with
+    entity = ``name::coalesce(type,'Entity')`` — the entity-graph key,
+    so this joins directly onto labels/reports/local search.
+
+    100 TB shape: ONE direction-unioned scan of the triple table, one
+    (entity, clause)-keyed map-side-combined groupBy, then the
+    community_reports clamp discipline — the per-entity rank window
+    filters at max_facts BEFORE collect_list, so a hub entity (the KG
+    skew case) costs max_facts rows in the collect, never its full
+    assertion set. The summarize UDF sees one bounded row per entity.
+    """
+    from .summarize import llm_summarize_udf
+
+    if max_facts < 1:
+        raise ValueError(f"need max_facts >= 1, got {max_facts}")
+    if min_facts < 1:
+        raise ValueError(f"need min_facts >= 1, got {min_facts}")
+    if summarize_udf is None:
+        summarize_udf = llm_summarize_udf(cap)
+
+    named = triples.filter(
+        F.col(subj_name).isNotNull() & F.col(obj_name).isNotNull()
+    ).select(
+        F.col(subj_name).alias("_sn"),
+        F.coalesce(F.col(subj_type), F.lit("Entity")).alias("_st"),
+        F.col(pred).alias("_p"),
+        F.col(obj_name).alias("_on"),
+        F.coalesce(F.col(obj_type), F.lit("Entity")).alias("_ot"),
+    )
+    facts = named.select(
+        F.concat(F.col("_sn"), F.lit("::"), F.col("_st")).alias("entity"),
+        F.col("_sn").alias("name"),
+        F.col("_st").alias("type"),
+        F.concat(
+            F.col("_p"), F.lit(" "), F.col("_on"),
+            F.lit(" ("), F.col("_ot"), F.lit(")"),
+        ).alias("clause"),
+    ).unionAll(
+        named.select(
+            F.concat(F.col("_on"), F.lit("::"), F.col("_ot")).alias("entity"),
+            F.col("_on").alias("name"),
+            F.col("_ot").alias("type"),
+            F.concat(
+                F.col("_sn"), F.lit(" ("), F.col("_st"), F.lit(") "),
+                F.col("_p"),
+            ).alias("clause"),
+        )
+    )
+    counted = facts.groupBy("entity", "name", "type", "clause").agg(
+        F.count(F.lit(1)).alias("_w")
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.col("_w").desc(), F.col("clause").asc()
+    )
+    ranked = counted.select(
+        "entity", "name", "type", "clause",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("entity")).alias("_total"),
+    ).filter(F.col("_rk") <= int(max_facts))
+    return (
+        ranked.groupBy("entity")
+        .agg(
+            F.min("name").alias("name"),
+            F.min("type").alias("type"),
+            F.max("_total").alias("n_facts"),
+            F.count(F.lit(1)).alias("n_listed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rk", "clause"))),
+                    lambda x: x.clause,
+                ),
+                "; ",
+            ).alias("_facts"),
+        )
+        .filter(F.col("n_facts") >= int(min_facts))
+        .select(
+            "entity", "name", "type", "n_facts", "n_listed",
+            summarize_udf(F.col("_facts")).alias("description"),
+        )
+    )
+
+
 def community_drift_search(
     reports: DataFrame,
     triples: DataFrame,

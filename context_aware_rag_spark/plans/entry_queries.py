@@ -9162,6 +9162,63 @@ def kg_community_global_qa_q(spark, sf_dir):
 
 
 @xq(
+    "kg_entity_reports",
+    f"""
+    WITH named AS (
+      SELECT subj_name AS sn, coalesce(subj_type, 'Entity') AS st,
+             pred AS p,
+             obj_name AS onm, coalesce(obj_type, 'Entity') AS ot
+      FROM read_parquet('{_pq("kg_triples")}')
+      WHERE subj_name IS NOT NULL AND obj_name IS NOT NULL
+    ),
+    facts AS (
+      SELECT sn || '::' || st AS entity, sn AS name, st AS type,
+             p || ' ' || onm || ' (' || ot || ')' AS clause
+      FROM named
+      UNION ALL
+      SELECT onm || '::' || ot AS entity, onm AS name, ot AS type,
+             sn || ' (' || st || ') ' || p AS clause
+      FROM named
+    ),
+    counted AS (
+      SELECT entity, name, type, clause, count(*) AS w
+      FROM facts GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT entity, name, type, clause,
+             row_number() OVER (PARTITION BY entity
+                                ORDER BY w DESC, clause) AS rk,
+             count(*) OVER (PARTITION BY entity) AS total
+      FROM counted
+    )
+    SELECT entity, min(name) AS name, min(type) AS type,
+           max(total) AS n_facts, count(*) AS n_listed,
+           substring('[SUM] ' || string_agg(clause, '; ' ORDER BY rk),
+                     1, 406) AS description
+    FROM ranked WHERE rk <= 200
+    GROUP BY entity
+    HAVING max(total) >= 130
+    """,
+)
+def kg_entity_reports_q(spark, sf_dir):
+    """GraphRAG element summarization: one merged description per
+    entity from every assertion mentioning it (direction-rendered
+    clauses at conv-distinct grain, weight = conversations asserting
+    the fact), facts ranked (weight DESC, clause ASC), first 8 listed,
+    entities with < 3 facts gated out — both the hub clamp and the
+    singleton gate are live at sf0.01. Twin = the identical
+    construction in pure SQL over the kg_triples snapshot with the
+    U4 lossless-mode cap pin (substring 406)."""
+    from ..operators import communities
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    triples = res.triples.select(
+        "conv_id", "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    return communities.entity_reports(triples, max_facts=200, min_facts=130)
+
+
+@xq(
     "kg_community_drift_search",
     f"""
     WITH scored AS (

@@ -389,6 +389,67 @@ class TestGlobalQA:
         assert got.answer.startswith("[SUM] 1) Alice0 (Person)")
 
 
+class TestEntityReports:
+    def test_exact_descriptions(self, spark):
+        t = _triples(
+            spark,
+            [
+                ("c1", "Alice", "Person", "KNOWS", "Bob", "Person"),
+                ("c2", "Alice", "Person", "KNOWS", "Bob", "Person"),
+                ("c1", "Alice", "Person", "VISITS", "Berlin", "Location"),
+            ],
+        )
+        rows = {
+            r.entity: r for r in communities.entity_reports(t).collect()
+        }
+        a = rows["Alice::Person"]
+        # KNOWS Bob asserted twice -> weight 2 ranks first
+        assert (a.name, a.type, a.n_facts, a.n_listed) == (
+            "Alice", "Person", 2, 2
+        )
+        assert a.description == "[SUM] KNOWS Bob (Person); VISITS Berlin (Location)"
+        b = rows["Bob::Person"]
+        assert b.description == "[SUM] Alice (Person) KNOWS"
+        assert rows["Berlin::Location"].description == "[SUM] Alice (Person) VISITS"
+
+    def test_max_facts_clamp_and_min_facts_gate(self, spark):
+        rows = [("c1", "Hub", "T", "P%d" % i, "N%d" % i, "T")
+                for i in range(5)]
+        rows.append(("c1", "Solo", "T", "P", "Other", "T"))
+        t = _triples(spark, rows)
+        got = {
+            r.entity: r
+            for r in communities.entity_reports(
+                t, max_facts=2, min_facts=2
+            ).collect()
+        }
+        # Hub: 5 facts, 2 listed; N*/Solo/Other each have 1 fact -> gated
+        assert set(got) == {"Hub::T"}
+        h = got["Hub::T"]
+        assert (h.n_facts, h.n_listed) == (5, 2)
+        assert h.description == "[SUM] P0 N0 (T); P1 N1 (T)"
+
+    def test_null_type_coalesced_null_name_dropped(self, spark):
+        t = _triples(
+            spark,
+            [
+                ("c1", "A", None, "P", "B", "Person"),
+                ("c1", None, "X", "P", "B", "Person"),
+            ],
+        )
+        got = {r.entity: r for r in communities.entity_reports(t).collect()}
+        assert set(got) == {"A::Entity", "B::Person"}
+        assert got["A::Entity"].description == "[SUM] P B (Person)"
+        assert got["B::Person"].description == "[SUM] A (Entity) P"
+
+    def test_validation(self, spark):
+        t = _triples(spark, [("c1", "A", "T", "P", "B", "T")])
+        with pytest.raises(ValueError):
+            communities.entity_reports(t, max_facts=0)
+        with pytest.raises(ValueError):
+            communities.entity_reports(t, min_facts=0)
+
+
 def _drift_corpus(spark):
     # two triangle communities (triangles are LPA-stable); Alice-Bob
     # asserted twice so the neighbor weights are distinguishable
