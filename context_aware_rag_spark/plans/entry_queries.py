@@ -2765,7 +2765,7 @@ def kg_canonical_incremental(spark, sf_dir):
     return canonicalize_incremental(n1, map1, n2, threshold=cfg.duplicate_score)
 
 
-@q(
+@xq(
     "kg_nodes_with_tools",
     f"""
     SELECT node_id, name, type, tools, n_tools
@@ -9218,7 +9218,7 @@ def kg_entity_reports_q(spark, sf_dir):
     return communities.entity_reports(triples, max_facts=200, min_facts=130)
 
 
-@xq(
+@q(
     "kg_community_drift_search",
     f"""
     WITH scored AS (
