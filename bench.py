@@ -129,6 +129,7 @@ def main() -> None:
         "sft_pairs_100x",
         "texttiling_100x",
         "kg_communities_100x",
+        "kg_entity_reports_100x",
     ):
         samples[extra] = []
 
@@ -416,6 +417,18 @@ def main() -> None:
             round(time.monotonic() - t0, 3)
         )
 
+        # GraphRAG element summarization over the 100x KG: ONE
+        # direction-unioned triple scan + (entity, clause) map-side
+        # agg + per-entity clamp window + bounded collect per entity
+        settle(spark, keep, touch=triples100)
+        t0 = time.monotonic()
+        kg_counts["n_entity_reports_100x"] = comm_ops.entity_reports(
+            triples100, max_facts=12, min_facts=3
+        ).count()
+        samples["kg_entity_reports_100x"].append(
+            round(time.monotonic() - t0, 3)
+        )
+
         # TextRank extractive summaries over a 2k-doc slice: sentence
         # split + per-doc similarity self-join + ONE corpus-wide
         # integer-PageRank power iteration over the sentence graph
@@ -475,6 +488,12 @@ def main() -> None:
         "textrank_2k",
         "sft_pairs_100x",
         "texttiling_100x",
+        # round-5 entries: scale-mode, never in the r1-r3-comparable
+        # headline (kg_communities_100x leaked into the headline for
+        # part of round 5 — sf0.1 session records before the fix carry
+        # the inflation; BASELINE.md notes it)
+        "kg_communities_100x",
+        "kg_entity_reports_100x",
     )
     total = round(
         sum(v for k, v in timings.items() if k not in scale_entries), 3
