@@ -1,0 +1,179 @@
+"""Temporal fact semantics + consistency QA over the extracted KG.
+
+Two operators a production KG-construction pipeline needs once the
+triple stream spans time (the reference's graph stores per-chunk
+timestamps — graph_ingestion.py:155-164 prefixes every chunk with its
+turn timestamps, and the Arango/Neo4j schemas keep chunk ``start``/
+``end`` metadata — but its retrieval layer treats facts as eternal;
+these operators materialize the valid-time view a transcript KG at
+10^12 turns actually requires):
+
+``fact_assertions`` / ``fact_intervals``
+    Run-length-encode each (subj, pred)'s assertion sequence into
+    validity intervals: a fact (subj, pred, obj) is valid from its
+    first assertion until the first later assertion of a DIFFERENT
+    object under the same (subj, pred) — the standard valid-time
+    reading of a functional slot ("vm-a102 hosted_on rack-7" holds
+    until the transcripts start saying "rack-9"). Open intervals
+    (current facts) have ``valid_to = NULL``.
+
+``functional_violations``
+    AMIE-style consistency census: for every predicate, the integer
+    functionality profile (distinct subjects vs distinct (subj, obj)
+    pairs — Galárraga et al., WWW'13, same statistic as
+    rules.relation_profile), and for every (pred, subj) slot asserted
+    with ≥2 distinct objects, the sorted object list. High-
+    functionality predicates with multi-object slots are the KG's
+    contradiction candidates; downstream curation triages them by the
+    attached integer profile, no float thresholds involved.
+
+100 TB shape
+------------
+``fact_intervals`` costs ONE hash exchange on (subj_name, pred): both
+row_number windows, the island aggregation, and the ``valid_to`` lead
+all declare distribution requirements that hashpartitioning(subj, pred)
+already satisfies (window/groupBy keys are supersets), so Catalyst
+inserts a single Exchange and re-sorts locally — plan-asserted in
+tests/test_facts.py. Skew: the partition key is (subj, pred), far finer
+than per-predicate, and the per-slot assertion count is bounded by how
+often one entity's one slot is re-asserted — the Zipf-hot ENTITY does
+not concentrate a partition because its assertions spread over its
+predicates. ``functional_violations`` is two map-side-combinable
+aggregations over distinct triples plus a broadcast join against the
+vocabulary-sized predicate profile.
+
+Determinism: assertion order within (subj, pred) is (ts_s, obj_name) —
+total, because assertions are distinct on exactly those columns —  so
+island numbering, interval bounds, and the concatenated object lists
+are reproducible across partitionings and engines. Timestamps travel
+as integer epoch seconds (``ts_s``), never as engine-local timestamp
+types, so the DuckDB twins hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fact_assertions(triples: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Distinct timed assertions (subj_name, pred, obj_name, ts_s).
+
+    ``triples`` is the extraction output (carries conv_id + chunk_id
+    provenance, extraction.py:34); ``chunks`` the chunking output
+    (carries one ``ts`` per chunk, chunking.py:38). The assertion time
+    of a triple is the MIN timestamp over the chunk rows bearing its
+    chunk id (a chunk id can legitimately repeat inside a conversation
+    when the same text recurs — sha1(text, conv_id) — and min() makes
+    the choice deterministic). Cross-conversation re-assertions are
+    distinct assertions; the (conv, chunk) provenance is then dropped
+    so intervals describe the GLOBAL knowledge timeline.
+    """
+    chunk_ts = chunks.groupBy("conv_id", "chunk_id").agg(
+        F.min("ts").alias("ts")
+    )
+    return (
+        triples.select("conv_id", "chunk_id", "subj_name", "pred", "obj_name")
+        .join(chunk_ts, ["conv_id", "chunk_id"])
+        .select(
+            "subj_name",
+            "pred",
+            "obj_name",
+            F.col("ts").cast("long").alias("ts_s"),
+        )
+        .distinct()
+    )
+
+
+def fact_intervals(assertions: DataFrame) -> DataFrame:
+    """Valid-time intervals per (subj, pred) via gaps-and-islands.
+
+    Input: distinct (subj_name, pred, obj_name, ts_s) rows
+    (:func:`fact_assertions`). Consecutive assertions of the same
+    object (in (ts_s, obj_name) order within a (subj, pred) slot)
+    collapse into one interval; a different object closes the previous
+    interval at its own first assertion time. Output columns:
+
+    (subj_name, pred, obj_name, valid_from, valid_to, n_asserts)
+
+    with ``valid_to`` NULL for the slot's current (last) object run and
+    epoch-second longs elsewhere. Re-assertion of an earlier object
+    opens a NEW interval (history is preserved, not merged) — run-
+    length semantics, identical to the DuckDB twin's.
+    """
+    slot = Window.partitionBy("subj_name", "pred").orderBy("ts_s", "obj_name")
+    run = Window.partitionBy("subj_name", "pred", "obj_name").orderBy(
+        "ts_s", "obj_name"
+    )
+    # rn over the slot first: the Exchange lands on (subj, pred) and
+    # every later requirement is satisfied by subset-of-keys clustering.
+    numbered = assertions.withColumn(
+        "rn_all", F.row_number().over(slot)
+    ).withColumn("island", F.col("rn_all") - F.row_number().over(run))
+    islands = numbered.groupBy("subj_name", "pred", "obj_name", "island").agg(
+        F.min("ts_s").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_asserts"),
+        F.min("rn_all").alias("_start_rn"),
+    )
+    order = Window.partitionBy("subj_name", "pred").orderBy("_start_rn")
+    return islands.select(
+        "subj_name",
+        "pred",
+        "obj_name",
+        "valid_from",
+        F.lead("valid_from").over(order).alias("valid_to"),
+        "n_asserts",
+    )
+
+
+def functional_violations(
+    triples: DataFrame,
+    min_objects: int = 2,
+    min_functionality_ppt: int = 0,
+) -> DataFrame:
+    """Multi-object slots under each predicate's functionality profile.
+
+    For the distinct name-level triple set: per-predicate integer
+    functionality (n_subj_pred distinct subjects over n_pairs_pred
+    distinct (subj, obj) pairs — ≈1000 ppt means "one object per
+    subject almost always", the slots where a second object is a
+    contradiction, not a valid multi-value). Emits every (pred, subj)
+    slot with ≥ ``min_objects`` distinct objects, its sorted object
+    list, and the predicate profile; ``min_functionality_ppt`` gates on
+    integer parts-per-thousand (n_subj_pred * 1000 >= ppt *
+    n_pairs_pred) so no float comparison is involved.
+    """
+    if min_objects < 2:
+        raise ValueError("min_objects must be >= 2 (a violation needs two)")
+    if not 0 <= min_functionality_ppt <= 1000:
+        raise ValueError("min_functionality_ppt must be in [0, 1000]")
+    base = triples.select("subj_name", "pred", "obj_name").distinct()
+    prof = base.groupBy("pred").agg(
+        F.countDistinct("subj_name").alias("n_subj_pred"),
+        F.count(F.lit(1)).alias("n_pairs_pred"),
+    )
+    slots = (
+        base.groupBy("pred", "subj_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.concat_ws(",", F.sort_array(F.collect_list("obj_name"))).alias(
+                "objects"
+            ),
+        )
+        .filter(F.col("n_objects") >= min_objects)
+    )
+    return (
+        slots.join(F.broadcast(prof), "pred")
+        .filter(
+            F.col("n_subj_pred") * F.lit(1000)
+            >= F.lit(min_functionality_ppt) * F.col("n_pairs_pred")
+        )
+        .select(
+            "pred",
+            "subj_name",
+            "n_objects",
+            "objects",
+            "n_subj_pred",
+            "n_pairs_pred",
+        )
+    )

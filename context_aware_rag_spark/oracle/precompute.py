@@ -235,6 +235,30 @@ def kg_tables(n_convs: int) -> Dict[str, List[tuple]]:
     # s6_batch_summaries over the raw transcript rows
     tables["s6_batch_summaries"] = s6_batches_py(rows)
 
+    # kg_fact_assertions: distinct timed assertions feeding the
+    # valid-time operators (operators/facts.py). Assertion time = MIN
+    # turn timestamp over the chunk rows bearing the triple's chunk id
+    # (a chunk id repeats when identical text recurs in a conversation),
+    # emitted as integer epoch seconds so both engines hash the same.
+    ts_at = {(r[0], r[1]): r[5] for r in rows}
+    chunk_min_ts: Dict[tuple, "object"] = {}
+    for c in res.chunks:
+        key = (c["conv_id"], c["chunk_id"])
+        t = ts_at[(c["conv_id"], c["turn_idx"])]
+        if key not in chunk_min_ts or t < chunk_min_ts[key]:
+            chunk_min_ts[key] = t
+    tables["kg_fact_assertions"] = sorted(
+        {
+            (
+                t["subj_name"],
+                t["pred"],
+                t["obj_name"],
+                int(chunk_min_ts[(t["conv_id"], t["chunk_id"])].timestamp()),
+            )
+            for t in res.triples
+        }
+    )
+
     return tables
 
 

@@ -2692,6 +2692,79 @@ def kg_triples_json_llm(spark, sf_dir):
     ).distinct()
 
 
+@xq(
+    "kg_fact_intervals",
+    f"""
+    WITH r AS (
+        SELECT subj_name, pred, obj_name, ts_s,
+               row_number() OVER (PARTITION BY subj_name, pred
+                                  ORDER BY ts_s, obj_name) AS rn_all,
+               row_number() OVER (PARTITION BY subj_name, pred, obj_name
+                                  ORDER BY ts_s, obj_name) AS rn_obj
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+    ),
+    g AS (
+        SELECT subj_name, pred, obj_name,
+               min(ts_s) AS valid_from,
+               count(*) AS n_asserts,
+               min(rn_all) AS start_rn
+        FROM r
+        GROUP BY subj_name, pred, obj_name, rn_all - rn_obj
+    )
+    SELECT subj_name, pred, obj_name, valid_from,
+           lead(valid_from) OVER (PARTITION BY subj_name, pred
+                                  ORDER BY start_rn) AS valid_to,
+           n_asserts
+    FROM g
+    """,
+)
+def kg_fact_intervals(spark, sf_dir):
+    """Valid-time intervals over the extracted KG (operators/facts.py):
+    the Spark leg runs the WHOLE pipeline (transcripts → chunks →
+    triples), joins assertion timestamps, and run-length-encodes each
+    (subj, pred) slot; the DuckDB twin re-derives the same islands
+    independently from the precomputed assertion snapshot."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    return facts_ops.fact_intervals(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+
+
+@xq(
+    "kg_functional_violations",
+    f"""
+    WITH base AS (
+        SELECT DISTINCT subj_name, pred, obj_name
+        FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    prof AS (
+        SELECT pred, count(DISTINCT subj_name) AS n_subj_pred,
+               count(*) AS n_pairs_pred
+        FROM base GROUP BY pred
+    ),
+    slots AS (
+        SELECT pred, subj_name, count(*) AS n_objects,
+               string_agg(obj_name, ',' ORDER BY obj_name) AS objects
+        FROM base GROUP BY pred, subj_name
+        HAVING count(*) >= 2
+    )
+    SELECT s.pred, s.subj_name, s.n_objects, s.objects,
+           p.n_subj_pred, p.n_pairs_pred
+    FROM slots s JOIN prof p USING (pred)
+    """,
+)
+def kg_functional_violations(spark, sf_dir):
+    """AMIE-style consistency census (operators/facts.py): every
+    (pred, subj) slot asserted with ≥2 distinct objects, under the
+    predicate's integer functionality profile."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    return facts_ops.functional_violations(res.triples)
+
+
 @q(
     "kg_chunk_stats",
     f"""

@@ -1,0 +1,167 @@
+"""operators/facts.py — valid-time intervals + functional violations."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.operators import facts
+
+
+def _assertions(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj_name string, pred string, obj_name string, ts_s long"
+    )
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj_name string, pred string, obj_name string"
+    )
+
+
+class TestFactIntervals:
+    def test_run_length_semantics(self, spark):
+        # slot (vm, hosted_on): rack7 @10,20 → rack9 @30 → rack7 @40
+        # reopened intervals preserve history, last interval open.
+        rows = [
+            ("vm", "hosted_on", "rack7", 10),
+            ("vm", "hosted_on", "rack7", 20),
+            ("vm", "hosted_on", "rack9", 30),
+            ("vm", "hosted_on", "rack7", 40),
+        ]
+        got = {
+            (r.obj_name, r.valid_from): (r.valid_to, r.n_asserts)
+            for r in facts.fact_intervals(_assertions(spark, rows)).collect()
+        }
+        assert got == {
+            ("rack7", 10): (30, 2),
+            ("rack9", 30): (40, 1),
+            ("rack7", 40): (None, 1),
+        }
+
+    def test_slots_are_independent(self, spark):
+        rows = [
+            ("vm", "hosted_on", "rack7", 10),
+            ("vm", "owned_by", "alice", 15),
+            ("db", "hosted_on", "rack7", 12),
+        ]
+        out = facts.fact_intervals(_assertions(spark, rows)).collect()
+        assert len(out) == 3
+        assert all(r.valid_to is None and r.n_asserts == 1 for r in out)
+
+    def test_same_ts_ties_break_by_obj_name(self, spark):
+        # two different objects at the SAME second order by obj_name:
+        # 'a' precedes 'b', so 'a' closes at ts 10 too ([10,10) degenerate
+        # but deterministic) and 'b' stays open.
+        rows = [
+            ("vm", "hosted_on", "b", 10),
+            ("vm", "hosted_on", "a", 10),
+        ]
+        got = {
+            r.obj_name: (r.valid_from, r.valid_to)
+            for r in facts.fact_intervals(_assertions(spark, rows)).collect()
+        }
+        assert got == {"a": (10, 10), "b": (10, None)}
+
+    def test_single_hash_exchange_no_single_partition(self, spark):
+        rows = [("s%d" % (i % 7), "p", "o%d" % (i % 3), i) for i in range(50)]
+        df = facts.fact_intervals(_assertions(spark, rows))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        # one hash exchange on (subj, pred); every later distribution
+        # requirement is satisfied by subset-of-keys clustering
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan
+
+    def test_assertions_use_min_chunk_ts_and_dedupe(self, spark):
+        triples = spark.createDataFrame(
+            [
+                ("c1", "k1", "vm", "hosted_on", "rack7"),
+                ("c1", "k1", "vm", "hosted_on", "rack7"),  # dup extraction
+                ("c1", "k2", "vm", "hosted_on", "rack9"),
+            ],
+            "conv_id string, chunk_id string, subj_name string, "
+            "pred string, obj_name string",
+        )
+        chunks = spark.createDataFrame(
+            [
+                ("c1", "k1", "2026-01-01 00:00:30"),
+                ("c1", "k1", "2026-01-01 00:00:10"),  # repeated chunk id
+                ("c1", "k2", "2026-01-01 00:00:50"),
+            ],
+            "conv_id string, chunk_id string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r.subj_name, r.pred, r.obj_name): r.ts_s
+            for r in facts.fact_assertions(triples, chunks).collect()
+        }
+        base = 1767225600  # 2026-01-01 UTC
+        assert got == {
+            ("vm", "hosted_on", "rack7"): base + 10,
+            ("vm", "hosted_on", "rack9"): base + 50,
+        }
+
+
+class TestFunctionalViolations:
+    def test_census_and_profile(self, spark):
+        rows = [
+            # hosted_on: 3 subjects, 4 pairs (vm has 2 objs) → 750 ppt
+            ("vm", "hosted_on", "rack7"),
+            ("vm", "hosted_on", "rack9"),
+            ("db", "hosted_on", "rack7"),
+            ("lb", "hosted_on", "rack1"),
+            # tagged: multi-valued by nature, 1 subject 3 pairs → 333 ppt
+            ("vm", "tagged", "prod"),
+            ("vm", "tagged", "ssd"),
+            ("vm", "tagged", "eu"),
+        ]
+        out = {
+            (r.pred, r.subj_name): r
+            for r in facts.functional_violations(_triples(spark, rows)).collect()
+        }
+        assert set(out) == {("hosted_on", "vm"), ("tagged", "vm")}
+        host = out[("hosted_on", "vm")]
+        assert (host.n_objects, host.objects) == (2, "rack7,rack9")
+        assert (host.n_subj_pred, host.n_pairs_pred) == (3, 4)
+        tag = out[("tagged", "vm")]
+        assert (tag.n_objects, tag.objects) == (3, "eu,prod,ssd")
+        # ppt gate keeps the near-functional predicate, drops the
+        # multi-valued one: 3*1000 >= 700*4 but 1*1000 < 700*3
+        gated = facts.functional_violations(
+            _triples(spark, rows), min_functionality_ppt=700
+        ).collect()
+        assert {(r.pred, r.subj_name) for r in gated} == {("hosted_on", "vm")}
+
+    def test_duplicate_triples_collapse(self, spark):
+        rows = [("vm", "p", "a")] * 3 + [("vm", "p", "b")]
+        out = facts.functional_violations(_triples(spark, rows)).collect()
+        assert len(out) == 1 and out[0].n_objects == 2
+        assert out[0].n_pairs_pred == 2
+
+    def test_param_guards(self, spark):
+        t = _triples(spark, [("s", "p", "o")])
+        with pytest.raises(ValueError):
+            facts.functional_violations(t, min_objects=1)
+        with pytest.raises(ValueError):
+            facts.functional_violations(t, min_functionality_ppt=1001)
+
+
+class TestOracleParity:
+    def test_assertions_match_precompute_snapshot_shape(self, spark):
+        """End-to-end pipeline assertions == the pure-Python precompute
+        (the same identity the committed snapshot pins at sf0.01)."""
+        from context_aware_rag_spark.config import PipelineConfig
+        from context_aware_rag_spark.oracle import precompute
+        from context_aware_rag_spark.plans.pipeline import run_pipeline
+        from context_aware_rag_spark.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        n = 8
+        res = run_pipeline(spark, generate_transcripts(spark, n), PipelineConfig())
+        got = sorted(
+            (r.subj_name, r.pred, r.obj_name, r.ts_s)
+            for r in facts.fact_assertions(res.triples, res.chunks).collect()
+        )
+        want = precompute.kg_tables(n)["kg_fact_assertions"]
+        assert got == want

@@ -50,6 +50,10 @@ SCHEMAS = {
     "kg_similar_chunk_edges": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("score", pa.float64())]
     ),
+    "kg_fact_assertions": pa.schema(
+        [("subj_name", pa.string()), ("pred", pa.string()),
+         ("obj_name", pa.string()), ("ts_s", pa.int64())]
+    ),
     "a10_tree_summarize": pa.schema(
         [("conv_id", pa.string()), ("summary", pa.string()),
          ("n_levels", pa.int32())]
@@ -574,6 +578,7 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "kg_canonical_incremental", kg["kg_canonical_incremental"])
         write(out_dir, "kg_nodes_with_tools", kg["kg_nodes_with_tools"])
         write(out_dir, "kg_similar_chunk_edges", kg["kg_similar_chunk_edges"])
+        write(out_dir, "kg_fact_assertions", kg["kg_fact_assertions"])
         write(out_dir, "a10_tree_summarize", kg["a10_tree_summarize"])
         write(out_dir, "s6_batch_summaries", kg["s6_batch_summaries"])
         write(out_dir, "kg_community_reports",
