@@ -126,6 +126,99 @@ def fact_intervals(assertions: DataFrame) -> DataFrame:
     )
 
 
+def facts_as_of(
+    intervals: DataFrame, as_of_s: "int | None" = None
+) -> DataFrame:
+    """Point-in-time KG snapshot: the facts valid at ``as_of_s``.
+
+    Input: :func:`fact_intervals` output. A fact row is in the snapshot
+    iff ``valid_from <= as_of_s`` and (``valid_to`` is NULL or
+    ``valid_to > as_of_s``) — half-open ``[valid_from, valid_to)``
+    intervals, so the instant a slot flips objects the new object is
+    the one reported (same convention as SCD2 reads, diff.py). With
+    ``as_of_s=None`` the timestamp is derived IN-PLAN as the integer
+    midpoint ``(min(valid_from) + max(valid_from)) div 2`` over the
+    interval set: a deterministic mid-history probe that needs no
+    caller-side collect and works at any corpus scale. The chosen
+    ``as_of_s`` is emitted as a column so result hashes pin it.
+
+    100 TB shape: the derived-``as_of`` path is one map-side-combinable
+    global agg reduced to a SINGLE row, broadcast back via
+    ``crossJoin(broadcast(...))`` — no driver collect, no
+    SinglePartition stage on the fact stream; the filter itself is a
+    narrow map. The explicit-``as_of`` path is a pure narrow filter
+    that Catalyst pushes into the interval scan.
+    """
+    if as_of_s is not None:
+        probe = F.lit(int(as_of_s)).cast("long")
+        filtered = intervals.withColumn("as_of_s", probe)
+    else:
+        bounds = intervals.agg(
+            F.expr(
+                "(min(valid_from) + max(valid_from)) div 2"
+            ).alias("as_of_s")
+        )
+        filtered = intervals.crossJoin(F.broadcast(bounds))
+    return filtered.filter(
+        (F.col("valid_from") <= F.col("as_of_s"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("as_of_s")))
+    ).select(
+        "subj_name",
+        "pred",
+        "obj_name",
+        "valid_from",
+        "valid_to",
+        "n_asserts",
+        "as_of_s",
+    )
+
+
+def slot_churn(intervals: DataFrame) -> DataFrame:
+    """Per-predicate slot-volatility census over valid-time intervals.
+
+    For each predicate: how many (subj, pred) slots it has, how many
+    validity intervals those slots produced, and therefore how many
+    object CHANGES the transcripts asserted (``n_changes = n_intervals
+    - n_slots`` — every slot's first interval is free; each additional
+    interval is one flip). Plus the contradiction-triage extras: the
+    busiest slot's interval count (``max_intervals_per_slot``), the
+    number of slots that flipped at least once (``n_churned_slots``),
+    and the total CLOSED validity mass in integer seconds
+    (``closed_duration_s`` — open intervals contribute nothing, so the
+    number is exact, not as-of-dependent). High ``n_changes`` on a
+    high-functionality predicate (:func:`functional_violations`) marks
+    genuinely volatile state (hosted_on); on a low-functionality one it
+    is ordinary multi-valuedness (visited).
+
+    100 TB shape: two stacked map-side-combinable aggregations — per
+    (subj, pred) slot, then per predicate. The slot groupBy's keys are
+    exactly :func:`fact_intervals`' partitioning, so when composed the
+    first agg is Exchange-free (partial+final inside the existing
+    clustering); the second shuffles only slot-count rows (≤ one per
+    (subj, pred)) to a vocabulary-sized output. Integer arithmetic
+    throughout — engine-portable hashes.
+    """
+    slots = intervals.groupBy("pred", "subj_name").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull(),
+                F.col("valid_to") - F.col("valid_from"),
+            ).otherwise(F.lit(0))
+        ).alias("closed_s"),
+    )
+    return slots.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum("n_iv").alias("n_intervals"),
+        (F.sum("n_iv") - F.count(F.lit(1))).alias("n_changes"),
+        F.sum(F.when(F.col("n_iv") >= 2, 1).otherwise(0)).alias(
+            "n_churned_slots"
+        ),
+        F.max("n_iv").alias("max_intervals_per_slot"),
+        F.sum("closed_s").alias("closed_duration_s"),
+    )
+
+
 def functional_violations(
     triples: DataFrame,
     min_objects: int = 2,

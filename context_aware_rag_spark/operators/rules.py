@@ -157,6 +157,81 @@ def infer_from_rules(
     return cand.join(existing, ["src", "rel", "dst"], "left_anti")
 
 
+def inverse_rule_census(
+    triples: DataFrame,
+    src: str = "src",
+    rel: str = "rel",
+    dst: str = "dst",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """AMIE inverse-rule census: for every ordered predicate pair
+    (p, q), the support and CWA confidence of ``p(x, y) => q(y, x)``.
+
+    Over the DISTINCT non-reflexive triple set:
+
+    - ``n_overlap`` — |{(x, y) : p(x, y) AND q(y, x)}|, the rule's
+      support. For ``p == q`` this counts BOTH orientations of each
+      symmetric pair (the (x,y) and (y,x) rows each find their
+      reverse) — exactly :func:`relation_profile`'s ``n_symmetric``,
+      which also counts orientations, a cross-operator consistency
+      identity the tests pin.
+    - ``n_pairs_p`` / ``n_pairs_q`` — each predicate's distinct
+      non-reflexive edge count.
+    - ``confidence_ppm`` — ``n_overlap * 1e6 div n_pairs_p`` (CWA
+      confidence of the rule with p as body). Near 1e6 with p != q
+      is an inverse predicate pair (DELIVERED_TO / RECEIVED_FROM):
+      canonicalize one onto the other before graph materialization.
+      Near 1e6 with p == q is a symmetric predicate. Low-but-nonzero
+      across unrelated pairs is the reversed-argument extraction-bug
+      signal, rankable directly.
+
+    Integer trunc-div ppm, same discipline as :func:`relation_profile`.
+
+    100 TB shape: ONE self-equi-join of the distinct triple table on
+    the reversed (entity, entity) key — both sides shuffle on
+    (h, t)/(t, h), candidate volume is bounded by the true reversed-
+    pair count (never all-pairs within a predicate) — followed by a
+    map-side-combined groupBy on (p, q) and a broadcast join against
+    the vocabulary-sized per-predicate edge counts. No windows, no
+    driver actions.
+    """
+    if min_overlap < 1:
+        raise ValueError(f"need min_overlap >= 1, got {min_overlap}")
+    tri = _clean(triples, src, rel, dst).filter(F.col("h") != F.col("t"))
+    sizes = tri.groupBy("p").agg(F.count(F.lit(1)).alias("n_pairs"))
+    rev = tri.select(
+        F.col("t").alias("h"), F.col("p").alias("q"), F.col("h").alias("t")
+    )
+    overlap = (
+        tri.join(rev, ["h", "t"])
+        .groupBy(F.col("p").alias("pred"), F.col("q").alias("pred_inv"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return (
+        overlap.join(
+            F.broadcast(sizes.select(F.col("p").alias("pred"),
+                                     F.col("n_pairs").alias("n_pairs_p"))),
+            "pred",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("p").alias("pred_inv"),
+                                     F.col("n_pairs").alias("n_pairs_q"))),
+            "pred_inv",
+        )
+        .select(
+            "pred",
+            "pred_inv",
+            "n_overlap",
+            "n_pairs_p",
+            "n_pairs_q",
+            F.expr("n_overlap * 1000000 div n_pairs_p").alias(
+                "confidence_ppm"
+            ),
+        )
+    )
+
+
 def relation_profile(
     triples: DataFrame,
     src: str = "src",

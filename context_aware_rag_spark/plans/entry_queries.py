@@ -2765,6 +2765,139 @@ def kg_functional_violations(spark, sf_dir):
     return facts_ops.functional_violations(res.triples)
 
 
+_FACT_ISLANDS_SQL = f"""
+    WITH r AS (
+        SELECT subj_name, pred, obj_name, ts_s,
+               row_number() OVER (PARTITION BY subj_name, pred
+                                  ORDER BY ts_s, obj_name) AS rn_all,
+               row_number() OVER (PARTITION BY subj_name, pred, obj_name
+                                  ORDER BY ts_s, obj_name) AS rn_obj
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+    ),
+    g AS (
+        SELECT subj_name, pred, obj_name,
+               min(ts_s) AS valid_from,
+               count(*) AS n_asserts,
+               min(rn_all) AS start_rn
+        FROM r
+        GROUP BY subj_name, pred, obj_name, rn_all - rn_obj
+    ),
+    iv AS (
+        SELECT subj_name, pred, obj_name, valid_from,
+               lead(valid_from) OVER (PARTITION BY subj_name, pred
+                                      ORDER BY start_rn) AS valid_to,
+               n_asserts
+        FROM g
+    )
+"""
+
+
+@xq(
+    "kg_facts_as_of",
+    _FACT_ISLANDS_SQL
+    + """
+    , probe AS (
+        SELECT (min(valid_from) + max(valid_from)) // 2 AS as_of_s FROM iv
+    )
+    SELECT subj_name, pred, obj_name, valid_from, valid_to, probe.as_of_s
+    FROM iv, probe
+    WHERE valid_from <= probe.as_of_s
+      AND (valid_to IS NULL OR valid_to > probe.as_of_s)
+    """,
+)
+def kg_facts_as_of(spark, sf_dir):
+    """Point-in-time KG snapshot (operators/facts.py): the facts valid
+    at the derived mid-history instant. Spark runs the whole pipeline
+    (transcripts -> chunks -> triples -> assertions -> intervals) and
+    filters to the half-open-interval containment; the twin re-derives
+    the islands AND the probe independently over the assertion
+    snapshot. The in-plan probe derivation (global agg -> broadcast
+    cross join, no collect) is what the hash pins."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    iv = facts_ops.fact_intervals(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return facts_ops.facts_as_of(iv).drop("n_asserts")
+
+
+@xq(
+    "kg_slot_churn",
+    _FACT_ISLANDS_SQL
+    + """
+    , slots AS (
+        SELECT pred, subj_name, count(*) AS n_iv,
+               sum(CASE WHEN valid_to IS NOT NULL
+                        THEN valid_to - valid_from ELSE 0 END) AS closed_s
+        FROM iv GROUP BY pred, subj_name
+    )
+    SELECT pred,
+           count(*) AS n_slots,
+           sum(n_iv) AS n_intervals,
+           sum(n_iv) - count(*) AS n_changes,
+           sum(CASE WHEN n_iv >= 2 THEN 1 ELSE 0 END) AS n_churned_slots,
+           max(n_iv) AS max_intervals_per_slot,
+           sum(closed_s) AS closed_duration_s
+    FROM slots GROUP BY pred
+    """,
+)
+def kg_slot_churn(spark, sf_dir):
+    """Per-predicate slot-volatility census (operators/facts.py): how
+    often each predicate's (subj, pred) slots flipped objects over the
+    transcript history, with the closed validity mass in integer
+    seconds — the volatility companion to kg_functional_violations
+    (which profiles multi-valuedness, not change-over-time)."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    iv = facts_ops.fact_intervals(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return facts_ops.slot_churn(iv)
+
+
+@xq(
+    "kg_inverse_predicates",
+    f"""
+    WITH tri AS (
+        SELECT DISTINCT subj_name AS h, pred AS p, obj_name AS t
+        FROM read_parquet('{_pq("kg_triples")}')
+        WHERE subj_name <> obj_name
+    ),
+    sizes AS (SELECT p, count(*) AS n_pairs FROM tri GROUP BY p),
+    ov AS (
+        SELECT a.p AS pred, b.p AS pred_inv, count(*) AS n_overlap
+        FROM tri a JOIN tri b ON a.h = b.t AND a.t = b.h
+        GROUP BY a.p, b.p
+    )
+    SELECT pred, pred_inv, n_overlap,
+           sp.n_pairs AS n_pairs_p, sq.n_pairs AS n_pairs_q,
+           n_overlap * 1000000 // sp.n_pairs AS confidence_ppm
+    FROM ov
+    JOIN sizes sp ON sp.p = ov.pred
+    JOIN sizes sq ON sq.p = ov.pred_inv
+    """,
+)
+def kg_inverse_predicates(spark, sf_dir):
+    """AMIE inverse-rule census (operators/rules.py): support and CWA
+    confidence of p(x,y) => q(y,x) for every ordered predicate pair
+    with any reversed overlap — the cross-predicate companion to
+    kg_relation_profile's within-predicate symmetry column. Name-level
+    entity identity (same as kg_functional_violations): inverse-pair
+    detection is about surface co-assertion, typed identity would
+    split legitimate reversals across type variants."""
+    from ..operators import rules
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    tri = res.triples.select(
+        F.col("subj_name").alias("src"),
+        F.col("pred").alias("rel"),
+        F.col("obj_name").alias("dst"),
+    )
+    return rules.inverse_rule_census(tri, "src", "rel", "dst")
+
+
 @q(
     "kg_chunk_stats",
     f"""

@@ -165,3 +165,96 @@ class TestOracleParity:
         )
         want = precompute.kg_tables(n)["kg_fact_assertions"]
         assert got == want
+
+
+class TestFactsAsOf:
+    def _iv(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "subj_name string, pred string, obj_name string, "
+            "valid_from long, valid_to long, n_asserts long",
+        )
+
+    def test_half_open_boundary(self, spark):
+        # [10, 30) flips to [30, None): at as_of=30 the NEW object wins
+        rows = [
+            ("vm", "hosted_on", "rack7", 10, 30, 2),
+            ("vm", "hosted_on", "rack9", 30, None, 1),
+        ]
+        at_30 = facts.facts_as_of(self._iv(spark, rows), as_of_s=30).collect()
+        assert [(r.obj_name, r.as_of_s) for r in at_30] == [("rack9", 30)]
+        at_29 = facts.facts_as_of(self._iv(spark, rows), as_of_s=29).collect()
+        assert [r.obj_name for r in at_29] == ["rack7"]
+        # before history starts: empty snapshot
+        assert facts.facts_as_of(self._iv(spark, rows), as_of_s=9).count() == 0
+
+    def test_derived_probe_is_midpoint(self, spark):
+        # valid_from in {10, 50}: probe = (10+50) div 2 = 30
+        rows = [
+            ("vm", "hosted_on", "rack7", 10, 50, 1),
+            ("vm", "hosted_on", "rack9", 50, None, 1),
+            ("db", "owned_by", "alice", 50, None, 1),
+        ]
+        out = facts.facts_as_of(self._iv(spark, rows)).collect()
+        assert {r.as_of_s for r in out} == {30}
+        assert [(r.subj_name, r.obj_name) for r in out] == [
+            ("vm", "rack7")
+        ]
+
+    def test_derived_probe_plan_has_no_single_partition_on_facts(self, spark):
+        # the global agg reduces to ONE row then broadcasts back; the
+        # interval stream itself must never funnel through one task
+        rows = [
+            ("s%d" % (i % 7), "p", "o%d" % (i % 3), i, None, 1)
+            for i in range(50)
+        ]
+        df = facts.facts_as_of(self._iv(spark, rows))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the only SinglePartition allowed is the global-agg reduce of
+        # per-partition partial min/max rows (bounded: #partitions rows)
+        lines = plan.splitlines()
+        sp = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+        assert len(sp) == 1, plan
+        assert "partial_min" in lines[sp[0] + 1], plan
+
+
+class TestSlotChurn:
+    def test_census_numbers(self, spark):
+        iv = spark.createDataFrame(
+            [
+                # slot (vm, hosted_on): 3 intervals, 2 changes,
+                # closed mass (30-10) + (40-30) = 30
+                ("vm", "hosted_on", "rack7", 10, 30, 2),
+                ("vm", "hosted_on", "rack9", 30, 40, 1),
+                ("vm", "hosted_on", "rack7", 40, None, 1),
+                # slot (db, hosted_on): stable
+                ("db", "hosted_on", "rack1", 5, None, 1),
+                # other predicate
+                ("vm", "owned_by", "alice", 10, None, 1),
+            ],
+            "subj_name string, pred string, obj_name string, "
+            "valid_from long, valid_to long, n_asserts long",
+        )
+        got = {r.pred: r.asDict() for r in facts.slot_churn(iv).collect()}
+        h = got["hosted_on"]
+        assert (
+            h["n_slots"], h["n_intervals"], h["n_changes"],
+            h["n_churned_slots"], h["max_intervals_per_slot"],
+            h["closed_duration_s"],
+        ) == (2, 4, 2, 1, 3, 30)
+        o = got["owned_by"]
+        assert (o["n_slots"], o["n_intervals"], o["n_changes"]) == (1, 1, 0)
+
+    def test_composed_with_intervals_single_exchange_chain(self, spark):
+        # composed fact_intervals -> slot_churn: the slot groupBy keys
+        # (pred, subj_name) are a permutation of the interval window's
+        # partition keys, so no SinglePartition anywhere
+        rows = [
+            ("s%d" % (i % 5), "p%d" % (i % 2), "o%d" % (i % 3), i)
+            for i in range(60)
+        ]
+        iv = facts.fact_intervals(_assertions(spark, rows))
+        df = facts.slot_churn(iv)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan

@@ -193,3 +193,77 @@ class TestRelationSignatures:
         assert got[("p", "Person", "Place")] == (1, 333_333)
         # NULL type is its own anomaly class, never coalesced
         assert got[("q", None, "Org")] == (1, 1_000_000)
+
+
+class TestInverseRuleCensus:
+    def _tri(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, rel string, dst string")
+
+    def test_cross_predicate_inverse(self, spark):
+        rows = [
+            ("a", "delivered_to", "b"),
+            ("b", "received_from", "a"),
+            ("c", "delivered_to", "d"),
+            ("d", "received_from", "c"),
+            ("e", "delivered_to", "f"),  # unreciprocated
+            ("x", "owns", "y"),          # unrelated
+        ]
+        out = {
+            (r.pred, r.pred_inv): r.asDict()
+            for r in rules.inverse_rule_census(self._tri(spark, rows)).collect()
+        }
+        fwd = out[("delivered_to", "received_from")]
+        assert fwd["n_overlap"] == 2
+        assert fwd["n_pairs_p"] == 3 and fwd["n_pairs_q"] == 2
+        assert fwd["confidence_ppm"] == 2 * 1_000_000 // 3
+        rev = out[("received_from", "delivered_to")]
+        assert rev["n_overlap"] == 2 and rev["confidence_ppm"] == 1_000_000
+        assert ("owns", "owns") not in out
+
+    def test_same_pred_overlap_equals_relation_profile_symmetry(self, spark):
+        rows = [
+            ("a", "met", "b"),
+            ("b", "met", "a"),
+            ("c", "met", "d"),   # one-directional
+            ("e", "met", "e"),   # reflexive: excluded by both operators
+        ]
+        tri = self._tri(spark, rows)
+        census = {
+            (r.pred, r.pred_inv): r.n_overlap
+            for r in rules.inverse_rule_census(tri).collect()
+        }
+        prof = {
+            r.pred: r.n_symmetric
+            for r in rules.relation_profile(tri).collect()
+        }
+        # n_symmetric counts orientations too, so the identity is
+        # equality (both see the (a,b) AND (b,a) rows)
+        assert census[("met", "met")] == prof["met"] == 2
+
+    def test_reflexive_and_duplicates_dropped(self, spark):
+        rows = [
+            ("a", "p", "a"),  # reflexive would trivially self-match
+            ("a", "p", "b"),
+            ("a", "p", "b"),  # duplicate collapses
+            ("b", "p", "a"),
+        ]
+        out = rules.inverse_rule_census(self._tri(spark, rows)).collect()
+        assert len(out) == 1
+        assert out[0].n_overlap == 2 and out[0].n_pairs_p == 2
+
+    def test_min_overlap_gate_and_guard(self, spark):
+        tri = self._tri(spark, [("a", "p", "b"), ("b", "p", "a"),
+                                ("c", "q", "d"), ("d", "q", "c"),
+                                ("e", "q", "f"), ("f", "q", "e")])
+        out = rules.inverse_rule_census(tri, min_overlap=3).collect()
+        assert {(r.pred, r.pred_inv) for r in out} == {("q", "q")}
+        with pytest.raises(ValueError):
+            rules.inverse_rule_census(tri, min_overlap=0)
+
+    def test_no_single_partition_and_broadcast_sizes(self, spark):
+        rows = [("s%d" % i, "p%d" % (i % 3), "s%d" % ((i + 1) % 20))
+                for i in range(40)]
+        df = rules.inverse_rule_census(self._tri(spark, rows))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
