@@ -126,6 +126,52 @@ def fact_intervals(assertions: DataFrame) -> DataFrame:
     )
 
 
+def triple_evidence(triples: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Per-triple provenance census: how well-evidenced each distinct
+    name-level fact is — the edge-weight / trust table a KG consumer
+    reads before acting on a triple (GraphRAG weights its entity graph
+    by exactly this kind of assertion count; a fact seen in one
+    conversation at one instant is extraction noise until corroborated).
+
+    For every distinct (subj_name, pred, obj_name):
+
+    - ``n_convs`` — distinct conversations asserting it (independent
+      sources, the strongest corroboration axis).
+    - ``n_timepoints`` — distinct assertion timestamps
+      (:func:`fact_assertions` grain: re-assertions over time).
+    - ``first_ts_s`` / ``last_ts_s`` / ``span_s`` — the evidence
+      window in integer epoch seconds.
+
+    100 TB shape: two map-side-combinable aggregations on the SAME
+    (subj, pred, obj) key — one over the assertion stream, one over
+    the conv-level distinct triples — joined on that key, so the
+    second agg and the join reuse the first shuffle's partitioning.
+    No windows, no driver actions, integer timestamps end to end.
+    """
+    asserts = fact_assertions(triples, chunks)
+    time_ev = asserts.groupBy("subj_name", "pred", "obj_name").agg(
+        F.count(F.lit(1)).alias("n_timepoints"),
+        F.min("ts_s").alias("first_ts_s"),
+        F.max("ts_s").alias("last_ts_s"),
+    )
+    conv_ev = (
+        triples.select("conv_id", "subj_name", "pred", "obj_name")
+        .dropDuplicates()
+        .groupBy("subj_name", "pred", "obj_name")
+        .agg(F.countDistinct("conv_id").alias("n_convs"))
+    )
+    return time_ev.join(conv_ev, ["subj_name", "pred", "obj_name"]).select(
+        "subj_name",
+        "pred",
+        "obj_name",
+        "n_convs",
+        "n_timepoints",
+        "first_ts_s",
+        "last_ts_s",
+        (F.col("last_ts_s") - F.col("first_ts_s")).alias("span_s"),
+    )
+
+
 def facts_as_of(
     intervals: DataFrame, as_of_s: "int | None" = None
 ) -> DataFrame:

@@ -2858,6 +2858,42 @@ def kg_slot_churn(spark, sf_dir):
 
 
 @xq(
+    "kg_triple_evidence",
+    f"""
+    WITH time_ev AS (
+        SELECT subj_name, pred, obj_name,
+               count(*) AS n_timepoints,
+               min(ts_s) AS first_ts_s,
+               max(ts_s) AS last_ts_s
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+        GROUP BY subj_name, pred, obj_name
+    ),
+    conv_ev AS (
+        SELECT subj_name, pred, obj_name,
+               count(DISTINCT conv_id) AS n_convs
+        FROM read_parquet('{_pq("kg_triples")}')
+        GROUP BY subj_name, pred, obj_name
+    )
+    SELECT t.subj_name, t.pred, t.obj_name, c.n_convs, t.n_timepoints,
+           t.first_ts_s, t.last_ts_s,
+           t.last_ts_s - t.first_ts_s AS span_s
+    FROM time_ev t JOIN conv_ev c
+      ON t.subj_name = c.subj_name AND t.pred = c.pred
+     AND t.obj_name = c.obj_name
+    """,
+)
+def kg_triple_evidence(spark, sf_dir):
+    """Per-triple provenance census (operators/facts.py): conversation
+    corroboration + assertion-time window per distinct name-level fact
+    — the trust/edge-weight table. Spark runs the full pipeline and
+    aggregates; the twin joins the assertion and triple snapshots."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    return facts_ops.triple_evidence(res.triples, res.chunks)
+
+
+@xq(
     "kg_inverse_predicates",
     f"""
     WITH tri AS (

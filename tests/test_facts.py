@@ -258,3 +258,49 @@ class TestSlotChurn:
         df = facts.slot_churn(iv)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
+
+
+class TestTripleEvidence:
+    def test_census(self, spark):
+        triples = spark.createDataFrame(
+            [
+                ("c1", "k1", "vm", "hosted_on", "rack7"),
+                ("c1", "k1", "vm", "hosted_on", "rack7"),  # dup extraction
+                ("c2", "k2", "vm", "hosted_on", "rack7"),  # 2nd conv
+                ("c1", "k3", "db", "owned_by", "alice"),
+            ],
+            "conv_id string, chunk_id string, subj_name string, "
+            "pred string, obj_name string",
+        )
+        chunks = spark.createDataFrame(
+            [("c1", "k1", 100), ("c2", "k2", 250), ("c1", "k3", 400)],
+            "conv_id string, chunk_id string, ts long",
+        )
+        got = {
+            (r.subj_name, r.pred, r.obj_name): r.asDict()
+            for r in facts.triple_evidence(triples, chunks).collect()
+        }
+        vm = got[("vm", "hosted_on", "rack7")]
+        assert (vm["n_convs"], vm["n_timepoints"]) == (2, 2)
+        assert (vm["first_ts_s"], vm["last_ts_s"], vm["span_s"]) == (
+            100, 250, 150,
+        )
+        db = got[("db", "owned_by", "alice")]
+        assert (db["n_convs"], db["n_timepoints"], db["span_s"]) == (1, 1, 0)
+
+    def test_no_single_partition_one_key_discipline(self, spark):
+        triples = spark.createDataFrame(
+            [("c%d" % (i % 3), "k%d" % i, "s%d" % (i % 5), "p", "o")
+             for i in range(30)],
+            "conv_id string, chunk_id string, subj_name string, "
+            "pred string, obj_name string",
+        )
+        chunks = spark.createDataFrame(
+            [("c%d" % (i % 3), "k%d" % i, 100 + i) for i in range(30)],
+            "conv_id string, chunk_id string, ts long",
+        )
+        plan = (
+            facts.triple_evidence(triples, chunks)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in plan, plan
