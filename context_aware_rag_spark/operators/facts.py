@@ -172,6 +172,73 @@ def triple_evidence(triples: DataFrame, chunks: DataFrame) -> DataFrame:
     )
 
 
+def entity_timeline(
+    triples: DataFrame,
+    chunks: DataFrame,
+    last_k: "int | None" = None,
+) -> DataFrame:
+    """Per-entity chronological assertion feed — the "entity memory"
+    view a retrieval layer stuffs into context when a question names an
+    entity (what happened to it, in order, across every conversation).
+    Each assertion appears once under its subject and once under its
+    object:
+
+    (entity, seq, ts_s, role, pred, other)
+
+    with ``seq`` the 1-based chronological rank within the entity
+    (order key (ts_s, pred, role, other) — total, because assertions
+    are distinct on exactly (subj, pred, obj, ts_s), so numbering is
+    reproducible across partitionings and engines). ``last_k`` keeps
+    only each entity's k most recent rows (``seq`` still counts from
+    the entity's FULL history, so consumers see the true offset).
+
+    100 TB shape: the two role views are narrow projections unioned
+    without a shuffle; ONE hash exchange on entity drives the ranking
+    window (and the optional recency filter reuses it — same key, no
+    second Exchange). The Zipf-hot entity concentrates its feed in one
+    task by construction — that is the semantics ("one entity's
+    ordered history"); ``last_k`` is the pressure valve, bounding what
+    ships downstream.
+    """
+    if last_k is not None and last_k < 1:
+        raise ValueError(f"need last_k >= 1, got {last_k}")
+    asserts = fact_assertions(triples, chunks)
+    subj_view = asserts.select(
+        F.col("subj_name").alias("entity"),
+        F.lit("subj").alias("role"),
+        "ts_s",
+        "pred",
+        F.col("obj_name").alias("other"),
+    )
+    obj_view = asserts.select(
+        F.col("obj_name").alias("entity"),
+        F.lit("obj").alias("role"),
+        "ts_s",
+        "pred",
+        F.col("subj_name").alias("other"),
+    )
+    order_cols = ["ts_s", "pred", "role", "other"]
+    w = Window.partitionBy("entity").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    out = subj_view.unionByName(obj_view).select(
+        "entity",
+        F.row_number().over(w).alias("seq"),
+        "ts_s",
+        "role",
+        "pred",
+        "other",
+    )
+    if last_k is not None:
+        w_desc = Window.partitionBy("entity").orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        out = out.withColumn(
+            "_recency", F.row_number().over(w_desc)
+        ).where(F.col("_recency") <= last_k).drop("_recency")
+    return out
+
+
 def facts_as_of(
     intervals: DataFrame, as_of_s: "int | None" = None
 ) -> DataFrame:
