@@ -2894,6 +2894,88 @@ def kg_triple_evidence(spark, sf_dir):
 
 
 @xq(
+    "kg_ntriples_roundtrip",
+    f"""
+    SELECT DISTINCT subj_name, pred, obj_name
+    FROM read_parquet('{_pq("kg_triples")}')
+    """,
+)
+def kg_ntriples_roundtrip(spark, sf_dir):
+    """N-Triples interchange round trip (sources/ntriples.py): the
+    distinct name-level triple set serialized to W3C N-Triples lines
+    (url-encoded IRIs — framing unbreakable by any name) and parsed
+    back. The twin is the same triple set straight from the oracle
+    snapshot, so the hash pins serialize→parse identity on the real
+    corpus; adversarial names are property-tested in pytest."""
+    from ..sources.ntriples import parse_ntriples, to_ntriples
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    tri = res.triples.select("subj_name", "pred", "obj_name").dropDuplicates()
+    return parse_ntriples(to_ntriples(tri))
+
+
+@xq(
+    "kg_entity_timeline",
+    f"""
+    WITH ev AS (
+        SELECT subj_name AS entity, 'subj' AS role, ts_s, pred,
+               obj_name AS other
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+        UNION ALL
+        SELECT obj_name, 'obj', ts_s, pred, subj_name
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+    )
+    SELECT entity,
+           row_number() OVER (
+               PARTITION BY entity ORDER BY ts_s, pred, role, other
+           ) AS seq,
+           ts_s, role, pred, other
+    FROM ev
+    """,
+)
+def kg_entity_timeline(spark, sf_dir):
+    """Per-entity chronological assertion feed (operators/facts.py:
+    entity_timeline) — each assertion under both its subject and its
+    object with a deterministic per-entity rank; the "entity memory"
+    view context assembly reads. One entity-keyed window."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    return facts_ops.entity_timeline(res.triples, res.chunks)
+
+
+@xq(
+    "conv_struct_dedup",
+    f"""
+    WITH d AS (
+        SELECT DISTINCT conv_id,
+               subj_name || chr(9) || pred || chr(9) || obj_name AS key
+        FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    f AS (
+        SELECT conv_id, count(*) AS n_facts,
+               md5(string_agg(key, chr(10) ORDER BY key)) AS fingerprint
+        FROM d GROUP BY conv_id
+    )
+    SELECT conv_id, n_facts, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS family_size,
+           count(*) OVER (PARTITION BY fingerprint) > 1 AS is_struct_dup
+    FROM f
+    """,
+)
+def conv_struct_dedup(spark, sf_dir):
+    """Structural conversation dedup (operators/graphdedup.py):
+    canonical md5 fingerprint of each conversation's distinct asserted
+    triple set + family sizes — catches paraphrase duplicates that
+    text-level dedup misses. The twin recomputes the same canonical
+    hash in DuckDB (binary sort order, chr(9)/chr(10) framing)."""
+    from ..operators.graphdedup import conversation_fingerprints
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    return conversation_fingerprints(res.triples)
+
+
+@xq(
     "kg_inverse_predicates",
     f"""
     WITH tri AS (
