@@ -456,6 +456,25 @@ def knn_similar_edges(
             .withColumn("score", _pair_dot(F.col("emb_a"), F.col("emb_b")))
             .filter(F.col("score") >= min_score)
         )
+    return rank_and_gate(
+        cand, top_k=top_k, max_degree=max_degree, max_iter=max_iter,
+        stats=stats,
+    )
+
+
+def rank_and_gate(
+    cand: DataFrame,
+    top_k: int = 6,
+    max_degree: int | None = 5,
+    max_iter: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """W5 per-source ranking + the reference's degree-gate fixpoint over
+    an already-scored candidate set (src, dst, score) — the tail of
+    :func:`knn_similar_edges`, factored out so the streaming KNN ingest
+    (streaming/knn_ingest.py) applies the IDENTICAL ranking/gate to its
+    accumulated candidate index (stream == batch then holds
+    structurally: same candidates in, same code, same edges out)."""
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     ranked = (
         cand.withColumn("rank", F.row_number().over(w))
