@@ -2976,6 +2976,172 @@ def conv_struct_dedup(spark, sf_dir):
 
 
 @xq(
+    "kg_triad_census",
+    f"""
+    WITH arcs AS (
+        SELECT DISTINCT subj_name AS s, obj_name AS d
+        FROM read_parquet('{_pq("kg_triples")}')
+        WHERE subj_name <> obj_name
+    ),
+    dy AS (
+        SELECT lo, hi, fwd, rev,
+               CASE WHEN fwd + rev = 2 THEN 1 ELSE 0 END AS mut
+        FROM (
+            SELECT least(s, d) AS lo, greatest(s, d) AS hi,
+                   max(CASE WHEN s < d THEN 1 ELSE 0 END) AS fwd,
+                   max(CASE WHEN s > d THEN 1 ELSE 0 END) AS rev
+            FROM arcs GROUP BY 1, 2
+        )
+    ),
+    nn AS (
+        SELECT count(*) AS n_nodes FROM (
+            SELECT lo AS v FROM dy UNION SELECT hi FROM dy
+        )
+    ),
+    per_node AS (
+        SELECT v, sum(o) AS n_out, sum(i) AS n_in, sum(m) AS n_mut FROM (
+            SELECT lo AS v, fwd * (1 - mut) AS o, rev * (1 - mut) AS i,
+                   mut AS m FROM dy
+            UNION ALL
+            SELECT hi, rev * (1 - mut), fwd * (1 - mut), mut FROM dy
+        ) GROUP BY v
+    ),
+    center AS (
+        SELECT '021D' AS clazz, sum(n_out * (n_out - 1) // 2) AS n FROM per_node
+        UNION ALL SELECT '021U', sum(n_in * (n_in - 1) // 2) FROM per_node
+        UNION ALL SELECT '021C', sum(n_in * n_out) FROM per_node
+        UNION ALL SELECT '111D', sum(n_mut * n_in) FROM per_node
+        UNION ALL SELECT '111U', sum(n_mut * n_out) FROM per_node
+        UNION ALL SELECT '201', sum(n_mut * (n_mut - 1) // 2) FROM per_node
+    ),
+    tri AS (
+        SELECT d12.lo AS n1, d12.hi AS n2, d13.hi AS n3,
+               d12.fwd AS f12, d12.rev AS r12, d12.mut AS m12,
+               d13.fwd AS f13, d13.rev AS r13, d13.mut AS m13,
+               d23.fwd AS f23, d23.rev AS r23, d23.mut AS m23,
+               d12.mut + d13.mut + d23.mut AS mm
+        FROM dy d12
+        JOIN dy d13 ON d13.lo = d12.lo AND d13.hi > d12.hi
+        JOIN dy d23 ON d23.lo = d12.hi AND d23.hi = d13.hi
+    ),
+    closed AS (
+        SELECT clazz, count(*) AS n FROM (
+            SELECT CASE
+                WHEN mm = 3 THEN '300'
+                WHEN mm = 2 THEN '210'
+                WHEN mm = 1 THEN (CASE
+                    WHEN (CASE WHEN m12 = 1 THEN r13 + r23
+                               WHEN m13 = 1 THEN r12 + f23
+                               ELSE f12 + f13 END) = 2 THEN '120D'
+                    WHEN (CASE WHEN m12 = 1 THEN f13 + f23
+                               WHEN m13 = 1 THEN f12 + r23
+                               ELSE r12 + r13 END) = 2 THEN '120U'
+                    ELSE '120C' END)
+                WHEN f12 * f23 * r13 + f13 * r23 * r12 > 0 THEN '030C'
+                ELSE '030T' END AS clazz
+            FROM tri
+        ) GROUP BY clazz
+    ),
+    closed_pairs AS (
+        SELECT clazz, count(*) AS n FROM (
+            SELECT CASE key
+                WHEN 'oo' THEN '021D' WHEN 'ii' THEN '021U'
+                WHEN 'io' THEN '021C' WHEN 'im' THEN '111D'
+                WHEN 'mo' THEN '111U' ELSE '201' END AS clazz
+            FROM (
+                SELECT least(t1, t2) || greatest(t1, t2) AS key FROM (
+                    SELECT
+                        CASE WHEN m12 = 1 THEN 'm' WHEN f12 = 1 THEN 'o'
+                             ELSE 'i' END AS t1,
+                        CASE WHEN m13 = 1 THEN 'm' WHEN f13 = 1 THEN 'o'
+                             ELSE 'i' END AS t2
+                    FROM tri
+                    UNION ALL
+                    SELECT
+                        CASE WHEN m12 = 1 THEN 'm' WHEN r12 = 1 THEN 'o'
+                             ELSE 'i' END,
+                        CASE WHEN m23 = 1 THEN 'm' WHEN f23 = 1 THEN 'o'
+                             ELSE 'i' END
+                    FROM tri
+                    UNION ALL
+                    SELECT
+                        CASE WHEN m13 = 1 THEN 'm' WHEN r13 = 1 THEN 'o'
+                             ELSE 'i' END,
+                        CASE WHEN m23 = 1 THEN 'm' WHEN r23 = 1 THEN 'o'
+                             ELSE 'i' END
+                    FROM tri
+                )
+            )
+        ) GROUP BY clazz
+    ),
+    common AS (
+        SELECT lo, hi, count(*) AS cmn FROM (
+            SELECT n1 AS lo, n2 AS hi FROM tri
+            UNION ALL SELECT n1, n3 FROM tri
+            UNION ALL SELECT n2, n3 FROM tri
+        ) GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT v, count(*) AS du FROM (
+            SELECT lo AS v FROM dy UNION ALL SELECT hi FROM dy
+        ) GROUP BY v
+    ),
+    disc AS (
+        SELECT CASE WHEN dy.mut = 1 THEN '102' ELSE '012' END AS clazz,
+               sum(nn.n_nodes - 2
+                   - (dl.du + dh.du - 2 - coalesce(c.cmn, 0))) AS n
+        FROM dy
+        LEFT JOIN common c ON c.lo = dy.lo AND c.hi = dy.hi
+        JOIN deg dl ON dl.v = dy.lo
+        JOIN deg dh ON dh.v = dy.hi
+        CROSS JOIN nn
+        GROUP BY 1
+    ),
+    positives AS (
+        SELECT clazz, n FROM center
+        UNION ALL SELECT clazz, -n FROM closed_pairs
+        UNION ALL SELECT clazz, n FROM closed
+        UNION ALL SELECT clazz, n FROM disc
+    ),
+    seed AS (
+        SELECT unnest(['003','012','102','021D','021U','021C','111D',
+                       '111U','030T','030C','201','120D','120U','120C',
+                       '210','300']) AS clazz, 0 AS n
+    ),
+    total3 AS (
+        SELECT '003' AS clazz,
+               n_nodes * (n_nodes - 1) * (n_nodes - 2) // 6 AS n
+        FROM nn
+    ),
+    neg003 AS (SELECT '003' AS clazz, -n AS n FROM positives)
+    SELECT clazz, CAST(sum(n) AS BIGINT) AS n FROM (
+        SELECT * FROM seed UNION ALL SELECT * FROM positives
+        UNION ALL SELECT * FROM total3 UNION ALL SELECT * FROM neg003
+    ) GROUP BY clazz
+    """,
+)
+def kg_triad_census_q(spark, sf_dir):
+    """Davis–Leinhardt 16-class triad census (operators/triads.py,
+    Batagelj & Mrvar 2001 arithmetic + compact-forward triangle
+    listing) over the extracted entity digraph — the structural QA
+    fingerprint: inverse-predicate pairs inflate the mutual classes,
+    direction bugs surface as 030C mass. The twin replicates the FULL
+    algorithm in DuckDB (dyads, center-pair counting, triangle
+    classification, complement arithmetic), and pytest pins the
+    operator against a brute-force isomorphism-canonical classifier
+    on random digraphs."""
+    from ..operators.triads import triad_census
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    arcs = (
+        res.triples.where(F.col("subj_name") != F.col("obj_name"))
+        .select(F.col("subj_name").alias("src"), F.col("obj_name").alias("dst"))
+        .dropDuplicates()
+    )
+    return triad_census(arcs)
+
+
+@xq(
     "kg_inverse_predicates",
     f"""
     WITH tri AS (
