@@ -553,7 +553,7 @@ def dedup_exact_normalized(spark, sf_dir):
     return dedup.exact_duplicates_normalized(load(spark, sf_dir, "documents"))
 
 
-@q(
+@xq(
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS (
@@ -2975,7 +2975,7 @@ def conv_struct_dedup(spark, sf_dir):
     return conversation_fingerprints(res.triples)
 
 
-@xq(
+@q(
     "kg_triad_census",
     f"""
     WITH arcs AS (
@@ -3139,6 +3139,122 @@ def kg_triad_census_q(spark, sf_dir):
         .dropDuplicates()
     )
     return triad_census(arcs)
+
+
+_CLOSURE_SQL_HEAD = f"""
+    WITH et AS (
+        SELECT least(subj_name, obj_name) AS lo,
+               greatest(subj_name, obj_name) AS hi,
+               min(ts_s) AS t
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+        WHERE subj_name <> obj_name
+        GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT e12.lo AS n1, e12.hi AS n2, e13.hi AS n3,
+               e12.t AS t12, e13.t AS t13, e23.t AS t23
+        FROM et e12
+        JOIN et e13 ON e13.lo = e12.lo AND e13.hi > e12.hi
+        JOIN et e23 ON e23.lo = e12.hi AND e23.hi = e13.hi
+    ),
+    ev AS (
+        SELECT
+            CASE WHEN (t23, n2, n3) >= (t12, n1, n2)
+                  AND (t23, n2, n3) >= (t13, n1, n3) THEN n2
+                 ELSE n1 END AS node_a,
+            CASE WHEN (t23, n2, n3) >= (t12, n1, n2)
+                  AND (t23, n2, n3) >= (t13, n1, n3) THEN n1
+                 WHEN (t13, n1, n3) >= (t12, n1, n2) THEN n2
+                 ELSE n3 END AS broker,
+            CASE WHEN (t12, n1, n2) > (t13, n1, n3)
+                  AND (t12, n1, n2) > (t23, n2, n3) THEN n2
+                 ELSE n3 END AS node_c,
+            CASE WHEN (t12, n1, n2) > (t13, n1, n3)
+                  AND (t12, n1, n2) > (t23, n2, n3)
+                     THEN greatest(t13, t23)
+                 WHEN (t13, n1, n3) > (t12, n1, n2)
+                  AND (t13, n1, n3) > (t23, n2, n3)
+                     THEN greatest(t12, t23)
+                 ELSE greatest(t12, t13) END AS t_open_s,
+            greatest(t12, t13, t23) AS t_close_s
+        FROM tri
+    )
+"""
+
+
+@xq(
+    "kg_closure_events",
+    _CLOSURE_SQL_HEAD
+    + """
+    SELECT node_a, broker, node_c, t_open_s, t_close_s,
+           t_close_s - t_open_s AS delay_s
+    FROM ev
+    """,
+)
+def kg_closure_events(spark, sf_dir):
+    """Temporal triadic-closure events of the co-assertion entity graph
+    (operators/closure.py): each triangle is exactly one closure — the
+    last-arriving edge (total order (t, lo, hi)) closes the wedge the
+    other two formed, the bypassed wedge center is the broker, delay is
+    integer seconds from wedge completion to closure. The Spark leg
+    runs the whole pipeline and enumerates via the skew-bounded
+    compact-forward orientation; the DuckDB twin re-derives dyad
+    first-times, triangles, and the tuple-comparison closer pick
+    independently from the assertion snapshot."""
+    from ..operators import closure as cl
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    et = cl.coassertion_edge_times(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return cl.closure_events(et)
+
+
+@xq(
+    "kg_closure_census",
+    _CLOSURE_SQL_HEAD
+    + """
+    , deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT lo AS node FROM et UNION ALL SELECT hi FROM et
+        ) GROUP BY node
+    ),
+    tri_at AS (
+        SELECT node, count(*) AS n_closed FROM (
+            SELECT node_a AS node FROM ev
+            UNION ALL SELECT broker FROM ev
+            UNION ALL SELECT node_c FROM ev
+        ) GROUP BY node
+    ),
+    brk AS (
+        SELECT broker AS node, count(*) AS n_brokered FROM ev GROUP BY broker
+    )
+    SELECT d.node, d.degree,
+           d.degree * (d.degree - 1) // 2 AS n_wedges,
+           coalesce(n_closed, 0) AS n_closed,
+           d.degree * (d.degree - 1) // 2
+               - coalesce(n_closed, 0) AS n_open,
+           coalesce(n_brokered, 0) AS n_brokered
+    FROM deg d
+    LEFT JOIN tri_at USING (node)
+    LEFT JOIN brk USING (node)
+    """,
+)
+def kg_closure_census(spark, sf_dir):
+    """Per-entity triadic-closure scorecard (operators/closure.py):
+    degree, wedge count C(d,2), closed (triangle memberships), still
+    open (node-local arithmetic — a hub's open wedges are never
+    enumerated), and brokered closures. Twin derives the same integers
+    from the assertion snapshot."""
+    from ..operators import closure as cl
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    et = cl.coassertion_edge_times(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return cl.closure_census(et)
 
 
 @xq(
