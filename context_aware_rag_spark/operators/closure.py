@@ -259,3 +259,65 @@ def closure_census(edge_times: DataFrame) -> DataFrame:
             F.coalesce("n_brokered", F.lit(0)).alias("n_brokered"),
         )
     )
+
+
+def closure_rate_series(
+    edge_times: DataFrame, bucket_s: int = 86400
+) -> DataFrame:
+    """Graph-growth monitor: per time bucket, edges formed vs wedges
+    closed.
+
+    (bucket_s, n_new_edges, n_closures, n_zero_delay, sum_delay_s,
+     cum_closures)
+
+    ``bucket_s`` is the bucket start (epoch seconds floored to the
+    bucket width; timestamps are assumed non-negative). A bucket
+    appears if it saw a first-assertion edge OR a closure; absent
+    counts are explicit zeros. ``n_zero_delay`` isolates same-instant
+    clique emissions (one chunk asserting a triangle), the
+    extraction-artifact signal; ``cum_closures`` is the running total
+    — a flattening curve means the graph stopped densifying.
+
+    100 TB shape: two bucket-keyed map-side-combinable aggs over the
+    closure-event and dyad streams + a full-outer merge on the bucket
+    key. The cumulative sum is a global window over BUCKET rows —
+    bounded by timespan/bucket_s (thousands, not corpus-sized), the
+    audited bounded-input exemption (dsir/sketches pattern).
+    """
+    from pyspark.sql import Window
+
+    if bucket_s < 1:
+        raise ValueError(f"need bucket_s >= 1, got {bucket_s}")
+    eb = (
+        edge_times.groupBy(
+            F.expr(f"(t_s DIV {bucket_s}) * {bucket_s}").alias("bucket_s")
+        )
+        .agg(F.count(F.lit(1)).alias("n_new_edges"))
+    )
+    ev = closure_events(edge_times)
+    cb = (
+        ev.groupBy(
+            F.expr(f"(t_close_s DIV {bucket_s}) * {bucket_s}").alias(
+                "bucket_s"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_closures"),
+            F.sum((F.col("delay_s") == 0).cast("long")).alias("n_zero_delay"),
+            F.sum("delay_s").alias("sum_delay_s"),
+        )
+    )
+    ser = (
+        eb.join(cb, "bucket_s", "full_outer")
+        .select(
+            "bucket_s",
+            F.coalesce("n_new_edges", F.lit(0)).alias("n_new_edges"),
+            F.coalesce("n_closures", F.lit(0)).alias("n_closures"),
+            F.coalesce("n_zero_delay", F.lit(0)).alias("n_zero_delay"),
+            F.coalesce("sum_delay_s", F.lit(0)).alias("sum_delay_s"),
+        )
+    )
+    w = Window.orderBy("bucket_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ser.withColumn("cum_closures", F.sum("n_closures").over(w))

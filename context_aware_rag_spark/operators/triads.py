@@ -349,3 +349,108 @@ def triad_census(
         .groupBy("clazz")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def graph_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row exact structural scorecard of the directed simple graph:
+
+    (n_nodes, n_self_loops, n_arcs, n_dyads, n_mutual, n_asym,
+     n_wedges, n_triangles, reciprocity_e6, density_e6,
+     transitivity_e6)
+
+    The whole-graph companion to :func:`triad_census` — the three
+    classic scalars every KG-construction run should log per build:
+
+    - ``reciprocity_e6``: fraction of arcs whose reverse arc also
+      exists (Garlaschelli-Loffredo arc reciprocity, 2*mutual/arcs) —
+      inverse-predicate extraction shows up as reciprocity inflation;
+    - ``density_e6``: arcs / n(n-1);
+    - ``transitivity_e6``: global clustering 3*triangles/wedges with
+      ``n_wedges = sum over nodes of C(d_undirected, 2)`` — computed
+      arithmetically from degrees, never by listing open wedges.
+
+    Ratios are exact floor-integer micro units (integer DIV — the
+    repo-wide discipline, reproducible bit-exact in any SQL engine);
+    a zero denominator yields NULL. Counts are over the DISTINCT
+    non-reflexive arc set; ``n_self_loops`` reports the distinct
+    reflexive arcs dropped.
+
+    100 TB shape: dyads and degrees are map-side-combinable aggs; the
+    only superlinear stage is the skew-bounded oriented triangle
+    listing (delegated to :func:`.graph.triangle_count`); the global
+    reduces collapse per-partition partials (bounded at #partitions
+    rows) and the scalars assemble via single-row crossJoin — no
+    driver collect.
+    """
+    from .graph import triangle_count
+
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    loops = (
+        raw.filter(F.col("s") == F.col("d"))
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("n_self_loops"))
+    )
+    arcs = raw.filter(F.col("s") != F.col("d")).dropDuplicates().localCheckpoint()
+    dyads = (
+        arcs.select(
+            F.least("s", "d").alias("lo"),
+            F.greatest("s", "d").alias("hi"),
+            (F.col("s") < F.col("d")).cast("int").alias("fwd"),
+            (F.col("s") > F.col("d")).cast("int").alias("rev"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.max("fwd").alias("fwd"), F.max("rev").alias("rev"))
+    )
+    dy_agg = dyads.agg(
+        F.count(F.lit(1)).alias("n_dyads"),
+        F.coalesce(
+            F.sum(((F.col("fwd") + F.col("rev")) == 2).cast("long")), F.lit(0)
+        ).alias("n_mutual"),
+        F.coalesce(F.sum(F.col("fwd") + F.col("rev")), F.lit(0))
+        .cast("long")
+        .alias("n_arcs"),
+    )
+    node_agg = (
+        dyads.select(F.col("lo").alias("v"))
+        .unionAll(dyads.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("du"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum(_c2(F.col("du"))), F.lit(0))
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    tri = triangle_count(arcs, "s", "d").select("n_triangles")
+    return (
+        dy_agg.crossJoin(node_agg)
+        .crossJoin(tri)
+        .crossJoin(loops)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_self_loops").cast("long").alias("n_self_loops"),
+            "n_arcs",
+            F.col("n_dyads").cast("long").alias("n_dyads"),
+            F.col("n_mutual").cast("long").alias("n_mutual"),
+            (F.col("n_dyads") - F.col("n_mutual"))
+            .cast("long")
+            .alias("n_asym"),
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN n_arcs > 0 THEN"
+                " (2000000 * CAST(n_mutual AS BIGINT)) DIV n_arcs END"
+            ).alias("reciprocity_e6"),
+            F.expr(
+                "CASE WHEN n_nodes > 1 THEN (1000000 * n_arcs)"
+                " DIV (CAST(n_nodes AS BIGINT) * (n_nodes - 1)) END"
+            ).alias("density_e6"),
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN"
+                " (3000000 * CAST(n_triangles AS BIGINT)) DIV n_wedges END"
+            ).alias("transitivity_e6"),
+        )
+    )

@@ -3258,6 +3258,126 @@ def kg_closure_census(spark, sf_dir):
 
 
 @xq(
+    "kg_closure_rate",
+    _CLOSURE_SQL_HEAD
+    + """
+    , eb AS (
+        SELECT (t // 86400) * 86400 AS bucket_s,
+               count(*) AS n_new_edges
+        FROM et GROUP BY 1
+    ),
+    cb AS (
+        SELECT (t_close_s // 86400) * 86400 AS bucket_s,
+               count(*) AS n_closures,
+               sum(CASE WHEN t_close_s = t_open_s THEN 1 ELSE 0 END)
+                   AS n_zero_delay,
+               sum(t_close_s - t_open_s) AS sum_delay_s
+        FROM ev GROUP BY 1
+    )
+    SELECT coalesce(eb.bucket_s, cb.bucket_s) AS bucket_s,
+           CAST(coalesce(n_new_edges, 0) AS BIGINT) AS n_new_edges,
+           CAST(coalesce(n_closures, 0) AS BIGINT) AS n_closures,
+           CAST(coalesce(n_zero_delay, 0) AS BIGINT) AS n_zero_delay,
+           CAST(coalesce(sum_delay_s, 0) AS BIGINT) AS sum_delay_s,
+           CAST(sum(coalesce(n_closures, 0)) OVER (
+               ORDER BY coalesce(eb.bucket_s, cb.bucket_s)
+           ) AS BIGINT) AS cum_closures
+    FROM eb FULL JOIN cb ON eb.bucket_s = cb.bucket_s
+    """,
+)
+def kg_closure_rate(spark, sf_dir):
+    """Daily graph-growth series (operators/closure.py:
+    closure_rate_series): edges formed vs wedges closed per bucket,
+    zero-delay (single-chunk clique) closures isolated, cumulative
+    closure curve. The cumulative window runs over BUCKET rows — the
+    audited bounded-input exemption. Twin re-derives the buckets and
+    the running sum from the assertion snapshot."""
+    from ..operators import closure as cl
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    et = cl.coassertion_edge_times(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return cl.closure_rate_series(et, bucket_s=86400)
+
+
+@xq(
+    "kg_graph_summary",
+    f"""
+    WITH raw AS (
+        SELECT DISTINCT subj_name AS s, obj_name AS d
+        FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    loops AS (
+        SELECT count(*) AS n_self_loops FROM raw WHERE s = d
+    ),
+    dy AS (
+        SELECT least(s, d) AS lo, greatest(s, d) AS hi,
+               max(CASE WHEN s < d THEN 1 ELSE 0 END) AS fwd,
+               max(CASE WHEN s > d THEN 1 ELSE 0 END) AS rev
+        FROM raw WHERE s <> d GROUP BY 1, 2
+    ),
+    dyagg AS (
+        SELECT count(*) AS n_dyads,
+               coalesce(sum(CASE WHEN fwd + rev = 2 THEN 1 ELSE 0 END), 0)
+                   AS n_mutual,
+               coalesce(sum(fwd + rev), 0) AS n_arcs
+        FROM dy
+    ),
+    nodeagg AS (
+        SELECT count(*) AS n_nodes,
+               coalesce(sum(du * (du - 1) // 2), 0) AS n_wedges
+        FROM (
+            SELECT v, count(*) AS du FROM (
+                SELECT lo AS v FROM dy UNION ALL SELECT hi FROM dy
+            ) GROUP BY v
+        )
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM dy d12
+        JOIN dy d13 ON d13.lo = d12.lo AND d13.hi > d12.hi
+        JOIN dy d23 ON d23.lo = d12.hi AND d23.hi = d13.hi
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_self_loops AS BIGINT) AS n_self_loops,
+           CAST(n_arcs AS BIGINT) AS n_arcs,
+           CAST(n_dyads AS BIGINT) AS n_dyads,
+           CAST(n_mutual AS BIGINT) AS n_mutual,
+           CAST(n_dyads - n_mutual AS BIGINT) AS n_asym,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_arcs > 0
+                THEN CAST((2000000 * n_mutual) // n_arcs AS BIGINT) END
+               AS reciprocity_e6,
+           CASE WHEN n_nodes > 1
+                THEN CAST((1000000 * n_arcs)
+                          // (n_nodes * (n_nodes - 1)) AS BIGINT) END
+               AS density_e6,
+           CASE WHEN n_wedges > 0
+                THEN CAST((3000000 * n_triangles) // n_wedges AS BIGINT) END
+               AS transitivity_e6
+    FROM dyagg CROSS JOIN nodeagg CROSS JOIN tri CROSS JOIN loops
+    """,
+)
+def kg_graph_summary(spark, sf_dir):
+    """One-row structural scorecard of the extracted entity digraph
+    (operators/triads.py:graph_summary): reciprocity (inverse-predicate
+    inflation alarm), density, global transitivity — exact counts plus
+    floor-micro integer ratios, so the hash pins the arithmetic in both
+    engines. Open wedges come from degree arithmetic, triangles from
+    the skew-bounded oriented listing."""
+    from ..operators.triads import graph_summary
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    arcs = res.triples.select(
+        F.col("subj_name").alias("src"), F.col("obj_name").alias("dst")
+    )
+    return graph_summary(arcs)
+
+
+@xq(
     "kg_inverse_predicates",
     f"""
     WITH tri AS (

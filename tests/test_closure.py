@@ -158,3 +158,66 @@ class TestPlanAndDeterminism:
         a = sorted(tuple(r) for r in cl.closure_events(df1).collect())
         b = sorted(tuple(r) for r in cl.closure_events(df2).collect())
         assert a == b
+
+
+class TestClosureRateSeries:
+    def test_daily_buckets_and_cumulative(self, spark):
+        day = 86400
+        df = _edge_df(
+            spark,
+            [("a", "b", 0), ("b", "c", day + 10), ("a", "c", 2 * day + 5)],
+        )
+        rows = {
+            r.bucket_s: r
+            for r in cl.closure_rate_series(df, bucket_s=day).collect()
+        }
+        assert sorted(rows) == [0, day, 2 * day]
+        assert (rows[0].n_new_edges, rows[0].n_closures) == (1, 0)
+        assert (rows[day].n_new_edges, rows[day].n_closures) == (1, 0)
+        r2 = rows[2 * day]
+        assert (r2.n_new_edges, r2.n_closures, r2.n_zero_delay) == (1, 1, 0)
+        # wedge completed at day+10, closed at 2*day+5
+        assert r2.sum_delay_s == (2 * day + 5) - (day + 10)
+        assert [rows[b].cum_closures for b in sorted(rows)] == [0, 0, 1]
+
+    def test_zero_delay_clique_counted(self, spark):
+        df = _edge_df(spark, [("a", "b", 7), ("b", "c", 7), ("a", "c", 7)])
+        r = cl.closure_rate_series(df, bucket_s=86400).collect()[0]
+        assert (r.n_new_edges, r.n_closures, r.n_zero_delay) == (3, 1, 1)
+        assert r.sum_delay_s == 0
+
+    def test_brute_parity_random(self, spark):
+        rng = random.Random(42)
+        nodes = [f"n{i}" for i in range(9)]
+        rows = [
+            (a, b, rng.randrange(0, 5 * 86400))
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.5
+        ]
+        want_ev, _ = _brute(rows)
+        day = 86400
+        eb, cb = {}, {}
+        for _, _, t in rows:
+            b = (t // day) * day
+            eb[b] = eb.get(b, 0) + 1
+        for _, _, _, t_open, t_close, delay in want_ev:
+            b = (t_close // day) * day
+            n, z, s = cb.get(b, (0, 0, 0))
+            cb[b] = (n + 1, z + (delay == 0), s + delay)
+        cum, want = 0, []
+        for b in sorted(set(eb) | set(cb)):
+            n, z, s = cb.get(b, (0, 0, 0))
+            cum += n
+            want.append((b, eb.get(b, 0), n, z, s, cum))
+        got = sorted(
+            tuple(r)
+            for r in cl.closure_rate_series(
+                _edge_df(spark, rows), bucket_s=day
+            ).collect()
+        )
+        assert got == want
+
+    def test_bad_bucket_raises(self, spark):
+        df = _edge_df(spark, [("a", "b", 1)])
+        with pytest.raises(ValueError):
+            cl.closure_rate_series(df, bucket_s=0)
