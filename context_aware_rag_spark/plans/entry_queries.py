@@ -3377,6 +3377,138 @@ def kg_graph_summary(spark, sf_dir):
     return graph_summary(arcs)
 
 
+def _hb_bucket(col: str) -> str:
+    return f"CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT) % 256"
+
+
+def _hb_rho(col: str) -> str:
+    v = f"CAST(concat('0x', substr(md5({col}), 9, 12)) AS BIGINT)"
+    return f"CASE WHEN {v} = 0 THEN 49 ELSE 49 - length(bin({v})) END"
+
+
+_HB_N_ITER = 4
+_HB_ITERS = "\n".join(
+    f"""    r{t} AS (
+        SELECT node, bucket, max(m_j) AS m_j FROM (
+            SELECT node, bucket, m_j FROM r{t - 1}
+            UNION ALL
+            SELECT e.x AS node, r.bucket, r.m_j
+            FROM e JOIN r{t - 1} r ON r.node = e.y
+        ) GROUP BY 1, 2
+    ),"""
+    for t in range(1, _HB_N_ITER + 1)
+)
+_HB_STATES = "\n        UNION ALL ".join(
+    f"SELECT {t} AS t, node, bucket, m_j FROM r{t}"
+    for t in range(_HB_N_ITER + 1)
+)
+_HB_RAW = (
+    "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 562949953421312.0"
+    " / CAST(harmonic_s49 AS DOUBLE)"
+)
+
+
+@xq(
+    "kg_effective_diameter",
+    f"""
+    WITH et AS (
+        SELECT least(subj_name, obj_name) AS lo,
+               greatest(subj_name, obj_name) AS hi
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+        WHERE subj_name <> obj_name
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT lo AS x, hi AS y FROM et
+        UNION ALL SELECT hi, lo FROM et
+    ),
+    r0 AS (
+        SELECT node, {_hb_bucket("node")} AS bucket, {_hb_rho("node")} AS m_j
+        FROM (SELECT DISTINCT x AS node FROM e)
+    ),
+{_HB_ITERS}
+    states AS (
+        {_HB_STATES}
+    ),
+    agg AS (
+        SELECT t, node, count(*) AS n_registers,
+               sum(1::BIGINT << (49 - m_j)) AS s_present
+        FROM states GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT t,
+               s_present + (256 - n_registers) * (1::BIGINT << 49)
+                   AS harmonic_s49,
+               256 - n_registers AS n_empty
+        FROM agg
+    ),
+    pe AS (
+        SELECT t,
+               CAST(round(round(
+                   CASE WHEN n_empty > 0 AND {_HB_RAW} <= 640.0
+                        THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
+                        ELSE {_HB_RAW} END, 4) * 10000) AS BIGINT) AS e4
+        FROM est
+    ),
+    nf AS (SELECT t, sum(e4) AS nf_e4 FROM pe GROUP BY t),
+    nf2 AS (
+        SELECT t, nf_e4, lag(nf_e4) OVER (ORDER BY t) AS nf_prev FROM nf
+    ),
+    base AS (
+        SELECT max(nf_e4) AS nf_max,
+               sum(CASE WHEN t = 0 THEN nf_e4 END) AS nf0,
+               sum(CASE WHEN t > 0 THEN t * (nf_e4 - nf_prev) END) AS growth
+        FROM nf2
+    ),
+    cand AS (
+        SELECT nf2.t AS ct, nf_prev, nf_e4
+        FROM nf2 CROSS JOIN base
+        WHERE 1000000 * nf_e4 >= 900000 * nf_max
+        ORDER BY nf2.t LIMIT 1
+    )
+    SELECT CAST({_HB_N_ITER} AS BIGINT) AS n_iter,
+           CAST(900000 AS BIGINT) AS q_e6,
+           CAST(nf0 AS BIGINT) AS nf0_e4,
+           CAST(nf_max AS BIGINT) AS nf_max_e4,
+           CASE WHEN nf_max > nf0
+                THEN CAST((1000000 * growth) // (nf_max - nf0) AS BIGINT) END
+               AS avg_distance_e6,
+           CASE WHEN ct IS NULL THEN NULL
+                WHEN ct = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((ct - 1) * 1000000
+                          + (900000 * nf_max - 1000000 * nf_prev)
+                            // (nf_e4 - nf_prev) AS BIGINT) END
+               AS eff_diameter_e6
+    FROM base LEFT JOIN cand ON TRUE
+    """,
+)
+def kg_effective_diameter(spark, sf_dir):
+    """HyperBall distance summary of the co-assertion entity graph
+    (operators/graph.py:effective_diameter, Boldi-Vigna 2013 /
+    Palmer ANF 2002): neighborhood function NF(t) summed in integer
+    1e-4 units from per-node HLL ball estimates, then horizon-bounded
+    average distance and the q=0.9 interpolated effective diameter as
+    floor-micro integers. The twin unrolls ALL {n} HyperBall
+    iterations in DuckDB — register init, edge max-merge, the full
+    estimator, the NF lag window, and the quantile interpolation — so
+    the hash gates the entire derivation, not just the output
+    shape.""".replace("{n}", str(_HB_N_ITER))
+    from ..operators import closure as cl_ops
+    from ..operators import facts as facts_ops
+    from ..operators.graph import effective_diameter
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    et = cl_ops.coassertion_edge_times(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return effective_diameter(
+        et.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        p=8,
+        n_iter=_HB_N_ITER,
+        q_e6=900_000,
+    )
+
+
 @xq(
     "kg_inverse_predicates",
     f"""
