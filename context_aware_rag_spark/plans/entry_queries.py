@@ -3408,9 +3408,7 @@ _HB_RAW = (
 )
 
 
-@xq(
-    "kg_effective_diameter",
-    f"""
+_HB_SQL_HEAD = f"""
     WITH et AS (
         SELECT least(subj_name, obj_name) AS lo,
                greatest(subj_name, obj_name) AS hi
@@ -3436,21 +3434,28 @@ _HB_RAW = (
         FROM states GROUP BY 1, 2
     ),
     est AS (
-        SELECT t,
+        SELECT t, node,
                s_present + (256 - n_registers) * (1::BIGINT << 49)
                    AS harmonic_s49,
                256 - n_registers AS n_empty
         FROM agg
     ),
     pe AS (
-        SELECT t,
+        SELECT t, node,
                CAST(round(round(
                    CASE WHEN n_empty > 0 AND {_HB_RAW} <= 640.0
                         THEN 256.0 * ln(256.0 / CAST(n_empty AS DOUBLE))
                         ELSE {_HB_RAW} END, 4) * 10000) AS BIGINT) AS e4
         FROM est
-    ),
-    nf AS (SELECT t, sum(e4) AS nf_e4 FROM pe GROUP BY t),
+    )
+"""
+
+
+@xq(
+    "kg_effective_diameter",
+    _HB_SQL_HEAD
+    + f"""
+    , nf AS (SELECT t, sum(e4) AS nf_e4 FROM pe GROUP BY t),
     nf2 AS (
         SELECT t, nf_e4, lag(nf_e4) OVER (ORDER BY t) AS nf_prev FROM nf
     ),
@@ -3506,6 +3511,45 @@ def kg_effective_diameter(spark, sf_dir):
         p=8,
         n_iter=_HB_N_ITER,
         q_e6=900_000,
+    )
+
+
+@xq(
+    "kg_harmonic_centrality",
+    _HB_SQL_HEAD
+    + """
+    SELECT node,
+           CAST(sum((greatest(e4 - prev, 0) * (1000000 // t)) // 10000)
+                AS BIGINT) AS harmonic_e6
+    FROM (
+        SELECT t, node, e4,
+               lag(e4) OVER (PARTITION BY node ORDER BY t) AS prev
+        FROM pe
+    )
+    WHERE t > 0
+    GROUP BY node
+    """,
+)
+def kg_harmonic_centrality(spark, sf_dir):
+    """Approximate harmonic centrality of every entity in the
+    co-assertion graph (operators/graph.py:harmonic_centrality,
+    Boldi-Vigna's flagship HyperBall application): newly-reached
+    ball mass at distance t contributes 1/t, evaluated with the
+    deterministic clamped-delta integer formula. The twin rides the
+    same fully-unrolled HyperBall head as kg_effective_diameter and
+    replicates the per-node lag + weighted floor sum."""
+    from ..operators import closure as cl_ops
+    from ..operators import facts as facts_ops
+    from ..operators.graph import harmonic_centrality
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    et = cl_ops.coassertion_edge_times(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return harmonic_centrality(
+        et.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        p=8,
+        n_iter=_HB_N_ITER,
     )
 
 

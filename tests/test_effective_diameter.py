@@ -125,3 +125,72 @@ class TestEffectiveDiameter:
             effective_diameter(df, q_e6=0)
         with pytest.raises(ValueError):
             effective_diameter(df, q_e6=1_000_001)
+
+
+def _brute_harmonic(edge_rows, n_iter):
+    adj = {}
+    for a, b in edge_rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    balls = {v: {v} for v in nodes}
+    series = {v: [_estimate_e4(balls[v])] for v in nodes}
+    for _t in range(n_iter):
+        balls = {
+            v: balls[v] | set().union(*(balls[u] for u in adj[v]))
+            for v in nodes
+        }
+        for v in nodes:
+            series[v].append(_estimate_e4(balls[v]))
+    return {
+        v: sum(
+            (max(s[t] - s[t - 1], 0) * (1_000_000 // t)) // 10_000
+            for t in range(1, n_iter + 1)
+        )
+        for v, s in series.items()
+    }
+
+
+class TestHarmonicCentrality:
+    def test_path_and_star_parity(self, spark):
+        from context_aware_rag_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        for rows in (
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            [("h", f"l{i}") for i in range(5)],
+        ):
+            want = _brute_harmonic(rows, 4)
+            got = {
+                r.node: r.harmonic_e6
+                for r in harmonic_centrality(
+                    _edge_df(spark, rows), p=8, n_iter=4
+                ).collect()
+            }
+            assert got == want
+
+    def test_center_outranks_leaf(self, spark):
+        from context_aware_rag_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        rows = [("h", f"l{i}") for i in range(6)]
+        got = {
+            r.node: r.harmonic_e6
+            for r in harmonic_centrality(
+                _edge_df(spark, rows), p=8, n_iter=3
+            ).collect()
+        }
+        assert got["h"] > got["l0"]
+
+    def test_no_single_partition(self, spark):
+        from context_aware_rag_spark.operators.graph import (
+            harmonic_centrality,
+        )
+
+        out = harmonic_centrality(
+            _edge_df(spark, [("a", "b"), ("b", "c")]), p=8, n_iter=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
