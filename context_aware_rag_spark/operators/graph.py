@@ -2807,3 +2807,165 @@ def clustering_coefficients(
             ).alias("clustering_ppm"),
         )
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_pivots: int = 32,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Pivot-sampled Brandes betweenness centrality over the undirected
+    simple graph underlying ``edges`` — the brokerage score the
+    degree/PageRank family cannot see (a low-degree node bridging two
+    dense KG neighborhoods routes every cross-community shortest path;
+    reference users read exactly this off their graph DB's centrality
+    plugin, networkx_db.py holds the whole graph in one process to do
+    it).
+
+    Estimator (Brandes 2001 accumulation; Brandes & Pich 2007 pivot
+    sampling): from each of ``n_pivots`` sources run a level-
+    synchronous BFS computing sigma (shortest-path counts), then
+    accumulate dependencies backward level by level.  The estimate of
+    C_B(v) at full scale is ``betweenness_micro / 1e6 * n / k`` — the
+    raw pivot-summed dependency is returned (with ``n_pivots_used``)
+    so the consumer applies the extrapolation; unreached and
+    non-broker nodes appear with an honest 0.
+
+    Determinism discipline (hash-exact vs the pure-Python replica
+    precompute.betweenness_py):
+
+    - pivots are the first k nodes under the total order
+      ``(md5(node), node)`` — a uniform-but-deterministic sample, the
+      md5-threshold trick from sampling.py; planned as one
+      TakeOrderedAndProject (k-bounded, never a global sort),
+    - sigma is an exact integer (sums of longs over the frontier),
+    - dependency delta is held in integer MICRO units with the
+      per-edge contribution floored BEFORE the sum —
+      ``(sigma_pred * (1e6 + delta_succ)) div sigma_succ`` in
+      DECIMAL(38,0) — so every aggregate is a sum of exact integers:
+      partition- and order-independent, and the replica applies the
+      IDENTICAL floor structure (documented deliberate quantization of
+      the rational Brandes delta; error per edge < 1 micro-unit).
+
+    100 TB shape: state is (pivot, node) keyed — k·n rows, all k BFS
+    waves advance in the SAME per-round equi-join + map-side-combined
+    groupBy (embarrassingly parallel across pivots, round count
+    bounded by ``max_depth``); the backward pass replays the same
+    joins in reverse level order. ``localCheckpoint`` per round keeps
+    lineage flat. No driver action except the per-round emptiness
+    count and the k-bounded pivot collect.
+    """
+    if n_pivots < 1:
+        raise ValueError(f"need n_pivots >= 1, got {n_pivots}")
+    if max_depth < 1:
+        raise ValueError(f"need max_depth >= 1, got {max_depth}")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint()
+    nodes = sym.select(F.col("u").alias("node_id")).distinct().localCheckpoint()
+    # deterministic pivot sample: first k nodes under (md5, node) —
+    # TakeOrderedAndProject, k-bounded
+    pivots = (
+        nodes.orderBy(
+            F.md5(F.col("node_id").cast("string")).asc(), F.col("node_id").asc()
+        )
+        .limit(n_pivots)
+        .select(F.col("node_id").alias("s"))
+        .localCheckpoint()
+    )
+    k_used = pivots.count()
+    # ---- forward: level-synchronous multi-pivot BFS with path counts
+    settled = pivots.select(
+        "s",
+        F.col("s").alias("v"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = settled
+    t_max = 0
+    for t in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier.v == sym.u)
+            .groupBy("s", sym.v.alias("w"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("w", "v")
+            .join(settled.select("s", "v"), ["s", "v"], "left_anti")
+            .withColumn("dist", F.lit(t))
+            .select("s", "v", "dist", "sigma")
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        settled = settled.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+        t_max = t
+    # ---- backward: dependency accumulation, deepest level first.
+    # delta(s, v) is determined entirely by level dist(v)+1 (BFS DAG
+    # edges only cross adjacent levels), so each (s, v) is written by
+    # exactly one round.
+    delta = settled.limit(0).select(
+        "s", "v", F.lit(0).cast("long").alias("delta_micro")
+    ).localCheckpoint()
+    for t in range(t_max, 0, -1):
+        succ = (
+            settled.filter(F.col("dist") == t)
+            .join(delta, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                "sigma",
+                F.coalesce("delta_micro", F.lit(0)).alias("d_succ"),
+            )
+        )
+        contrib = (
+            succ.join(sym, succ.v == sym.u)
+            .select(
+                "s",
+                sym.v.alias("p"),
+                F.col("sigma").alias("sigma_succ"),
+                "d_succ",
+            )
+            .join(
+                settled.filter(F.col("dist") == t - 1).select(
+                    "s", F.col("v").alias("p"), F.col("sigma").alias("sigma_pred")
+                ),
+                ["s", "p"],
+            )
+            .select(
+                "s",
+                F.col("p").alias("v"),
+                F.expr(
+                    "CAST(sigma_pred AS DECIMAL(38,0)) * (1000000 + d_succ)"
+                    " div sigma_succ"
+                ).alias("c"),
+            )
+        )
+        lvl = contrib.groupBy("s", "v").agg(
+            F.sum("c").cast("long").alias("delta_micro")
+        )
+        delta = delta.unionAll(lvl).localCheckpoint()
+    bc = (
+        delta.filter(F.col("v") != F.col("s"))
+        .groupBy(F.col("v").alias("node_id"))
+        .agg(F.sum("delta_micro").alias("betweenness_micro"))
+    )
+    return (
+        nodes.join(bc, "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("betweenness_micro", F.lit(0)).cast("long").alias(
+                "betweenness_micro"
+            ),
+            F.lit(k_used).cast("int").alias("n_pivots_used"),
+        )
+    )

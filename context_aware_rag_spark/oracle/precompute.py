@@ -2811,3 +2811,63 @@ def community_members_table(
         if not changed:
             break
     return sorted(labels.items())
+
+
+def betweenness_py(
+    pairs: "Sequence[Tuple[int, int]]",
+    n_pivots: int = 32,
+    max_depth: int = 10,
+) -> "List[Tuple[int, int, int]]":
+    """Independent recomputation of graph.betweenness_centrality:
+    per-pivot level-synchronous BFS with integer sigma, then Brandes
+    backward accumulation under the IDENTICAL floored-micro arithmetic
+    ((sigma_pred * (1e6 + delta_succ)) // sigma_succ per DAG edge,
+    floored BEFORE the sum). Pivots = first n_pivots nodes under
+    (md5(str(node)), node). Returns sorted
+    (node, betweenness_micro, n_pivots_used)."""
+    import hashlib
+    from collections import defaultdict
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    pivots = sorted(
+        nodes, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:n_pivots]
+    bc = {v: 0 for v in nodes}
+    for s in pivots:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        frontier = [s]
+        t = 0
+        while frontier and t < max_depth:
+            t += 1
+            acc = defaultdict(int)
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        acc[w] += sigma[u]
+            if not acc:
+                break
+            for w, sg in acc.items():
+                dist[w] = t
+                sigma[w] = sg
+            frontier = sorted(acc)
+            levels.append(frontier)
+        delta = defaultdict(int)
+        for t in range(len(levels) - 1, 0, -1):
+            for w in levels[t]:
+                for p in adj[w]:
+                    if dist.get(p) == t - 1:
+                        delta[p] += (
+                            sigma[p] * (1_000_000 + delta[w])
+                        ) // sigma[w]
+        for v, d in delta.items():
+            if v != s:
+                bc[v] += d
+    k_used = len(pivots)
+    return sorted((v, bc[v], k_used) for v in nodes)

@@ -4621,6 +4621,45 @@ def graph_kcore_q(spark, sf_dir):
 
 
 @xq(
+    "kg_graph_betweenness",
+    f"""
+    SELECT node_id, betweenness_micro, n_pivots_used
+    FROM read_parquet('{_pq("graph_betweenness")}')
+    """,
+)
+def kg_graph_betweenness_q(spark, sf_dir):
+    """Pivot-sampled Brandes betweenness (graph.betweenness_centrality,
+    32 md5-ordered pivots) over the >= 28-gated supplier co-occurrence
+    graph — the brokerage signal the degree/PageRank family cannot
+    see. Twin = precomputed pure-Python Brandes under the identical
+    floored-micro dependency arithmetic (precompute.betweenness_py),
+    so the hash is bit-exact, not approximate."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 28)
+        .select("src", "dst")
+    )
+    return graph.betweenness_centrality(pairs, n_pivots=32).select(
+        F.col("node_id").cast("long").alias("node_id"),
+        "betweenness_micro",
+        "n_pivots_used",
+    )
+
+
+@xq(
     "kg_graph_bfs",
     """
     WITH RECURSIVE pairs AS (

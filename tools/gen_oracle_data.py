@@ -125,6 +125,10 @@ SCHEMAS = {
     "graph_kcore": pa.schema(
         [("node_id", pa.int64()), ("core_degree", pa.int64())]
     ),
+    "graph_betweenness": pa.schema(
+        [("node_id", pa.int64()), ("betweenness_micro", pa.int64()),
+         ("n_pivots_used", pa.int32())]
+    ),
     "graph_msf": pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("weight", pa.int64())]
     ),
@@ -373,6 +377,15 @@ def main(sf_dirs: list[str]) -> None:
             """
         ).fetchall()
         write(out_dir, "graph_kcore", precompute.k_core_py(supp_pairs, k=12))
+
+        # pivot-sampled Brandes betweenness over the same >= 28 graph:
+        # the replica shares the operator's floored-micro dependency
+        # arithmetic, so equality is bit-exact, not approximate
+        write(
+            out_dir,
+            "graph_betweenness",
+            precompute.betweenness_py(supp_pairs, n_pivots=32, max_depth=10),
+        )
 
         # weighted co-occurrence backbone: the >= 15-gated supplier
         # graph with inverse-strength costs (stronger co-occurrence =
