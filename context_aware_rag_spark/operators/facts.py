@@ -383,3 +383,172 @@ def functional_violations(
             "n_pairs_pred",
         )
     )
+
+
+def interval_flickers(
+    intervals: DataFrame, max_flicker_s: "int | None" = None
+) -> DataFrame:
+    """Sandwiched-interloper detection over valid-time intervals: the
+    extraction-noise signature temporal KGs triage FIRST (Wikidata-
+    style vandalism/misparse patrol). A slot that reads
+    ``A … B(brief) … A`` almost never witnessed a real state change
+    and a reversion — it witnessed one bad extraction of B inside A's
+    reign. Static :func:`functional_violations` cannot see this (A and
+    B are just two objects); :func:`slot_churn` counts it as two flips
+    of a volatile slot. This emits the interloper itself.
+
+    One row per interval whose slot-order neighbors (previous and next
+    interval within the (subj, pred) slot) carry the SAME object while
+    it carries a different one — with the interloper's closed duration
+    in integer seconds and the surrounding object. ``max_flicker_s``
+    optionally gates to brief interruptions (the noise regime);
+    ``None`` reports every sandwiched reversion, letting the consumer
+    threshold on ``duration_s``.
+
+    Interval order within a slot is ``(valid_from, obj_name)`` — a
+    total order identical to the islands' start-rank order (rn_all is
+    (ts, obj)-monotone, and same-``valid_from`` islands differ in
+    object), so the DuckDB twin reproduces it exactly.
+
+    100 TB shape: one slot-keyed window over the interval table — the
+    partition keys are a superset of :func:`fact_intervals`' Exchange
+    keys, so composed with it the lag/lead run inside the existing
+    clustering; a sandwiched interval is interior by construction so
+    ``valid_to`` is never NULL and ``duration_s`` is exact.
+    """
+    if max_flicker_s is not None and max_flicker_s < 0:
+        raise ValueError(f"need max_flicker_s >= 0, got {max_flicker_s}")
+    w = Window.partitionBy("subj_name", "pred").orderBy(
+        "valid_from", "obj_name"
+    )
+    x = intervals.select(
+        "subj_name",
+        "pred",
+        "obj_name",
+        "valid_from",
+        "valid_to",
+        "n_asserts",
+        F.lag("obj_name").over(w).alias("_prev_obj"),
+        F.lead("obj_name").over(w).alias("_next_obj"),
+    )
+    out = x.filter(
+        F.col("_prev_obj").isNotNull()
+        & (F.col("_prev_obj") == F.col("_next_obj"))
+        & (F.col("obj_name") != F.col("_prev_obj"))
+    ).select(
+        "subj_name",
+        "pred",
+        "obj_name",
+        "valid_from",
+        "valid_to",
+        (F.col("valid_to") - F.col("valid_from")).alias("duration_s"),
+        F.col("_prev_obj").alias("surrounding_obj"),
+        "n_asserts",
+    )
+    if max_flicker_s is not None:
+        out = out.filter(F.col("duration_s") <= F.lit(int(max_flicker_s)))
+    return out
+
+
+def snapshot_diff(
+    intervals: DataFrame,
+    t1_s: "int | None" = None,
+    t2_s: "int | None" = None,
+) -> DataFrame:
+    """Per-predicate KG drift census between two point-in-time
+    snapshots — the maintenance monitor for a continuously-ingested
+    graph ("what did last month's transcripts DO to the knowledge
+    base": which predicates accreted facts, which ones churned, which
+    held steady). The temporal sibling of diff.psi_* (which watches
+    the INPUT corpus drift; this watches the produced KG).
+
+    For every fact (subj, pred, obj): present-at-t = some validity
+    interval contains t under the half-open :func:`facts_as_of`
+    convention. Per predicate:
+
+    (pred, n_t1, n_t2, n_added, n_removed, n_retained, stability_ppm,
+     t1_s, t2_s)
+
+    with ``stability_ppm`` the integer Jaccard of the two fact sets
+    (retained * 1e6 div union) — 1e6 means the predicate's extension
+    did not move. Predicates with facts in neither snapshot are absent
+    (there is nothing to report drift on).
+
+    With ``t1_s``/``t2_s`` None, the probes derive IN-PLAN at the
+    1/3- and 2/3-points of the ``valid_from`` range ((2*min + max)
+    div 3 and (min + 2*max) div 3) — the same no-collect discipline as
+    :func:`facts_as_of` — and are emitted as columns so the hash pins
+    them.
+
+    100 TB shape: one interval scan computing both containment flags →
+    a map-side-combinable (subj, pred, obj) agg (keys shared with the
+    interval clustering) → a vocabulary-sized predicate agg; the probe
+    bounds are a single-row global agg broadcast back. No windows, no
+    driver actions, integer arithmetic end to end.
+    """
+    explicit = t1_s is not None and t2_s is not None
+    if (t1_s is None) != (t2_s is None):
+        raise ValueError("pass both t1_s and t2_s, or neither")
+    if explicit and not int(t1_s) < int(t2_s):
+        raise ValueError(f"need t1_s < t2_s, got {t1_s} >= {t2_s}")
+    if explicit:
+        probed = intervals.withColumn(
+            "t1_s", F.lit(int(t1_s)).cast("long")
+        ).withColumn("t2_s", F.lit(int(t2_s)).cast("long"))
+    else:
+        bounds = intervals.agg(
+            F.expr("(2 * min(valid_from) + max(valid_from)) div 3").alias(
+                "t1_s"
+            ),
+            F.expr("(min(valid_from) + 2 * max(valid_from)) div 3").alias(
+                "t2_s"
+            ),
+        )
+        probed = intervals.crossJoin(F.broadcast(bounds))
+    contains = lambda t: (  # noqa: E731 — half-open [from, to)
+        (F.col("valid_from") <= F.col(t))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col(t)))
+    )
+    facts = (
+        probed.select(
+            "subj_name",
+            "pred",
+            "obj_name",
+            "t1_s",
+            "t2_s",
+            contains("t1_s").cast("int").alias("f1"),
+            contains("t2_s").cast("int").alias("f2"),
+        )
+        .groupBy("subj_name", "pred", "obj_name", "t1_s", "t2_s")
+        .agg(F.max("f1").alias("a"), F.max("f2").alias("b"))
+        .filter((F.col("a") == 1) | (F.col("b") == 1))
+    )
+    return (
+        facts.groupBy("pred", "t1_s", "t2_s")
+        .agg(
+            F.sum("a").alias("n_t1"),
+            F.sum("b").alias("n_t2"),
+            F.sum(
+                F.when((F.col("b") == 1) & (F.col("a") == 0), 1).otherwise(0)
+            ).alias("n_added"),
+            F.sum(
+                F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)
+            ).alias("n_removed"),
+            F.sum(
+                F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)
+            ).alias("n_retained"),
+        )
+        .select(
+            "pred",
+            "n_t1",
+            "n_t2",
+            "n_added",
+            "n_removed",
+            "n_retained",
+            F.expr(
+                "n_retained * 1000000 div (n_t1 + n_t2 - n_retained)"
+            ).alias("stability_ppm"),
+            "t1_s",
+            "t2_s",
+        )
+    )

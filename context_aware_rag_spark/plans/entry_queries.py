@@ -76,8 +76,17 @@ def _pq(name: str) -> str:
     return path
 
 
+def _fresh(name: str) -> None:
+    # a duplicate registration would SILENTLY overwrite the earlier
+    # query (and, worse, could pair one leg's Spark plan with the
+    # other's oracle) — fail at import time instead
+    if name in QUERIES or name in EXTRA_QUERIES:
+        raise ValueError(f"duplicate query registration: {name!r}")
+
+
 def q(name: str, oracle: str | None = None):
     def reg(fn):
+        _fresh(name)
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -87,6 +96,7 @@ def q(name: str, oracle: str | None = None):
 
 def xq(name: str, oracle: str | None = None):
     def reg(fn):
+        _fresh(name)
         EXTRA_QUERIES[name] = fn
         if oracle is not None:
             EXTRA_ORACLES[name] = oracle
@@ -2855,6 +2865,99 @@ def kg_slot_churn(spark, sf_dir):
         facts_ops.fact_assertions(res.triples, res.chunks)
     )
     return facts_ops.slot_churn(iv)
+
+
+@xq(
+    "kg_interval_flickers",
+    _FACT_ISLANDS_SQL
+    + """
+    , x AS (
+        SELECT subj_name, pred, obj_name, valid_from, valid_to, n_asserts,
+               lag(obj_name) OVER w AS prev_obj,
+               lead(obj_name) OVER w AS next_obj
+        FROM iv
+        WINDOW w AS (PARTITION BY subj_name, pred
+                     ORDER BY valid_from, obj_name)
+    )
+    SELECT subj_name, pred, obj_name, valid_from, valid_to,
+           valid_to - valid_from AS duration_s,
+           prev_obj AS surrounding_obj, n_asserts
+    FROM x
+    WHERE prev_obj IS NOT NULL AND prev_obj = next_obj
+      AND obj_name <> prev_obj
+    """,
+)
+def kg_interval_flickers(spark, sf_dir):
+    """Sandwiched-interloper detection (facts.interval_flickers): a
+    slot reading A…B(brief)…A witnessed one bad extraction of B, not a
+    real change and a reversion — the temporal-KG noise-triage row the
+    static functional census cannot see. Spark runs the whole pipeline
+    → intervals → slot-ordered lag/lead sandwich filter; the twin
+    re-derives islands AND the window independently over the assertion
+    snapshot."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    iv = facts_ops.fact_intervals(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return facts_ops.interval_flickers(iv)
+
+
+@xq(
+    "kg_pred_drift",
+    _FACT_ISLANDS_SQL
+    + """
+    , probe AS (
+        SELECT (2 * min(valid_from) + max(valid_from)) // 3 AS t1_s,
+               (min(valid_from) + 2 * max(valid_from)) // 3 AS t2_s
+        FROM iv
+    ),
+    facts AS (
+        SELECT subj_name, pred, obj_name, probe.t1_s, probe.t2_s,
+               max(CASE WHEN valid_from <= probe.t1_s
+                         AND (valid_to IS NULL OR valid_to > probe.t1_s)
+                        THEN 1 ELSE 0 END) AS a,
+               max(CASE WHEN valid_from <= probe.t2_s
+                         AND (valid_to IS NULL OR valid_to > probe.t2_s)
+                        THEN 1 ELSE 0 END) AS b
+        FROM iv, probe
+        GROUP BY subj_name, pred, obj_name, probe.t1_s, probe.t2_s
+        HAVING max(CASE WHEN valid_from <= probe.t1_s
+                         AND (valid_to IS NULL OR valid_to > probe.t1_s)
+                        THEN 1 ELSE 0 END) = 1
+            OR max(CASE WHEN valid_from <= probe.t2_s
+                         AND (valid_to IS NULL OR valid_to > probe.t2_s)
+                        THEN 1 ELSE 0 END) = 1
+    )
+    SELECT pred,
+           sum(a) AS n_t1, sum(b) AS n_t2,
+           sum(CASE WHEN b = 1 AND a = 0 THEN 1 ELSE 0 END) AS n_added,
+           sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n_removed,
+           sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n_retained,
+           sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) * 1000000
+             // (sum(a) + sum(b)
+                 - sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END))
+             AS stability_ppm,
+           t1_s, t2_s
+    FROM facts GROUP BY pred, t1_s, t2_s
+    """,
+)
+def kg_pred_drift(spark, sf_dir):
+    """Per-predicate KG drift census between the in-plan 1/3- and
+    2/3-point snapshots (facts.snapshot_diff): added / removed /
+    retained fact counts + integer-Jaccard stability per predicate —
+    the maintenance monitor for a continuously-ingested graph (the KG
+    sibling of the diff.psi_* corpus monitors). The twin re-derives
+    islands, probes, containment flags, and the census independently
+    over the assertion snapshot."""
+    from ..operators import facts as facts_ops
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    iv = facts_ops.fact_intervals(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return facts_ops.snapshot_diff(iv)
 
 
 @xq(

@@ -304,3 +304,173 @@ class TestTripleEvidence:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "SinglePartition" not in plan, plan
+
+
+class TestIntervalFlickers:
+    def _iv(self, spark, rows):
+        return facts.fact_intervals(_assertions(spark, rows))
+
+    def test_sandwiched_interloper_detected(self, spark):
+        # A(10..30) B(30..40) A(40..open): B is the flicker
+        rows = [
+            ("vm", "hosted_on", "A", 10),
+            ("vm", "hosted_on", "B", 30),
+            ("vm", "hosted_on", "A", 40),
+        ]
+        got = facts.interval_flickers(self._iv(spark, rows)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (
+            r.obj_name,
+            r.surrounding_obj,
+            r.valid_from,
+            r.valid_to,
+            r.duration_s,
+        ) == ("B", "A", 30, 40, 10)
+
+    def test_real_change_is_not_a_flicker(self, spark):
+        # A → B → C: B is sandwiched but by DIFFERENT objects
+        rows = [
+            ("vm", "hosted_on", "A", 10),
+            ("vm", "hosted_on", "B", 20),
+            ("vm", "hosted_on", "C", 30),
+        ]
+        assert facts.interval_flickers(self._iv(spark, rows)).count() == 0
+
+    def test_boundary_intervals_never_flag(self, spark):
+        # first and last intervals have no sandwich; two-interval
+        # slots (one real change) never flag
+        rows = [
+            ("vm", "hosted_on", "A", 10),
+            ("vm", "hosted_on", "B", 20),
+        ]
+        assert facts.interval_flickers(self._iv(spark, rows)).count() == 0
+
+    def test_max_flicker_s_gates_duration(self, spark):
+        rows = [
+            ("vm", "hosted_on", "A", 10),
+            ("vm", "hosted_on", "B", 30),   # 70s interloper
+            ("vm", "hosted_on", "A", 100),
+        ]
+        iv = self._iv(spark, rows)
+        assert facts.interval_flickers(iv, max_flicker_s=69).count() == 0
+        assert facts.interval_flickers(iv, max_flicker_s=70).count() == 1
+        with pytest.raises(ValueError, match="max_flicker_s"):
+            facts.interval_flickers(iv, max_flicker_s=-1)
+
+    def test_double_flicker_both_reported(self, spark):
+        # A B A C A: both B and C are sandwiched by A
+        rows = [
+            ("vm", "hosted_on", "A", 10),
+            ("vm", "hosted_on", "B", 20),
+            ("vm", "hosted_on", "A", 30),
+            ("vm", "hosted_on", "C", 40),
+            ("vm", "hosted_on", "A", 50),
+        ]
+        got = sorted(
+            r.obj_name
+            for r in facts.interval_flickers(self._iv(spark, rows)).collect()
+        )
+        assert got == ["B", "C"]
+
+    def test_no_single_partition(self, spark):
+        rows = [("vm", "hosted_on", "A", 10), ("vm", "hosted_on", "B", 20)]
+        out = facts.interval_flickers(self._iv(spark, rows))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+
+
+class TestSnapshotDiff:
+    def _iv(self, spark, rows):
+        return facts.fact_intervals(_assertions(spark, rows))
+
+    def test_added_removed_retained(self, spark):
+        # pred p: at t=25 {x:A, y:B}; at t=75 {x:C, y:B, z:D}
+        rows = [
+            ("x", "p", "A", 10),   # x: A until 50, then C
+            ("x", "p", "C", 50),
+            ("y", "p", "B", 10),   # y: B forever (retained)
+            ("z", "p", "D", 60),   # z: appears late (added)
+        ]
+        got = facts.snapshot_diff(
+            self._iv(spark, rows), t1_s=25, t2_s=75
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.pred, r.n_t1, r.n_t2) == ("p", 2, 3)
+        assert (r.n_added, r.n_removed, r.n_retained) == (2, 1, 1)
+        # jaccard: 1 retained / 4 union
+        assert r.stability_ppm == 250_000
+        assert (r.t1_s, r.t2_s) == (25, 75)
+
+    def test_identical_snapshots_full_stability(self, spark):
+        rows = [("x", "p", "A", 10), ("y", "q", "B", 10)]
+        got = {
+            r.pred: r.stability_ppm
+            for r in facts.snapshot_diff(
+                self._iv(spark, rows), t1_s=20, t2_s=30
+            ).collect()
+        }
+        assert got == {"p": 1_000_000, "q": 1_000_000}
+
+    def test_reopened_interval_counts_once(self, spark):
+        # x: A(10..20) B(20..30) A(30..open) — at t=35 A present via
+        # its SECOND interval; the fact-level max() collapses both
+        rows = [
+            ("x", "p", "A", 10),
+            ("x", "p", "B", 20),
+            ("x", "p", "A", 30),
+        ]
+        got = facts.snapshot_diff(
+            self._iv(spark, rows), t1_s=15, t2_s=35
+        ).collect()
+        r = got[0]
+        assert (r.n_t1, r.n_t2, r.n_retained) == (1, 1, 1)
+        assert r.stability_ppm == 1_000_000
+
+    def test_pred_absent_from_both_snapshots_dropped(self, spark):
+        # q's only fact lives entirely between the probes
+        rows = [
+            ("x", "p", "A", 10),
+            ("w", "q", "E", 40),
+            ("w", "q", "F", 45),  # closes E at 45
+        ]
+        got = facts.snapshot_diff(
+            self._iv(spark, rows), t1_s=20, t2_s=50
+        ).collect()
+        # q IS present at t2 via F (open) — so only check E never
+        # shows: n_t2 for q is 1 (F), n_t1 is 0
+        by_pred = {r.pred: r for r in got}
+        assert by_pred["q"].n_t1 == 0 and by_pred["q"].n_t2 == 1
+        # now probe both points before q existed at all
+        got2 = facts.snapshot_diff(
+            self._iv(spark, [("x", "p", "A", 10), ("w", "q", "E", 400)]),
+            t1_s=20,
+            t2_s=50,
+        ).collect()
+        assert [r.pred for r in got2] == ["p"]
+
+    def test_derived_probes_thirds(self, spark):
+        # valid_from range [10, 100]: t1 = (20+100)//3 = 40,
+        # t2 = (10+200)//3 = 70
+        rows = [
+            ("x", "p", "A", 10),
+            ("y", "p", "B", 55),
+            ("z", "p", "C", 100),
+        ]
+        r = facts.snapshot_diff(self._iv(spark, rows)).collect()[0]
+        assert (r.t1_s, r.t2_s) == (40, 70)
+        assert r.n_t1 == 1 and r.n_t2 == 2  # A at 40; A+B at 70
+
+    def test_param_guards(self, spark):
+        iv = self._iv(spark, [("x", "p", "A", 10)])
+        with pytest.raises(ValueError, match="both"):
+            facts.snapshot_diff(iv, t1_s=5)
+        with pytest.raises(ValueError, match="t1_s < t2_s"):
+            facts.snapshot_diff(iv, t1_s=9, t2_s=9)
+
+    def test_no_single_partition_explicit_probes(self, spark):
+        iv = self._iv(spark, [("x", "p", "A", 10)])
+        out = facts.snapshot_diff(iv, t1_s=5, t2_s=15)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
