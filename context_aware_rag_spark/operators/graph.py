@@ -2969,3 +2969,94 @@ def betweenness_centrality(
             F.lit(k_used).cast("int").alias("n_pivots_used"),
         )
     )
+
+
+def shortest_path(
+    edges: DataFrame,
+    source,
+    target,
+    max_depth: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """ONE concrete shortest path between two nodes, as (step, node_id)
+    rows — the "how are X and Y connected" explanation query behind
+    every KG-RAG answer that cites a relation chain (the reference
+    walks its graph DB for this; :func:`bfs_distances` answers only
+    "how far").
+
+    Path election is deterministic: the forward level-synchronous BFS
+    records, for every node, the MINIMUM predecessor among its
+    distance-minus-one neighbors (one map-side-combined min-agg per
+    round — no float, no arbitrary first-writer race), and the path is
+    the unique backward pred-chain from the target. The result is THE
+    lexicographically-least shortest path read right-to-left, so any
+    partitioning and any engine (the DuckDB twin re-derives dist via a
+    recursive CTE, pred via the same min rule, and walks the same
+    chain) produces identical rows.
+
+    Unreachable-within-``max_depth`` targets yield an EMPTY frame (the
+    honest answer for a bounded search); ``source == target`` yields
+    the single step-0 row.
+
+    100 TB shape: the forward pass is the :func:`bfs_distances` loop
+    (frontier equi-join + min-agg per round, early exit the round the
+    target settles — one scalar driver action per round); the backward
+    walk is at most ``max_depth`` one-row broadcast joins, each a
+    lookup into the settled state, never a corpus shuffle.
+    """
+    if max_depth < 0:
+        raise ValueError(f"need max_depth >= 0, got {max_depth}")
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        adj = adj.unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    adj = adj.filter(F.col("u") != F.col("v")).dropDuplicates(
+        ["u", "v"]
+    ).localCheckpoint()
+    node_t = adj.schema["u"].dataType
+    spark = edges.sparkSession
+    settled = spark.createDataFrame([(source,)], ["node_id"]).select(
+        F.col("node_id").cast(node_t).alias("node_id"),
+        F.lit(0).alias("dist"),
+        F.lit(None).cast(node_t).alias("pred"),
+    ).localCheckpoint()
+    frontier = settled.select("node_id")
+    d_target = 0 if source == target else None
+    for t in range(1, max_depth + 1):
+        if d_target is not None:
+            break
+        nxt = (
+            frontier.join(adj, frontier.node_id == adj.u)
+            .groupBy(F.col("v").alias("node_id"))
+            .agg(F.min("u").alias("pred"))
+            .join(settled.select("node_id"), ["node_id"], "left_anti")
+            .select("node_id", F.lit(t).alias("dist"), "pred")
+            .localCheckpoint()
+        )
+        hit = nxt.filter(F.col("node_id") == F.lit(target)).count()
+        if hit:
+            d_target = t
+        elif nxt.count() == 0:
+            break
+        settled = settled.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node_id")
+    out_schema = settled.select(
+        F.col("dist").cast("int").alias("step"), "node_id"
+    ).limit(0)
+    if d_target is None:
+        return out_schema
+    cur = settled.filter(F.col("node_id") == F.lit(target))
+    rows = cur.select(F.col("dist").cast("int").alias("step"), "node_id")
+    for t in range(d_target, 0, -1):
+        cur = (
+            F.broadcast(cur.select(F.col("pred").alias("_want")))
+            .join(settled, F.col("_want") == settled.node_id)
+            .select("node_id", "dist", "pred")
+        )
+        rows = rows.unionAll(
+            cur.select(F.col("dist").cast("int").alias("step"), "node_id")
+        )
+    return rows

@@ -4834,6 +4834,78 @@ def kg_graph_bfs_q(spark, sf_dir):
     )
 
 
+@xq(
+    "kg_shortest_path",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY x.l_suppkey, y.l_suppkey
+      HAVING count(DISTINCT x.l_orderkey) >= 28
+    ),
+    adj AS (
+      SELECT src AS u, dst AS v FROM pairs
+      UNION
+      SELECT dst AS u, src AS v FROM pairs
+    ),
+    walk(node, dist) AS (
+      SELECT 1, 0
+      UNION
+      SELECT a.v, w.dist + 1
+      FROM walk w JOIN adj a ON a.u = w.node
+      WHERE w.dist < 10
+    ),
+    d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+    pred AS (
+      SELECT dv.node AS v, min(a.u) AS pred
+      FROM d dv JOIN adj a ON a.v = dv.node
+      JOIN d du ON du.node = a.u AND du.dist = dv.dist - 1
+      GROUP BY dv.node
+    ),
+    path(step, node) AS (
+      SELECT dist, node FROM d WHERE node = 60
+      UNION ALL
+      SELECT p.step - 1, pr.pred
+      FROM path p JOIN pred pr ON pr.v = p.node
+      WHERE p.step > 0
+    )
+    SELECT CAST(step AS INT) AS step, CAST(node AS BIGINT) AS node_id
+    FROM path
+    """,
+)
+def kg_shortest_path_q(spark, sf_dir):
+    """One concrete shortest path (graph.shortest_path) between
+    suppliers 1 and 60 — a diameter-realizing pair of the >= 28-gated
+    co-occurrence graph — as (step, node_id) rows: the "how are X and
+    Y connected" relation-chain explanation behind KG-RAG citations.
+    Election is the minimum-predecessor rule on both engines, so the
+    path is THE lexicographically-least shortest chain; the twin
+    re-derives dist (recursive CTE), pred (min at dist-1), and the
+    backward walk independently."""
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct("x.l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 28)
+        .select("src", "dst")
+    )
+    return graph.shortest_path(pairs, 1, 60, max_depth=10).select(
+        "step", F.col("node_id").cast("long").alias("node_id")
+    )
+
+
 # =========================================================================
 # Negative sampling for KG-embedding training
 # =========================================================================

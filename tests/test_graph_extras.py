@@ -1355,3 +1355,54 @@ class TestClusteringCoefficients:
             c = (2 * t * 1_000_000) // (d * (d - 1)) if d >= 2 else None
             exp[v] = (d, t, c)
         assert self._run(spark, pairs) == exp
+
+
+class TestShortestPath:
+    def _df(self, spark, rows):
+        from pyspark.sql import functions as F  # noqa: F401
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in rows], "src long, dst long"
+        )
+
+    def _run(self, spark, rows, s, t, **kw):
+        from context_aware_rag_spark.operators.graph import shortest_path
+
+        return sorted(
+            (r.step, r.node_id)
+            for r in shortest_path(self._df(spark, rows), s, t, **kw).collect()
+        )
+
+    def test_path_graph_chain(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4)], 1, 4)
+        assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+    def test_min_predecessor_election(self, spark):
+        # two shortest 1->4 paths (via 2 or via 3): the pred-chain
+        # must pick the lexicographically least interior node
+        got = self._run(spark, [(1, 2), (1, 3), (2, 4), (3, 4)], 1, 4)
+        assert got == [(0, 1), (1, 2), (2, 4)]
+
+    def test_source_equals_target(self, spark):
+        got = self._run(spark, [(1, 2)], 1, 1)
+        assert got == [(0, 1)]
+
+    def test_unreachable_is_empty(self, spark):
+        got = self._run(spark, [(1, 2), (3, 4)], 1, 4)
+        assert got == []
+
+    def test_max_depth_bounds_search(self, spark):
+        rows = [(1, 2), (2, 3), (3, 4)]
+        assert self._run(spark, rows, 1, 4, max_depth=2) == []
+        assert len(self._run(spark, rows, 1, 4, max_depth=3)) == 4
+
+    def test_directed_respects_orientation(self, spark):
+        rows = [(1, 2), (3, 2)]  # no directed 1->3 path
+        assert self._run(spark, rows, 1, 3, directed=True) == []
+        got = self._run(spark, rows, 1, 3, directed=False)
+        assert got == [(0, 1), (1, 2), (2, 3)]
+
+    def test_guard(self, spark):
+        from context_aware_rag_spark.operators.graph import shortest_path
+
+        with pytest.raises(ValueError, match="max_depth"):
+            shortest_path(self._df(spark, [(1, 2)]), 1, 2, max_depth=-1)
