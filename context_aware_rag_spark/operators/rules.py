@@ -28,7 +28,7 @@ sized, not corpus sized. Confidence is integer ppm (trunc div).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -344,4 +344,176 @@ def relation_signatures(
     return sig.withColumn(
         "share_ppm",
         F.expr("n_triples * 1000000 div sum(n_triples) over (partition by pred)"),
+    )
+
+
+def type_completion(triples: DataFrame) -> DataFrame:
+    """Entity-type completion by domain/range signature vote — the
+    KG-construction step that fills the holes extraction leaves: an
+    entity asserted only in untyped mentions inherits the type its
+    predicates' signatures predict (Paulheim 2017's SDType in the
+    AMIE-census idiom; :func:`relation_signatures` profiles the
+    signatures, this APPLIES them).
+
+    Input: the pipeline triple schema (subj_name, subj_type, pred,
+    obj_name, obj_type); rows are deduplicated to the distinct
+    name-level triple set internally. An entity NAME is "untyped" iff
+    no row anywhere types it (per-row NULLs on an elsewhere-typed name
+    are the canonicalizer's job, not this operator's). For each
+    untyped name: every (pred, role) slot it occupies casts
+    ``w * n_sig`` votes for each type, where ``w`` is the number of
+    distinct triples putting the name in that slot and ``n_sig`` the
+    count of TYPED distinct triples of that (pred, role, type) —
+    exact integer weights, no floats. The winner is elected by
+    (votes DESC, type ASC), emitted with its vote mass, the runner-up
+    margin, and the slot count; names whose every predicate has no
+    typed examples are absent (no evidence, no guess).
+
+    Output: (name, inferred_type, votes, margin, n_slots).
+
+    100 TB shape: the signature table is vocabulary × type-vocabulary
+    sized → broadcast into the untyped-occurrence join; candidate rows
+    per name are bounded by the type vocabulary, so the election
+    window is narrow; two map-side-combined aggs + one broadcast join,
+    no corpus self-join.
+    """
+    base = triples.select(
+        "subj_name", "subj_type", "pred", "obj_name", "obj_type"
+    ).distinct()
+    occ = base.select(
+        F.col("subj_name").alias("name"),
+        F.col("subj_type").alias("typ"),
+        "pred",
+        F.lit("subj").alias("role"),
+    ).unionAll(
+        base.select(
+            F.col("obj_name").alias("name"),
+            F.col("obj_type").alias("typ"),
+            "pred",
+            F.lit("obj").alias("role"),
+        )
+    )
+    known = (
+        occ.filter(F.col("typ").isNotNull())
+        .select("name")
+        .distinct()
+    )
+    sig = (
+        occ.filter(F.col("typ").isNotNull())
+        .groupBy("pred", "role", "typ")
+        .agg(F.count(F.lit(1)).alias("n_sig"))
+    )
+    untyped_occ = (
+        occ.join(known, "name", "left_anti")
+        .groupBy("name", "pred", "role")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    votes = (
+        untyped_occ.join(F.broadcast(sig), ["pred", "role"])
+        .groupBy("name", "typ")
+        .agg(
+            F.sum(F.col("w") * F.col("n_sig")).alias("votes"),
+        )
+    )
+    slots = untyped_occ.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_slots")
+    )
+    w_rank = Window.partitionBy("name").orderBy(
+        F.col("votes").desc(), F.col("typ").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "margin",
+            F.col("votes")
+            - F.coalesce(
+                F.lead("votes").over(w_rank), F.lit(0)
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .join(slots, "name")
+        .select(
+            "name",
+            F.col("typ").alias("inferred_type"),
+            "votes",
+            "margin",
+            "n_slots",
+        )
+    )
+
+
+def predicate_alignment(
+    triples_a: DataFrame,
+    triples_b: DataFrame,
+    min_common: int = 1,
+) -> DataFrame:
+    """Predicate (schema) alignment between two KGs by extension
+    overlap — the merge step when two extraction runs (different
+    prompt versions, different corpora halves, an acquired KG) name
+    the same relation differently: predicates asserting the same
+    (subj, obj) pairs ARE the same relation, whatever they are called
+    (PARIS, Suchanek et al. 2011, restricted to its relation-overlap
+    leg with exact integer evidence).
+
+    Both inputs use the pipeline triple schema; extensions are the
+    distinct name-level (subj, obj) pair sets per predicate. For every
+    predicate pair with ``n_common >= min_common`` shared pairs:
+
+    (pred_a, pred_b, n_a, n_b, n_common, jaccard_ppm,
+     containment_a_ppm, containment_b_ppm)
+
+    — Jaccard for symmetric alignment, the two containments to detect
+    sub-property relationships (a pred whose extension sits INSIDE
+    another's is a narrower relation, not a synonym).
+
+    100 TB shape: one equi-join of the two distinct extension tables
+    keyed on the (subj, obj) pair — a pair shared by many predicates
+    fans out at most |vocab_a| x |vocab_b| rows, vocabulary-bounded by
+    construction; per-pred sizes are vocabulary-sized broadcasts; the
+    census agg is map-side combined.
+    """
+    if min_common < 1:
+        raise ValueError(f"need min_common >= 1, got {min_common}")
+
+    def ext(t: DataFrame) -> DataFrame:
+        return t.select(
+            F.col("pred"),
+            F.col("subj_name").alias("s"),
+            F.col("obj_name").alias("o"),
+        ).distinct()
+
+    ea = ext(triples_a)
+    eb = ext(triples_b)
+    na = ea.groupBy(F.col("pred").alias("pred_a")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    nb = eb.groupBy(F.col("pred").alias("pred_b")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    common = (
+        ea.withColumnRenamed("pred", "pred_a")
+        .join(eb.withColumnRenamed("pred", "pred_b"), ["s", "o"])
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        common.join(F.broadcast(na), "pred_a")
+        .join(F.broadcast(nb), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "n_common * 1000000 div (n_a + n_b - n_common)"
+            ).alias("jaccard_ppm"),
+            F.expr("n_common * 1000000 div n_a").alias(
+                "containment_a_ppm"
+            ),
+            F.expr("n_common * 1000000 div n_b").alias(
+                "containment_b_ppm"
+            ),
+        )
     )

@@ -7278,6 +7278,133 @@ def kg_relation_signatures_q(spark, sf_dir):
     )
 
 
+_TYPE_MASK = "('0','1','2','3','4','5')"
+
+
+@xq(
+    "kg_type_completion",
+    f"""
+    WITH base AS (
+      SELECT DISTINCT subj_name,
+             CASE WHEN substr(md5(subj_name), 1, 1) IN {_TYPE_MASK}
+                  THEN NULL ELSE subj_type END AS subj_type,
+             pred, obj_name,
+             CASE WHEN substr(md5(obj_name), 1, 1) IN {_TYPE_MASK}
+                  THEN NULL ELSE obj_type END AS obj_type
+      FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    occ AS (
+      SELECT subj_name AS name, subj_type AS typ, pred,
+             'subj' AS role FROM base
+      UNION ALL
+      SELECT obj_name, obj_type, pred, 'obj' FROM base
+    ),
+    sig AS (
+      SELECT pred, role, typ, count(*) AS n_sig
+      FROM occ WHERE typ IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    uocc AS (
+      SELECT name, pred, role, count(*) AS w
+      FROM occ
+      WHERE name NOT IN (
+        SELECT DISTINCT name FROM occ WHERE typ IS NOT NULL
+      )
+      GROUP BY 1, 2, 3
+    ),
+    votes AS (
+      SELECT u.name, s.typ, sum(u.w * s.n_sig) AS votes
+      FROM uocc u JOIN sig s ON s.pred = u.pred AND s.role = u.role
+      GROUP BY 1, 2
+    ),
+    slots AS (SELECT name, count(*) AS n_slots FROM uocc GROUP BY 1),
+    ranked AS (
+      SELECT name, typ, votes,
+             row_number() OVER w AS rk,
+             votes - coalesce(lead(votes) OVER w, 0) AS margin
+      FROM votes
+      WINDOW w AS (PARTITION BY name ORDER BY votes DESC, typ ASC)
+    )
+    SELECT r.name, r.typ AS inferred_type, r.votes, r.margin, s.n_slots
+    FROM ranked r JOIN slots s USING (name) WHERE rk = 1
+    """,
+)
+def kg_type_completion_q(spark, sf_dir):
+    """Entity-type completion (rules.type_completion) under the
+    literature-standard label-masking eval: types of every entity
+    whose md5(name) starts in [0-5] (~3/8 of entities) are hidden,
+    and the domain/range signature vote must recover them. Spark runs
+    the real pipeline, applies the deterministic mask, and elects; the
+    twin replicates mask, votes, and election over the kg_triples
+    snapshot."""
+    from ..operators import rules
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    mask = lambda c: F.substring(F.md5(F.col(c)), 1, 1).isin(  # noqa: E731
+        "0", "1", "2", "3", "4", "5"
+    )
+    tri = res.triples.select(
+        "subj_name",
+        F.when(mask("subj_name"), F.lit(None)).otherwise(
+            F.col("subj_type")
+        ).alias("subj_type"),
+        "pred",
+        "obj_name",
+        F.when(mask("obj_name"), F.lit(None)).otherwise(
+            F.col("obj_type")
+        ).alias("obj_type"),
+    )
+    return rules.type_completion(tri)
+
+
+@xq(
+    "kg_predicate_alignment",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT conv_id, subj_name, pred, obj_name
+      FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    ea AS (
+      SELECT DISTINCT pred, subj_name AS s, obj_name AS o FROM t
+      WHERE substr(md5(conv_id), 1, 1) IN ('0','1','2','3','4','5','6','7')
+    ),
+    eb AS (
+      SELECT DISTINCT pred, subj_name AS s, obj_name AS o FROM t
+      WHERE substr(md5(conv_id), 1, 1) NOT IN ('0','1','2','3','4','5','6','7')
+    ),
+    na AS (SELECT pred AS pred_a, count(*) AS n_a FROM ea GROUP BY 1),
+    nb AS (SELECT pred AS pred_b, count(*) AS n_b FROM eb GROUP BY 1),
+    common AS (
+      SELECT ea.pred AS pred_a, eb.pred AS pred_b, count(*) AS n_common
+      FROM ea JOIN eb ON ea.s = eb.s AND ea.o = eb.o
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT pred_a, pred_b, n_a, n_b, n_common,
+           n_common * 1000000 // (n_a + n_b - n_common) AS jaccard_ppm,
+           n_common * 1000000 // n_a AS containment_a_ppm,
+           n_common * 1000000 // n_b AS containment_b_ppm
+    FROM common JOIN na USING (pred_a) JOIN nb USING (pred_b)
+    """,
+)
+def kg_predicate_alignment_q(spark, sf_dir):
+    """Predicate alignment by extension overlap
+    (rules.predicate_alignment): the corpus is split into two KGs by
+    conv-id md5 parity (two independent extraction runs over disjoint
+    transcripts), and predicates are matched by their shared
+    name-level (subj, obj) pairs — Jaccard for synonym alignment, the
+    two containments for sub-property detection. The twin replicates
+    split, extension join, and the integer census over the kg_triples
+    snapshot."""
+    from ..operators import rules
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    half = F.substring(F.md5(F.col("conv_id")), 1, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7"
+    )
+    tri_a = res.triples.filter(half)
+    tri_b = res.triples.filter(~half)
+    return rules.predicate_alignment(tri_a, tri_b, min_common=2)
+
+
 @xq(
     "kg_rule_mining",
     """

@@ -267,3 +267,116 @@ class TestInverseRuleCensus:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
         assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def _tri5(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "subj_name string, subj_type string, pred string, "
+        "obj_name string, obj_type string",
+    )
+
+
+class TestTypeCompletion:
+    def test_signature_vote_elects_majority_type(self, spark):
+        rows = [
+            # WORKS_AT subjects: 2 typed Person, 1 typed Robot
+            ("alice", "Person", "WORKS_AT", "acme", "Org"),
+            ("bob", "Person", "WORKS_AT", "acme", "Org"),
+            ("r2", "Robot", "WORKS_AT", "acme", "Org"),
+            # mystery: untyped everywhere, one WORKS_AT subj slot
+            ("mystery", None, "WORKS_AT", "acme", None),
+        ]
+        got = rules.type_completion(_tri5(spark, rows)).collect()
+        # 'acme' is typed (Org) so only 'mystery' is a candidate
+        assert len(got) == 1
+        r = got[0]
+        # votes: w=1 slot x n_sig — Person 2, Robot 1; margin 1
+        assert (r.name, r.inferred_type, r.votes, r.margin, r.n_slots) == (
+            "mystery", "Person", 2, 1, 1
+        )
+
+    def test_elsewhere_typed_name_is_not_inferred(self, spark):
+        rows = [
+            ("alice", "Person", "WORKS_AT", "acme", "Org"),
+            ("alice", None, "VISITED", "paris", "Place"),  # row-level NULL
+            ("ghost", None, "WORKS_AT", "acme", "Org"),
+        ]
+        got = {r.name for r in rules.type_completion(_tri5(spark, rows)).collect()}
+        assert got == {"ghost"}  # alice is known elsewhere
+
+    def test_tie_breaks_on_type_asc(self, spark):
+        rows = [
+            ("a1", "Alpha", "P", "x", "T"),
+            ("b1", "Beta", "P", "x", "T"),
+            ("u", None, "P", "x", "T"),
+        ]
+        r = rules.type_completion(_tri5(spark, rows)).collect()[0]
+        assert (r.inferred_type, r.votes, r.margin) == ("Alpha", 1, 0)
+
+    def test_no_typed_evidence_means_absent(self, spark):
+        rows = [("u", None, "P", "v", None)]
+        assert rules.type_completion(_tri5(spark, rows)).count() == 0
+
+    def test_vote_weights_multiply_occurrences(self, spark):
+        rows = [
+            ("alice", "Person", "MET", "bob", "Person"),
+            # mystery occurs in TWO distinct MET-subj triples: w=2
+            ("mystery", None, "MET", "carol", "Person"),
+            ("mystery", None, "MET", "dave", "Person"),
+        ]
+        r = rules.type_completion(_tri5(spark, rows)).collect()[0]
+        # subj slot: w=2 x n_sig(MET,subj,Person)=1 → 2 votes... plus
+        # nothing from obj side (mystery never an object)
+        assert (r.name, r.inferred_type, r.votes, r.n_slots) == (
+            "mystery", "Person", 2, 1
+        )
+
+
+class TestPredicateAlignment:
+    def test_synonym_full_jaccard(self, spark):
+        a = _tri5(spark, [
+            ("x", "T", "EMPLOYED_BY", "acme", "Org"),
+            ("y", "T", "EMPLOYED_BY", "bigco", "Org"),
+        ])
+        b = _tri5(spark, [
+            ("x", "T", "WORKS_AT", "acme", "Org"),
+            ("y", "T", "WORKS_AT", "bigco", "Org"),
+        ])
+        got = rules.predicate_alignment(a, b).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.pred_a, r.pred_b, r.n_common) == (
+            "EMPLOYED_BY", "WORKS_AT", 2
+        )
+        assert r.jaccard_ppm == 1_000_000
+        assert r.containment_a_ppm == r.containment_b_ppm == 1_000_000
+
+    def test_subproperty_containment_asymmetry(self, spark):
+        a = _tri5(spark, [  # CEO_OF ⊂ WORKS_AT
+            ("x", "T", "CEO_OF", "acme", "Org"),
+        ])
+        b = _tri5(spark, [
+            ("x", "T", "WORKS_AT", "acme", "Org"),
+            ("y", "T", "WORKS_AT", "acme", "Org"),
+        ])
+        r = rules.predicate_alignment(a, b).collect()[0]
+        assert r.containment_a_ppm == 1_000_000  # all of CEO_OF inside
+        assert r.containment_b_ppm == 500_000
+        assert r.jaccard_ppm == 500_000
+
+    def test_min_common_gate_and_guard(self, spark):
+        a = _tri5(spark, [("x", "T", "P", "u", "T")])
+        b = _tri5(spark, [("x", "T", "Q", "u", "T")])
+        assert rules.predicate_alignment(a, b, min_common=2).count() == 0
+        with pytest.raises(ValueError, match="min_common"):
+            rules.predicate_alignment(a, b, min_common=0)
+
+    def test_duplicate_assertions_collapse_in_extension(self, spark):
+        a = _tri5(spark, [
+            ("x", "T", "P", "u", "T"),
+            ("x", "T2", "P", "u", "T2"),  # same name pair, retyped
+        ])
+        b = _tri5(spark, [("x", "T", "Q", "u", "T")])
+        r = rules.predicate_alignment(a, b).collect()[0]
+        assert (r.n_a, r.n_b, r.n_common) == (1, 1, 1)
