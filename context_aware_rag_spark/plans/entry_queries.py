@@ -3657,6 +3657,54 @@ def kg_harmonic_centrality(spark, sf_dir):
 
 
 @xq(
+    "kg_lin_centrality",
+    _HB_SQL_HEAD
+    + f"""
+    , x AS (
+        SELECT t, node, e4,
+               lag(e4) OVER (PARTITION BY node ORDER BY t) AS prev
+        FROM pe
+    ),
+    a AS (
+        SELECT node,
+               sum(CASE WHEN t > 0
+                        THEN t * greatest(e4 - prev, 0) END) AS sumdist_e4,
+               max(CASE WHEN t = {_HB_N_ITER} THEN e4 END) AS reach_e4
+        FROM x GROUP BY node
+    )
+    SELECT node,
+           CAST(reach_e4 AS BIGINT) AS reach_e4,
+           CAST(sumdist_e4 AS BIGINT) AS sumdist_e4,
+           CASE WHEN sumdist_e4 > 0
+                THEN CAST(CAST(reach_e4 AS HUGEINT) * reach_e4 * 100
+                          // sumdist_e4 AS BIGINT) END AS lin_e6
+    FROM a
+    """,
+)
+def kg_lin_centrality(spark, sf_dir):
+    """Approximate Lin centrality of every entity in the co-assertion
+    graph (operators/graph.py:lin_centrality, Boldi-Vigna 2014 §7 —
+    the disconnection-proof closeness: reach^2 over distance mass,
+    so big-component nodes outrank isolated islands). The twin rides
+    the shared fully-unrolled HyperBall head and replicates the
+    clamped-delta distance sum, horizon reach, and DECIMAL floor
+    ratio."""
+    from ..operators import closure as cl_ops
+    from ..operators import facts as facts_ops
+    from ..operators.graph import lin_centrality
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    et = cl_ops.coassertion_edge_times(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return lin_centrality(
+        et.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        p=8,
+        n_iter=_HB_N_ITER,
+    )
+
+
+@xq(
     "kg_inverse_predicates",
     f"""
     WITH tri AS (
