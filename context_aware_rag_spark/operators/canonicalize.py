@@ -19,7 +19,7 @@ a hash join on node_id — no driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # exact-GEMM vs LSH crossover, in distinct surface forms (reps): the
@@ -587,5 +587,98 @@ def canonicalize_predicates(
             "pred",
             F.coalesce(F.col("canon_id"), F.col("pred")).alias("canon_pred"),
             F.size("tokens").cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def cluster_purity(
+    nodes: DataFrame,
+    canonical_map: DataFrame,
+    min_members: int = 2,
+) -> DataFrame:
+    """Canonicalization-quality census: per-canonical-cluster member,
+    alias, and type statistics — the QA table a KG engineer reads
+    before trusting a merge (a cluster mixing entity TYPES is the
+    highest-precision canonicalization-error signal: 'Paris the
+    Person' glued to 'Paris the Location' corrupts every downstream
+    join through that node).
+
+    ``nodes`` is the node-grain frame (node_id, name, type) —
+    mentions deduplicated on node_id; ``canonical_map`` the
+    (node_id, canon_id) output of :func:`canonicalize_nodes` (rows
+    only where they differ — unmapped nodes are their own canon).
+    For every cluster with ``>= min_members`` members:
+
+    (canon_id, n_members, n_names, n_types, majority_type,
+     majority_n, purity_ppm)
+
+    - ``n_names`` > 1 is the merge actually doing alias work;
+    - ``n_types`` counts NULL as its OWN class (an untyped mention is
+      its own anomaly class — the relation_signatures convention);
+    - ``majority_type`` elected by (member count DESC, type ASC NULLS
+      LAST) — deterministic on both engines;
+    - ``purity_ppm`` = majority members * 1e6 div members; anything
+      below 1e6 is a mixed cluster, rankable directly.
+
+    100 TB shape: one left join against the map (the map is
+    alias-pair-sized, broadcast-able; unmatched nodes coalesce to
+    themselves), two map-side-combined aggs on the canon key, and a
+    majority window bounded by the type vocabulary per cluster. No
+    corpus self-join, no driver action.
+    """
+    if min_members < 1:
+        raise ValueError(f"need min_members >= 1, got {min_members}")
+    assigned = (
+        nodes.select("node_id", "name", "type")
+        .join(
+            canonical_map.select(
+                F.col("node_id").alias("_nid"), "canon_id"
+            ),
+            F.col("node_id") == F.col("_nid"),
+            "left",
+        )
+        .select(
+            F.coalesce("canon_id", "node_id").alias("canon_id"),
+            "node_id",
+            "name",
+            "type",
+        )
+    )
+    sizes = assigned.groupBy("canon_id").agg(
+        F.countDistinct("node_id").alias("n_members"),
+        F.countDistinct("name").alias("n_names"),
+        (
+            F.countDistinct("type")
+            + F.max(F.col("type").isNull().cast("int"))
+        ).alias("n_types"),
+    )
+    per_type = assigned.groupBy("canon_id", "type").agg(
+        F.countDistinct("node_id").alias("n")
+    )
+    w = Window.partitionBy("canon_id").orderBy(
+        F.col("n").desc(), F.col("type").asc_nulls_last()
+    )
+    major = (
+        per_type.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "canon_id",
+            F.col("type").alias("majority_type"),
+            F.col("n").alias("majority_n"),
+        )
+    )
+    return (
+        sizes.filter(F.col("n_members") >= min_members)
+        .join(major, "canon_id")
+        .select(
+            "canon_id",
+            "n_members",
+            "n_names",
+            "n_types",
+            "majority_type",
+            "majority_n",
+            F.expr("majority_n * 1000000 div n_members").alias(
+                "purity_ppm"
+            ),
         )
     )

@@ -205,6 +205,42 @@ def kg_tables(n_convs: int) -> Dict[str, List[tuple]]:
         (nid, cid) for nid, cid in res_d.canonical_map.items() if nid != cid
     )
 
+    # kg_cluster_purity: canonicalize.cluster_purity over the node
+    # grain (mentions deduped on node_id) under the oracle map —
+    # majority type elected by (member count DESC, type ASC NULLS
+    # LAST), NULL type its own class, integer trunc-div ppm
+    node_rows = {}
+    for m in res_d.mentions:
+        node_rows.setdefault(m["node_id"], (m["name"], m["type"]))
+    clusters: Dict[str, list] = defaultdict(list)
+    for nid, (nm, ty) in node_rows.items():
+        clusters[canon(nid)].append((nid, nm, ty))
+    purity_rows = []
+    for cid, ms in sorted(clusters.items()):
+        if len(ms) < 2:
+            continue
+        names = {nm for _n, nm, _t in ms}
+        types = {ty for _n, _nm, ty in ms}
+        by_type: Dict[object, int] = defaultdict(int)
+        for _n, _nm, ty in ms:
+            by_type[ty] += 1
+        maj_ty, maj_n = sorted(
+            by_type.items(),
+            key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+        )[0]
+        purity_rows.append(
+            (
+                cid,
+                len(ms),
+                len(names),
+                len(types),
+                maj_ty,
+                maj_n,
+                maj_n * 1_000_000 // len(ms),
+            )
+        )
+    tables["kg_cluster_purity"] = purity_rows
+
     # kg_nodes_with_tools: source_tools set-union across merged aliases
     chunk_turns: Dict[str, set] = defaultdict(set)
     for c in res.chunks:

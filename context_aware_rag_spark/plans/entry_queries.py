@@ -3782,6 +3782,36 @@ def kg_nodes_canonical(spark, sf_dir):
 
 
 @xq(
+    "kg_cluster_purity",
+    f"""
+    SELECT canon_id, n_members, n_names, n_types,
+           majority_type, majority_n, purity_ppm
+    FROM read_parquet('{_pq("kg_cluster_purity")}')
+    """,
+)
+def kg_cluster_purity_q(spark, sf_dir):
+    """Canonicalization-quality census (canonicalize.cluster_purity):
+    per-canonical-cluster member/alias/type stats with the majority
+    type elected by (count DESC, type ASC NULLS LAST) and integer
+    trunc-div purity — a cluster below 1e6 mixes entity types, the
+    highest-precision merge-error signal. Spark runs the real pipeline
+    (mentions → canonicalize_nodes map → census); the twin reads the
+    pure-Python replication of the full census under the oracle's
+    transitive-closure map."""
+    from ..operators.canonicalize import cluster_purity
+
+    res = run_pipeline(
+        spark,
+        transcripts_for(spark, sf_dir),
+        PipelineConfig(deduplicate_nodes=True),
+    )
+    nodes = res.mentions.select("node_id", "name", "type").dropDuplicates(
+        ["node_id"]
+    )
+    return cluster_purity(nodes, res.canonical_map)
+
+
+@xq(
     "kg_canonical_incremental",
     f"""
     SELECT node_id, canon_id

@@ -299,3 +299,84 @@ def test_incremental_accepts_auto_blocking(spark):
     inc = canonicalize_incremental(old, map_old, new, threshold=thr, blocking="auto")
     full = canonicalize_nodes(old.unionByName(new), threshold=thr)
     assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+
+
+class TestClusterPurity:
+    def _run(self, spark, node_rows, map_rows, **kw):
+        from context_aware_rag_spark.operators.canonicalize import (
+            cluster_purity,
+        )
+
+        nodes = spark.createDataFrame(
+            node_rows, "node_id string, name string, type string"
+        )
+        cmap = spark.createDataFrame(
+            map_rows, "node_id string, canon_id string"
+        )
+        return {
+            r.canon_id: (
+                r.n_members, r.n_names, r.n_types,
+                r.majority_type, r.majority_n, r.purity_ppm,
+            )
+            for r in cluster_purity(nodes, cmap, **kw).collect()
+        }
+
+    def test_mixed_type_cluster_flags_impurity(self, spark):
+        # Paris the Location (x2) glued to Paris the Person (x1)
+        nodes = [
+            ("n1", "Paris", "Location"),
+            ("n2", "paris", "Location"),
+            ("n3", "Paris", "Person"),
+        ]
+        got = self._run(spark, nodes, [("n2", "n1"), ("n3", "n1")])
+        assert got == {
+            "n1": (3, 2, 2, "Location", 2, 666_666),
+        }
+
+    def test_pure_cluster_and_singleton_filter(self, spark):
+        nodes = [
+            ("a1", "Acme", "Org"),
+            ("a2", "ACME", "Org"),
+            ("solo", "Bob", "Person"),
+        ]
+        got = self._run(spark, nodes, [("a2", "a1")])
+        # singleton 'solo' dropped at min_members=2
+        assert got == {"a1": (2, 2, 1, "Org", 2, 1_000_000)}
+        got_all = self._run(
+            spark, nodes, [("a2", "a1")], min_members=1
+        )
+        assert got_all["solo"] == (1, 1, 1, "Person", 1, 1_000_000)
+
+    def test_null_type_is_its_own_class(self, spark):
+        nodes = [
+            ("n1", "X", "T"),
+            ("n2", "X", None),
+            ("n3", "X", None),
+        ]
+        got = self._run(spark, nodes, [("n2", "n1"), ("n3", "n1")])
+        # NULL majority (2 of 3), n_types counts NULL as a class
+        assert got == {"n1": (3, 1, 2, None, 2, 666_666)}
+
+    def test_majority_tie_breaks_type_asc_nulls_last(self, spark):
+        nodes = [
+            ("n1", "X", "Beta"),
+            ("n2", "X", "Alpha"),
+            ("n3", "X", None),
+        ]
+        got = self._run(
+            spark, nodes, [("n2", "n1"), ("n3", "n1")]
+        )
+        # all counts 1: Alpha < Beta < NULL (nulls last)
+        assert got["n1"][3:] == ("Alpha", 1, 333_333)
+
+    def test_guard(self, spark):
+        from context_aware_rag_spark.operators.canonicalize import (
+            cluster_purity,
+        )
+
+        nodes = spark.createDataFrame(
+            [("n1", "X", "T")], "node_id string, name string, type string"
+        )
+        cmap = spark.createDataFrame([], "node_id string, canon_id string")
+        with pytest.raises(ValueError, match="min_members"):
+            cluster_purity(nodes, cmap, min_members=0)

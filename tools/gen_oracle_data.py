@@ -42,6 +42,12 @@ SCHEMAS = {
     "kg_canonical_incremental": pa.schema(
         [("node_id", pa.string()), ("canon_id", pa.string())]
     ),
+    "kg_cluster_purity": pa.schema(
+        [("canon_id", pa.string()), ("n_members", pa.int64()),
+         ("n_names", pa.int64()), ("n_types", pa.int64()),
+         ("majority_type", pa.string()), ("majority_n", pa.int64()),
+         ("purity_ppm", pa.int64())]
+    ),
     "kg_nodes_with_tools": pa.schema(
         [("node_id", pa.string()), ("name", pa.string()),
          ("type", pa.string()), ("tools", pa.string()),
@@ -589,6 +595,7 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "kg_chunk_stats", kg["kg_chunk_stats"])
         write(out_dir, "kg_nodes_canonical", kg["kg_nodes_canonical"])
         write(out_dir, "kg_canonical_incremental", kg["kg_canonical_incremental"])
+        write(out_dir, "kg_cluster_purity", kg["kg_cluster_purity"])
         write(out_dir, "kg_nodes_with_tools", kg["kg_nodes_with_tools"])
         write(out_dir, "kg_similar_chunk_edges", kg["kg_similar_chunk_edges"])
         write(out_dir, "kg_fact_assertions", kg["kg_fact_assertions"])
