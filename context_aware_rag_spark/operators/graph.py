@@ -3136,3 +3136,89 @@ def shortest_path(
             cur.select(F.col("dist").cast("int").alias("step"), "node_id")
         )
     return rows
+
+
+def degree_concentration(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row hub-skew scorecard of the undirected simple graph — the
+    quantified answer to the 100 TB question every join plan here
+    hinges on: HOW concentrated is the degree mass (a Gini near 0 =
+    uniform keys, shuffle freely; near 1 = a few hot entities carry
+    the graph, salt or broadcast before joining on them). The
+    measurement companion to the salting machinery in skew.py.
+
+    Columns (all exact integers — no floats anywhere):
+
+    - ``n_nodes``, ``n_edges``, ``max_degree``,
+    - ``median_degree`` / ``p99_degree`` — degrees at ranks
+      ceil(n/2) and ceil(0.99 n) of the ascending (degree, node)
+      order,
+    - ``gini_ppm`` — floor-ppm Gini of the degree distribution via
+      the rank formula ``(2*sum(i*d_i) - (n+1)*sum(d)) * 1e6 div
+      (n * sum(d))`` over ascending ranks (tie order cannot change
+      the value: equal degrees contribute ``d * sum(rank range)``
+      whatever their internal order),
+    - ``top1pct_share_ppm`` — share of endpoint mass held by the
+      top ceil(n/100) nodes.
+
+    100 TB shape: one degree agg, then :func:`skew.global_rank` (two-
+    phase range shuffle + broadcast prefix offsets — no
+    SinglePartition on the node stream), then one map-side-combined
+    global agg whose SinglePartition reduce sees per-partition PARTIAL
+    rows only (the audited exemption). Products go through
+    DECIMAL(38,0) so a billion-node sum cannot overflow.
+    """
+    from .skew import global_rank
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node")).unionAll(
+            und.select(F.col("b").alias("node"))
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked, n = global_rank(deg, ["d", "node"], rank_col="i")
+    if n == 0:
+        return ranked.sparkSession.createDataFrame(
+            [(0, 0, None, None, None, None, None)],
+            "n_nodes long, n_edges long, max_degree long, "
+            "median_degree long, p99_degree long, gini_ppm long, "
+            "top1pct_share_ppm long",
+        )
+    med_rank = -(-n // 2)  # ceil(n/2), the documented contract
+    p99_rank = -(-99 * n // 100)
+    top_k = -(-n // 100)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) div 2").alias("n_edges"),
+        F.max("d").alias("max_degree"),
+        F.max(F.when(F.col("i") == med_rank, F.col("d"))).alias(
+            "median_degree"
+        ),
+        F.max(F.when(F.col("i") == p99_rank, F.col("d"))).alias(
+            "p99_degree"
+        ),
+        F.expr(
+            "CAST((2 * sum(CAST(i AS DECIMAL(38,0)) * d)"
+            f" - ({n} + 1) * sum(CAST(d AS DECIMAL(38,0))))"
+            f" * 1000000 div ({n} * sum(CAST(d AS DECIMAL(38,0))))"
+            " AS LONG)"
+        ).alias("gini_ppm"),
+        F.expr(
+            f"CAST(sum(CASE WHEN i > {n} - {top_k} THEN"
+            " CAST(d AS DECIMAL(38,0)) ELSE 0 END) * 1000000"
+            " div sum(CAST(d AS DECIMAL(38,0))) AS LONG)"
+        ).alias("top1pct_share_ppm"),
+    )

@@ -3657,6 +3657,62 @@ def kg_harmonic_centrality(spark, sf_dir):
 
 
 @xq(
+    "kg_degree_concentration",
+    f"""
+    WITH et AS (
+        SELECT least(subj_name, obj_name) AS lo,
+               greatest(subj_name, obj_name) AS hi
+        FROM read_parquet('{_pq("kg_fact_assertions")}')
+        WHERE subj_name <> obj_name
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT lo AS node FROM et UNION ALL SELECT hi FROM et
+        ) GROUP BY 1
+    ),
+    ranked AS (
+        SELECT d, row_number() OVER (ORDER BY d, node) AS i FROM deg
+    ),
+    nn AS (SELECT count(*) AS n FROM deg)
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           CAST(max(CASE WHEN i = (n + 1) // 2 THEN d END)
+               AS BIGINT) AS median_degree,
+           CAST(max(CASE WHEN i = (99 * n + 99) // 100 THEN d END)
+               AS BIGINT) AS p99_degree,
+           CAST((2 * sum(i * d) - (n + 1) * sum(d)) * 1000000
+                // (n * sum(d)) AS BIGINT) AS gini_ppm,
+           CAST(sum(CASE WHEN i > n - (n + 99) // 100 THEN d
+                         ELSE 0 END) * 1000000
+                // sum(d) AS BIGINT) AS top1pct_share_ppm
+    FROM ranked CROSS JOIN nn
+    GROUP BY n
+    """,
+)
+def kg_degree_concentration(spark, sf_dir):
+    """Hub-skew scorecard of the co-assertion entity graph
+    (operators/graph.py:degree_concentration): exact-integer Gini,
+    median/p99 degree, and top-1% endpoint share — the measured
+    answer to 'does this key need salting' that the skew.py machinery
+    acts on. Rank derivation is the two-phase global_rank (no
+    SinglePartition on the node stream); the twin re-derives degrees,
+    ranks, and the rank-formula Gini over the assertion snapshot."""
+    from ..operators import closure as cl_ops
+    from ..operators import facts as facts_ops
+    from ..operators.graph import degree_concentration
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    et = cl_ops.coassertion_edge_times(
+        facts_ops.fact_assertions(res.triples, res.chunks)
+    )
+    return degree_concentration(
+        et.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+    )
+
+
+@xq(
     "kg_lin_centrality",
     _HB_SQL_HEAD
     + f"""

@@ -1406,3 +1406,58 @@ class TestShortestPath:
 
         with pytest.raises(ValueError, match="max_depth"):
             shortest_path(self._df(spark, [(1, 2)]), 1, 2, max_depth=-1)
+
+
+class TestDegreeConcentration:
+    def _run(self, spark, rows):
+        from context_aware_rag_spark.operators.graph import (
+            degree_concentration,
+        )
+
+        df = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in rows], "src string, dst string"
+        )
+        return degree_concentration(df).collect()[0]
+
+    def test_regular_graph_zero_gini(self, spark):
+        # 4-cycle: every node degree 2 — perfectly uniform
+        r = self._run(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        assert (r.n_nodes, r.n_edges, r.max_degree) == (4, 4, 2)
+        assert (r.median_degree, r.p99_degree) == (2, 2)
+        assert r.gini_ppm == 0
+        # top ceil(4/100)=1 node holds 2 of 8 endpoints
+        assert r.top1pct_share_ppm == 250_000
+
+    def test_star_concentrates(self, spark):
+        # hub degree 9, 9 leaves degree 1: Gini via the rank formula
+        rows = [(0, i) for i in range(1, 10)]
+        r = self._run(spark, rows)
+        assert (r.n_nodes, r.n_edges, r.max_degree) == (10, 9, 9)
+        # p99 rank = ceil(9.9) = 10 — the hub itself at n=10
+        assert r.median_degree == 1 and r.p99_degree == 9
+        # degrees asc: nine 1s then a 9. sum d = 18,
+        # sum i*d = 45 + 10*9 = 135; (270 - 11*18)*1e6 // 180
+        assert r.gini_ppm == (2 * 135 - 11 * 18) * 1_000_000 // (10 * 18)
+        assert r.top1pct_share_ppm == 500_000  # hub: 9 of 18
+
+    def test_duplicate_and_self_edges_collapse(self, spark):
+        r = self._run(spark, [(1, 2), (2, 1), (1, 1), (1, 2)])
+        assert (r.n_nodes, r.n_edges, r.max_degree) == (2, 1, 1)
+        assert r.gini_ppm == 0
+
+    def test_empty_graph_row(self, spark):
+        from context_aware_rag_spark.operators.graph import (
+            degree_concentration,
+        )
+
+        df = spark.createDataFrame([], "src string, dst string")
+        r = degree_concentration(df).collect()[0]
+        assert (r.n_nodes, r.n_edges) == (0, 0)
+        assert r.gini_ppm is None
+
+    def test_tie_order_invariance(self, spark):
+        # two graphs identical up to node relabeling inside a degree
+        # tie must produce the same scorecard
+        a = self._run(spark, [(1, 2), (2, 3)])
+        b = self._run(spark, [(9, 8), (8, 7)])
+        assert tuple(a) == tuple(b)
