@@ -3222,3 +3222,78 @@ def degree_concentration(
             " div sum(CAST(d AS DECIMAL(38,0))) AS LONG)"
         ).alias("top1pct_share_ppm"),
     )
+
+
+def shortest_path_triples(
+    triples: DataFrame,
+    source,
+    target,
+    max_depth: int = 10,
+    subj: str = "subj_name",
+    rel: str = "pred",
+    obj: str = "obj_name",
+) -> DataFrame:
+    """The relation-chain explanation: :func:`shortest_path` over the
+    undirected name graph of ``triples``, with every hop labeled by
+    ALL the predicates asserting it and the assertion direction —
+    "Berlin ←LOCATED_IN— Warehouse 13 —STORES→ Crate 7" is the answer
+    shape of the reference's graph-BFS Q&A tool, and the citation a
+    KG-RAG response stuffs next to a multi-hop claim.
+
+    Output, one row per (hop, predicate) pair:
+
+    (step, src_name, pred, dst_name, direction)
+
+    with ``step`` the 0-based hop index from ``source``, src/dst in
+    PATH orientation, and ``direction`` 'forward' when the triple was
+    asserted (src, pred, dst), 'backward' when (dst, pred, src) —
+    both emitted when both exist. The node chain is the deterministic
+    lexicographically-least shortest path (see :func:`shortest_path`);
+    ``source == target`` or an unreachable target yields an empty
+    frame (a zero-hop path has no relations to explain).
+
+    100 TB shape: the path is ≤ max_depth+1 rows — the hop frame is a
+    broadcast side against ONE distinct-triple scan (two orientation
+    legs of the same join, unioned); nothing here shuffles the corpus.
+    """
+    tri = triples.select(
+        F.col(subj).alias("s"), F.col(rel).alias("p"), F.col(obj).alias("o")
+    ).distinct()
+    path = shortest_path(
+        tri.select(F.col("s").alias("src"), F.col("o").alias("dst")),
+        source,
+        target,
+        max_depth=max_depth,
+    ).localCheckpoint()
+    a, b = path.alias("a"), path.alias("b")
+    hops = (
+        a.join(b, F.col("b.step") == F.col("a.step") + 1)
+        .select(
+            F.col("a.step").alias("step"),
+            F.col("a.node_id").alias("u"),
+            F.col("b.node_id").alias("v"),
+        )
+    )
+    fwd = (
+        F.broadcast(hops)
+        .join(tri, (F.col("s") == F.col("u")) & (F.col("o") == F.col("v")))
+        .select(
+            "step",
+            F.col("u").alias("src_name"),
+            F.col("p").alias("pred"),
+            F.col("v").alias("dst_name"),
+            F.lit("forward").alias("direction"),
+        )
+    )
+    bwd = (
+        F.broadcast(hops)
+        .join(tri, (F.col("s") == F.col("v")) & (F.col("o") == F.col("u")))
+        .select(
+            "step",
+            F.col("u").alias("src_name"),
+            F.col("p").alias("pred"),
+            F.col("v").alias("dst_name"),
+            F.lit("backward").alias("direction"),
+        )
+    )
+    return fwd.unionAll(bwd)

@@ -3657,6 +3657,63 @@ def kg_harmonic_centrality(spark, sf_dir):
 
 
 @xq(
+    "kg_path_explain",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT DISTINCT subj_name AS s, pred AS p, obj_name AS o
+        FROM read_parquet('{_pq("kg_triples")}')
+    ),
+    et AS (SELECT DISTINCT s, o FROM t WHERE s <> o),
+    adj AS (SELECT s AS u, o AS v FROM et UNION SELECT o, s FROM et),
+    walk(node, dist) AS (
+        SELECT 'Berlin', 0
+        UNION
+        SELECT a.v, w.dist + 1
+        FROM walk w JOIN adj a ON a.u = w.node
+        WHERE w.dist < 10
+    ),
+    d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+    pmin AS (
+        SELECT dv.node AS v, min(a.u) AS pr
+        FROM d dv JOIN adj a ON a.v = dv.node
+        JOIN d du ON du.node = a.u AND du.dist = dv.dist - 1
+        GROUP BY dv.node
+    ),
+    path(step, node) AS (
+        SELECT dist, node FROM d WHERE node = 'Central Plaza'
+        UNION ALL
+        SELECT p.step - 1, pm.pr
+        FROM path p JOIN pmin pm ON pm.v = p.node
+        WHERE p.step > 0
+    ),
+    hops AS (
+        SELECT a.step AS step, a.node AS u, b.node AS v
+        FROM path a JOIN path b ON b.step = a.step + 1
+    )
+    SELECT CAST(step AS INT) AS step, u AS src_name, t.p AS pred,
+           v AS dst_name, 'forward' AS direction
+    FROM hops JOIN t ON t.s = hops.u AND t.o = hops.v
+    UNION ALL
+    SELECT CAST(step AS INT), u, t.p, v, 'backward'
+    FROM hops JOIN t ON t.s = hops.v AND t.o = hops.u
+    """,
+)
+def kg_path_explain(spark, sf_dir):
+    """Relation-chain explanation between two entities
+    (graph.shortest_path_triples): the deterministic min-predecessor
+    shortest path Berlin -> Central Plaza with every hop labeled by
+    ALL asserting predicates and the assertion direction — the answer
+    shape of the reference's graph-BFS Q&A tool. The twin re-derives
+    BFS, election, backward walk, AND both label-join orientations in
+    one recursive-CTE query over the kg_triples snapshot."""
+    from ..operators.graph import shortest_path_triples
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    tri = res.triples.select("subj_name", "pred", "obj_name")
+    return shortest_path_triples(tri, "Berlin", "Central Plaza")
+
+
+@xq(
     "kg_degree_concentration",
     f"""
     WITH et AS (

@@ -1461,3 +1461,68 @@ class TestDegreeConcentration:
         a = self._run(spark, [(1, 2), (2, 3)])
         b = self._run(spark, [(9, 8), (8, 7)])
         assert tuple(a) == tuple(b)
+
+
+class TestShortestPathTriples:
+    def _run(self, spark, tri_rows, s, t, **kw):
+        from context_aware_rag_spark.operators.graph import (
+            shortest_path_triples,
+        )
+
+        tri = spark.createDataFrame(
+            tri_rows, "subj_name string, pred string, obj_name string"
+        )
+        return sorted(
+            tuple(r)
+            for r in shortest_path_triples(tri, s, t, **kw).collect()
+        )
+
+    def test_labeled_chain_with_directions(self, spark):
+        # a —WORKS_AT→ b, c —MANAGES→ b: path a-b-c crosses hop 2
+        # backward
+        rows = [
+            ("a", "WORKS_AT", "b"),
+            ("c", "MANAGES", "b"),
+        ]
+        got = self._run(spark, rows, "a", "c")
+        assert got == [
+            (0, "a", "WORKS_AT", "b", "forward"),
+            (1, "b", "MANAGES", "c", "backward"),
+        ]
+
+    def test_parallel_predicates_all_emitted(self, spark):
+        rows = [
+            ("a", "KNOWS", "b"),
+            ("a", "MET", "b"),
+            ("b", "KNOWS", "a"),
+        ]
+        got = self._run(spark, rows, "a", "b")
+        assert got == [
+            (0, "a", "KNOWS", "b", "backward"),
+            (0, "a", "KNOWS", "b", "forward"),
+            (0, "a", "MET", "b", "forward"),
+        ]
+
+    def test_source_equals_target_empty(self, spark):
+        got = self._run(spark, [("a", "P", "b")], "a", "a")
+        assert got == []
+
+    def test_unreachable_empty(self, spark):
+        got = self._run(
+            spark, [("a", "P", "b"), ("c", "P", "d")], "a", "d"
+        )
+        assert got == []
+
+    def test_min_predecessor_chain_labels(self, spark):
+        # two equal paths a-b-d and a-c-d: chain must go via b
+        rows = [
+            ("a", "P1", "b"),
+            ("a", "P2", "c"),
+            ("b", "P3", "d"),
+            ("c", "P4", "d"),
+        ]
+        got = self._run(spark, rows, "a", "d")
+        assert got == [
+            (0, "a", "P1", "b", "forward"),
+            (1, "b", "P3", "d", "forward"),
+        ]
