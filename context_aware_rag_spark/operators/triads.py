@@ -454,3 +454,301 @@ def graph_summary(
             ).alias("transitivity_e6"),
         )
     )
+
+
+QUAD_CLASSES = [
+    "empty", "one_edge", "two_matching", "two_wedge",
+    "three_triangle", "three_path", "three_star",
+    "four_cycle", "four_tailed", "five_diamond", "six_clique",
+]
+
+
+def quad_census(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: "DataFrame | None" = None,
+) -> DataFrame:
+    """Exact induced 11-class QUAD census of the UNDIRECTED simple
+    graph underlying ``edges`` — the 4-node companion of
+    :func:`triad_census` and the graphlet signature of the graphlet/
+    GDV literature (Przulj 2007): every 4-subset of the node universe
+    classified by its induced subgraph up to isomorphism.
+
+    Classes (edge count, then shape): ``empty`` (0), ``one_edge``
+    (1), ``two_matching`` / ``two_wedge`` (2), ``three_triangle`` /
+    ``three_path`` / ``three_star`` (3), ``four_cycle`` /
+    ``four_tailed`` (paw, 4), ``five_diamond`` (5), ``six_clique``
+    (6). Over an extracted KG the connected tail is the structural QA
+    profile one order above the triad census: entity-merge
+    over-canonicalization inflates ``six_clique``/``five_diamond``
+    mass, hub-spoke extraction shows as ``three_star`` dominance, and
+    chain-of-mention transcripts as ``three_path``.
+
+    Algorithm — the subgraph-to-induced inversion of ESCAPE (Pinar,
+    Seshadhri & Vishal, WWW 2017) / the quad-census arithmetic of
+    Ortmann & Brandes (Network Science 2017): enumeration only for
+    TRIANGLES (degree-ordered compact-forward listing, the
+    :func:`triad_census` scheme); every other non-induced count is an
+    aggregate —
+
+    - ``N_claw  = sum_v C(d_v, 3)``; wedge mass ``W = sum_v C(d_v,2)``
+    - ``N_p4    = sum_(u,v) in E (d_u-1)(d_v-1) - 3T``
+    - ``N_paw   = sum_v t_v (d_v - 2)`` (t_v = triangles at v)
+    - ``N_dia   = sum_e C(t_e, 2)`` (t_e = triangles on edge e)
+    - ``N_c4    = (sum_{p<q} C(codeg(p,q), 2)) / 2`` (each 4-cycle
+      once per diagonal pair)
+    - ``N_k4``: per-edge apex pairs (the N_dia candidate set)
+      semi-joined against the edge set, divided by 6 —
+
+    then the upper-triangular containment matrix (computed by hand,
+    pinned by the brute-force test oracle) converts non-induced to
+    induced top-down from ``six_clique``; the disconnected classes
+    close by complement against C(n,2), C(n,3)-style totals and
+    C(n,4).
+
+    100 TB shape: every stage is a map-side-combinable aggregate
+    except (a) the triangle listing — skew-bounded O(m^1.5) by
+    orientation — and (b) the CODEGREE wedge join behind ``N_c4``,
+    which is Theta(W = sum C(d,2)): that wedge mass is the price of
+    exact 4-cycle counting (ESCAPE pays the same), and unlike
+    triangles it cannot be oriented away because a hub's 4-cycle
+    incidence is real output mass, not enumeration waste. At extreme
+    hub skew, census a degree-capped or quality-filtered subgraph
+    upstream — the operator stays exact for whatever graph it is
+    given. Scalars assemble via single-row crossJoins (no driver
+    collect); all arithmetic is exact integers, widened through
+    DECIMAL(38,0) where triple products can outgrow BIGINT.
+
+    ``nodes``: optional single-column universe frame (defaults to the
+    edge endpoint set; extra isolated nodes feed only the
+    disconnected classes). Returns (clazz, n) with explicit zeros,
+    ``n`` BIGINT.
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    node_col = nodes.columns[0] if nodes is not None else None
+    universe = (
+        nodes.select(F.col(node_col).alias("v")).dropDuplicates()
+        if nodes is not None
+        else und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+
+    dec = "DECIMAL(38,0)"
+    n_df = universe.agg(F.count(F.lit(1)).cast(dec).alias("n"))
+    m_df = und.agg(F.count(F.lit(1)).cast(dec).alias("m"))
+    deg_aggs = deg.agg(
+        F.coalesce(
+            F.sum(F.expr(f"CAST(d AS {dec}) * (d - 1) / 2")), F.lit(0)
+        ).cast(dec).alias("w_wedges"),
+        F.coalesce(
+            F.sum(F.expr(f"CAST(d AS {dec}) * (d - 1) * (d - 2) / 6")),
+            F.lit(0),
+        ).cast(dec).alias("n_claw"),
+    )
+
+    # ---- triangle listing (compact-forward, one row per triangle) ---
+    da, db = deg.alias("da"), deg.alias("db")
+    with_deg = (
+        und.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            "a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b")
+        )
+    )
+    lower_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(lower_first, F.col("d_b")).otherwise(F.col("d_a")).alias("d_w"),
+    ).localCheckpoint()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    order_lt = (F.col("e1.d_w") < F.col("e2.d_w")) | (
+        (F.col("e1.d_w") == F.col("e2.d_w")) & (F.col("e1.w") < F.col("e2.w"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & order_lt)
+        .select(
+            F.col("e1.u").alias("apex"),
+            F.col("e1.w").alias("x"),
+            F.col("e2.w").alias("y"),
+        )
+        .join(
+            oriented.select(F.col("u").alias("x"), F.col("w").alias("y")),
+            ["x", "y"],
+            "left_semi",
+        )
+        .select(F.array_sort(F.array("apex", "x", "y")).alias("t"))
+        .select(
+            F.col("t")[0].alias("n1"),
+            F.col("t")[1].alias("n2"),
+            F.col("t")[2].alias("n3"),
+        )
+        .localCheckpoint()
+    )
+    t_df = tri.agg(F.count(F.lit(1)).cast(dec).alias("t"))
+    t_v = (
+        tri.select(F.col("n1").alias("v"))
+        .unionAll(tri.select(F.col("n2").alias("v")))
+        .unionAll(tri.select(F.col("n3").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tv"))
+    )
+    paw_df = (
+        t_v.join(deg, "v")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(f"CAST(tv AS {dec}) * (d - 2)")), F.lit(0)
+            ).cast(dec).alias("n_paw")
+        )
+    )
+    t_e = (
+        tri.select(F.col("n1").alias("a"), F.col("n2").alias("b"))
+        .unionAll(tri.select(F.col("n1").alias("a"), F.col("n3").alias("b")))
+        .unionAll(tri.select(F.col("n2").alias("a"), F.col("n3").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("te"))
+        .localCheckpoint()
+    )
+    dia_df = t_e.agg(
+        F.coalesce(
+            F.sum(F.expr(f"CAST(te AS {dec}) * (te - 1) / 2")), F.lit(0)
+        ).cast(dec).alias("n_dia")
+    )
+    # P4 raw term: sum over edges of (d_u - 1)(d_v - 1); 3T subtracted
+    # in the inversion row below
+    p4_df = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("d_a")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("d_b")), "b")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr(f"CAST(d_a - 1 AS {dec}) * (d_b - 1)")), F.lit(0)
+            ).cast(dec).alias("p4_raw")
+        )
+    )
+    # ---- codegrees (the Theta(W) wedge join) -> non-induced C4 ------
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    wa, wb = adj.alias("wa"), adj.alias("wb")
+    cod = (
+        wa.join(
+            wb,
+            (F.col("wa.v") == F.col("wb.v"))
+            & (F.col("wa.w") < F.col("wb.w")),
+        )
+        .groupBy(F.col("wa.w").alias("p"), F.col("wb.w").alias("q"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c4_df = cod.agg(
+        F.coalesce(
+            F.sum(F.expr(f"CAST(c AS {dec}) * (c - 1) / 2")), F.lit(0)
+        ).cast(dec).alias("c4_double")
+    )
+    # ---- K4: per-edge apex pairs (the N_dia candidate mass) ---------
+    edge_apex = (
+        tri.select(F.col("n1").alias("a"), F.col("n2").alias("b"),
+                   F.col("n3").alias("apex"))
+        .unionAll(tri.select("n1", F.col("n3").alias("b"),
+                             F.col("n2").alias("apex")))
+        .unionAll(tri.select(F.col("n2").alias("a"), "n3",
+                             F.col("n1").alias("apex")))
+    )
+    ea1, ea2 = edge_apex.alias("ea1"), edge_apex.alias("ea2")
+    k4_df = (
+        ea1.join(
+            ea2,
+            (F.col("ea1.a") == F.col("ea2.a"))
+            & (F.col("ea1.b") == F.col("ea2.b"))
+            & (F.col("ea1.apex") < F.col("ea2.apex")),
+        )
+        .select(
+            F.col("ea1.apex").alias("a"), F.col("ea2.apex").alias("b")
+        )
+        .join(und, ["a", "b"], "left_semi")
+        .agg(F.expr(f"CAST(count(1) AS {dec}) / 6").cast(dec).alias("n_k4"))
+    )
+
+    scalars = (
+        n_df.crossJoin(m_df)
+        .crossJoin(deg_aggs)
+        .crossJoin(t_df)
+        .crossJoin(paw_df)
+        .crossJoin(dia_df)
+        .crossJoin(p4_df)
+        .crossJoin(c4_df)
+        .crossJoin(k4_df)
+    )
+    # ---- non-induced -> induced inversion (containment matrix) ------
+    inv = scalars.selectExpr(
+        "n", "m", "w_wedges", "n_claw", "t", "n_paw", "n_dia",
+        "p4_raw", "n_k4",
+        f"CAST(c4_double / 2 AS {dec}) AS n_c4",
+    ).selectExpr(
+        "*",
+        "n_k4 AS i_k4",
+        f"CAST(n_dia - 6 * n_k4 AS {dec}) AS i_dia",
+    ).selectExpr(
+        "*",
+        f"CAST(n_paw - 4 * i_dia - 12 * i_k4 AS {dec}) AS i_paw",
+        f"CAST(n_c4 - i_dia - 3 * i_k4 AS {dec}) AS i_c4",
+    ).selectExpr(
+        "*",
+        f"CAST(t * (n - 3) - 2 * i_dia - i_paw - 4 * i_k4 AS {dec})"
+        " AS i_t3",
+        f"CAST(p4_raw - 3 * t - 6 * i_dia - 2 * i_paw - 4 * i_c4"
+        f" - 12 * i_k4 AS {dec}) AS i_p4",
+        f"CAST(n_claw - 2 * i_dia - i_paw - 4 * i_k4 AS {dec}) AS i_s3",
+    ).selectExpr(
+        "*",
+        f"CAST(w_wedges * (n - 3) - 3 * i_s3 - 2 * i_p4 - 3 * i_t3"
+        f" - 4 * i_c4 - 5 * i_paw - 8 * i_dia - 12 * i_k4 AS {dec})"
+        " AS i_w2",
+        f"CAST(m * (m - 1) / 2 - w_wedges - i_p4 - 2 * i_c4 - i_paw"
+        f" - 2 * i_dia - 3 * i_k4 AS {dec}) AS i_m2",
+    ).selectExpr(
+        "*",
+        f"CAST(m * (n - 2) * (n - 3) / 2 - 2 * i_m2 - 2 * i_w2"
+        f" - 3 * (i_s3 + i_p4 + i_t3) - 4 * (i_c4 + i_paw)"
+        f" - 5 * i_dia - 6 * i_k4 AS {dec}) AS i_e1",
+    ).selectExpr(
+        "*",
+        f"CAST(n * (n - 1) * (n - 2) * (n - 3) / 24 - i_e1 - i_m2"
+        f" - i_w2 - i_s3 - i_p4 - i_t3 - i_c4 - i_paw - i_dia - i_k4"
+        f" AS {dec}) AS i_e0",
+    ).localCheckpoint()
+
+    out_cols = [
+        ("empty", "i_e0"), ("one_edge", "i_e1"),
+        ("two_matching", "i_m2"), ("two_wedge", "i_w2"),
+        ("three_triangle", "i_t3"), ("three_path", "i_p4"),
+        ("three_star", "i_s3"), ("four_cycle", "i_c4"),
+        ("four_tailed", "i_paw"), ("five_diamond", "i_dia"),
+        ("six_clique", "i_k4"),
+    ]
+    rows = None
+    for clazz, col in out_cols:
+        row = inv.select(
+            F.lit(clazz).alias("clazz"), F.col(col).cast("long").alias("n")
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

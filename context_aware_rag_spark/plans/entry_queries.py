@@ -3714,6 +3714,143 @@ def kg_path_explain(spark, sf_dir):
 
 
 @xq(
+    "kg_quad_census",
+    f"""
+    WITH et AS (
+        SELECT DISTINCT least(subj_name, obj_name) AS a,
+               greatest(subj_name, obj_name) AS b
+        FROM read_parquet('{_pq("kg_triples")}')
+        WHERE subj_name <> obj_name
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM et UNION ALL SELECT b FROM et
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        FROM et e1
+        JOIN et e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN et e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tv AS (
+        SELECT v, count(*) AS tv FROM (
+            SELECT n1 AS v FROM tri UNION ALL SELECT n2 FROM tri
+            UNION ALL SELECT n3 FROM tri
+        ) GROUP BY v
+    ),
+    te AS (
+        SELECT a, b, count(*) AS te FROM (
+            SELECT n1 AS a, n2 AS b FROM tri
+            UNION ALL SELECT n1, n3 FROM tri
+            UNION ALL SELECT n2, n3 FROM tri
+        ) GROUP BY 1, 2
+    ),
+    adj AS (SELECT a AS v, b AS w FROM et UNION ALL SELECT b, a FROM et),
+    cod AS (
+        SELECT x.w AS p, y.w AS q, count(*) AS c
+        FROM adj x JOIN adj y ON y.v = x.v AND x.w < y.w
+        GROUP BY 1, 2
+    ),
+    ea AS (
+        SELECT n1 AS a, n2 AS b, n3 AS apex FROM tri
+        UNION ALL SELECT n1, n3, n2 FROM tri
+        UNION ALL SELECT n2, n3, n1 FROM tri
+    ),
+    k4 AS (
+        SELECT count(*) // 6 AS n_k4
+        FROM ea x
+        JOIN ea y ON y.a = x.a AND y.b = x.b AND x.apex < y.apex
+        JOIN et ON et.a = x.apex AND et.b = y.apex
+    ),
+    sc AS (
+        SELECT (SELECT count(*) FROM deg) AS n,
+               (SELECT count(*) FROM et) AS m,
+               (SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg) AS w,
+               (SELECT coalesce(sum(d * (d - 1) * (d - 2) // 6), 0)
+                FROM deg) AS claw,
+               (SELECT count(*) FROM tri) AS t,
+               (SELECT coalesce(sum(tv.tv * (deg.d - 2)), 0)
+                FROM tv JOIN deg ON deg.v = tv.v) AS n_paw,
+               (SELECT coalesce(sum(te * (te - 1) // 2), 0) FROM te)
+                   AS n_dia,
+               (SELECT coalesce(sum((da.d - 1) * (db.d - 1)), 0)
+                FROM et JOIN deg da ON da.v = et.a
+                JOIN deg db ON db.v = et.b) AS p4_raw,
+               (SELECT coalesce(sum(c * (c - 1) // 2), 0) // 2 FROM cod)
+                   AS n_c4,
+               (SELECT n_k4 FROM k4) AS n_k4
+    ),
+    i1 AS (SELECT *, n_k4 AS i_k4, n_dia - 6 * n_k4 AS i_dia FROM sc),
+    i2 AS (
+        SELECT *, n_paw - 4 * i_dia - 12 * i_k4 AS i_paw,
+               n_c4 - i_dia - 3 * i_k4 AS i_c4
+        FROM i1
+    ),
+    i3 AS (
+        SELECT *, t * (n - 3) - 2 * i_dia - i_paw - 4 * i_k4 AS i_t3,
+               p4_raw - 3 * t - 6 * i_dia - 2 * i_paw - 4 * i_c4
+                   - 12 * i_k4 AS i_p4,
+               claw - 2 * i_dia - i_paw - 4 * i_k4 AS i_s3
+        FROM i2
+    ),
+    i4 AS (
+        SELECT *, w * (n - 3) - 3 * i_s3 - 2 * i_p4 - 3 * i_t3
+                   - 4 * i_c4 - 5 * i_paw - 8 * i_dia - 12 * i_k4 AS i_w2,
+               m * (m - 1) // 2 - w - i_p4 - 2 * i_c4 - i_paw
+                   - 2 * i_dia - 3 * i_k4 AS i_m2
+        FROM i3
+    ),
+    i5 AS (
+        SELECT *, m * (n - 2) * (n - 3) // 2 - 2 * i_m2 - 2 * i_w2
+                   - 3 * (i_s3 + i_p4 + i_t3) - 4 * (i_c4 + i_paw)
+                   - 5 * i_dia - 6 * i_k4 AS i_e1
+        FROM i4
+    ),
+    i6 AS (
+        SELECT *, n * (n - 1) * (n - 2) * (n - 3) // 24 - i_e1 - i_m2
+                   - i_w2 - i_s3 - i_p4 - i_t3 - i_c4 - i_paw - i_dia
+                   - i_k4 AS i_e0
+        FROM i5
+    )
+    SELECT clazz, CAST(n AS BIGINT) AS n FROM (
+        SELECT 'empty' AS clazz, i_e0 AS n FROM i6
+        UNION ALL SELECT 'one_edge', i_e1 FROM i6
+        UNION ALL SELECT 'two_matching', i_m2 FROM i6
+        UNION ALL SELECT 'two_wedge', i_w2 FROM i6
+        UNION ALL SELECT 'three_triangle', i_t3 FROM i6
+        UNION ALL SELECT 'three_path', i_p4 FROM i6
+        UNION ALL SELECT 'three_star', i_s3 FROM i6
+        UNION ALL SELECT 'four_cycle', i_c4 FROM i6
+        UNION ALL SELECT 'four_tailed', i_paw FROM i6
+        UNION ALL SELECT 'five_diamond', i_dia FROM i6
+        UNION ALL SELECT 'six_clique', i_k4 FROM i6
+    )
+    """,
+)
+def kg_quad_census(spark, sf_dir):
+    """Exact induced 11-class quad census (operators/triads.py
+    quad_census — ESCAPE WWW'17 / Ortmann & Brandes 2017 arithmetic:
+    triangle listing is the only enumeration, every other non-induced
+    count is an aggregate, then the hand-derived containment-matrix
+    inversion) over the extracted undirected entity graph — the
+    4-node graphlet signature one order above kg_triad_census:
+    over-canonicalization inflates clique/diamond mass, hub-spoke
+    extraction shows as star dominance. The twin replicates the FULL
+    pipeline in DuckDB (dyads, triangle join, codegree wedge join,
+    per-edge apex K4 join, the same inversion); pytest pins the
+    operator against a brute-force 4-subset classifier on random
+    graphs."""
+    from ..operators.triads import quad_census
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    und = res.triples.select(
+        F.col("subj_name").alias("src"), F.col("obj_name").alias("dst")
+    )
+    return quad_census(und)
+
+
+@xq(
     "kg_degree_concentration",
     f"""
     WITH et AS (
