@@ -2053,6 +2053,32 @@ def hits_py(
     return sorted((n, h[n], a[n]) for n in nodes)
 
 
+def katz_py(
+    edges: "Sequence[tuple]",
+    iterations: int = 8,
+    alpha_ppm: int = 100_000,
+) -> "List[Tuple[str, int]]":
+    """Pure-Python replication of operators/graph.katz_centrality
+    (integer-micro unnormalized truncated Katz expansion). Returns
+    sorted (node_id, katz_micro)."""
+    pairs = {
+        (str(a), str(b))
+        for a, b in edges
+        if str(a) != str(b)
+    }
+    nodes = sorted({n for e in pairs for n in e})
+    x = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in pairs:
+            s[v] += x[u]
+        x = {
+            n: 1_000_000 + _tdiv(alpha_ppm * s[n], 1_000_000)
+            for n in nodes
+        }
+    return sorted(x.items())
+
+
 def densest_py(
     edges: "Sequence[tuple]", eps_ppm: int = 100_000
 ) -> "List[Tuple[str, int, int, int, int]]":

@@ -8807,6 +8807,45 @@ def kg_graph_hits_q(spark, sf_dir):
 
 
 @xq(
+    "kg_graph_katz",
+    f"""
+    SELECT node_id, katz_micro
+    FROM read_parquet('{_pq("graph_katz")}')
+    """,
+)
+def kg_graph_katz_q(spark, sf_dir):
+    """Truncated Katz centrality (Katz 1953) over the same directed
+    supplier succession graph as kg_graph_hits: attenuated-walk
+    salience that never divides by degree — the third classical lens
+    next to PageRank and HITS, and its rank disagreement with
+    pagerank is the degree-skew diagnostic. Integer-micro
+    unnormalized expansion (beta keeps textbook weight; alpha*d_max
+    < 1 documented, hotter graphs fail loudly on ANSI overflow);
+    twin = precomputed pure-Python replication (precompute.katz_py),
+    bit-exact after 8 rounds."""
+    from pyspark.sql import Window as W
+
+    from ..operators import graph
+
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    prec = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.lead("l_suppkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .select("src", "dst")
+    )
+    return graph.katz_centrality(prec, iterations=8, alpha_ppm=100_000)
+
+
+@xq(
     "event_eventually_follows",
     """
     WITH pos AS (

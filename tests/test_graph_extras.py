@@ -1526,3 +1526,71 @@ class TestShortestPathTriples:
             (0, "a", "P1", "b", "forward"),
             (1, "b", "P3", "d", "forward"),
         ]
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (unnormalized truncated expansion)
+# ---------------------------------------------------------------------------
+
+from context_aware_rag_spark.oracle.precompute import katz_py  # noqa: E402
+
+
+class TestKatzCentrality:
+    def _run(self, spark, pairs, iterations=8, alpha_ppm=100_000):
+        e = spark.createDataFrame(pairs, "src: string, dst: string")
+        return sorted(
+            (r.node_id, r.katz_micro)
+            for r in graph.katz_centrality(
+                e, iterations=iterations, alpha_ppm=alpha_ppm
+            ).collect()
+        )
+
+    def test_matches_python_on_random_digraphs(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        for tag, n, mod in (("k1", 10, 3), ("k2", 14, 4)):
+            pairs = [
+                (f"d{i:02d}", f"d{j:02d}")
+                for i in range(n)
+                for j in range(n)
+                if i != j and h(f"{tag}:{i}:{j}") % mod == 0
+            ]
+            assert self._run(spark, pairs) == katz_py(pairs), tag
+
+    def test_chain_attenuates_per_hop(self, spark):
+        # a -> b -> c with alpha 0.1: b = 1 + 0.1, c = 1 + 0.1 b
+        got = dict(self._run(spark, [("a", "b"), ("b", "c")]))
+        assert got["a"] == 1_000_000
+        assert got["b"] == 1_100_000
+        assert got["c"] == 1_110_000
+
+    def test_source_with_no_in_edges_holds_micro(self, spark):
+        got = dict(self._run(spark, [("s", f"t{i}") for i in range(4)]))
+        assert got["s"] == 1_000_000
+        assert all(got[f"t{i}"] == 1_100_000 for i in range(4))
+
+    def test_no_degree_division_vs_pagerank_shape(self, spark):
+        # a broadcaster feeding 3 targets gives each FULL attenuated
+        # mass (Katz never splits over out-degree)
+        one = dict(self._run(spark, [("s", "t0")]))
+        many = dict(self._run(spark, [("s", f"t{i}") for i in range(3)]))
+        assert one["t0"] == many["t0"]
+
+    def test_duplicates_and_self_loops_collapse(self, spark):
+        a = self._run(spark, [("a", "b"), ("a", "b"), ("b", "b")])
+        b = self._run(spark, [("a", "b")])
+        assert a == b
+
+    def test_validation(self, spark):
+        e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="iterations"):
+            graph.katz_centrality(e, iterations=0)
+        with _pytest.raises(ValueError, match="alpha_ppm"):
+            graph.katz_centrality(e, alpha_ppm=0)
+        with _pytest.raises(ValueError, match="alpha_ppm"):
+            graph.katz_centrality(e, alpha_ppm=1_000_000)

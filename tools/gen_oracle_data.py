@@ -158,6 +158,9 @@ SCHEMAS = {
         [("node_id", pa.string()), ("hub_micro", pa.int64()),
          ("auth_micro", pa.int64())]
     ),
+    "graph_katz": pa.schema(
+        [("node_id", pa.string()), ("katz_micro", pa.int64())]
+    ),
     "kg_sgns_embeddings": pa.schema(
         [("kind", pa.string()), ("node_id", pa.string()),
          ("d", pa.int32()), ("v_micro", pa.int64())]
@@ -544,6 +547,12 @@ def main(sf_dirs: list[str]) -> None:
         ]
         write(out_dir, "graph_hits",
               precompute.hits_py(hits_edges, iterations=5))
+
+        # Katz over the same directed succession slice: the
+        # attenuated-walk salience lens next to pagerank/HITS
+        write(out_dir, "graph_katz",
+              precompute.katz_py(hits_edges, iterations=8,
+                                 alpha_ppm=100_000))
 
         # filtered link-prediction ranking over the trained table: test
         # probes = the deterministic md5 % 5 == 0 slice of the training
