@@ -2079,6 +2079,99 @@ def katz_py(
     return sorted(x.items())
 
 
+def gdv_py(edges: "Sequence[tuple]") -> "List[tuple]":
+    """Pure-Python replication of operators/graph.graphlet_orbits
+    (per-node graphlet degree vector, Przulj orbits 0-14, via the
+    same non-induced aggregate formulas + containment-matrix
+    inversion). Returns sorted (node_id, o0, ..., o14)."""
+    import itertools as _it
+
+    und = {
+        (min(str(a), str(b)), max(str(a), str(b)))
+        for a, b in edges
+        if str(a) != str(b)
+    }
+    adj: "Dict[str, set]" = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    V = sorted(adj)
+    d = {v: len(adj[v]) for v in V}
+    tris = []
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tris.append((a, b, c))
+    t_v = {v: 0 for v in V}
+    t_e: "Dict[tuple, int]" = {}
+    for tri in tris:
+        for v in tri:
+            t_v[v] += 1
+        for e in _it.combinations(tri, 2):
+            t_e[e] = t_e.get(e, 0) + 1
+    cod: "Dict[tuple, int]" = {}
+    for v in V:
+        for p, q in _it.combinations(sorted(adj[v]), 2):
+            cod[(p, q)] = cod.get((p, q), 0) + 1
+    s = {v: sum(d[u] - 1 for u in adj[v]) for v in V}
+    t2 = {v: sum(s[a] for a in adj[v]) for v in V}
+    k4_v = {v: 0 for v in V}
+    for a, b, c in tris:
+        for z in adj[a] & adj[b] & adj[c]:
+            if z > c:
+                for v in (a, b, c, z):
+                    k4_v[v] += 1
+    out = []
+    for v in V:
+        o = [0] * 15
+        o[0] = d[v]
+        o[1] = s[v] - 2 * t_v[v]
+        o[2] = d[v] * (d[v] - 1) // 2 - t_v[v]
+        o[3] = t_v[v]
+        n4 = t2[v] - d[v] * (d[v] - 1) - 2 * t_v[v]
+        n5 = sum(
+            (d[v] - 1) * (d[u] - 1)
+            - t_e.get((min(v, u), max(v, u)), 0)
+            for u in adj[v]
+        )
+        n6 = sum((d[u] - 1) * (d[u] - 2) // 2 for u in adj[v])
+        n7 = d[v] * (d[v] - 1) * (d[v] - 2) // 6
+        n8 = sum(
+            c * (c - 1) // 2 for (p, q), c in cod.items() if v in (p, q)
+        )
+        n9 = sum(
+            t_v[u] - t_e.get((min(v, u), max(v, u)), 0) for u in adj[v]
+        )
+        n10 = sum(
+            d[u] - 2 for tri in tris if v in tri for u in tri if u != v
+        )
+        n11 = t_v[v] * (d[v] - 2)
+        n12 = sum(
+            t_e[tuple(sorted(set(tri) - {v}))] - 1
+            for tri in tris
+            if v in tri
+        )
+        n13 = sum(
+            c * (c - 1) // 2 for (a, b), c in t_e.items() if v in (a, b)
+        )
+        i14 = k4_v[v]
+        i13 = n13 - 3 * i14
+        i12 = n12 - 3 * i14
+        o[8] = n8 - i12 - i13 - 3 * i14
+        o[11] = n11 - 2 * i13 - 3 * i14
+        o[10] = n10 - 2 * i12 - 2 * i13 - 6 * i14
+        o[9] = n9 - 2 * i12 - 3 * i14
+        o[5] = (n5 - 2 * o[8] - o[10] - 2 * o[11] - 2 * i12
+                - 4 * i13 - 6 * i14)
+        o[4] = (n4 - 2 * o[8] - 2 * o[9] - o[10] - 4 * i12
+                - 2 * i13 - 6 * i14)
+        o[7] = n7 - o[11] - i13 - i14
+        o[6] = n6 - o[9] - o[10] - 2 * i12 - i13 - 3 * i14
+        o[12], o[13], o[14] = i12, i13, i14
+        out.append((v, *o))
+    return out
+
+
 def densest_py(
     edges: "Sequence[tuple]", eps_ppm: int = 100_000
 ) -> "List[Tuple[str, int, int, int, int]]":

@@ -3851,6 +3851,34 @@ def kg_quad_census(spark, sf_dir):
 
 
 @xq(
+    "kg_graphlet_orbits",
+    f"""
+    SELECT node_id, {", ".join(f"o{i}" for i in range(15))}
+    FROM read_parquet('{_pq("graph_orbits")}')
+    """,
+)
+def kg_graphlet_orbits(spark, sf_dir):
+    """Per-entity graphlet degree vectors (Przulj 2007 orbits 0-14;
+    operators/graph.graphlet_orbits — triangle + K4 enumeration only,
+    every other orbit a node-keyed aggregate, then the brute-force-
+    pinned containment inversion) over the extracted entity graph:
+    the node-ROLE signature that separates hub-spoke anchors
+    (claw-center o7) from clique cores (o13/o14) from chain relays
+    (o5) at per-entity resolution — quad_census' node-level
+    companion. Twin = precomputed pure-Python replication
+    (precompute.gdv_py over the same subj-obj pairs), bit-exact;
+    pytest additionally pins BOTH against a brute-force 3-/4-subset
+    orbit enumerator on random graphs."""
+    from ..operators.graph import graphlet_orbits
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    und = res.triples.select(
+        F.col("subj_name").alias("src"), F.col("obj_name").alias("dst")
+    )
+    return graphlet_orbits(und)
+
+
+@xq(
     "kg_degree_concentration",
     f"""
     WITH et AS (

@@ -161,6 +161,10 @@ SCHEMAS = {
     "graph_katz": pa.schema(
         [("node_id", pa.string()), ("katz_micro", pa.int64())]
     ),
+    "graph_orbits": pa.schema(
+        [("node_id", pa.string())]
+        + [(f"o{i}", pa.int64()) for i in range(15)]
+    ),
     "kg_sgns_embeddings": pa.schema(
         [("kind", pa.string()), ("node_id", pa.string()),
          ("d", pa.int32()), ("v_micro", pa.int64())]
@@ -608,6 +612,11 @@ def main(sf_dirs: list[str]) -> None:
         write(out_dir, "kg_nodes_with_tools", kg["kg_nodes_with_tools"])
         write(out_dir, "kg_similar_chunk_edges", kg["kg_similar_chunk_edges"])
         write(out_dir, "kg_fact_assertions", kg["kg_fact_assertions"])
+
+        # per-node graphlet degree vectors over the extracted entity
+        # graph (undirected collapse of subj-obj pairs)
+        gdv_edges = [(r[1], r[4]) for r in kg["kg_triples"]]
+        write(out_dir, "graph_orbits", precompute.gdv_py(gdv_edges))
         write(out_dir, "a10_tree_summarize", kg["a10_tree_summarize"])
         write(out_dir, "s6_batch_summaries", kg["s6_batch_summaries"])
         write(out_dir, "kg_community_reports",
