@@ -523,7 +523,11 @@ def quad_census(
     ``nodes``: optional single-column universe frame (defaults to the
     edge endpoint set; extra isolated nodes feed only the
     disconnected classes). Returns (clazz, n) with explicit zeros,
-    ``n`` BIGINT.
+    ``n`` DECIMAL(38,0) — NOT BIGINT: the disconnected classes are
+    C(n,4)-sized (already 1.07e21 at 400k nodes, measured in
+    bench_scaling_quads.py), so int64 output would overflow on any
+    real corpus while every connected-class count still compares
+    bit-exactly as an integer-valued decimal.
     """
     spark = edges.sparkSession
     und = (
@@ -747,8 +751,6 @@ def quad_census(
     ]
     rows = None
     for clazz, col in out_cols:
-        row = inv.select(
-            F.lit(clazz).alias("clazz"), F.col(col).cast("long").alias("n")
-        )
+        row = inv.select(F.lit(clazz).alias("clazz"), F.col(col).alias("n"))
         rows = row if rows is None else rows.unionAll(row)
     return rows

@@ -3813,7 +3813,7 @@ def kg_path_explain(spark, sf_dir):
                    - i_k4 AS i_e0
         FROM i5
     )
-    SELECT clazz, CAST(n AS BIGINT) AS n FROM (
+    SELECT clazz, CAST(n AS HUGEINT) AS n FROM (
         SELECT 'empty' AS clazz, i_e0 AS n FROM i6
         UNION ALL SELECT 'one_edge', i_e1 FROM i6
         UNION ALL SELECT 'two_matching', i_m2 FROM i6
