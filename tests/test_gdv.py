@@ -153,3 +153,17 @@ class TestFixtures:
                                ("b", "c")])
         b = _spark_gdv(spark, [("a", "b"), ("b", "c")])
         assert a == b
+
+
+class TestPlan:
+    def test_no_single_partition(self, spark):
+        # every stage is node-/edge-/pair-keyed: the executed plan
+        # must contain NO full-corpus single-task exchange
+        out = graph.graphlet_orbits(
+            spark.createDataFrame(
+                [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+                "src string, dst string",
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
