@@ -3879,6 +3879,36 @@ def kg_graphlet_orbits(spark, sf_dir):
 
 
 @xq(
+    "kg_role_census",
+    f"""
+    SELECT {", ".join(f"CAST(floor(log2(o{i} + 1)) AS INT) AS dlog{i}"
+                      for i in range(15))},
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node_id) AS exemplar
+    FROM read_parquet('{_pq("graph_orbits")}')
+    GROUP BY {", ".join(f"dlog{i}" for i in range(15))}
+    ORDER BY n_nodes DESC, exemplar ASC
+    LIMIT 50
+    """,
+)
+def kg_role_census(spark, sf_dir):
+    """Structural-role equivalence census (graph.gdv_role_census):
+    entities grouped by their damped floor-log2 GDV signature — the
+    corpus-level reading of kg_graphlet_orbits (role-class
+    populations; over-canonicalization collapses the census into few
+    clique-core classes). One narrow projection + one bounded-key
+    groupBy + TakeOrderedAndProject; the twin derives the identical
+    signature arithmetic in DuckDB from the graph_orbits snapshot."""
+    from ..operators.graph import gdv_role_census, graphlet_orbits
+
+    res = run_pipeline(spark, transcripts_for(spark, sf_dir), PipelineConfig())
+    und = res.triples.select(
+        F.col("subj_name").alias("src"), F.col("obj_name").alias("dst")
+    )
+    return gdv_role_census(graphlet_orbits(und))
+
+
+@xq(
     "kg_degree_concentration",
     f"""
     WITH et AS (

@@ -167,3 +167,43 @@ class TestPlan:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
+
+
+class TestRoleCensus:
+    def _run(self, spark, edges, top_k=50):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        out = graph.gdv_role_census(graph.graphlet_orbits(df), top_k=top_k)
+        return [tuple(r) for r in out.collect()]
+
+    def test_symmetric_star_collapses_leaves(self, spark):
+        # 5 leaves share one role class; the hub is its own
+        rows = self._run(spark, [("hub", f"x{i}") for i in range(5)])
+        assert len(rows) == 2
+        by_n = {r[15]: r for r in rows}
+        assert by_n[5][16] == "x0"       # exemplar = lexic. least leaf
+        assert by_n[1][16] == "hub"
+        assert rows[0][15] == 5          # ordered by population desc
+
+    def test_damping_merges_same_octave(self, spark):
+        # path of 6: the two ends share a role, interior nodes split
+        # by octave-resolution orbit counts but NEVER across degrees
+        edges = [(f"n{i}", f"n{i+1}") for i in range(5)]
+        rows = self._run(spark, edges)
+        sigs = {r[16]: r[:15] for r in rows}
+        assert sigs["n0"][0] == 1        # dlog2(1+1) = 1 for degree 1
+        assert sum(r[15] for r in rows) == 6
+
+    def test_top_k_cut_is_deterministic(self, spark):
+        # every node its own class on an asymmetric graph; k=2 keeps
+        # the two largest-population-then-least-exemplar classes
+        edges = [("a", "b"), ("b", "c"), ("b", "d"), ("d", "e")]
+        full = self._run(spark, edges)
+        cut = self._run(spark, edges, top_k=2)
+        assert cut == full[:2]
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="top_k"):
+            graph.gdv_role_census(graph.graphlet_orbits(df), top_k=0)
