@@ -3237,8 +3237,11 @@ def shortest_path_triples(
     undirected name graph of ``triples``, with every hop labeled by
     ALL the predicates asserting it and the assertion direction —
     "Berlin ←LOCATED_IN— Warehouse 13 —STORES→ Crate 7" is the answer
-    shape of the reference's graph-BFS Q&A tool, and the citation a
-    KG-RAG response stuffs next to a multi-hop claim.
+    shape of the reference's graph-BFS Q&A tool (reference parity:
+    functions/rag/graph_rag/tools/graph_search_tool.py:182 `get_bfs`
+    and the BFS tool at :432, which walk the stored entity graph and
+    render hop-labeled relation chains), and the citation a KG-RAG
+    response stuffs next to a multi-hop claim.
 
     Output, one row per (hop, predicate) pair:
 
