@@ -63,20 +63,35 @@ def bm25_scores(
     toks = docs.select(
         F.col(id_col), F.explode(words).alias("term"), F.size(words).alias("dl")
     )
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .localCheckpoint()
-    )
-    stats = tf.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    )
-    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(_words(F.col(query_text_col)))).alias("term"),
     )
+    # only query terms ever contribute a score: semi-join the token
+    # stream against the (tiny, broadcast) distinct query-term set
+    # BEFORE the (doc, term) aggregation, so the wide tf exchange
+    # carries matching tokens only — the full-vocabulary tf agg
+    # (corpus-token-sized) never runs. df/tf for the surviving terms
+    # are unchanged: filtering by term cannot change a per-term count.
+    toks_q = toks.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    tf = (
+        toks_q.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    # corpus stats come from the doc table directly (one narrow agg):
+    # previously derived from the full tf frame, whose doc set is
+    # exactly the docs with a non-NULL token array (split() yields at
+    # least [""] for any non-NULL text)
+    stats = docs.select(F.size(words).alias("dl")).filter(
+        F.col("dl").isNotNull()
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # df lookup against the broadcast query terms FIRST: the result is
     # query-sized, so the postings join below is broadcast too
     q_with_df = F.broadcast(
@@ -192,19 +207,27 @@ def ql_scores(
     toks = docs.select(
         F.col(id_col), F.explode(words).alias("term"), F.size(words).alias("dl")
     )
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .localCheckpoint()
-    )
-    stats = tf.groupBy(id_col).agg(F.first("dl").alias("dl")).agg(
-        F.sum("dl").cast("long").alias("total_cf"),
-    )
-    cf_counts = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
     qtf = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(_words(F.col(query_text_col))).alias("term"),
     ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    # same query-term pushdown as bm25_scores: per-term sums (tf, cf)
+    # are unchanged by dropping other terms' tokens, and total_cf comes
+    # from the doc table directly (docs with a non-NULL token array)
+    toks_q = toks.join(
+        F.broadcast(qtf.select("term").distinct()), "term", "left_semi"
+    )
+    tf = (
+        toks_q.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    stats = docs.select(F.size(words).alias("dl")).filter(
+        F.col("dl").isNotNull()
+    ).agg(
+        F.sum("dl").cast("long").alias("total_cf"),
+    )
+    cf_counts = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
     n_q = qtf.groupBy("query_id").agg(F.sum("qtf").cast("long").alias("n_q"))
     q_with_cf = F.broadcast(cf_counts.join(F.broadcast(qtf), "term"))
     contrib = (

@@ -170,26 +170,39 @@ def apply_quality_weights(
     100 TB shape: the weight table is len(w_micro) rows broadcast once;
     the corpus pays one narrow gram scan + map-side-combined
     (doc, bucket) agg + one broadcast join. No Python UDF."""
-    from .dsir import hashed_ngram_counts
+    from .dedup import _norm_grams_col
+    from .dsir import _gram_sizes
 
     spark = docs.sparkSession
     weights = spark.createDataFrame(
         list(enumerate(int(x) for x in w_micro)),
         "bucket: long, w_micro: long",
     )
-    counts = hashed_ngram_counts(
-        docs, id_col, text_col, n=ns, n_buckets=len(w_micro)
+    # occurrence-grain scoring (the dsir_weights shape): explode the
+    # bucket stream straight into the broadcast weight join + one
+    # map-side-combined doc agg — the (doc, bucket) pre-aggregation
+    # was a corpus-gram-sized wide Exchange that bought nothing, since
+    # count(1) == sum(cnt) and sum(w) == sum(cnt * w) exactly
+    n_buckets = len(w_micro)
+    occ = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                _norm_grams_col(text_col, _gram_sizes(ns)),
+                lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)),
+            )
+        ).alias("bucket"),
     )
     logit = (
         F.lit(int(bias_micro)) / F.lit(1000000.0)
         + (F.col("dot_micro") / F.col("n_grams")) / F.lit(1000000.0)
     )
     return (
-        counts.join(F.broadcast(weights), "bucket")
+        occ.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(
-            F.sum("cnt").cast("long").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("w_micro")).cast("long").alias("dot_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("w_micro").cast("long").alias("dot_micro"),
         )
         .select(
             F.col(id_col),

@@ -13,6 +13,12 @@ from __future__ import annotations
 
 import warnings
 
+# module-top: string-annotated pandas UDFs resolve their type hints
+# against the defining module's globals (see textmetrics.py)
+from typing import Iterator  # noqa: F401
+
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,19 +108,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc, fully JVM-side:
 
-    sig[k] = min over shingles of xxhash64(shingle, seed=k).
+    sig[k] = min over shingles of xxhash64(shingle, k).
 
-    Expressed as ``transform(seeds, k -> array_min(transform(shingles,
-    s -> xxhash64(s, k))))`` — no shuffle, whole-stage codegen.
+    Shape: explode the shingle array, project the ``num_hashes`` hash
+    columns (plain expressions — whole-stage CODEGEN, unlike the
+    previous ``transform(seeds, k -> array_min(transform(...)))``,
+    which evaluated 64 x n_shingles interpreted lambdas per row —
+    measured 5.3 s vs 1.3 s for minhash_dedup on the 50k bench
+    corpus), then one doc-keyed min-aggregate. Callers that
+    repartitioned by ``id_col`` (minhash_dedup does) pay no exchange:
+    explode preserves partitioning and the groupBy reuses it. Requires
+    unique ``id_col`` rows (the documented LSH precondition);
+    ``first("shingles")`` is then exact.
     """
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda k: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
-        ),
+    ex = shingled.select(
+        F.col(id_col), F.col("shingles"),
+        F.explode_outer("shingles").alias("_s"),
     )
-    return shingled.select(F.col(id_col), sig.alias("signature"), "shingles")
+    mins = ex.groupBy(id_col).agg(
+        F.first("shingles").alias("shingles"),
+        *[
+            F.min(F.xxhash64("_s", F.lit(k))).alias(f"_m{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    sig = F.array(*[F.col(f"_m{k}") for k in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("signature"), "shingles")
 
 
 def _validate_bands(bands: int, num_hashes: int) -> int:
@@ -914,33 +933,60 @@ def simhash64(
     bit j of the fingerprint = sign of sum over tokens of
     (bit j of xxhash64(token) ? +1 : -1).
     """
-    # variable-distance shifts need the SQL form (the Python shiftleft API
-    # takes only literal ints); the whole computation stays JVM-side
+    # Shape: token hashes stay JVM-side xxhash64 (one interpreted
+    # transform — value-identical to the old form), and the 64-bit
+    # vote/threshold runs VECTORIZED in numpy on the whole Arrow batch
+    # (unpackbits -> per-doc reduceat -> packbits). The previous
+    # one-expression form ran 64 x n_tokens interpreted lambdas per row
+    # (nested ``aggregate``/``zip_with`` HOFs are not codegen'd) —
+    # measured 5.8 s for simhash_near_dups on the 50k bench corpus with
+    # ~2.7 s in the fingerprint alone. Exactness: bit j is set iff the
+    # integer vote sum over tokens of +/-1 is > 0 — i.e. iff
+    # 2 * popcount_j > n_tokens — pure integer logic, order-free; docs
+    # with no usable tokens (NULL text) fingerprint to 0 as before.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     words = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    # materialize the token-hash array: the fingerprint expression below
-    # references it from 64 lambdas and CollapseProject would otherwise
-    # inline (and re-evaluate) it per bit — see minhash_dedup docstring
-    with_hashes = (
-        docs.repartition(parallelism, id_col)
-        .select(
-            F.col(id_col), F.transform(words, lambda w: F.xxhash64(w)).alias("_hashes")
-        )
-        .localCheckpoint()
+
+    @F.pandas_udf(T.LongType())
+    def _fp(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        for s in it:
+            vals = s.to_numpy()
+            lens = np.array(
+                [0 if a is None else len(a) for a in vals], dtype=np.int64
+            )
+            out = np.zeros(len(vals), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in vals[nz]]
+                )
+                # little-endian platform: byte j//8 / bit j%8 of the
+                # int64 view IS bit j of the hash
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8),
+                    axis=1, bitorder="little",
+                ).astype(np.int64)
+                nzlens = lens[nz]
+                starts = np.zeros(len(nzlens), dtype=np.int64)
+                np.cumsum(nzlens[:-1], out=starts[1:])
+                pop = np.add.reduceat(bits, starts, axis=0)
+                set_bits = (2 * pop > nzlens[:, None]).astype(np.uint8)
+                out[nz] = (
+                    np.packbits(set_bits, axis=1, bitorder="little")
+                    .view(np.int64)
+                    .ravel()
+                )
+            yield pd.Series(out)
+
+    with_hashes = docs.repartition(parallelism, id_col).select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("_hashes"),
     )
-    fingerprint = F.expr(
-        """
-        aggregate(
-          zip_with(
-            transform(sequence(0, 63), j ->
-              aggregate(_hashes, 0,
-                (acc, h) -> acc + IF((h & shiftleft(1L, j)) != 0L, 1, -1))),
-            sequence(0, 63),
-            (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
-          0L, (acc, x) -> acc | x)
-        """
-    )
-    return with_hashes.select(F.col(id_col), fingerprint.alias("simhash"))
+    return with_hashes.select(F.col(id_col), _fp("_hashes").alias("simhash"))
 
 
 def simhash_near_dups(
@@ -968,11 +1014,16 @@ def simhash_near_dups(
             f"IF(q = {n_blocks - 1}, shiftrightunsigned(simhash, q * {width}), "
             f"shiftrightunsigned(simhash, q * {width}) & {(1 << width) - 1}L))"
         )
+    # materialize the banded fingerprints ONCE: both sides of the
+    # self-join read this frame, and without the break each branch
+    # re-runs the whole fingerprint computation (measured: the join
+    # stage costs ~1 s from a materialized frame vs ~4.8 s recomputing
+    # simhash64 twice on the 50k bench corpus)
     quarters = sh.select(
         F.col(id_col),
         "simhash",
         F.posexplode(F.expr(blocks_expr)).alias("quarter", "qval"),
-    )
+    ).localCheckpoint()
     l, r = quarters.alias("l"), quarters.alias("r")
     # the Hamming predicate sits INSIDE the join: on (quarter, qval)
     # equi-keys it runs as the sort-merge join's streamed filter, so
@@ -1085,15 +1136,29 @@ def _gram_sizes(n: "int | tuple[int, ...] | list[int]") -> "list[int]":
 
 
 def _size_grams(words, k: int):
-    # NOTE: a `lambda i, k=k:` closure would NOT work here —
-    # F.transform introspects the lambda arity and passes the array
-    # INDEX as the second argument, silently shadowing the default
+    # zip_with chain over shifted copies — O(words) per doc, same trick
+    # as with_shingles. (The previous transform(sequence, i ->
+    # concat_ws(slice(words, i, k))) shape copies a slice per index and
+    # is interpreted per element: measured 5.27 s vs 0.70 s for the
+    # (1,2)-gram scan of the 50k bench corpus.) Output is identical:
+    # split() never yields NULL elements, so concat == concat_ws here,
+    # and the trailing zip_with null-pads are cut by the final slice.
+    if k == 1:
+        # k=1 grams ARE the words; the guard keeps the NULL-text result
+        # an empty array (as before), not NULL
+        return F.when(F.size(words) >= 1, words).otherwise(
+            F.array().cast("array<string>")
+        )
+    acc = words
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, j + 1, F.size(words)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(
         F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        ),
+        F.slice(acc, 1, F.size(words) - (k - 1)),
     ).otherwise(F.array().cast("array<string>"))
 
 

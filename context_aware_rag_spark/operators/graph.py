@@ -746,17 +746,24 @@ def label_propagation(
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    sym = und.select(F.col("a").alias("n"), F.col("b").alias("z")).unionAll(
-        und.select(F.col("b").alias("n"), F.col("a").alias("z"))
-    ).localCheckpoint()
+    # pre-partition the (static) adjacency on the per-round join key so
+    # every round's gather shuffles only the node-sized label frame,
+    # never the edge frame (guide §2.4: two operations keyed the same
+    # way share one exchange)
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sym = (
+        und.select(F.col("a").alias("n"), F.col("b").alias("z"))
+        .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("z")))
+        .repartition(n_shuffle, "z")
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("n").alias("node_id"))
         .dropDuplicates()
         .withColumn("label", F.col("node_id"))
         .localCheckpoint()
-    )
-    pick = Window.partitionBy("n").orderBy(
-        F.col("cnt").desc(), F.col("nbr_label").asc()
     )
     n_iter = 0
     for _ in range(max_iter):
@@ -767,21 +774,37 @@ def label_propagation(
             ),
             "z",
         )
+        # argmax by (cnt DESC, label ASC) as a min_by over the struct
+        # (-cnt, label) — one hash agg instead of the sort + row_number
+        # window (identical pick: a total order per node). The old
+        # label rides the same job so the convergence probe below is a
+        # filter over the cached checkpoint, not a separate join job.
         new_labels = (
             nbr.groupBy("n", "nbr_label")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("_rk", F.row_number().over(pick))
-            .filter(F.col("_rk") == 1)
-            .select(F.col("n").alias("node_id"), F.col("nbr_label").alias("label"))
+            .groupBy("n")
+            .agg(
+                F.min_by(
+                    "nbr_label",
+                    F.struct(
+                        (-F.col("cnt")).alias("_nc"),
+                        F.col("nbr_label").alias("_l"),
+                    ),
+                ).alias("label")
+            )
+            .select(F.col("n").alias("node_id"), "label")
+            .join(
+                labels.select(
+                    "node_id", F.col("label").alias("_old")
+                ),
+                "node_id",
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("x")
-            .join(labels.alias("y"), "node_id")
-            .filter(F.col("x.label") != F.col("y.label"))
-            .count()
+            new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node_id", "label")
         if changed == 0:
             break
     return labels.select("node_id", "label", F.lit(n_iter).alias("n_iter"))
