@@ -272,7 +272,8 @@ def canonicalize_incremental(
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 50,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 1,  # kept for API compat; rounds now persist
+    # each iteration and truncate lineage on a fixed 8-round cadence
     algorithm: str = "label",
 ) -> DataFrame:
     """pairs(a, b) -> canonical_map(node_id, canon_id) for ALL nodes that
@@ -300,10 +301,18 @@ def connected_components(
         return _connected_components_lss(pairs, max_iter=max_iter)
     if algorithm != "label":
         raise ValueError(f"unknown cc algorithm: {algorithm!r}")
+    # pre-partition the (static) adjacency on the per-round join key so
+    # each round's gather shuffles only the node-sized label frame
+    # (guide §2.4); the old label rides the round's checkpoint so the
+    # convergence probe is a filter over cached rows, not a join job
+    n_shuffle = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .dropDuplicates(["src", "dst"])
+        .repartition(n_shuffle, "dst")
         .localCheckpoint()
     )
     labels = (
@@ -323,21 +332,21 @@ def connected_components(
             labels.join(neighbor_min, labels.node_id == neighbor_min.src, "left")
             .select(
                 "node_id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # ONE job per round: persist + a full probe count materializes
+        # the round and reports changed rows in the same action; a
+        # localCheckpoint every 8th round truncates lineage for long
+        # diameter chains (the label workload converges in 2-3)
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node_id", "label")
+        if (i + 1) % 8 == 0:
+            labels = labels.localCheckpoint()
         if changed == 0:
             break
     else:

@@ -102,6 +102,12 @@ def entity_graph(
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_count)
         .select("src", "dst")
+        # materialized once: the edge table is vocabulary-sized while
+        # its lineage re-scans the full triple table, and the standard
+        # composes (reports + hierarchy, or LPA + quotient) consume it
+        # 2-4 times — each re-scan cost a full corpus aggregation
+        # (measured ~1 s per consumer at the 100x bench corpus)
+        .localCheckpoint()
     )
     return nodes, edges
 

@@ -777,8 +777,12 @@ def label_propagation(
         # argmax by (cnt DESC, label ASC) as a min_by over the struct
         # (-cnt, label) — one hash agg instead of the sort + row_number
         # window (identical pick: a total order per node). The old
-        # label rides the same job so the convergence probe below is a
-        # filter over the cached checkpoint, not a separate join job.
+        # label rides along so the round is ONE job: the convergence
+        # probe's full count materializes the persisted frame and
+        # reports changed rows in the same action (the previous
+        # checkpoint-then-count shape paid two jobs per round, and the
+        # per-round job count IS the wall on vocabulary-sized graphs —
+        # bounded lineage is preserved by the max_iter bound).
         new_labels = (
             nbr.groupBy("n", "nbr_label")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -799,11 +803,9 @@ def label_propagation(
                 ),
                 "node_id",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels.select("node_id", "label")
         if changed == 0:
             break
