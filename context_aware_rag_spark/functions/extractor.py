@@ -108,6 +108,19 @@ def format_relation(r: str) -> str:
     return r.replace(" ", "_").upper()
 
 
+# precomputed formatted lookups over the closed vocabulary — values are
+# exactly format_node_id/format_node_type/format_relation applied to the
+# alias surfaces/types/relations; the per-triple calls were ~25% of the
+# extractor's per-chunk wall at corpus scale
+_ALIAS_FMT = {
+    alias_lower: (format_node_id(surface), format_node_type(etype))
+    for alias_lower, (surface, etype, _key) in ALIAS_INDEX.items()
+}
+_REL_FMT = {
+    kw: format_relation(label) for kw, label in RELATION_KEYWORDS.items()
+}
+
+
 def rule_based_extract(text: str) -> List[RawTriple]:
     """Deterministic extraction: within each sentence, emit a triple for
     every (mention, relation-keyword, mention) pattern where the keyword
@@ -125,31 +138,33 @@ def rule_based_extract(text: str) -> List[RawTriple]:
         blank = "~blank~" in sentence
         if blank:
             triples.append(RawTriple("Bait", "Person", "MET", "  ", "Person"))
-        mentions: List[Tuple[int, str, str]] = []  # (pos, surface, type)
+        # mentions carry PRE-FORMATTED (title-cased surface, capitalized
+        # type) from the module-level lookup — identical values to the
+        # per-triple format_* calls this replaces
+        mentions: List[Tuple[int, str, str]] = []  # (pos, fmt_surface, fmt_type)
         for m in _ALIAS_PATTERN.finditer(sentence):
-            surface, etype, _ = ALIAS_INDEX[m.group(0).lower()]
-            mentions.append((m.start(), surface, etype))
+            fmt = _ALIAS_FMT[m.group(0).lower()]
+            mentions.append((m.start(), fmt[0], fmt[1]))
         if len(mentions) < 2:
             continue
         rels = [(m.start(), m.group(0).lower()) for m in _REL_PATTERN.finditer(sentence)]
         if not rels:
             continue
-        for (p1, s1, t1), (p2, s2, t2) in zip(mentions, mentions[1:]):
+        for (p1, s1, ht), (p2, s2, tt) in zip(mentions, mentions[1:]):
             between = [kw for pos, kw in rels if p1 < pos < p2]
             if not between:
                 continue
-            rel = RELATION_KEYWORDS[between[0]]
-            ht = format_node_type(t1)
-            tt = format_node_type(t2)
             if glitch:
-                ht, tt = f"`{ht}`", f"`{tt}`"
+                hty, tty = f"`{ht}`", f"`{tt}`"
+            else:
+                hty, tty = ht, tt
             triples.append(
                 RawTriple(
-                    head=format_node_id(s1),
-                    head_type=ht,
-                    relation=format_relation(rel),
-                    tail=format_node_id(s2),
-                    tail_type=tt,
+                    head=s1,
+                    head_type=hty,
+                    relation=_REL_FMT[between[0]],
+                    tail=s2,
+                    tail_type=tty,
                 )
             )
     return triples

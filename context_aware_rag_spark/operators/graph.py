@@ -111,12 +111,15 @@ def pagerank(
     # combine feeding groupBy(dst); the pairs⋈shares join reuses pairs'
     # pinned src partitioning (shares, node-sized, shuffles to match).
     # The edge list itself never moves again.
-    for _ in range(iterations):
+    # intermediate rounds use LAZY localCheckpoint: the plan is
+    # truncated (and the round's RDD cached) without paying a job per
+    # round — the final round is eager, so the whole chain materializes
+    # in ONE job and the pairs cache can be released right after
+    # (fixed iteration count needs no per-round convergence probe)
+    for i in range(iterations):
         state = _pagerank_step(
             state, pairs, src, dst, n, teleport, damping_pct
-        ).localCheckpoint()
-    # every iteration's localCheckpoint is eager, so the final state is
-    # already materialized — the cache can go
+        ).localCheckpoint(eager=(i == iterations - 1))
     pairs.unpersist()
     return state.select("node_id", F.col("r").alias("rank_micro"))
 

@@ -172,6 +172,9 @@ def tpch_q3_top10(spark, sf_dir):
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # (r6 note: an orders-first join reorder was tried and measured
+    # SLOWER at bench scale — the lineitem shuffle is cheap there and
+    # the reorder only added a step; reverted to the r5 shape.)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
