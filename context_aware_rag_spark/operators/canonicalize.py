@@ -308,9 +308,24 @@ def connected_components(
     n_shuffle = int(
         pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    # ONE pass over pairs: both orientations explode from the same scan
+    # (the union of two projections evaluated the pairs frame TWICE —
+    # for canonicalize_nodes that meant running the GEMM/LSH pairing
+    # stage itself twice; identical edge set either way)
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
         .dropDuplicates(["src", "dst"])
         .repartition(n_shuffle, "dst")
         .localCheckpoint()

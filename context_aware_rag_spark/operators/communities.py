@@ -77,19 +77,28 @@ def entity_graph(
         F.col(obj_name).alias("_on"),
         F.coalesce(F.col(obj_type), F.lit("Entity")).alias("_ot"),
     )
+    # ONE scan: both endpoints explode from the same pass (the union of
+    # two projections scanned the triple table twice); rows and the
+    # dedup outcome are identical — name/type are functionally
+    # determined by the node key (node_id == name::type)
     nodes = (
         named.select(
-            F.col("_sk").alias("node_id"),
-            F.col("_sn").alias("name"),
-            F.col("_st").alias("type"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_sk").alias("node_id"),
+                        F.col("_sn").alias("name"),
+                        F.col("_st").alias("type"),
+                    ),
+                    F.struct(
+                        F.col("_ok").alias("node_id"),
+                        F.col("_on").alias("name"),
+                        F.col("_ot").alias("type"),
+                    ),
+                )
+            ).alias("_e")
         )
-        .unionAll(
-            named.select(
-                F.col("_ok").alias("node_id"),
-                F.col("_on").alias("name"),
-                F.col("_ot").alias("type"),
-            )
-        )
+        .select("_e.*")
         .dropDuplicates(["node_id"])
     )
     edges = (

@@ -756,9 +756,19 @@ def label_propagation(
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    # one pass over und: both orientations explode from the same scan
+    # (unionAll of two projections evaluated the dedup'd edge frame
+    # twice); identical row set
     sym = (
-        und.select(F.col("a").alias("n"), F.col("b").alias("z"))
-        .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("z")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("n"), F.col("b").alias("z")),
+                    F.struct(F.col("b").alias("n"), F.col("a").alias("z")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
         .repartition(n_shuffle, "z")
         .localCheckpoint()
     )

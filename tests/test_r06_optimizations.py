@@ -1,0 +1,233 @@
+"""Focused equivalence tests for the round-6 optimization rewrites.
+
+Each optimized internal is pinned against a straightforward reference
+implementation of the shape it replaced, on inputs that include the
+edge cases the rewrite had to preserve (NULL text, empty/short docs,
+long texts, the "." drop marker).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from context_aware_rag_spark.operators import dedup
+from context_aware_rag_spark.operators.dedup import (
+    _gram_sizes,
+    _norm_grams_col,
+    normalized_text,
+)
+
+
+EDGE_ROWS = [
+    (1, None),
+    (2, ""),
+    (3, "   "),
+    (4, "."),
+    (5, "one"),
+    (6, "two words"),
+    (7, "a b c d e f"),
+    (8, "Alice, met? Bob!  extra   spaces\nand a newline"),
+    (9, "x!  y,, z"),
+]
+
+
+def _ref_grams(ns):
+    """The pre-r6 gram builder: transform(sequence, i ->
+    concat_ws(slice(words, i, k))) — the semantics oracle for
+    _size_grams' zip_with rewrite."""
+    words = F.split(normalized_text(F.col("text")), " ")
+
+    def size_grams(k):
+        return F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    per = [size_grams(k) for k in ns]
+    return per[0] if len(per) == 1 else F.concat(*per)
+
+
+class TestGramRewrite:
+    @pytest.mark.parametrize("ns", [(1,), (2,), (1, 2), (3,), (2, 3)])
+    def test_norm_grams_match_reference(self, spark, ns):
+        df = spark.createDataFrame(EDGE_ROWS, "doc_id long, text string")
+        got = df.select("doc_id", _norm_grams_col("text", _gram_sizes(ns)).alias("g")).collect()
+        want = df.select("doc_id", _ref_grams(list(ns)).alias("g")).collect()
+        assert got == want
+
+
+class TestSimhashRewrite:
+    def test_matches_expression_reference(self, spark):
+        """numpy bit-vote fingerprint == the pre-r6 one-expression form
+        (nested aggregate/zip_with), including NULL text -> 0."""
+        rows = EDGE_ROWS + [(10, "alice bob alice bob carol"),
+                            (11, "The Quick brown FOX")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+
+        words = F.array_distinct(F.split(normalized_text(F.col("text")), " "))
+        ref = (
+            df.select(
+                "doc_id",
+                F.transform(words, lambda w: F.xxhash64(w)).alias("_hashes"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    """
+                    aggregate(
+                      zip_with(
+                        transform(sequence(0, 63), j ->
+                          aggregate(_hashes, 0,
+                            (acc, h) -> acc + IF((h & shiftleft(1L, j)) != 0L, 1, -1))),
+                        sequence(0, 63),
+                        (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
+                      0L, (acc, x) -> acc | x)
+                    """
+                ).alias("simhash"),
+            )
+        )
+        want = {r["doc_id"]: r["simhash"] for r in ref.collect()}
+        # the old expression yields NULL for NULL text where the rewrite
+        # yields 0 — both "no usable tokens"; normalize for comparison
+        want = {k: (v if v is not None else 0) for k, v in want.items()}
+        assert got == want
+
+
+class TestChunkingFastPath:
+    def test_mixed_batch_matches_slow_path(self, spark):
+        """A batch mixing short texts, a >chunk_size text, '.' markers
+        and NULLs: the vectorized fast path must be bypassed for the
+        long-text batch and produce identical rows everywhere."""
+        from context_aware_rag_spark.config import PipelineConfig
+        from context_aware_rag_spark.operators.chunking import (
+            _split_batch,
+            chunk_transcripts,
+        )
+
+        import datetime as dt
+
+        ts = dt.datetime(2031, 3, 1, 12, 0, 0)
+        # > 500 chars WITH newline separators so the recursive splitter
+        # actually produces multiple pieces
+        long_text = ("sentence with words.\n" * 40).strip()
+        rows = [
+            ("c1", 0, "Alice met Bob.", ts),
+            ("c1", 1, ".", ts),
+            ("c1", 2, None, ts),
+            ("c1", 3, "   ", ts),
+            ("c1", 4, long_text, ts),
+            ("c2", 0, "short", ts),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string, ts timestamp"
+        )
+        cfg = PipelineConfig()
+        got = sorted(
+            map(tuple, chunk_transcripts(df, cfg).collect())
+        )
+        # reference: the exact per-row loop over the same batch grain
+        pdf = df.withColumn(
+            "batch_id", (F.col("turn_idx") / cfg.batch_size).cast("long")
+        ).select("conv_id", "batch_id", "turn_idx", "text", "ts").toPandas()
+        ref = _split_batch(pdf, cfg.chunk_size, cfg.chunk_overlap)
+        from context_aware_rag_spark.functions import hashing
+
+        ref_df = spark.createDataFrame(ref).withColumn(
+            "chunk_id", hashing.chunk_id_col(F.col("text"), F.col("conv_id"))
+        )
+        want = sorted(map(tuple, ref_df.collect()))
+        assert got == want
+        # the long text really did split (fast path must not swallow it)
+        assert any(r[3] > 0 for r in got), "expected a split_pos > 0 chunk"
+
+
+class TestSymmetrizeRewrite:
+    def test_cc_and_lpa_unchanged(self, spark):
+        """The one-pass explode symmetrization yields the same CC map
+        and LPA labels as before on a two-component graph."""
+        from context_aware_rag_spark.operators.canonicalize import (
+            connected_components,
+        )
+        from context_aware_rag_spark.operators.graph import label_propagation
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "e"), ("e", "d")],
+            "a string, b string",
+        )
+        cc = {
+            (r["node_id"], r["canon_id"])
+            for r in connected_components(pairs).collect()
+        }
+        assert cc == {
+            ("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"),
+        }
+        edges = pairs.withColumnRenamed("a", "src").withColumnRenamed(
+            "b", "dst"
+        )
+        labs = {
+            (r["node_id"], r["label"])
+            for r in label_propagation(edges, max_iter=10).collect()
+        }
+        # pin against the pre-r6 reference implementation (window
+        # argmax + union symmetrization + per-round checkpoint/count)
+        from pyspark.sql import Window
+
+        und = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+        sym = und.select(
+            F.col("a").alias("n"), F.col("b").alias("z")
+        ).unionAll(
+            und.select(F.col("b").alias("n"), F.col("a").alias("z"))
+        ).localCheckpoint()
+        labels = (
+            sym.select(F.col("n").alias("node_id"))
+            .dropDuplicates()
+            .withColumn("label", F.col("node_id"))
+            .localCheckpoint()
+        )
+        pick = Window.partitionBy("n").orderBy(
+            F.col("cnt").desc(), F.col("nbr_label").asc()
+        )
+        for _ in range(10):
+            nbr = sym.join(
+                labels.select(
+                    F.col("node_id").alias("z"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "z",
+            )
+            new_labels = (
+                nbr.groupBy("n", "nbr_label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("_rk", F.row_number().over(pick))
+                .filter(F.col("_rk") == 1)
+                .select(
+                    F.col("n").alias("node_id"),
+                    F.col("nbr_label").alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("x")
+                .join(labels.alias("y"), "node_id")
+                .filter(F.col("x.label") != F.col("y.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        want = {(r["node_id"], r["label"]) for r in labels.collect()}
+        assert labs == want
