@@ -455,25 +455,37 @@ def entity_reports(
         F.col(obj_name).alias("_on"),
         F.coalesce(F.col(obj_type), F.lit("Entity")).alias("_ot"),
     )
+    # ONE scan: both direction-rendered clauses explode from the same
+    # pass (the unionAll form scanned the triple table twice);
+    # identical rows
     facts = named.select(
-        F.concat(F.col("_sn"), F.lit("::"), F.col("_st")).alias("entity"),
-        F.col("_sn").alias("name"),
-        F.col("_st").alias("type"),
-        F.concat(
-            F.col("_p"), F.lit(" "), F.col("_on"),
-            F.lit(" ("), F.col("_ot"), F.lit(")"),
-        ).alias("clause"),
-    ).unionAll(
-        named.select(
-            F.concat(F.col("_on"), F.lit("::"), F.col("_ot")).alias("entity"),
-            F.col("_on").alias("name"),
-            F.col("_ot").alias("type"),
-            F.concat(
-                F.col("_sn"), F.lit(" ("), F.col("_st"), F.lit(") "),
-                F.col("_p"),
-            ).alias("clause"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.col("_sn"), F.lit("::"), F.col("_st")
+                    ).alias("entity"),
+                    F.col("_sn").alias("name"),
+                    F.col("_st").alias("type"),
+                    F.concat(
+                        F.col("_p"), F.lit(" "), F.col("_on"),
+                        F.lit(" ("), F.col("_ot"), F.lit(")"),
+                    ).alias("clause"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.col("_on"), F.lit("::"), F.col("_ot")
+                    ).alias("entity"),
+                    F.col("_on").alias("name"),
+                    F.col("_ot").alias("type"),
+                    F.concat(
+                        F.col("_sn"), F.lit(" ("), F.col("_st"),
+                        F.lit(") "), F.col("_p"),
+                    ).alias("clause"),
+                ),
+            )
+        ).alias("_f")
+    ).select("_f.*")
     counted = facts.groupBy("entity", "name", "type", "clause").agg(
         F.count(F.lit(1)).alias("_w")
     )
