@@ -82,23 +82,36 @@ def with_shingles(
 ) -> DataFrame:
     """Word n-gram shingle set per doc (array<string>, distinct).
 
-    Built as a chain of ``zip_with`` over shifted copies of the token
-    array — O(words) per doc. (The obvious ``transform(indices, i ->
-    slice(words, i, n))`` is O(words^2): one array copy per index;
-    measured 14.5s vs 0.4s on 5000 docs.) ``zip_with`` null-pads the
-    shorter side, so the trailing (n-1) entries become null concat
-    results and are cut by the final slice.
+    Built by ONE regex pass over the normalized text (r6): the
+    normal form is single-spaced, so ``(?:^| )(?=(w w .. w))`` fires a
+    capturing lookahead at every word boundary — overlapping n-grams in
+    document order from a single codegen'd ``regexp_extract_all``, no
+    per-element interpreted lambdas. (History: ``transform(sequence, i
+    -> slice(words, i, n))`` is O(words^2) — measured 14.5 s on 5000
+    docs; the r6-interim ``zip_with``-chain was O(words) but still one
+    interpreted lambda per word per level — 0.42 s noop-isolated on the
+    50k bench corpus vs 0.15 s for the regex form, equality-pinned in
+    tests/test_r06_optimizations.py.) Empty/NULL normal forms keep the
+    single-[""]-shingle convention via the ``otherwise`` branch (the
+    regex path never sees an empty word: the normal form is trimmed and
+    single-spaced, and the empty-string corner routes to ``otherwise``
+    for every n).
     """
-    words = F.split(normalized_text(F.col(text_col)), " ")
-    acc = words
-    for k in range(1, n):
-        shifted = F.slice(words, k + 1, F.size(words))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # project the normal form once: it is referenced three times below
+    # (condition + both branches) and CollapseProject keeps a non-cheap
+    # multiply-referenced projection separate instead of inlining the
+    # two regexp_replace passes per reference
+    normed = docs.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    norm = F.col("_norm")
+    words = F.split(norm, " ")
+    pat = "(?:^| )(?=(" + " ".join(["[^ ]+"] * n) + "))"
     shingles = F.when(
-        F.size(words) >= n,
-        F.slice(acc, 1, F.size(words) - (n - 1)),
+        (norm != "") & (F.size(words) >= n),
+        F.regexp_extract_all(norm, F.lit(pat), 1),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return docs.select(
+    return normed.select(
         F.col(id_col), F.array_distinct(shingles).alias("shingles")
     )
 
@@ -106,24 +119,81 @@ def with_shingles(
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature per doc, fully JVM-side:
+    """MinHash signature per doc:
 
     sig[k] = min over shingles of xxhash64(shingle, seed=k).
 
-    Expressed as ``transform(seeds, k -> array_min(transform(shingles,
-    s -> xxhash64(s, k))))`` — no shuffle. (r6 note: an explode +
-    64-min-aggregate codegen variant was measured with a noop sink at
-    both bench sizes — it loses ~0.4 s at the 5k headline corpus and
-    wins only ~0.3 s at 50k, so the row-local form stays.)
+    Shape (r6): Spark's multi-arg ``xxhash64(s, k)`` folds left — the
+    string's hash (seed 42) SEEDS the int argument's 4-byte-path hash
+    (oracle/xxh64.py pins both halves bit-for-bit against Spark). So the
+    seed-INDEPENDENT string hash is computed once per shingle in the JVM
+    (``transform(shingles, s -> xxhash64(s))`` — n evaluations instead
+    of the old nested form's num_hashes x n interpreted lambdas), and
+    the num_hashes seed hashes + per-doc min run VECTORIZED in numpy on
+    the whole Arrow batch (~13 uint64 array ops per seed). Exactness:
+    ``xxh64_int(k, seed=xxh64(s))`` is replicated literally on uint64
+    arrays (wrapping arithmetic == the JVM's long arithmetic), the min
+    is taken on the SIGNED int64 view (Spark compares longs signed), a
+    null shingle JVM-hashes to the untouched seed 42 exactly as the old
+    ``xxhash64(s, k)`` skipped it, and empty/null shingle arrays yield
+    the old form's array-of-num_hashes-nulls. Pinned bit-identical to
+    the old expression in tests/test_r06_optimizations.py.
     """
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda k: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
-        ),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    MASK = (1 << 64) - 1
+    P1, P2, P3, P5 = (
+        11400714785074694791,
+        14029467366897019727,
+        1609587929392839161,
+        2870177450012600261,
     )
-    return shingled.select(F.col(id_col), sig.alias("signature"), "shingles")
+    # per-seed 4-byte-path constants, precomputed as python ints
+    k_mix = [np.uint64((k * P1) & MASK) for k in range(num_hashes)]
+    c_add = np.uint64((P5 + 4) & MASK)
+    u23, u41 = np.uint64(23), np.uint64(41)
+    u33, u29, u32 = np.uint64(33), np.uint64(29), np.uint64(32)
+    uP2, uP3 = np.uint64(P2), np.uint64(P3)
+    null_sig = [None] * num_hashes
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        for s in it:
+            vals = s.to_numpy()
+            lens = np.array(
+                [0 if a is None else len(a) for a in vals], dtype=np.int64
+            )
+            out = [null_sig] * len(vals)
+            nz = lens > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in vals[nz]]
+                ).view(np.uint64)
+                nzlens = lens[nz]
+                starts = np.zeros(len(nzlens), dtype=np.int64)
+                np.cumsum(nzlens[:-1], out=starts[1:])
+                sig = np.empty((len(nzlens), num_hashes), dtype=np.int64)
+                base = flat + c_add  # (seed + P5 + 4), wraps mod 2^64
+                for k in range(num_hashes):
+                    h = base ^ k_mix[k]
+                    h = (h << u23) | (h >> u41)  # rotl 23
+                    h = h * uP2 + uP3
+                    h ^= h >> u33
+                    h *= uP2
+                    h ^= h >> u29
+                    h *= uP3
+                    h ^= h >> u32
+                    sig[:, k] = np.minimum.reduceat(h.view(np.int64), starts)
+                for j, i in enumerate(np.nonzero(nz)[0]):
+                    out[i] = sig[j]
+            yield pd.Series(out, dtype=object)
+
+    base_hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    return shingled.select(
+        F.col(id_col), _sig(base_hashes).alias("signature"), "shingles"
+    )
 
 
 def _validate_bands(bands: int, num_hashes: int) -> int:
@@ -281,33 +351,29 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, est_jaccard >= threshold).
 
-    Shingles and signatures are materialized (localCheckpoint here; an
-    Iceberg stage table in production) at the stage boundaries. Without
-    the break, Catalyst's CollapseProject inlines the shingle-array
-    expression into every one of the 64 per-seed lambdas (and then into
-    both sides of the banding self-join), re-evaluating it 64x per row —
-    measured 70s vs 0.5s on 500 docs. The input is also repartitioned:
-    a text corpus often arrives in few fat partitions and the per-row
-    array work is CPU-bound.
+    Signatures are materialized (localCheckpoint here; an Iceberg stage
+    table in production) at the stage boundary: both sides of the
+    banding self-join and the est_jaccard re-joins read the signature
+    frame, and without the break each consumer would re-run the whole
+    text -> shingles -> signature computation. The shingle stage itself
+    is NOT materialized any more (r6): under the numpy signature form
+    the shingle array has exactly ONE consumer — the per-shingle
+    xxhash64 base-hash transform feeding the signature UDF — so
+    CollapseProject inlining it is harmless (it used to be inlined into
+    all 64 per-seed lambdas, re-evaluating it 64x per row — measured
+    70 s vs 0.5 s on 500 docs — which is why a persist() barrier sat
+    here through r5; dropping it also drops the shingle-array cache
+    write, the single largest phase of the r5 operator at 50k docs).
+    The input is repartitioned: a text corpus often arrives in few fat
+    partitions and the per-row array work is CPU-bound.
     """
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    # persist (not localCheckpoint) for the shingle stage: an
-    # InMemoryRelation is the same CollapseProject barrier, but it can
-    # be RELEASED once the (much smaller) signatures are materialized —
-    # the shingle arrays are ~3x the signatures' footprint and pinning
-    # them through the banding join showed up as GC tax at 600k docs /
-    # 16 threads in bench_scaling_dedup
     sh = with_shingles(
         docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col
-    ).persist()
-    try:
-        sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).select(
-            id_col, "signature"
-        ).localCheckpoint()
-    finally:
-        # release even if the checkpoint job fails — a leaked shingle
-        # cache in a long-lived session is the GC tax this exists to fix
-        sh.unpersist(False)
+    )
+    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).select(
+        id_col, "signature"
+    ).localCheckpoint()
     cand = minhash_lsh_candidates(
         sig, bands=bands, id_col=id_col, num_hashes=num_hashes
     )

@@ -100,6 +100,71 @@ class TestSimhashRewrite:
         assert got == want
 
 
+class TestMinhashSigRewrite:
+    @pytest.mark.parametrize("num_hashes", [4, 64])
+    def test_matches_expression_reference(self, spark, num_hashes):
+        """numpy seed-hash + reduceat-min signature == the pre-r6
+        nested-transform form ``transform(seeds, k ->
+        array_min(transform(shingles, s -> xxhash64(s, k))))``,
+        including unicode shingles, the single-shingle short-doc path
+        and the NULL/empty -> array-of-nulls signature."""
+        import random
+
+        rng = random.Random(1234)
+        vocab = ["alice", "bob", "café", "東京", "naïve", "x", "", "Zebra!"]
+        rows = list(EDGE_ROWS) + [
+            (100 + i, " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dedup.with_shingles(df, n=3)
+        got = {
+            r["doc_id"]: r["signature"]
+            for r in dedup.minhash_signatures(
+                sh, num_hashes=num_hashes
+            ).collect()
+        }
+        seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+        ref_sig = F.transform(
+            seeds,
+            lambda k: F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
+            ),
+        )
+        want = {
+            r["doc_id"]: r["signature"]
+            for r in sh.select(
+                "doc_id", ref_sig.alias("signature")
+            ).collect()
+        }
+        assert got == want
+
+    def test_null_and_empty_shingle_arrays(self, spark):
+        """Frames minhash_signatures could see in general use: a NULL
+        shingles column and an empty array both signature to
+        [NULL] * num_hashes, exactly like the old expression."""
+        sh = spark.createDataFrame(
+            [(1, None), (2, []), (3, ["a", None])],
+            "doc_id long, shingles array<string>",
+        )
+        got = {
+            r["doc_id"]: r["signature"]
+            for r in dedup.minhash_signatures(sh, num_hashes=8).collect()
+        }
+        seeds = F.sequence(F.lit(0), F.lit(7))
+        ref_sig = F.transform(
+            seeds,
+            lambda k: F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
+            ),
+        )
+        want = {
+            r["doc_id"]: r["signature"]
+            for r in sh.select("doc_id", ref_sig.alias("signature")).collect()
+        }
+        assert got == want
+
+
 class TestChunkingFastPath:
     def test_mixed_batch_matches_slow_path(self, spark):
         """A batch mixing short texts, a >chunk_size text, '.' markers
