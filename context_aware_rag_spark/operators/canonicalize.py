@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 # type, so beyond this the quadratic term dominates
 AUTO_LSH_THRESHOLD = 100_000
 
+# small-graph strategy election for connected_components (r6): below
+# this many PAIRS the component closure runs as a driver union-find
+# (bounded collect — ~65k edges is single-digit MB, the same order as
+# the session's 64 MB autoBroadcastJoinThreshold) instead of 5+
+# fixpoint jobs whose per-job fixed cost IS the wall on vocabulary-
+# sized dedup graphs. Election is by MEASURED size with a distributed
+# fallback, the same pattern as AUTO_LSH_THRESHOLD above — not a
+# local-mode constant: the dominant workload (alias canonicalization)
+# has vocabulary-bounded reps at ANY corpus size.
+SMALL_CC_PAIR_CAP = 65_536
+# canonicalize_nodes only offers the election when its (already
+# measured) representative count is this small — so the limit-probe's
+# potential recompute touches a <=4096-node pairing stage, trivial at
+# any corpus size
+SMALL_CC_REPS = 4_096
+
 
 def canonicalize_nodes(
     nodes: DataFrame,
@@ -77,13 +93,24 @@ def canonicalize_nodes(
     rep_nodes = reps.select(
         F.col("rep_id").alias("node_id"), "name", "type"
     )
+    n_reps = None
     if blocking == "auto":
-        blocking = "lsh" if reps.count() >= auto_lsh_threshold else "type"
+        n_reps = reps.count()
+        blocking = "lsh" if n_reps >= auto_lsh_threshold else "type"
     with_emb = with_entity_embeddings(rep_nodes, dim=embedding_dim)
     pairs = similarity_pairs(with_emb, threshold=threshold, blocking=blocking,
                              n_blocks=n_blocks, bands=lsh_bands,
                              bits_per_band=lsh_bits_per_band, dim=embedding_dim)
-    rep_canon = connected_components(pairs)
+    # the rep count is already measured in auto mode; when it bounds the
+    # pair graph to vocabulary size, elect the driver union-find closure
+    # (see SMALL_CC_* above) — the fixpoint jobs' fixed cost dominates
+    # the wall on graphs this small at every corpus size
+    cc_cap = (
+        SMALL_CC_PAIR_CAP
+        if n_reps is not None and n_reps <= SMALL_CC_REPS
+        else None
+    )
+    rep_canon = connected_components(pairs, small_graph_cap=cc_cap)
 
     node_to_rep = base.join(reps, ["name", "type"]).select(
         "node_id", "rep_id"
@@ -269,12 +296,45 @@ def canonicalize_incremental(
     )
 
 
+def _driver_cc(pairs: DataFrame, rows) -> "DataFrame | None":
+    """Union-find closure of a collected pair list; same minimum-id
+    labeling as the distributed fixpoints (string comparison agrees:
+    UTF-8 byte order — Spark's — preserves code-point order — Python's).
+    Returns None when a NULL endpoint is present (the distributed
+    paths' null semantics are join-dependent; don't replicate them)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            return None
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = sorted((n, find(n)) for n in parent)
+    from pyspark.sql import types as T
+
+    atype = pairs.schema[pairs.columns[0]].dataType
+    schema = T.StructType(
+        [T.StructField("node_id", atype), T.StructField("canon_id", atype)]
+    )
+    return pairs.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 1,  # kept for API compat; rounds now persist
     # each iteration and truncate lineage on a fixed 8-round cadence
     algorithm: str = "label",
+    small_graph_cap: int | None = None,
 ) -> DataFrame:
     """pairs(a, b) -> canonical_map(node_id, canon_id) for ALL nodes that
     appear in any pair (canon = min node_id of the component).
@@ -296,11 +356,30 @@ def connected_components(
         round per hop).
 
     Both produce the identical minimum-id labeling.
+
+    ``small_graph_cap`` (r6, default None = off): when set, probe the
+    pair list with a bounded ``limit(cap+1).collect()`` — if it fits,
+    the closure is a driver union-find returning a local relation
+    (downstream joins broadcast it), skipping every fixpoint job; if it
+    does not fit (or a NULL endpoint appears), fall through to the
+    distributed algorithm unchanged. Same labeling either way; on the
+    fast path ``max_iter`` never binds (union-find cannot fail to
+    converge). Callers should only enable this when an upstream
+    measurement bounds the graph (see canonicalize_nodes' rep count):
+    the probe's limit can re-evaluate the pair stage on fallback.
     """
+    if algorithm == "lss" and small_graph_cap is None:
+        return _connected_components_lss(pairs, max_iter=max_iter)
+    if algorithm not in ("label", "lss"):
+        raise ValueError(f"unknown cc algorithm: {algorithm!r}")
+    if small_graph_cap:
+        head = pairs.limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            local = _driver_cc(pairs, head)
+            if local is not None:
+                return local
     if algorithm == "lss":
         return _connected_components_lss(pairs, max_iter=max_iter)
-    if algorithm != "label":
-        raise ValueError(f"unknown cc algorithm: {algorithm!r}")
     # pre-partition the (static) adjacency on the per-round join key so
     # each round's gather shuffles only the node-sized label frame
     # (guide §2.4); the old label rides the round's checkpoint so the

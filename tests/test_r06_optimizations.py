@@ -213,6 +213,94 @@ class TestChunkingFastPath:
         assert any(r[3] > 0 for r in got), "expected a split_pos > 0 chunk"
 
 
+class TestSmallGraphCC:
+    """connected_components(small_graph_cap=...) — driver union-find
+    election with distributed fallback (r6)."""
+
+    def _brute(self, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_matches_distributed_and_brute(self, spark):
+        import random
+
+        from context_aware_rag_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        rng = random.Random(99)
+        edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "a: long, b: long")
+        fast = {
+            (r["node_id"], r["canon_id"])
+            for r in connected_components(
+                pairs, small_graph_cap=10_000
+            ).collect()
+        }
+        dist = {
+            (r["node_id"], r["canon_id"])
+            for r in connected_components(pairs).collect()
+        }
+        assert fast == dist == set(self._brute(edges).items())
+
+    def test_string_ids_and_schema(self, spark):
+        from context_aware_rag_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("c", "d"), ("x", "y")], "a: string, b: string"
+        )
+        out = connected_components(pairs, small_graph_cap=100)
+        assert [f.name for f in out.schema.fields] == ["node_id", "canon_id"]
+        assert out.schema["node_id"].dataType.typeName() == "string"
+        got = {(r["node_id"], r["canon_id"]) for r in out.collect()}
+        assert got == {("b", "b"), ("c", "b"), ("d", "b"), ("x", "x"), ("y", "x")}
+
+    def test_cap_exceeded_falls_back(self, spark):
+        from context_aware_rag_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        edges = [(i, i + 1) for i in range(10)]
+        pairs = spark.createDataFrame(edges, "a: long, b: long")
+        out = {
+            (r["node_id"], r["canon_id"])
+            for r in connected_components(pairs, small_graph_cap=3).collect()
+        }
+        assert out == set(self._brute(edges).items())
+
+    def test_lss_with_cap_takes_fast_path(self, spark):
+        from context_aware_rag_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        # long path + tiny max_iter would raise on the distributed lss
+        # rounds; the elected fast path converges regardless
+        edges = [(i, i + 1) for i in range(64)]
+        pairs = spark.createDataFrame(edges, "a: long, b: long")
+        out = {
+            r["canon_id"]
+            for r in connected_components(
+                pairs, max_iter=1, algorithm="lss", small_graph_cap=1_000
+            ).collect()
+        }
+        assert out == {0}
+
+
 class TestSymmetrizeRewrite:
     def test_cc_and_lpa_unchanged(self, spark):
         """The one-pass explode symmetrization yields the same CC map
