@@ -149,7 +149,7 @@ def community_reports(
     are defined over the relationship projection. Document-side
     callers wanting singleton reports should union them in upstream.
     """
-    from .graph import label_propagation
+    from .graph import SMALL_LPA_EDGE_CAP, label_propagation
     from .summarize import llm_summarize_udf
 
     if max_members < 1:
@@ -157,9 +157,11 @@ def community_reports(
     if summarize_udf is None:
         summarize_udf = llm_summarize_udf(cap)
 
-    labels = label_propagation(edges, max_iter=max_iter).select(
-        "node_id", "label"
-    )
+    # entity graphs are vocabulary-sized (module docstring): elect the
+    # driver LPA replica below the cap, distributed fallback above it
+    labels = label_propagation(
+        edges, max_iter=max_iter, small_graph_cap=SMALL_LPA_EDGE_CAP
+    ).select("node_id", "label")
     members = labels.join(nodes, "node_id")
     w = Window.partitionBy("label").orderBy("node_id")
     ranked = members.select(
@@ -265,9 +267,12 @@ def community_hierarchy(
     is asymptotically free next to the first; the parent attach is one
     label-keyed equi-join of two node-sized tables.
     """
-    from .graph import label_propagation
+    from .graph import SMALL_LPA_EDGE_CAP, label_propagation
 
-    l0 = label_propagation(edges, src=src, dst=dst, max_iter=max_iter).select(
+    l0 = label_propagation(
+        edges, src=src, dst=dst, max_iter=max_iter,
+        small_graph_cap=SMALL_LPA_EDGE_CAP,
+    ).select(
         "node_id", F.col("label").alias("community")
     ).localCheckpoint()
     lab = l0.select(
@@ -285,7 +290,9 @@ def community_hierarchy(
         )
         .dropDuplicates()
     )
-    l1 = label_propagation(quotient, max_iter=max_iter).select(
+    l1 = label_propagation(
+        quotient, max_iter=max_iter, small_graph_cap=SMALL_LPA_EDGE_CAP
+    ).select(
         F.col("node_id").alias("community"), F.col("label").alias("_p")
     )
     return l0.join(l1, "community", "left").select(

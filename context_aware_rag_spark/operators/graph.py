@@ -707,11 +707,64 @@ def pmi_edges(
     )
 
 
+# probe cap for label_propagation's small-graph election (see the
+# docstring there): ~65k edges is single-digit MB on the driver
+SMALL_LPA_EDGE_CAP = 65_536
+
+
+def _driver_lpa(edges: DataFrame, rows, src: str, dst: str, max_iter: int):
+    """Exact Python replica of the distributed synchronous LPA below
+    (same und construction, same (-count, label) argmin vote, same
+    round accounting incl. the final no-change round), returning a
+    local relation. Comparison semantics agree: UTF-8 byte order —
+    Spark's string order — preserves code-point order — Python's.
+    Returns None when an un-droppable NULL survives und (cannot happen:
+    least/greatest null-skip always collapses a null edge to a==b)."""
+    und = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None or a == b:
+            continue  # identical to least/greatest null-skip + a != b
+        und.add((a, b) if a < b else (b, a))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    n_iter = 0
+    for _ in range(max_iter):
+        n_iter += 1
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict = {}
+            for z in nbrs:
+                lz = labels[z]
+                cnt[lz] = cnt.get(lz, 0) + 1
+            new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        changed = sum(1 for n in new if new[n] != labels[n])
+        labels = new
+        if changed == 0:
+            break
+    from pyspark.sql import types as T
+
+    ntype = edges.schema[src].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node_id", ntype),
+            T.StructField("label", ntype),
+            T.StructField("n_iter", T.IntegerType(), False),
+        ]
+    )
+    out = sorted((n, labels[n], n_iter) for n in labels)
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 10,
+    small_graph_cap: int | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al.
     2007, made order-independent): community detection over the
@@ -738,9 +791,22 @@ def label_propagation(
     localCheckpointed per round (bounded lineage, same discipline as
     :func:`pagerank`); convergence costs one count action per round on
     the changed-rows frame.
+    ``small_graph_cap`` (r6, default None = off): when set, probe the
+    raw edge projection with a bounded ``limit(cap+1).collect()`` (a
+    scan, no shuffle — callers pass checkpointed edge tables); if it
+    fits, the whole fixpoint runs as an exact driver replica returning
+    a local relation — the per-round job fixed cost IS the wall on
+    vocabulary-sized entity graphs — else fall through unchanged. Same
+    strategy-election pattern as canonicalize.SMALL_CC_PAIR_CAP.
     """
     if max_iter < 1:
         raise ValueError(f"need max_iter >= 1, got {max_iter}")
+    if small_graph_cap:
+        head = edges.select(src, dst).limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            local = _driver_lpa(edges, head, src, dst, max_iter)
+            if local is not None:
+                return local
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),

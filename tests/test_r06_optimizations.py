@@ -301,6 +301,76 @@ class TestSmallGraphCC:
         assert out == {0}
 
 
+class TestSmallGraphLPA:
+    """label_propagation(small_graph_cap=...) — exact driver replica of
+    the synchronous distributed rounds (r6)."""
+
+    def _both(self, spark, edges, schema, max_iter=10):
+        from context_aware_rag_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, schema)
+        fast = sorted(
+            map(
+                tuple,
+                label_propagation(
+                    df, max_iter=max_iter, small_graph_cap=100_000
+                ).collect(),
+            )
+        )
+        dist = sorted(
+            map(tuple, label_propagation(df, max_iter=max_iter).collect())
+        )
+        return fast, dist
+
+    def test_random_graph_rows_and_niter(self, spark):
+        import random
+
+        rng = random.Random(31)
+        edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(200)]
+        fast, dist = self._both(spark, edges, "src long, dst long")
+        assert fast == dist
+
+    def test_bipartite_two_cycle_hits_max_iter(self, spark):
+        # complete bipartite K2,2: synchronous LPA oscillates, so the
+        # loop runs to max_iter — n_iter accounting must match exactly
+        edges = [(0, 10), (0, 11), (1, 10), (1, 11)]
+        fast, dist = self._both(spark, edges, "src long, dst long", max_iter=4)
+        assert fast == dist
+        assert all(r[2] == 4 for r in fast)
+
+    def test_string_ids_and_schema(self, spark):
+        from context_aware_rag_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(
+            [("b", "c"), ("c", "d"), ("x", "y"), ("y", None)],
+            "src string, dst string",
+        )
+        fast_df = label_propagation(df, small_graph_cap=100)
+        dist_df = label_propagation(df)
+        assert [
+            (f.name, f.dataType.typeName()) for f in fast_df.schema.fields
+        ] == [
+            (f.name, f.dataType.typeName()) for f in dist_df.schema.fields
+        ]
+        assert sorted(map(tuple, fast_df.collect())) == sorted(
+            map(tuple, dist_df.collect())
+        )
+
+    def test_cap_exceeded_falls_back(self, spark):
+        from context_aware_rag_spark.operators.graph import label_propagation
+
+        edges = [(i, (i + 1) % 30) for i in range(30)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fast = sorted(
+            map(
+                tuple,
+                label_propagation(df, small_graph_cap=5).collect(),
+            )
+        )
+        dist = sorted(map(tuple, label_propagation(df).collect()))
+        assert fast == dist
+
+
 class TestSymmetrizeRewrite:
     def test_cc_and_lpa_unchanged(self, spark):
         """The one-pass explode symmetrization yields the same CC map
