@@ -69,6 +69,59 @@ def degree_stats(
     )
 
 
+def _driver_pagerank(
+    edges: DataFrame,
+    rows,
+    src: str,
+    dst: str,
+    iterations: int,
+    damping_pct: int,
+) -> "DataFrame | None":
+    """Exact Python replica of the distributed integer PageRank below
+    (same dedup, same floor-division recurrence over nonnegative longs,
+    same dangling/teleport terms, same empty-graph result), returning a
+    local relation. Returns None on a NULL endpoint (the distributed
+    null-join semantics are not worth replicating)."""
+    pairs = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            return None
+        pairs.add((a, b))
+    out_deg: dict = {}
+    nodes = set()
+    for a, b in pairs:
+        out_deg[a] = out_deg.get(a, 0) + 1
+        nodes.add(a)
+        nodes.add(b)
+    from pyspark.sql import types as T
+
+    ntype = edges.schema[src].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node_id", ntype),
+            T.StructField("rank_micro", T.LongType()),
+        ]
+    )
+    n = len(nodes)
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], schema)
+    teleport = ((100 - damping_pct) * MICRO) // 100
+    r = {v: MICRO for v in nodes}
+    for _ in range(iterations):
+        inbound = {}
+        for a, b in pairs:
+            inbound[b] = inbound.get(b, 0) + r[a] // out_deg[a]
+        dang = sum(r[v] for v in nodes if v not in out_deg)
+        r = {
+            v: teleport
+            + (damping_pct * (inbound.get(v, 0) + dang // n)) // 100
+            for v in nodes
+        }
+    out = sorted(r.items())
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
@@ -76,6 +129,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     deduped: bool = False,
+    small_graph_cap: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank: (node_id, rank_micro).
 
@@ -100,6 +154,16 @@ def pagerank(
         raise ValueError(f"need iterations >= 1, got {iterations}")
     if not (0 < damping_pct < 100):
         raise ValueError(f"need 0 < damping_pct < 100, got {damping_pct}")
+    # small-graph election (r6): same bounded limit-probe + exact driver
+    # replica + distributed fallback pattern as label_propagation above
+    if small_graph_cap:
+        head = edges.select(src, dst).limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            local = _driver_pagerank(
+                edges, head, src, dst, iterations, damping_pct
+            )
+            if local is not None:
+                return local
     pairs = _pin_pairs(edges, src, dst, deduped)
     state = _pagerank_state(pairs, src, dst)
     n = state.count()

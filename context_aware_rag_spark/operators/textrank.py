@@ -110,8 +110,13 @@ def textrank_summary(
     sym = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # sentence graphs are document-local and similarity-thresholded —
+    # edge count tracks documents' sentence pairs, tiny next to the
+    # corpus: elect the exact driver pagerank replica below the cap
+    # (distributed fallback above it; graph.SMALL_LPA_EDGE_CAP pattern)
     ranks = graph.pagerank(
-        sym, iterations=iterations, damping_pct=damping_pct
+        sym, iterations=iterations, damping_pct=damping_pct,
+        small_graph_cap=graph.SMALL_LPA_EDGE_CAP,
     ).select(
         F.col("node_id"), F.col("rank_micro")
     )

@@ -371,6 +371,81 @@ class TestSmallGraphLPA:
         assert fast == dist
 
 
+class TestSmallGraphPagerank:
+    """pagerank(small_graph_cap=...) — exact integer driver replica."""
+
+    def test_random_graph_matches_distributed(self, spark):
+        import random
+
+        from context_aware_rag_spark.operators.graph import pagerank
+
+        rng = random.Random(17)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fast = sorted(
+            map(tuple, pagerank(df, small_graph_cap=10_000).collect())
+        )
+        dist = sorted(map(tuple, pagerank(df).collect()))
+        assert fast == dist
+        assert fast  # non-degenerate
+
+    def test_dangling_and_string_ids(self, spark):
+        from context_aware_rag_spark.operators.graph import pagerank
+
+        # b and d are dangling (no out-edges): the dang term must match
+        df = spark.createDataFrame(
+            [("a", "b"), ("c", "d"), ("a", "d")], "src string, dst string"
+        )
+        fast_df = pagerank(df, small_graph_cap=100)
+        dist_df = pagerank(df)
+        assert [
+            (f.name, f.dataType.typeName()) for f in fast_df.schema.fields
+        ] == [
+            (f.name, f.dataType.typeName()) for f in dist_df.schema.fields
+        ]
+        assert sorted(map(tuple, fast_df.collect())) == sorted(
+            map(tuple, dist_df.collect())
+        )
+
+    def test_empty_graph(self, spark):
+        from context_aware_rag_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df, small_graph_cap=100).collect() == []
+        assert pagerank(df).collect() == []
+
+    def test_textrank_unchanged(self, spark):
+        """textrank (which now elects the fast pagerank) must produce
+        identical rows to a distributed-pagerank run."""
+        from unittest import mock
+
+        from context_aware_rag_spark.operators import graph
+        from context_aware_rag_spark.operators.textrank import (
+            textrank_summary,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Alice met Bob. Alice met Bob again! Tokyo is big."),
+                (2, "One sentence only"),
+                (3, "Red truck drove. The red truck drove fast. Truck."),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(map(tuple, textrank_summary(docs, top_k=2).collect()))
+        orig = graph.pagerank
+
+        def no_cap(edges, **kw):
+            kw.pop("small_graph_cap", None)
+            return orig(edges, **kw)
+
+        with mock.patch.object(graph, "pagerank", side_effect=no_cap):
+            want = sorted(
+                map(tuple, textrank_summary(docs, top_k=2).collect())
+            )
+        assert got == want
+
+
 class TestSymmetrizeRewrite:
     def test_cc_and_lpa_unchanged(self, spark):
         """The one-pass explode symmetrization yields the same CC map
