@@ -465,12 +465,60 @@ def knn_similar_edges(
     )
 
 
+# small-graph election for the degree-gate fixpoint: the ranked frame
+# is already localCheckpointed, so the bounded limit-probe is a cache
+# scan at any corpus size; below the cap the fixpoint runs as an exact
+# driver replica (bench shape: ~75k ranked rows, 2 rounds — the
+# per-round job fixed cost was most of the gate wall), above it the
+# distributed rounds run unchanged. Same pattern as
+# canonicalize.SMALL_CC_PAIR_CAP / graph.SMALL_LPA_EDGE_CAP.
+SMALL_GATE_EDGE_CAP = 131_072
+
+
+def _driver_gate(rows, max_degree: int, max_iter: int, stats: dict | None):
+    """Exact Python replica of the distributed acceptance fixpoint:
+    same all-accepted start, same synchronous indeg-from-earlier-
+    accepted update, same round accounting and non-convergence raise.
+    Returns (accepted_src_list, iterations); None on a NULL endpoint."""
+    edges = []
+    srcs = set()
+    for r in rows:
+        s, d = r[0], r[1]
+        if s is None or d is None:
+            return None
+        srcs.add(s)
+        if s < d:
+            edges.append((s, d))
+    acc = {s: True for s in srcs}
+    iterations = 0
+    for _ in range(max_iter):
+        iterations += 1
+        indeg: dict = {}
+        for s, d in edges:
+            if acc[s]:
+                indeg[d] = indeg.get(d, 0) + 1
+        new = {s: indeg.get(s, 0) < max_degree for s in srcs}
+        changed = sum(1 for s in srcs if new[s] != acc[s])
+        acc = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"knn degree-gate fixpoint did not converge in {max_iter} "
+            "iterations; raise max_iter"
+        )
+    if stats is not None:
+        stats["iterations"] = iterations
+    return sorted(s for s in srcs if acc[s])
+
+
 def rank_and_gate(
     cand: DataFrame,
     top_k: int = 6,
     max_degree: int | None = 5,
     max_iter: int | None = None,
     stats: dict | None = None,
+    small_graph_cap: int | None = SMALL_GATE_EDGE_CAP,
 ) -> DataFrame:
     """W5 per-source ranking + the reference's degree-gate fixpoint over
     an already-scored candidate set (src, dst, score) — the tail of
@@ -487,6 +535,38 @@ def rank_and_gate(
     if max_degree is None:
         return ranked
     ranked = ranked.localCheckpoint()
+
+    if small_graph_cap:
+        head = ranked.select("src", "dst").limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            # acceptance depends only on earlier sources: chain depth
+            # <= #sources — the same true bound the distributed path
+            # derives from srcs.count()
+            n_srcs = len({r[0] for r in head})
+            res = _driver_gate(
+                head,
+                max_degree,
+                max_iter if max_iter is not None else max(n_srcs, 1) + 1,
+                stats,
+            )
+            if res is not None:
+                spark = ranked.sparkSession
+                from pyspark.sql import types as T
+
+                stype = ranked.schema["src"].dataType
+                accepted = spark.createDataFrame(
+                    [(s,) for s in res],
+                    T.StructType([T.StructField("src", stype)]),
+                )
+                kept = ranked.join(F.broadcast(accepted), "src", "left_semi")
+                wd = Window.partitionBy("_k1", "_k2").orderBy("src")
+                return (
+                    kept.withColumn("_k1", F.least("src", "dst"))
+                    .withColumn("_k2", F.greatest("src", "dst"))
+                    .withColumn("_rn", F.row_number().over(wd))
+                    .filter(F.col("_rn") == 1)
+                    .select("src", "dst", "score")
+                )
 
     srcs = ranked.select("src").distinct().localCheckpoint()
     if max_iter is None:

@@ -446,6 +446,66 @@ class TestSmallGraphPagerank:
         assert got == want
 
 
+class TestSmallGraphGate:
+    """rank_and_gate's driver fixpoint election (r6) — identical rows
+    and iteration telemetry vs the forced-distributed rounds."""
+
+    def test_fast_equals_distributed(self, spark):
+        from context_aware_rag_spark.operators.similarity import (
+            knn_similar_edges,
+            rank_and_gate,
+            with_text_embeddings,
+        )
+
+        rows = []
+        for cluster in range(3):
+            for i in range(10):
+                rows.append(
+                    (f"c{cluster}-{i:02d}", f"cluster {cluster} same text")
+                )
+        for i in range(4):
+            rows.append((f"solo-{i}", f"unique text number {i} xyz"))
+        emb = with_text_embeddings(
+            spark.createDataFrame(rows, ["chunk_id", "text"])
+        ).localCheckpoint()
+        # ungated knn_similar_edges returns ranked (src, dst, score)
+        cand = knn_similar_edges(emb, max_degree=None)
+        stats_fast: dict = {}
+        stats_dist: dict = {}
+        fast = sorted(
+            map(
+                tuple,
+                rank_and_gate(cand, max_degree=5, stats=stats_fast).collect(),
+            )
+        )
+        dist = sorted(
+            map(
+                tuple,
+                rank_and_gate(
+                    cand, max_degree=5, stats=stats_dist, small_graph_cap=0
+                ).collect(),
+            )
+        )
+        assert fast == dist and fast
+        assert stats_fast["iterations"] == stats_dist["iterations"]
+
+    def test_cap_exceeded_falls_back(self, spark):
+        from context_aware_rag_spark.operators.similarity import rank_and_gate
+
+        cand = spark.createDataFrame(
+            [(f"s{i}", f"s{(i + 1) % 8}", 0.95) for i in range(8)],
+            "src string, dst string, score double",
+        )
+        fast = sorted(map(tuple, rank_and_gate(cand, max_degree=2).collect()))
+        dist = sorted(
+            map(
+                tuple,
+                rank_and_gate(cand, max_degree=2, small_graph_cap=3).collect(),
+            )
+        )
+        assert fast == dist
+
+
 class TestSymmetrizeRewrite:
     def test_cc_and_lpa_unchanged(self, spark):
         """The one-pass explode symmetrization yields the same CC map
