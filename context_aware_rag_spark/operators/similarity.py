@@ -204,8 +204,12 @@ def similarity_pairs(
     representatives, which satisfies it by construction.
     """
     if blocking == "type":
+        # no stage break (r6): the exact path's input feeds ONE
+        # consumer chain (replicate -> blocked GEMM), and every caller
+        # materializes or single-scans the pair output — the checkpoint
+        # only added a job + a cache write of the embedding column
         return _gemm_pairs_exact(
-            nodes_with_emb.select("node_id", "type", "embedding").localCheckpoint(),
+            nodes_with_emb.select("node_id", "type", "embedding"),
             threshold,
             n_blocks=n_blocks,
         )
