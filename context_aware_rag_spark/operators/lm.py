@@ -20,10 +20,11 @@ Spark and the SQL twin. The float→int rounding itself is safe: both
 engines compute ``ln`` of the identical IEEE-754 ratio via libm.
 
 100 TB shape: occurrences collapse to per-(doc, bigram) counts in one
-map-side-combined shuffle; bigram/context counts aggregate that frame
-(keyed on grams, bounded by vocabulary); the per-bigram log-prob table
-is assembled vocabulary-side (the Zipf-hot w1 join fans over DISTINCT
-bigrams, never occurrences — see the skew note in the function body)
+map-side-combined shuffle; bigram counts aggregate that frame (keyed
+on grams, bounded by vocabulary) and context totals come from a
+window over the bigram frame itself; the per-bigram log-prob table
+is assembled vocabulary-side (the Zipf-hot w1 window runs over
+DISTINCT bigrams, never occurrences — see the skew note in the body)
 and the single corpus-sized join is doc_pairs x lp_table on the full
 (w1, w2) key, whose skew is the hottest BIGRAM (orders of magnitude
 milder than the hottest word; AQE covers the residue). The vocab size
@@ -32,7 +33,7 @@ is a 1-row broadcast. No UDF anywhere — the whole plan is JVM codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,8 +88,8 @@ def bigram_lm_scores(
     # >=0.8). Instead: (1) collapse occurrences to per-(doc, bigram)
     # counts ONCE — this frame feeds the bigram agg, the context agg
     # and the scoring join; (2) build a vocabulary-bounded per-bigram
-    # log-prob table (the context join fans out only over DISTINCT
-    # bigrams per w1, not occurrences); (3) join doc counts to the lp
+    # log-prob table (context totals window over DISTINCT bigrams per
+    # w1, not occurrences); (3) join doc counts to the lp
     # table and weight by c. sum_c(round(lp)) == c * round(lp), so the
     # result is bit-identical to per-occurrence scoring.
     doc_pairs = (
@@ -97,13 +98,22 @@ def bigram_lm_scores(
         .localCheckpoint()
     )
     bigram_counts = doc_pairs.groupBy("w1", "w2").agg(F.sum("c").alias("c_big"))
-    context_counts = doc_pairs.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
     vocab = (
         docs.select(F.explode(words).alias("word"))
         .agg(F.countDistinct("word").alias("vocab"))
     )
+    # context totals via a window over the (vocabulary-bounded) bigram
+    # frame instead of a second full aggregation pass over doc_pairs +
+    # a join: sum_w2(c_big) grouped by w1 == sum(doc_pairs.c) grouped
+    # by w1 — exact integer arithmetic, bit-identical lp_micro. The
+    # window's hash(w1) exchange carries DISTINCT bigrams only (the old
+    # context agg re-shuffled the corpus-gram-sized doc_pairs frame,
+    # and the w1 equi-join it fed is gone entirely). Skew bound: the
+    # hottest w1's partition holds its distinct successors — vocabulary
+    # scale, never occurrence scale.
     lp_table = (
-        bigram_counts.join(context_counts, ["w1"])
+        bigram_counts
+        .withColumn("c_ctx", F.sum("c_big").over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(vocab))
         .select(
             "w1",

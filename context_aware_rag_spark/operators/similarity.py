@@ -281,21 +281,30 @@ def _collapsed_candidates(
     # the member-rank window runs on the NARROW (class_id, id)
     # projection; rep embeddings come from one aggregate — the old
     # shape ran a second window carrying the dim-long embedding through
-    # its exchange (narrow-shuffle discipline)
+    # its exchange (narrow-shuffle discipline). Checkpoints on these
+    # vocabulary-/item-bounded intermediates are LAZY (r6 session 3):
+    # every consumer sits inside the final action's DAG, so eager
+    # checkpoints only serialized 3 extra driver-blocking jobs ahead of
+    # it — lazy keeps the compute-once cache + plan truncation while
+    # AQE schedules the stages concurrently inside the one job.
     ranked_members = classed.select("class_id", id_col).select(
         "class_id", id_col, F.row_number().over(wcls).alias("_mrank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # class size rides the rep aggregate (same exchange, same pass)
+    # instead of a separate scan over ranked_members
     reps = (
         classed.groupBy("class_id")
-        .agg(F.any_value("embedding").alias("embedding"))
-        .localCheckpoint()
+        .agg(
+            F.any_value("embedding").alias("embedding"),
+            F.count(F.lit(1)).alias("_csize"),
+        )
+        .localCheckpoint(eager=False)
     )
-    sizes = ranked_members.groupBy("class_id").agg(
-        F.max("_mrank").alias("_csize")
-    )
-    lb = with_lsh_bands(reps, dim, bands, bits_per_band).select(
+    lb = with_lsh_bands(
+        reps.select("class_id", "embedding"), dim, bands, bits_per_band
+    ).select(
         "class_id", "band", "band_hash"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cross = (
         lb.alias("l")
         .join(
@@ -323,8 +332,7 @@ def _collapsed_candidates(
     # a class trivially shares every band with itself: members of a
     # size>=2 class are mutual candidates in the per-member algorithm
     self_scored = (
-        reps.join(sizes, "class_id")
-        .filter(F.col("_csize") >= 2)
+        reps.filter(F.col("_csize") >= 2)
         .withColumn("score", _pair_dot(F.col("embedding"), F.col("embedding")))
         .filter(F.col("score") >= min_score)
         .select(
