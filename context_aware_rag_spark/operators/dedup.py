@@ -367,9 +367,10 @@ def minhash_dedup(
     The input is repartitioned: a text corpus often arrives in few fat
     partitions and the per-row array work is CPU-bound.
     """
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    from .skew import spread_for_cpu
+
     sh = with_shingles(
-        docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col
+        spread_for_cpu(docs, id_col), n=n, id_col=id_col, text_col=text_col
     )
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col).select(
         id_col, "signature"
@@ -426,9 +427,10 @@ def minhash_dedup_incremental(
         num_hashes,
         "minhash_dedup_incremental(sig_index)",
     )
-    parallelism = new_docs.sparkSession.sparkContext.defaultParallelism
+    from .skew import spread_for_cpu
+
     sh = with_shingles(
-        new_docs.repartition(parallelism, id_col),
+        spread_for_cpu(new_docs, id_col),
         n=n, id_col=id_col, text_col=text_col,
     ).persist()
     try:
@@ -535,9 +537,10 @@ def ngram_jaccard_pairs(
             f"df_cap={DEFAULT_DF_CAP} (or MinHash) beyond verification runs",
             stacklevel=2,
         )
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    from .skew import spread_for_cpu
+
     sh = with_shingles(
-        docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col
+        spread_for_cpu(docs, id_col), n=n, id_col=id_col, text_col=text_col
     ).localCheckpoint()  # stage boundary: see minhash_dedup docstring
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     if df_cap is not None:
@@ -615,9 +618,10 @@ def ngram_containment_pairs(
             stacklevel=2,
         )
     threshold_ppm = int(round(threshold * 1_000_000))
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    from .skew import spread_for_cpu
+
     sh = with_shingles(
-        docs.repartition(parallelism, id_col), n=n, id_col=id_col, text_col=text_col
+        spread_for_cpu(docs, id_col), n=n, id_col=id_col, text_col=text_col
     ).localCheckpoint()  # stage boundary: see minhash_dedup docstring
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     if df_cap is not None:
@@ -1004,8 +1008,9 @@ def simhash64(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from .skew import spread_for_cpu
+
     words = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
 
     @F.pandas_udf(T.LongType())
     def _fp(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
@@ -1038,7 +1043,7 @@ def simhash64(
                 )
             yield pd.Series(out)
 
-    with_hashes = docs.repartition(parallelism, id_col).select(
+    with_hashes = spread_for_cpu(docs, id_col).select(
         F.col(id_col),
         F.transform(words, lambda w: F.xxhash64(w)).alias("_hashes"),
     )
@@ -1432,9 +1437,10 @@ def allpairs_jaccard_pairs(
     delegates to :func:`allpairs_jaccard_pairs_sets` — see there for
     the algorithm and the 100 TB shape.
     """
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    from .skew import spread_for_cpu
+
     sh = with_shingles(
-        docs.repartition(parallelism, id_col), n=n, id_col=id_col,
+        spread_for_cpu(docs, id_col), n=n, id_col=id_col,
         text_col=text_col,
     ).localCheckpoint()  # stage boundary: see minhash_dedup docstring
     return allpairs_jaccard_pairs_sets(

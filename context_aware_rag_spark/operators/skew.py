@@ -58,6 +58,34 @@ def coalesce_for_agg(df: DataFrame, merge_factor: int = 8) -> DataFrame:
     return df
 
 
+def spread_for_cpu(
+    df: DataFrame, key_col: str, merge_factor: int = 8
+) -> DataFrame:
+    """Partition layout for CPU-bound per-row work (shingling, hashing,
+    fingerprint UDFs): guarantee at least core-count parallelism
+    WITHOUT paying a full exchange when the input is already spread.
+
+    The dedup family used an unconditional ``repartition(parallelism,
+    id)`` here — correct for the motivating case (a text corpus
+    arriving in a few fat partitions), but on an input that already
+    has >= parallelism partitions the hash exchange is pure overhead
+    (measured: the repartition of the bench's 256-partition 50k-doc
+    corpus cost ~3 s of the ~4 s shingle stage; the per-row work after
+    it is identical under any row placement). So: too few partitions
+    -> hash repartition (splits fat inputs, the old behavior);
+    enough partitions -> the bounded :func:`coalesce_for_agg` merge
+    (no shuffle, never below core count, task growth <= merge_factor).
+
+    Only safe for partition-independent downstream computation — all
+    callers here are per-row transforms feeding exact aggregations.
+    """
+    n_parts = df.rdd.getNumPartitions()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if n_parts < parallelism:
+        return df.repartition(parallelism, key_col)
+    return coalesce_for_agg(df, merge_factor=merge_factor)
+
+
 def global_index(
     df: DataFrame,
     order_cols: list,

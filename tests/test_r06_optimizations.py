@@ -589,3 +589,53 @@ class TestSymmetrizeRewrite:
                 break
         want = {(r["node_id"], r["label"]) for r in labels.collect()}
         assert labs == want
+
+
+class TestSpreadForCpu:
+    """spread_for_cpu: split fat inputs (old repartition behavior),
+    bounded no-shuffle coalesce for already-spread inputs, and
+    partition-layout independence of the dedup outputs it feeds."""
+
+    def test_few_fat_partitions_repartitions(self, spark):
+        from context_aware_rag_spark.operators.skew import spread_for_cpu
+
+        par = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).coalesce(1).select(
+            F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")
+        )
+        out = spread_for_cpu(df, "doc_id")
+        assert out.rdd.getNumPartitions() == par
+        assert "Exchange" in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_spread_input_avoids_exchange(self, spark):
+        from context_aware_rag_spark.operators.skew import spread_for_cpu
+
+        par = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(par * 8).select(
+            F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")
+        ).localCheckpoint()
+        out = spread_for_cpu(df, "doc_id")
+        assert out.rdd.getNumPartitions() >= par
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Coalesce" in plan
+
+    def test_minhash_pairs_layout_independent(self, spark):
+        rows = [
+            (i, f"alpha beta gamma delta w{i % 7} epsilon zeta eta theta")
+            for i in range(40)
+        ] + [(100, None), (101, ""), (102, "one")]
+        fat = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        par = spark.sparkContext.defaultParallelism
+        spread = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(par * 8)
+        got_fat = {
+            (r["a"], r["b"], r["est_jaccard"])
+            for r in dedup.minhash_dedup(fat, threshold=0.3).collect()
+        }
+        got_spread = {
+            (r["a"], r["b"], r["est_jaccard"])
+            for r in dedup.minhash_dedup(spread, threshold=0.3).collect()
+        }
+        assert got_fat == got_spread and got_fat
