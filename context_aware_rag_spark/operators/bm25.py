@@ -31,11 +31,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# bounded-probe election for the query side (r6): retrieval queries are
+# tiny by contract (the existing plan already broadcast them twice),
+# but each F.broadcast(<derived frame>) build is its own blocking job
+# that RE-RUNS the query-side subtree — at bench shape the repeated
+# builds and scans were most of the operator wall outside the tf agg.
+# Below this many (query, term) rows the terms are collected ONCE: the
+# token filter becomes a codegen'd InSet predicate (no broadcast, no
+# semi-join) and the query frame a local relation whose broadcast costs
+# no recompute. Above the cap the broadcast-semi-join plan is unchanged
+# (same distributed-fallback pattern as the small-graph elections).
+SMALL_QUERY_TERM_CAP = 4_096
+
 
 def _words(text_col):
     # identical tokenization convention to textmetrics/lm and the SQL
     # twins' regexp_split_to_array(lower(trim(text)), '\s+')
     return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def _collect_query_side(qterms: DataFrame, cap: int):
+    """Bounded probe: (rows, local_frame) when the exploded query-term
+    frame has <= cap rows, else (None, None). The local relation is
+    row-identical to ``qterms`` (order immaterial: every consumer is a
+    join or a distinct-set filter)."""
+    head = qterms.limit(cap + 1).collect()
+    if len(head) > cap:
+        return None, None
+    spark = qterms.sparkSession
+    return head, spark.createDataFrame(head, qterms.schema)
 
 
 def bm25_scores(
@@ -67,15 +91,25 @@ def bm25_scores(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(_words(F.col(query_text_col)))).alias("term"),
     )
-    # only query terms ever contribute a score: semi-join the token
-    # stream against the (tiny, broadcast) distinct query-term set
-    # BEFORE the (doc, term) aggregation, so the wide tf exchange
-    # carries matching tokens only — the full-vocabulary tf agg
-    # (corpus-token-sized) never runs. df/tf for the surviving terms
-    # are unchanged: filtering by term cannot change a per-term count.
-    toks_q = toks.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    )
+    # only query terms ever contribute a score: filter the token stream
+    # against the (tiny) distinct query-term set BEFORE the (doc, term)
+    # aggregation, so the wide tf exchange carries matching tokens only
+    # — the full-vocabulary tf agg (corpus-token-sized) never runs.
+    # df/tf for the surviving terms are unchanged: filtering by term
+    # cannot change a per-term count. Below SMALL_QUERY_TERM_CAP the
+    # filter is a collected InSet and the query frame a local relation
+    # (see the cap's comment); above it, broadcast semi-join as before.
+    q_rows, q_local = _collect_query_side(qterms, SMALL_QUERY_TERM_CAP)
+    if q_rows is not None:
+        term_set = sorted({r["term"] for r in q_rows if r["term"] is not None})
+        toks_q = toks.filter(
+            F.col("term").isin(term_set) if term_set else F.lit(False)
+        )
+        qterms = q_local
+    else:
+        toks_q = toks.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
     tf = (
         toks_q.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
@@ -213,10 +247,20 @@ def ql_scores(
     ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
     # same query-term pushdown as bm25_scores: per-term sums (tf, cf)
     # are unchanged by dropping other terms' tokens, and total_cf comes
-    # from the doc table directly (docs with a non-NULL token array)
-    toks_q = toks.join(
-        F.broadcast(qtf.select("term").distinct()), "term", "left_semi"
-    )
+    # from the doc table directly (docs with a non-NULL token array).
+    # Same bounded-probe election as bm25_scores (InSet + local query
+    # relation below the cap, broadcast semi-join above).
+    q_rows, q_local = _collect_query_side(qtf, SMALL_QUERY_TERM_CAP)
+    if q_rows is not None:
+        term_set = sorted({r["term"] for r in q_rows if r["term"] is not None})
+        toks_q = toks.filter(
+            F.col("term").isin(term_set) if term_set else F.lit(False)
+        )
+        qtf = q_local
+    else:
+        toks_q = toks.join(
+            F.broadcast(qtf.select("term").distinct()), "term", "left_semi"
+        )
     tf = (
         toks_q.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
