@@ -122,6 +122,13 @@ def run_pipeline(
     mentions = w.materialize(
         "mentions", lambda: extraction.mentions_from_triples(triples)
     )
+    if not workdir and cfg.deduplicate_nodes:
+        # same break for the mention table: the dedup tail evaluates it
+        # 2-4 times (canonicalize's node-vocabulary input + node_to_rep
+        # re-scan, build_nodes, structural rewrite), and each
+        # evaluation re-runs the endpoint explode + mention dedup
+        # exchange; one vocabulary-sized cache pays for all of them
+        mentions = mentions.localCheckpoint()
     return assemble_graph(w, cfg, chunks, triples, mentions, transcripts)
 
 
