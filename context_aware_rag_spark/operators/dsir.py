@@ -144,10 +144,18 @@ def dsir_weights(
         )
     ).localCheckpoint()
     occ = doc_buckets.select(F.col(id_col), F.explode("_bks").alias("bucket"))
+    # lazy checkpoints (r6 s3): both frames' consumers (the ratio join
+    # and their single-row total aggregates) live inside the final
+    # action's broadcast subtrees, so the eager form only serialized
+    # two extra driver-blocking jobs; lazy keeps compute-once + plan
+    # truncation (the knn-candidates precedent)
     raw_b = (
-        occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+        occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tgt_b = _bucket_totals(target, target_text_col, ns, n_buckets).localCheckpoint()
+    tgt_b = _bucket_totals(
+        target, target_text_col, ns, n_buckets
+    ).localCheckpoint(eager=False)
     denom = F.lit(float(alpha)) * F.lit(n_buckets)
     # full outer on bucket: a bucket seen only on one side still gets a
     # smoothed ratio. Totals are single-row broadcasts.
